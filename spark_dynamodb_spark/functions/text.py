@@ -1,0 +1,61 @@
+"""Text helpers for dedup / text-analysis operators (SURVEY §2 Part C).
+
+Hash discipline: Spark's ``F.hash``/``F.xxhash64`` have no DuckDB
+equivalent, so anything that must hash-match the oracle derives 64-bit
+integers from **md5** (identical in both engines) via
+``conv(substr(md5(x),1,15), 16, 10)``. 15 hex chars = 60 bits, fits a
+signed BIGINT in both engines. Spark-only paths (MinHash at scale) are
+free to use ``xxhash64`` which is faster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — the canonical form for dedup."""
+    return F.trim(F.regexp_replace(F.lower(_c(col)), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of normalized text (array<string>)."""
+    return F.split(normalize_text(col), " ")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """k-token shingles as array<string> (space-joined token windows).
+
+    Built from built-ins only: transform over token indices, then
+    slice+concat. Documents shorter than k tokens yield one shingle of
+    the whole text.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+
+
+def md5_64(col: Column | str) -> Column:
+    """Engine-portable 60-bit integer hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_64(expr: str) -> str:
+    """DuckDB mirror of :func:`md5_64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_normalize_text(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '\\s+', ' ', 'g'))"
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split({sql_normalize_text(expr)}, ' ')"

@@ -1,0 +1,239 @@
+"""Aggregation operators — SURVEY.md §2 B11–B14.
+
+Mirrors the relational surface the reference delivers by delegation
+(SURVEY §2 Part B): the reference's connector feeds Spark's own
+hash-aggregate; here we exercise that surface directly on the
+fixtures.
+
+Scale notes (100 TB): every query below is a map-side-combinable hash
+aggregate over a parquet scan — Catalyst plans
+partial_agg → shuffle(group keys) → final_agg; the shuffle carries
+only the (few) group keys × partial states, never raw rows. Grouping
+keys are low-cardinality (returnflag×linestatus = 6 groups), so AQE
+coalesces the post-shuffle partitions to a handful of tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# B11 — flagship: TPC-H Q1-style pricing summary (hash aggregation)
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan → filter → hash-agg → sort, the spine of the engine.
+
+    Reference parity: the connector (SURVEY §2 A4/A7) would push the
+    ``l_shipdate`` filter into the DynamoDB scan; on parquet Catalyst
+    pushes it into the file scan (check: PushedFilters in explain).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+query("b11_agg_flagship_q1", FLAGSHIP_ORACLE, doc="TPC-H Q1 pricing summary")(flagship)
+
+
+# ---------------------------------------------------------------------------
+# B12 — distinct aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "b12_agg_count_distinct",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per segment.
+
+    Scale: Catalyst expands multi-distinct into an Expand + two-phase
+    aggregate; distinct keys are deduped map-side before the shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B13 — approximate distinct (HLL) — rows-only: Spark's HLL++ and
+# DuckDB's approx_count_distinct are different sketches, so exact
+# hash-match is impossible by construction. tests/test_aggregates.py
+# asserts <5% relative error vs the exact count instead.
+# ---------------------------------------------------------------------------
+
+@query("b13_agg_approx_distinct", None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct(user_id) per event_type (HyperLogLog++).
+
+    Scale: the whole point at 100 TB — the HLL sketch shuffles a few KB
+    per group instead of the full distinct key set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B14 — rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+@query(
+    "b14_agg_rollup",
+    f"""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy with grouping() flags.
+
+    Note: Spark's grouping_id() bit order is (first col = MSB) while
+    DuckDB GROUPING(a,b) also packs a as MSB — but we compute the gid
+    explicitly from per-column grouping() flags so the mapping is
+    unambiguous in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    from spark_dynamodb_spark.functions.exact import dsum as _dsum
+
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") + 2 * F.grouping("o_orderpriority")).alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice", "total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@query(
+    "b14_agg_cube",
+    f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "b14_agg_min_max",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX on doubles and timestamps — order-independent, no decimal
+    detour needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
