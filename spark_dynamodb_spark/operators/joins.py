@@ -1,1 +1,263 @@
-"""Placeholder — filled in this round."""
+"""Join operators — SURVEY.md §2 B5–B10.
+
+The reference delegates all joins to Spark (it is a connector); these
+queries exercise the full join surface on the star schema with the
+physical strategy chosen deliberately:
+
+- dims (region/nation/customer/supplier/part) → broadcast hash join:
+  no shuffle of the fact side at any scale, the dim ships to every
+  executor once. At 100 TB the fact table NEVER shuffles for a dim join.
+- fact-fact (lineitem ⋈ orders) → sort-merge on the join key; AQE
+  handles skew splitting. With both sides bucketed by orderkey in a
+  real deployment this becomes a zero-shuffle join.
+- range/theta joins are banded (equi-key AND range) so Spark plans an
+  equi-join with a range residual instead of a cartesian product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.exact import dsum, sql_dsum
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+
+
+@query(
+    "b05_broadcast_join",
+    f"""
+    SELECT p_brand,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: fact ⋈ small dim with an explicit broadcast hint.
+
+    explain() shows BroadcastHashJoin — lineitem is never shuffled.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "b06_multiway_join",
+    f"""
+    SELECT r_name AS region, n_name AS nation,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+)
+def multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: 5-way star join (TPC-H Q5 shape).
+
+    lineitem ⋈ orders is the only shuffle join (both large); the
+    customer/nation/region chain broadcasts. Catalyst reorders —
+    dims join onto orders BEFORE the fact join, shrinking the
+    shuffled orders side.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("region", "nation")
+    )
+
+
+@query(
+    "b07_outer_join",
+    f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: left outer join with a join-side predicate (kept in the ON
+    clause — moving it to WHERE would change outer-join semantics).
+    COUNT(col) skips nulls in both engines; SUM over an empty/null
+    group is NULL in both."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice", "total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "b07_full_outer_join",
+    """
+    SELECT coalesce(a.k, b.k) AS k, a.n_high, b.n_urgent
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_high FROM orders
+          WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) a
+    FULL JOIN (SELECT o_custkey AS k, COUNT(*) AS n_urgent FROM orders
+               WHERE o_orderstatus = 'O' GROUP BY o_custkey) b
+    ON a.k = b.k
+    ORDER BY k
+    """,
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: full outer join of two aggregated subsets (nulls on both sides)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_high"))
+    )
+    b = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    return (
+        a.join(b, a.k == b.k, "full")
+        .select(
+            F.coalesce(a.k, b.k).alias("k"),
+            "n_high",
+            "n_urgent",
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "b08_semi_anti_join",
+    """
+    SELECT 'with_urgent' AS bucket, COUNT(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT 'without_urgent' AS bucket, COUNT(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY bucket
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: left-semi (EXISTS) and left-anti (NOT EXISTS) — the anti
+    join is also the relational form of the reference's delete-mode
+    writer (SURVEY §2 A13: delete by key = keyed store anti-join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    semi = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("with_urgent").alias("bucket"), "n")
+    anti = cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    ).select(F.lit("without_urgent").alias("bucket"), "n")
+    return semi.unionByName(anti).orderBy("bucket")
+
+
+@query(
+    "b09_range_join",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT a.event_id AS purchase_id, COUNT(*) AS n_views_before
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE
+     AND b.ts < a.ts
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    ORDER BY a.event_id
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: banded interval self-join — views within 30 min before each
+    purchase, per user.
+
+    The equi-key (user_id) makes this a shuffle hash/sort-merge join
+    with a range residual, NOT a cartesian product: at 100 TB the
+    band must always ride on an equi-key (user, or a time bucket) to
+    bound the join fan-out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("b_ts") < F.col("a_ts")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_views_before"))
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "b10_cross_join",
+    """
+    SELECT r.r_name, s.r_name AS other_name
+    FROM region r CROSS JOIN region s
+    WHERE r.r_regionkey < s.r_regionkey
+    ORDER BY r.r_name, other_name
+    """,
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: bounded cross join (unordered pairs of regions).
+
+    Cross joins are only ever legal on provably tiny inputs — the
+    similarity operators (C3) use block-bounded variants of this.
+    """
+    r = load_table(spark, sf_dir, "region")
+    s = r.select(F.col("r_regionkey").alias("s_regionkey"), F.col("r_name").alias("other_name"))
+    return (
+        r.crossJoin(s)
+        .filter(F.col("r_regionkey") < F.col("s_regionkey"))
+        .select("r_name", "other_name")
+        .orderBy("r_name", "other_name")
+    )

@@ -1,1 +1,276 @@
-"""Placeholder — filled in this round."""
+"""Scalar function surface — SURVEY.md §2 B20–B25.
+
+String, date/time, math, array, JSON and conditional expressions.
+All JVM-side built-ins inside whole-stage codegen; the oracle SQL uses
+the matching DuckDB spellings (dialects differ: get_json_object →
+json_extract_string, split → string_split, etc.).
+
+Math note: transcendental functions (log, pow with fractional args)
+can differ by 1 ulp between Java's StrictMath and DuckDB's libm, so
+those outputs are rounded to 9 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+
+
+@query(
+    "b20_strings",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           lower(c_mktsegment) AS seg_lower,
+           substr(c_name, 1, 8) AS name_prefix,
+           c_name || '/' || c_mktsegment AS name_seg,
+           trim(c_name) AS name_trim,
+           length(c_name) AS name_len,
+           regexp_extract(c_name, '[0-9]+', 0) AS name_digits,
+           string_split(c_name, '#') AS name_parts,
+           replace(c_mktsegment, 'A', '_') AS seg_repl,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20: string function family."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim("c_name").alias("name_trim"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "[0-9]+", 0).alias("name_digits"),
+        F.split("c_name", "#").alias("name_parts"),
+        F.regexp_replace("c_mktsegment", "A", "_").alias("seg_repl"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "b21_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(dayofweek(o_orderdate) AS INT) % 7 + 1 AS dow,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+           o_orderdate + INTERVAL 90 DAY AS due_ts,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B21: date/time family on o_orderdate.
+
+    Dialect notes: Spark dayofweek is 1=Sunday; DuckDB dayofweek is
+    0=Sunday — the oracle maps (dow % 7 + 1) to Spark's convention.
+    Spark datediff(end, start) counts date boundaries like DuckDB
+    datediff('day', start, end).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "b22_math",
+    """
+    SELECT p_partkey,
+           round(p_retailprice, 1) AS price_r1,
+           abs(p_retailprice - 1000.0) AS dist_1000,
+           ceil(p_retailprice) AS price_ceil,
+           floor(p_retailprice) AS price_floor,
+           round(sqrt(p_retailprice), 9) AS price_sqrt,
+           round(ln(p_retailprice), 9) AS price_ln,
+           round(pow(p_size, 2.0), 9) AS size_sq,
+           CAST(p_size AS BIGINT) % 7 AS size_mod,
+           sign(p_retailprice - 1500.0) AS above_1500
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22: math family. Transcendentals rounded to 9 dp (ulp drift)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.round(F.sqrt("p_retailprice"), 9).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 9).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2.0)), 9).alias("size_sq"),
+        (F.col("p_size").cast("bigint") % 7).alias("size_mod"),
+        F.signum(F.col("p_retailprice") - 1500.0).alias("above_1500"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "b23_arrays",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_aggregate(embedding[1:8], 'sum') AS DOUBLE), 6) AS head_sum,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23: array functions over the 64-d embedding column.
+
+    float32 sums accumulate in float64 via explicit casts on both
+    sides; rounded to 6 dp because DuckDB list_aggregate sums in
+    float32 order — cast elements first, then the reduce matches.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    head = F.slice("embedding", 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_val"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "b23_explode",
+    """
+    SELECT t.word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) t
+    GROUP BY t.word
+    ORDER BY n DESC, t.word
+    LIMIT 20
+    """,
+)
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23b: explode (lateral unnest) → word frequency."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "b24_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24: JSON extraction from events.props (mirrors the reference's
+    schemaless document attributes, SURVEY §1.1 — a DynamoDB item's
+    nested map arrives as a JSON-ish document)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b24_from_json_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           event_type = 'purchase' AS is_purchase
+    FROM events
+    WHERE user_id = 1
+    ORDER BY event_id
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24b: from_json into a typed struct, then field access — the
+    typed-read path (SURVEY §2 A14: schema-on-read of document data)."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 1)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.from_json("props", schema).getField("k").alias("k"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b25_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 5000 THEN 'high'
+                WHEN o_totalprice > 1000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END AS urgent_price,
+           least(o_totalprice, 2000.0) AS capped,
+           greatest(o_totalprice, 100.0) AS floored
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: CASE/coalesce/nullif/least/greatest."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 5000, "high")
+        .when(F.col("o_totalprice") > 1000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+        .otherwise(0.0)
+        .alias("urgent_price"),
+        F.least("o_totalprice", F.lit(2000.0)).alias("capped"),
+        F.greatest("o_totalprice", F.lit(100.0)).alias("floored"),
+    ).orderBy("o_orderkey")

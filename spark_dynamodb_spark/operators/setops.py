@@ -1,1 +1,117 @@
-"""Placeholder — filled in this round."""
+"""Sort / limit / top-k and set operators — SURVEY.md §2 B18–B19.
+
+Scale notes: global ORDER BY ... LIMIT k is planned by Spark as
+TakeOrderedAndProject — each partition keeps its local top-k, the
+driver merges k×partitions rows. No global sort ever materializes;
+this survives any scale. Set ops are shuffles on the full row — kept
+on pre-projected narrow columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+
+@query(
+    "b18_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18: global top-k (TakeOrderedAndProject — no full sort).
+
+    The o_orderkey tiebreaker makes the result set deterministic when
+    prices tie.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "b19_union",
+    """
+    SELECT o_custkey AS custkey, 'urgent' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_custkey AS custkey, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19a: UNION ALL (bag union — Spark union == SQL UNION ALL)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey"), F.lit("urgent").alias("src")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"), F.lit("open").alias("src")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "b19_intersect",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19b: INTERSECT (set semantics, dedups)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b).orderBy("custkey")
+
+
+@query(
+    "b19_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19c: EXCEPT ALL (bag difference, multiplicity-aware)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b).orderBy("custkey")
+
+
+@query(
+    "b19_distinct",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+)
+def distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19d: DISTINCT — partial-aggregated before the shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment", "c_nationkey").distinct().orderBy(
+        "c_mktsegment", "c_nationkey"
+    )

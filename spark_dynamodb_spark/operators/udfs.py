@@ -1,1 +1,179 @@
-"""Placeholder — filled in this round."""
+"""UDF surface — SURVEY.md §2 B26: scalar Python UDF, Arrow-batched
+pandas UDF, grouped-map applyInPandas, grouped-agg UDAF, and a UDTF.
+
+These exist to prove the extension surface, with semantics chosen to
+be SQL-expressible so the oracle can check them. The engine rule
+(SURVEY §2 C6) still holds: hot paths use built-ins; pandas UDFs are
+the sanctioned escape hatch (Arrow batches, ~10-100× faster than
+row-at-a-time) and the plain Python UDF appears exactly once, here,
+as a deliberately-marked slow-path demonstrator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+
+@query(
+    "b26_pandas_udf_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS total_cost
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26a: Arrow-batched scalar pandas UDF (vectorized numpy math —
+    IEEE-identical to the SQL expression)."""
+
+    @F.pandas_udf("double")
+    def total_cost(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        # No rounding: pandas .round is banker's (half-even) while SQL
+        # round is half-away — the raw product is IEEE-identical.
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        total_cost("l_extendedprice", "l_discount", "l_tax").alias("total_cost"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "b26_python_udf_scalar",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor' ELSE 'credit' END
+             || ':' || c_mktsegment AS segment_tag
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def python_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26b: row-at-a-time Python UDF — the documented slow path.
+
+    Exists to prove the surface; anything hot uses built-ins or
+    pandas UDFs instead.
+    """
+
+    @F.udf(T.StringType())
+    def tag(bal: float, seg: str) -> str:
+        return ("debtor" if bal < 0 else "credit") + ":" + seg
+
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", tag("c_acctbal", "c_mktsegment").alias("segment_tag")
+    ).orderBy("c_custkey")
+
+
+@query(
+    "b26_grouped_agg_udaf",
+    """
+    SELECT c_nationkey,
+           round(CAST(max(c_acctbal) - min(c_acctbal) AS DOUBLE), 6) AS bal_range
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26c: grouped-aggregate pandas UDF (a UDAF): per-nation balance
+    range. max-min is order-independent so it hash-matches exactly."""
+
+    @F.pandas_udf("double")
+    def bal_range(bal: pd.Series) -> float:
+        return round(float(bal.max() - bal.min()), 6)
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(bal_range("c_acctbal").alias("bal_range"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "b26_apply_in_pandas",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+    FROM customer
+    QUALIFY bal_rank <= 2
+    ORDER BY c_nationkey, bal_rank
+    """,
+)
+def apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26d: grouped-map applyInPandas — per-nation top-2 by balance
+    computed inside an Arrow batch per group.
+
+    This is the template for custom per-group operators Spark lacks
+    (the multimodal decode path, C5, uses the same shape). A window
+    would be faster here — the point is the extension surface.
+    """
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["c_acctbal", "c_custkey"], ascending=[False, True]
+        ).head(2)
+        out = out.assign(bal_rank=range(1, len(out) + 1))
+        return out[["c_nationkey", "c_custkey", "c_acctbal", "bal_rank"]]
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("bal_rank", T.IntegerType()),
+        ]
+    )
+    return (
+        cust.groupBy("c_nationkey")
+        .applyInPandas(top2, schema)
+        .orderBy("c_nationkey", "bal_rank")
+    )
+
+
+@query(
+    "b26_udtf_split",
+    """
+    SELECT p_partkey, t.word
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+          FROM part WHERE p_partkey < 100) t(p_partkey, word)
+    ORDER BY p_partkey, word
+    """,
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26e: Python UDTF (table function) — split-to-rows demonstrator
+    (PySpark 4 @udtf). Registered per-call; lateral-joined per row."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string")
+    class SplitWords:
+        def eval(self, name: str):
+            for w in (name or "").split(" "):
+                yield (w,)
+
+    spark.udtf.register("split_words", SplitWords)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    part.createOrReplaceTempView("b26_part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, s.word
+        FROM b26_part_v, LATERAL split_words(p_name) s
+        ORDER BY p_partkey, s.word
+        """
+    )

@@ -1,1 +1,152 @@
-"""Placeholder — filled in this round."""
+"""Window function operators — SURVEY.md §2 B15–B17.
+
+Determinism discipline: every window ORDER BY carries a unique
+tiebreaker (primary key) so ranking / frame contents are total-order
+deterministic and hash-comparable across engines.
+
+Scale notes: a window = one shuffle on partitionBy + a per-partition
+sort. Partition keys here (brand, user, supplier) are high-cardinality
+relative to data volume, so partitions stay small and spillable; a
+window with NO partitionBy (global rank) is a single-task bottleneck
+and appears only in top-k form (B18) where a limit bounds it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+
+
+@query(
+    "b15_window_rank",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn, rnk, drnk, quartile
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number()  OVER w AS rn,
+             rank()        OVER w AS rnk,
+             dense_rank()  OVER w AS drnk,
+             ntile(4)      OVER w AS quartile
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ) t
+    WHERE rn <= 3
+    ORDER BY p_brand, rn
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: top-3 parts per brand with the full ranking family."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("p_brand", "rn")
+    )
+
+
+@query(
+    "b16_window_analytic",
+    f"""
+    WITH e AS (SELECT event_id, user_id, value, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT event_id, user_id, value,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_value,
+           value - lag(value) OVER w AS delta
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16: lag/lead/first_value deltas per user ordered by event time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "b17_window_frames",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_price_sum
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17: explicit ROWS frames — running total and 3-row moving sum.
+
+    The decimal detour makes the running accumulation exact so the
+    cross-engine hash matches at any partition count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w = W.partitionBy("l_suppkey").orderBy(*order)
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    moving = w.rowsBetween(-2, W.currentRow)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(running).cast("double").alias("running_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).over(moving).cast("double").alias("moving_price_sum"),
+    ).orderBy("l_suppkey", *order)
+
+
+@query(
+    "b17_window_range_frame",
+    f"""
+    WITH e AS (SELECT event_id, user_id, value, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+             AS n_last_10min
+    FROM e
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17b: RANGE frame over event-time seconds — events in the
+    trailing 10 minutes per user. rangeBetween needs a numeric order
+    key, so we order by epoch seconds (identical to DuckDB epoch())."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_10min"),
+        "ts",
+    ).orderBy("user_id", "ts", "event_id").drop("ts")
