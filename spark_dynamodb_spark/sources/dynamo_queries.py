@@ -1,1 +1,187 @@
-"""Placeholder — filled in this round."""
+"""Registry queries exercising the dynamo source — SURVEY §2 B2 + Part A.
+
+Each query materializes a keyed store from the driver's parquet
+fixtures (cached per sf_dir under .scratch/dynamo), reads it back via
+``spark.read.format("dynamo")``, and is oracle-checked against plain
+SQL on the original table — the round-trip pattern the reference's
+DynamoDB-Local test harness uses (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
+from spark_dynamodb_spark.tables import load_table
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+
+
+def _ensure_customer_kv(spark: SparkSession, sf_dir: str) -> str:
+    """customer table keyed by c_custkey (FIXTURES.md M2 fixture)."""
+    name = f"customer_kv_{_sf_tag(sf_dir)}"
+    if not os.path.exists(keyed_store.meta_path(keyed_store.DEFAULT_STORE_DIR, name)):
+        keyed_store.create_table(
+            spark,
+            load_table(spark, sf_dir, "customer"),
+            name,
+            hash_key="c_custkey",
+            n_segments=8,
+        )
+    return name
+
+
+def _ensure_events_kv(spark: SparkSession, sf_dir: str) -> str:
+    """events keyed by (user_id, ts) with a GSI on event_type."""
+    name = f"events_kv_{_sf_tag(sf_dir)}"
+    if not os.path.exists(keyed_store.meta_path(keyed_store.DEFAULT_STORE_DIR, name)):
+        keyed_store.create_table(
+            spark,
+            load_table(spark, sf_dir, "events"),
+            name,
+            hash_key="user_id",
+            range_key="ts",
+            gsis=[{"name": "by_type", "hash_key": "event_type", "range_key": "ts"}],
+            n_segments=8,
+        )
+    return name
+
+
+@query(
+    "a04_dynamo_scan",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def dynamo_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/A4: full segmented scan through the dynamo source, schema
+    inferred by sampling — must round-trip identically to the parquet
+    original."""
+    table = _ensure_customer_kv(spark, sf_dir)
+    return read_dynamo(spark, table).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@query(
+    "a07_dynamo_pushdown",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      AND starts_with(c_name, 'Customer#')
+    """,
+)
+def dynamo_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: pushdown-eligible predicates evaluated inside the source
+    (pyarrow scan filter ≙ DynamoDB condition expression)."""
+    table = _ensure_customer_kv(spark, sf_dir)
+    df = read_dynamo(spark, table)
+    return df.filter(
+        (F.col("c_acctbal") > 1000.0)
+        & F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+        & F.col("c_name").startswith("Customer#")
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "a06_dynamo_projection",
+    "SELECT c_custkey, c_mktsegment FROM customer",
+)
+def dynamo_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: projection pushdown via the columns option (the Python DS
+    API has no prune hook — SURVEY §4.1 column-pruning row)."""
+    table = _ensure_customer_kv(spark, sf_dir)
+    return read_dynamo(spark, table, columns="c_custkey,c_mktsegment")
+
+
+@query(
+    "a05_dynamo_gsi",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+    SELECT event_id, user_id, event_type, value
+    FROM e
+    WHERE event_type = 'purchase'
+    """,
+)
+def dynamo_gsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: read through the by_type GSI with a hash-key predicate —
+    the access path a DynamoDB Query on the index would take."""
+    table = _ensure_events_kv(spark, sf_dir)
+    df = read_dynamo(spark, table, indexName="by_type")
+    return df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "a11_dynamo_write_put",
+    """
+    SELECT n_nationkey, upper(n_name) AS n_name_u, n_regionkey * 10 AS rk10
+    FROM nation
+    """,
+)
+def dynamo_write_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: put-mode write → read-back round trip (our DynamoDB-Local
+    analog). Recreated every run: create empty-shaped store, write
+    computed rows, read back."""
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.upper("n_name").alias("n_name_u"),
+        (F.col("n_regionkey") * 10).alias("rk10"),
+    )
+    name = f"nation_put_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(
+        spark, src.limit(0), name, hash_key="n_nationkey", n_segments=2
+    )
+    write_dynamo(src, name)
+    return read_dynamo(spark, name)
+
+
+@query(
+    "a12_dynamo_write_update",
+    """
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN -1 ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    """,
+)
+def dynamo_write_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: update-mode write — null attributes are skipped (SET
+    semantics): even-keyed rows get n_regionkey=-1, n_name arrives
+    null in the update batch and must survive from the base item."""
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    name = f"nation_upd_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(spark, base, name, hash_key="n_nationkey", n_segments=2)
+    updates = base.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        F.lit(None).cast("string").alias("n_name"),  # skipped, keeps base value
+        F.lit(-1).cast("int").alias("n_regionkey"),
+    )
+    write_dynamo(updates, name, update=True)
+    return read_dynamo(spark, name)
+
+
+@query(
+    "a13_dynamo_write_delete",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 0",
+)
+def dynamo_write_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: delete-mode write — delete region-0 nations by key, read
+    back the rest (anti-join semantics)."""
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    name = f"nation_del_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(spark, base, name, hash_key="n_nationkey", n_segments=2)
+    doomed = base.filter(F.col("n_regionkey") == 0)
+    write_dynamo(doomed, name, delete=True)
+    return read_dynamo(spark, name)
