@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full cold execution (plan + scan + collect);
+a warmup pass on a small query first removes JVM/Python-worker
+startup from the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# The headline set: one per operator family — scan-heavy agg, star
+# join, window, set-op/topk, dedup (exact + LSH), ANN, text, dynamo
+# source, streaming.
+HEADLINE = [
+    "b11_agg_flagship_q1",
+    "b06_multiway_join",
+    "b05_broadcast_join",
+    "b09_range_join",
+    "b14_agg_rollup",
+    "b15_window_rank",
+    "b17_window_frames",
+    "b18_topk",
+    "c01_dedup_exact",
+    "c02_dedup_minhash_lsh",
+    "c03_ann_cosine_topk",
+    "c04_text_token_stats",
+    "a04_dynamo_scan",
+    "s01_stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from spark_dynamodb_spark.registry import load_all
+    from spark_dynamodb_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    specs = load_all().specs()
+
+    # Warmup: JVM + python worker pool + parquet footer caches.
+    specs["b01_scan_full"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

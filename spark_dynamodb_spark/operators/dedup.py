@@ -1,1 +1,266 @@
-"""Placeholder — filled in this round."""
+"""Deduplication operators — SURVEY §2 C1/C2: exact, MinHash+LSH,
+SimHash, exact n-gram Jaccard.
+
+Hash discipline: everything oracle-compared derives hashes from md5
+(engine-portable, functions/text.py). Spark-only scale paths would use
+xxhash64 instead (same plan shape, cheaper hash).
+
+Scale notes (100 TB):
+- exact dedup is one map-side-combinable groupBy on a 16-byte hash —
+  the shuffle carries (hash, min_id, count), not documents.
+- MinHash: signatures are 32 aggregates over exploded shingles
+  (shuffle key = doc_id, combinable); LSH banding turns the O(n²)
+  pair search into groupBy(band_hash) buckets — only same-bucket
+  pairs are candidates, and the exact-Jaccard verify runs on
+  candidates only. No driver-side loop anywhere.
+- SimHash: one pass, 60 combinable aggregates per doc; near-dup
+  search is then hamming distance on a 60-bit int (bucketable by
+  bit-chunks at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.text import (
+    md5_64,
+    normalize_text,
+    shingles,
+    sql_md5_64,
+    sql_normalize_text,
+    sql_tokens,
+    tokens,
+)
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "c01_dedup_exact",
+    f"""
+    SELECT md5({sql_normalize_text('text')}) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: canonicalize → hash → keep the first doc per content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(normalize_text("text")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared shingle helpers
+# ---------------------------------------------------------------------------
+
+SHINGLE_K = 3
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_T = 0.8
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs."""
+    return (
+        docs.select("doc_id", F.explode(shingles("text", SHINGLE_K)).alias("shingle"))
+        .distinct()
+    )
+
+
+SQL_SHINGLES = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - {SHINGLE_K - 1}, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+"""
+
+SQL_EXACT_JACCARD_PAIRS = f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    JOIN n nb ON nb.doc_id = doc_b
+    WHERE c * 1.0 / (na.n + nb.n - c) >= {JACCARD_T}
+    ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2 — MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+@query(
+    "c02_dedup_minhash_lsh",
+    SQL_EXACT_JACCARD_PAIRS,
+    doc="""Oracle = exact Jaccard over all pairs. Valid because at the
+    fixture's duplicate level (J ≈ 0.98) LSH recall with 8 bands × 4
+    rows is 1 - (1 - J^4)^8 ≈ 1 - 2e-9 — candidate generation misses
+    nothing above the 0.8 threshold (miss probability < 1e-6 even at
+    J = 0.9).""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: shingle → 32-way MinHash → 8×4 LSH banding → candidate
+    pairs → exact-Jaccard verify ≥ 0.8.
+
+    Pipeline is pure DataFrame ops: explode/agg for signatures,
+    groupBy-band self-join for candidates, shingle join for verify.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs).cache()
+
+    # 32 minhash values per doc: min over shingles of md5_64(seed:shingle)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(md5_64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    # LSH bands: hash each band's signature slice, explode to (band, key)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification, candidates only
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s_b"))
+    common = (
+        cands.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("s_a") == F.col("s_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("c02_dedup_ngram_jaccard", SQL_EXACT_JACCARD_PAIRS)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2b: exact n-gram Jaccard pairs ≥ 0.8 — the quadratic-verify
+    baseline the LSH path prunes. Joins on shared shingles, so only
+    pairs with ≥1 common shingle are ever materialized (still the
+    expensive path at 100 TB; use c02_dedup_minhash_lsh there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs).cache()
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2c — SimHash
+# ---------------------------------------------------------------------------
+
+SIM_BITS = 60  # md5_64 yields 60 usable bits
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIM_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END" for b in range(SIM_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, {sql_md5_64('tok')} AS h FROM toks),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {recombine} AS simhash FROM bits ORDER BY doc_id
+    """
+
+
+@query("c02_dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2c: 60-bit SimHash per document (frequency-weighted token
+    hashes). Near-dups are then hamming-close fingerprints; the
+    fingerprint itself is the oracle-checked output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hashed = toks.select("doc_id", md5_64("tok").alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIM_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIM_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        sim = term if sim is None else sim + term
+    return bits.select("doc_id", sim.alias("simhash")).orderBy("doc_id")

@@ -1,1 +1,214 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over embeddings — SURVEY §2 C3 + embedding
+near-dup (C2 family).
+
+Vectors are array<float> (64-d); all math is done in double via
+Catalyst higher-order functions (functions/vector.py) — JVM-side,
+no Python in the loop. Sequential left-fold accumulation matches
+DuckDB's list_dot_product order, so cosines agree bit-for-bit.
+
+Scale notes (100 TB):
+- brute-force top-k: broadcast the (small) query set, never shuffle
+  the corpus; per-partition partial top-k via window on (query, score)
+  — the corpus is scanned once, no materialized n×m pair table
+  outside the aggregation pipeline.
+- the scale path is LSH bucketing (c03_ann_lsh_bucketed): random
+  hyperplane signs → bucket key → candidates share a bucket. Recall
+  is tunable with more tables/bits; the bucket join is an equi-join,
+  so Catalyst shuffles each side once on the bucket key.
+- embedding near-dup blocks on `label` (a cluster/partition id):
+  pairs only form inside a block — the cross product is bounded per
+  block, the standard blocking trick for pairwise similarity at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.vector import cosine_similarity, dot
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+
+SQL_COSINE = (
+    "list_dot_product(la, lb) / "
+    "(sqrt(list_dot_product(la, la)) * sqrt(list_dot_product(lb, lb)))"
+)
+
+
+def _sql_pairs_base() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings)
+    """
+
+
+@query(
+    "c03_ann_cosine_topk",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(v.vec, v.vec)))
+               AS cos
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: brute-force cosine top-k — the exactness baseline.
+
+    Query set broadcast; corpus scanned once; ranking via window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qvec", "vec").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# Deterministic pseudo-random hyperplanes (no RNG APIs): component d of
+# plane p is +1 if md5("p:d") is odd else -1 — engine-independent and
+# stable across sessions.
+N_PLANES = 8
+DIM = 64
+
+
+def _plane(p: int) -> list[int]:
+    import hashlib
+
+    out = []
+    for d in range(DIM):
+        h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+        out.append(1 if int(h[:15], 16) & 1 else -1)
+    return out
+
+
+N_TABLES = 8
+BITS_PER_TABLE = 4
+
+
+@query("c03_ann_lsh_bucketed", None)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3b: LSH-bucketed ANN — the 100 TB path. 8 hash tables × 4
+    hyperplane-sign bits; a vector is a candidate for a query if they
+    share a bucket in ANY table (standard multi-table LSH: recall
+    compounds across tables while each bucket join stays an equi-join).
+
+    Rows-only for the driver (bucketing isn't reasonably SQL-
+    expressible); tests/test_llm.py checks recall vs brute force.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    tables = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for b in range(BITS_PER_TABLE):
+            plane = F.array(
+                *[F.lit(float(x)) for x in _plane(t * BITS_PER_TABLE + b)]
+            )
+            bucket = bucket + F.when(dot(F.col("vec"), plane) >= 0, 1 << b).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    emb_b = emb.select(
+        "vec_id", "vec", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "vec", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    q = emb_b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        emb_b.join(
+            F.broadcast(q),
+            (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qvec", F.col("vec_id").alias("neighbor_id"), "vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity("qvec", "vec").alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query(
+    "c02_embedding_neardup",
+    f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           round(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6)
+             AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vec, b.vec)
+            / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+          >= 0.99
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2d: embedding-cosine near-duplicate pairs (cos ≥ 0.99),
+    blocked by `label` so the pair space is bounded per block."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("label"), F.col("vec").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("vec").alias("vb")
+    )
+    cos = cosine_similarity("va", "vb")
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(cos >= 0.99)
+        .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

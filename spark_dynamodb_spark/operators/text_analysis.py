@@ -1,1 +1,257 @@
-"""Placeholder — filled in this round."""
+"""Text analysis operators — SURVEY §2 C4: token stats, language ID,
+quality scoring, document fingerprinting.
+
+All single-pass groupBy/explode pipelines over `documents` — every
+aggregate is map-side combinable, nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.text import (
+    md5_64,
+    normalize_text,
+    shingles,
+    sql_md5_64,
+    sql_normalize_text,
+    sql_tokens,
+    tokens,
+)
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+
+@query(
+    "c04_text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {sql_tokens('text')} AS toks FROM documents)
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+           CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT)
+             AS total_token_chars
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4a: per-document token counting + type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("total_token_chars"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c04_text_ngram_freq",
+    f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                                   i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+      FROM t
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 25
+    """,
+)
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4b: global top-25 bigrams (n-gram statistics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+# --- C4c: language ID -------------------------------------------------------
+# Heuristic stopword scoring. The fixture's text is synthetic word soup
+# (FIXTURES.md), so this checks DETERMINISM/parity, not accuracy; real
+# accuracy tests belong to a real corpus. Markers are frequent function
+# words per language.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _sql_langid() -> str:
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS s_{lang}"
+        )
+    # deterministic argmax: highest score wins, ties break alphabetically
+    langs = sorted(LANG_MARKERS)
+    best = "CASE "
+    for lang in langs:
+        others = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        best += f"WHEN {others} THEN '{lang}' "
+    best += "END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang AS labeled_lang, {sql_tokens('text')} AS toks
+               FROM documents),
+    scored AS (SELECT doc_id, labeled_lang, {', '.join(score_cols)} FROM t)
+    SELECT doc_id, labeled_lang, {best} AS predicted_lang,
+           s_en + s_de + s_fr + s_es + s_zh AS marker_hits
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@query("c04_text_langid", _sql_langid())
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4c: n-gram/stopword-marker language ID with deterministic
+    alphabetical tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(
+                F.filter(toks, lambda x: x.isin(*words))
+            ).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    pred = F.lit(None).cast("string")
+    # build the same CASE chain: first alphabetical lang with max score
+    chain = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        chain = (
+            F.when(cond, lang) if chain is None else chain.when(cond, lang)
+        )
+    total = None
+    for lang in langs:
+        t = F.col(f"s_{lang}")
+        total = t if total is None else total + t
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        chain.alias("predicted_lang"),
+        total.alias("marker_hits"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c04_text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {sql_normalize_text('text')} AS norm,
+             {sql_tokens('text')} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> length(x) >= 3)) AS DOUBLE)
+                 / len(toks), 6) AS frac_long_tokens,
+           round(CAST(length(norm) - length(replace(norm, ' ', '')) AS DOUBLE)
+                 / length(norm), 6) AS space_ratio,
+           round(CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum')
+                 AS DOUBLE) / len(toks), 6) AS mean_token_len,
+           (len(toks) BETWEEN 10 AND 100000)
+             AND (CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum')
+                  AS DOUBLE) / len(toks)) BETWEEN 2.0 AND 12.0 AS passes_quality
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4d: heuristic quality scoring (length / token-shape ratios) —
+    the Gopher-rules shape on the fixture's columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    toks = tokens("text")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    mean_len = total_chars.cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.size(F.filter(toks, lambda x: F.length(x) >= 3)).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("frac_long_tokens"),
+        F.round(
+            (F.length(norm) - F.length(F.regexp_replace(norm, " ", ""))).cast("double")
+            / F.length(norm),
+            6,
+        ).alias("space_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        (
+            F.size(toks).between(10, 100000) & mean_len.between(2.0, 12.0)
+        ).alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c04_text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 4, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           min({sql_md5_64('s')}) AS fingerprint,
+           COUNT(*) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4e: rolling-window document fingerprint — min hash over 5-token
+    shingles (winnowing's keep-the-min idea at window = whole doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 5))).alias("s")
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(
+            F.min(md5_64("s")).alias("fingerprint"),
+            F.count("*").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,1 +1,244 @@
-"""Placeholder — filled in this round."""
+"""Structured Streaming operators — SURVEY §2 B27–B31.
+
+Each registry query runs a real streaming query (file source over the
+events fixture, ``availableNow`` trigger so runs terminate, memory
+sink) and returns the final result table. With a single input file the
+run is one micro-batch, so results are deterministic and — for the
+window aggregations — SQL-expressible, giving these streaming ops real
+value-level oracles (the batch-equivalence property SURVEY §5 asks
+for). Multi-batch semantics (watermark drops across batches) are
+exercised in tests/test_streaming.py with crafted file sequences.
+
+Scale notes: these plans are the standard production shapes — windowed
+aggs keyed by (window, key) shuffle once into the state store;
+watermarks bound state size; foreachBatch upsert writes idempotently
+per micro-batch (the reference's A12 update-writer pattern as a
+streaming sink).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_dynamodb_spark.functions.exact import sql_dsum, dsum
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, table_path
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same ns→µs
+    truncation as the batch loader (tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source wants a directory — stream the fixture dir with a
+    # glob selecting only events.parquet.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute with availableNow into a memory sink; return the table."""
+    name = "s_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "s01_stream_tumbling_window",
+    f"""
+    WITH e AS (SELECT event_type, value, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM e
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: 1-minute tumbling windows per event type over a stream."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@query(
+    "s02_stream_sliding_window",
+    f"""
+    WITH e AS (SELECT user_id, value, {EVENTS_TS_SQL} AS ts FROM events),
+    s AS (
+      SELECT value,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP)
+               - INTERVAL (o) MINUTE AS window_start
+      FROM e CROSS JOIN generate_series(0, 4) AS g(o)
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM s
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: 5-minute windows sliding every 1 minute (each event lands
+    in 5 windows — the oracle mirrors via a generate_series fan-out)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes", "1 minute"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n_events", "total_value"
+    ).orderBy("window_start")
+
+
+@query(
+    "s03_stream_session_window",
+    f"""
+    WITH e AS (SELECT user_id, value, {EVENTS_TS_SQL} AS ts FROM events),
+    ordered AS (
+      SELECT user_id, value, ts,
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 SECOND THEN 0 ELSE 1 END AS new_session
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, value, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: per-user session windows with a 30s gap. The oracle builds
+    the same sessions with the classic lag/cumsum islands idiom."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "s04_stream_dedup_watermark",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {EVENTS_TS_SQL} AS ts
+               FROM events)
+    SELECT event_id, user_id, event_type, value FROM e
+    ORDER BY event_id
+    """,
+)
+def dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30/B31a: watermarked stateful dedup — duplicate each event
+    (union) and dropDuplicatesWithinWatermark on event_id; exactly the
+    original rows survive. Watermark bounds dedup state at scale; the
+    cross-batch late-drop path is tested in test_streaming.py."""
+    s = events_stream(spark, sf_dir)
+    doubled = s.union(s).withWatermark("ts", "10 minutes")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_to_table(spark, deduped, "append").orderBy("event_id")
+
+
+@query(
+    "s05_stream_foreachbatch_upsert",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, {EVENTS_TS_SQL} AS ts
+               FROM events),
+    ranked AS (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+             value AS last_value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e
+    )
+    SELECT user_id, last_event_id, last_event_type, last_value
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: foreachBatch upsert into the keyed store — the reference's
+    update-writer (A12) as a streaming sink. Each micro-batch reduces
+    to latest-per-key then PUTs, so the sink stays idempotent under
+    batch replay (at-least-once → effectively-once)."""
+    from pyspark.sql import Window as W
+
+    from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
+
+    table = "stream_user_state_" + uuid.uuid4().hex[:8]
+    schema_df = spark.createDataFrame(
+        [],
+        "user_id long, last_event_id long, last_event_type string, last_value double",
+    )
+    keyed_store.create_table(spark, schema_df, table, hash_key="user_id", n_segments=2)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        latest = (
+            batch.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        write_dynamo(latest, table)
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_dynamo(spark, table).orderBy("user_id")
