@@ -72,11 +72,23 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_T = 0.8
 
 
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sharr: array<string>) with per-doc-distinct shingles.
+
+    Dedup happens at the ARRAY level (array_distinct) so both the
+    exploded (doc_id, shingle) pairs and the per-doc counts derive
+    narrowly — zero shuffles — instead of explode → global distinct →
+    groupBy (two shuffles of the full shingle set).
+    """
+    return docs.select(
+        "doc_id", F.array_distinct(shingles("text", SHINGLE_K)).alias("sharr")
+    )
+
+
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct pairs."""
-    return (
-        docs.select("doc_id", F.explode(shingles("text", SHINGLE_K)).alias("shingle"))
-        .distinct()
+    """(doc_id, shingle) distinct pairs — narrow (see _shingle_arrays)."""
+    return _shingle_arrays(docs).select(
+        "doc_id", F.explode("sharr").alias("shingle")
     )
 
 
@@ -126,12 +138,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-band self-join for candidates, shingle join for verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _distinct_shingles(docs).cache()
+    base = _shingle_arrays(docs).cache()  # one narrow pass, reused 3×
+    sh = base.select("doc_id", F.explode("sharr").alias("shingle"))
 
-    # 32 minhash values per doc: min over shingles of md5_64(seed:shingle)
+    # 32 minhash values per doc: min over shingles of xxhash64(seed, s).
+    # Signatures never reach the output (only exact-verified pairs do),
+    # so the fast JVM-intrinsic hash is fine here — no md5 portability
+    # constraint (see module docstring).
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(md5_64(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -139,21 +155,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * ROWS_PER_BAND + r}").cast("string")
-                        for r in range(ROWS_PER_BAND)
-                    ],
-                )
+            F.xxhash64(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
             ).alias("key"),
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .cache()  # referenced twice by the self-join — avoid recompute
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -168,12 +180,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # exact-Jaccard verification, candidates only
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact-Jaccard verification, candidates only. Counts come narrowly
+    # from the array sizes (no groupBy); the candidate set is tiny so
+    # both verify joins broadcast it.
+    counts = base.select("doc_id", F.size("sharr").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s_b"))
     common = (
-        cands.join(sa, "doc_a")
+        sa.join(F.broadcast(cands), "doc_a")
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("s_a") == F.col("s_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
@@ -197,8 +211,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with ≥1 common shingle are ever materialized (still the
     expensive path at 100 TB; use c02_dedup_minhash_lsh there)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = _distinct_shingles(docs).cache()
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    base = _shingle_arrays(docs).cache()
+    sh = base.select("doc_id", F.explode("sharr").alias("shingle"))
+    counts = base.select("doc_id", F.size("sharr").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

@@ -1,0 +1,127 @@
+"""Additional coverage: typed reads (A14), pivot, grouping sets via
+the SQL API, sampling, and value-set ops — rounding out SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_dynamodb_spark.functions.exact import dsum, sql_dsum
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+
+@query(
+    "a14_dynamo_typed_read",
+    """
+    SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    """,
+)
+def dynamo_typed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: user-supplied schema on the dynamo source — the PySpark
+    equivalent of ``dynamodbAs[T]`` (schema injected, inference
+    skipped; SURVEY §3 entry point 3). The projection to 3 columns
+    rides the schema, like a case class with fewer fields."""
+    from spark_dynamodb_spark.sources.dynamo import register
+    from spark_dynamodb_spark.sources import keyed_store
+    from spark_dynamodb_spark.sources.dynamo_queries import _ensure_customer_kv
+
+    table = _ensure_customer_kv(spark, sf_dir)
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType(), False),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.format("dynamo")
+        .schema(schema)
+        .option("tableName", table)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .option("columns", "c_custkey,c_acctbal,c_mktsegment")
+        .load()
+    )
+
+
+@query(
+    "b14_pivot",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus (explicit value list → no extra pass to
+    discover values — the scale-safe form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "b14_grouping_sets_sql",
+    f"""
+    SELECT coalesce(o_orderstatus, '∅') AS status,
+           coalesce(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    ORDER BY status, yr
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst plan
+    as the DataFrame rollup/cube — B14's third face)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders_v")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '∅') AS status,
+               coalesce(year(o_orderdate), -1) AS yr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+        FROM gs_orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        ORDER BY status, yr
+        """
+    )
+
+
+@query(
+    "b03_sample_deterministic",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE (o_orderkey * 2654435761) % 100 < 10
+    ORDER BY o_orderkey
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via multiplicative hashing on the key —
+    the reproducible alternative to rand()-based sampling (which can
+    never hash-match across engines or re-runs). At 100 TB this is
+    also restart-stable across retried tasks."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderkey") * 2654435761) % 100 < 10)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

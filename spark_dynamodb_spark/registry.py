@@ -73,6 +73,7 @@ def load_all() -> QueryRegistry:
     from spark_dynamodb_spark.operators import (  # noqa: F401
         aggregates,
         dedup,
+        extras,
         joins,
         multimodal,
         relational,

@@ -1,0 +1,86 @@
+"""Plan-quality gates (SURVEY §4 / the 100 TB design rules): these
+fail if a future change silently loses pushdown, broadcasts, pruning,
+or introduces a cartesian product."""
+
+from __future__ import annotations
+
+from spark_dynamodb_spark.operators import (
+    aggregates,
+    dedup,
+    joins,
+    relational,
+    setops,
+    similarity,
+)
+from spark_dynamodb_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    explain_str,
+)
+
+
+def test_flagship_filter_pushed_and_pruned(spark, sf_dir):
+    df = aggregates.flagship(spark, sf_dir)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+    # Q1 touches 7 of 11 lineitem columns
+    assert_read_schema_pruned(df, 7)
+
+
+def test_pushdown_set_reaches_parquet(spark, sf_dir):
+    df = relational.filter_pushdown_set(spark, sf_dir)
+    assert_pushed_filters(
+        df,
+        "GreaterThanOrEqual(p_size,10)",
+        "LessThan(p_size,40)",
+        "In(p_brand",
+        "IsNotNull(p_name)",
+        "StringStartsWith(p_type,STANDARD)",
+        "StringContains(p_name,a)",
+        "Not(EqualTo(p_size,25))",
+    )
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = relational.projection(spark, sf_dir)
+    assert_read_schema_pruned(df, 5)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert_broadcast_join(joins.broadcast_join(spark, sf_dir))
+    assert_broadcast_join(joins.multiway_join(spark, sf_dir))
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """The banded self-join must ride its equi-key (SURVEY B9)."""
+    df = joins.range_join(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = explain_str(setops.topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_minhash_has_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(dedup.dedup_minhash_lsh(spark, sf_dir))
+
+
+def test_ann_bucketed_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(similarity.ann_lsh_bucketed(spark, sf_dir))
+
+
+def test_flagship_whole_stage_codegen(spark, sf_dir):
+    """The agg pipeline must stay inside WholeStageCodegen (no Python
+    in the hot path)."""
+    from spark_dynamodb_spark.plans import physical_plan
+
+    df = aggregates.flagship(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = physical_plan(df)
+    # '*(N)' prefixes mark operators fused into WholeStageCodegen stages
+    assert "*(1)" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
