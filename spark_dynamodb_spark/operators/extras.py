@@ -106,6 +106,43 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b12_agg_stats",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 8) AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: exact interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont` — verified bit-identical),
+    stddev/variance/corr rounded to absorb accumulation-order ulps.
+
+    Scale note: exact percentile needs a sort per group — at 100 TB
+    use approx_percentile (t-digest) instead; this is the exactness
+    baseline for it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.variance("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 8).alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "b03_sample_deterministic",
     """
     SELECT o_orderkey, o_totalprice

@@ -533,6 +533,21 @@ class DynamoWriter(DataSourceWriter):
             if base_files and not self.overwrite
             else pd.DataFrame()
         )
+        # DynamoDB set types (SS/NS/BS) enforce uniqueness on write
+        # (SURVEY §1.2) — sort+dedup declared set columns in the
+        # incoming items before merging.
+        def as_set(v):
+            if v is None or isinstance(v, (str, bytes)):
+                return v
+            if hasattr(v, "tolist"):  # numpy array from parquet
+                v = v.tolist()
+            if isinstance(v, (list, tuple)):
+                return sorted(set(v))
+            return v
+
+        for col in self.meta.get("set_columns", []):
+            if not staged.empty and col in staged.columns:
+                staged[col] = staged[col].map(as_set)
         if self.mode == "delete":
             merged = self._merge_delete(base, staged, key_cols)
         elif self.mode == "update":

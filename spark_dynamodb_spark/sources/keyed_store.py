@@ -98,12 +98,17 @@ def create_table(
     n_segments: int = 8,
     rcu: float = 0.0,
     wcu: float = 0.0,
+    set_columns: list[str] | None = None,
 ) -> dict:
     """Create (or replace) a keyed table from a DataFrame.
 
     rcu/wcu = 0 means on-demand (no throttling unless the reader's
     ``throughput`` option supplies a budget, mirroring the reference's
     on-demand default of 100).
+
+    ``set_columns`` declares array columns with DynamoDB set semantics
+    (SS/NS/BS, SURVEY §1.2): uniqueness is enforced on every write —
+    the writer sorts+dedups them, like the reference's set conversion.
     """
     gsis = gsis or []
     tdir = os.path.join(store_dir, table)
@@ -134,6 +139,7 @@ def create_table(
         "gsis": gsis,
         "format": "parquet",
         "n_segments": n_segments,
+        "set_columns": set_columns or [],
     }
     write_meta(store_dir, table, meta)
     return meta

@@ -189,6 +189,98 @@ def dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s06_stream_stateful_custom",
+    f"""
+    WITH e AS (SELECT user_id, value, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value,
+           max(ts) AS last_seen
+    FROM e
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31+/custom stateful operator: per-user running state via
+    applyInPandasWithState — the escape hatch for operators Spark's
+    built-in windows can't express (per-key custom accumulators,
+    session logic with side conditions, model state...).
+
+    State: (count, exact decimal total as string, last ts). The exact
+    total accumulates in Python's arbitrary-precision Decimal, so the
+    emitted double matches the oracle's decimal-sum bit-for-bit.
+    """
+    import datetime as dt
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+            T.StructField("last_seen", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.StringType()),  # exact decimal as string
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total, last_us = (
+            state.get if state.exists else (0, "0", 0)
+        )
+        total = Decimal(total)
+        for pdf in pdfs:
+            n += len(pdf)
+            # quantize like CAST(v AS DECIMAL(28,6)) before summing
+            for v in pdf["value"]:
+                total += Decimal(repr(float(v))).quantize(Decimal("0.000001"))
+            mx = int(pd.to_datetime(pdf["ts"]).astype("int64").max() // 1000)
+            last_us = max(last_us, mx)
+        state.update((n, str(total), last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [float(total)],
+                "last_seen": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
+            }
+        )
+
+    result = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_table(spark, result, "update")
+    # update-mode emits one row per key per batch; keep the last per key
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_seen")
+        .orderBy("user_id")
+    )
+
+
+@query(
     "s05_stream_foreachbatch_upsert",
     f"""
     WITH e AS (SELECT event_id, user_id, event_type, value, {EVENTS_TS_SQL} AS ts

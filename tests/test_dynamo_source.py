@@ -195,3 +195,39 @@ def test_delete_then_empty_read(spark, sf_dir):
     keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=1)
     write_dynamo(base, name, delete=True)
     assert read_dynamo(spark, name).count() == 0
+
+
+def test_set_column_dedup_on_write(spark, tmp_path):
+    """SS/NS/BS set semantics: uniqueness enforced on write (§1.2)."""
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "b", "a"]), (2, ["x"])], "pk long, tags array<string>"
+    )
+    keyed_store.create_table(
+        spark, df.limit(0), "t_sets", hash_key="pk", n_segments=1,
+        set_columns=["tags"],
+    )
+    write_dynamo(df, "t_sets")
+    rows = {r.pk: r.tags for r in read_dynamo(spark, "t_sets").collect()}
+    assert rows[1] == ["a", "b"]  # deduped + sorted
+    assert rows[2] == ["x"]
+
+
+def test_nested_types_roundtrip(spark):
+    """Nested list/map/struct round-trip through the source (the
+    reference's TestDataTypes coverage, SURVEY §5)."""
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b"], {"k": 1.5}, (7, "x"), bytearray(b"\x01\x02")),
+            (2, [], {}, (8, None), bytearray(b"")),
+        ],
+        "pk long, arr array<string>, m map<string,double>, "
+        "s struct<f1:int,f2:string>, blob binary",
+    )
+    keyed_store.create_table(spark, df, "t_nested", hash_key="pk", n_segments=1)
+    back = {r.pk: r for r in read_dynamo(spark, "t_nested").collect()}
+    orig = {r.pk: r for r in df.collect()}
+    for pk in (1, 2):
+        assert back[pk].arr == orig[pk].arr
+        assert back[pk].m == orig[pk].m
+        assert back[pk].s == orig[pk].s
+        assert bytes(back[pk].blob) == bytes(orig[pk].blob)
