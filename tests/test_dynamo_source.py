@@ -231,3 +231,21 @@ def test_nested_types_roundtrip(spark):
         assert back[pk].m == orig[pk].m
         assert back[pk].s == orig[pk].s
         assert bytes(back[pk].blob) == bytes(orig[pk].blob)
+
+
+def test_missing_table_raises_clearly(spark):
+    with pytest.raises(Exception, match="(No such file|not exist|_meta)"):
+        read_dynamo(spark, "no_such_table_xyz").collect()
+
+
+def test_missing_tablename_option_raises(spark):
+    from spark_dynamodb_spark.sources.dynamo import register
+
+    register(spark)
+    with pytest.raises(Exception, match="tableName"):
+        spark.read.format("dynamo").load().collect()
+
+
+def test_unknown_projection_column_raises(spark, customer_kv):
+    with pytest.raises(Exception):
+        read_dynamo(spark, customer_kv, columns="c_custkey,nope").collect()

@@ -1,0 +1,91 @@
+"""Scale-pattern demonstrations: bucketed zero-shuffle joins and
+skew-salted aggregation — the two levers the 100 TB deployment pulls
+that local fixtures can't exercise by size (SURVEY §7 / C6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.plans import physical_plan
+from spark_dynamodb_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # saveAsTable needs a warehouse; default spark.sql.warehouse.dir
+    # under cwd works in local mode.
+    return spark
+
+
+def test_bucketed_join_has_no_shuffle(warehouse, sf_dir):
+    """Both sides bucketed by the join key → SortMergeJoin with NO
+    Exchange: the co-located fact-fact join that makes lineitem ⋈
+    orders shuffle-free at 100 TB."""
+    spark = warehouse
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("li_bucketed")
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("orders_bucketed")
+    )
+    joined = (
+        spark.table("li_bucketed")
+        .join(
+            spark.table("orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    n = joined.collect()[0].n
+    assert n > 0
+    plan = physical_plan(joined)
+    # The join itself must not shuffle either side (bucket co-location);
+    # only the final single-group agg exchanges 1 row per partition.
+    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_salted_aggregation_matches_plain(spark, sf_dir):
+    """Two-phase salted aggregation — the manual skew-mitigation
+    pattern (salt → partial agg on (key, salt) → final agg on key) —
+    must produce identical results to the direct aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, r.total)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    salted = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("pt"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pt").cast("double").alias("total"),
+        )
+    )
+    got = {(r.event_type): (r.n, r.total) for r in salted.collect()}
+    assert got == plain
