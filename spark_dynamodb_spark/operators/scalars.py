@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+from spark_dynamodb_spark.tables import load_table
 
 
 @query(

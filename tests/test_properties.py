@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the pure components: writer
+merge semantics and the token bucket — beyond the reference's
+example-based suite (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from spark_dynamodb_spark.sources.dynamo import DynamoWriter
+from spark_dynamodb_spark.sources.rate_limiter import TokenBucket, partition_rate
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+rows = st.lists(st.tuples(keys, vals, vals), max_size=12)
+
+
+def _df(data):
+    return pd.DataFrame(data, columns=["pk", "a", "b"]).astype(
+        {"pk": "int64", "a": "object", "b": "object"}
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(base=rows, staged=rows)
+def test_merge_put_replaces_whole_item(base, staged):
+    merged = DynamoWriter._merge_put(_df(base), _df(staged), ["pk"])
+    expect: dict = {}
+    for pk, a, b in base:
+        expect[pk] = (a, b)
+    for pk, a, b in staged:
+        expect[pk] = (a, b)  # put = whole-item replace, last write wins
+    got = {
+        r.pk: tuple(None if pd.isna(x) else int(x) for x in (r.a, r.b))
+        for r in merged.itertuples()
+    }
+    expect = {
+        k: tuple(None if x is None else int(x) for x in v) for k, v in expect.items()
+    }
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(base=rows, staged=rows)
+def test_merge_update_skips_nulls(base, staged):
+    merged = DynamoWriter._merge_update(_df(base), _df(staged), ["pk"])
+    expect: dict = {}
+    for pk, a, b in base:
+        expect[pk] = (a, b)
+    # update mode dedups staged by key keep=last, then SETs non-nulls
+    last: dict = {}
+    for pk, a, b in staged:
+        last[pk] = (a, b)
+    for pk, (a, b) in last.items():
+        olda, oldb = expect.get(pk, (None, None))
+        expect[pk] = (a if a is not None else olda, b if b is not None else oldb)
+    got = {r.pk: (r.a, r.b) for r in merged.itertuples()}
+    # NaN (pandas null) → None for comparison
+    got = {
+        k: tuple(None if pd.isna(x) else int(x) for x in v) for k, v in got.items()
+    }
+    expect = {
+        k: tuple(None if x is None else int(x) for x in v) for k, v in expect.items()
+    }
+    assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(base=rows, staged=rows)
+def test_merge_delete_removes_only_staged_keys(base, staged):
+    merged = DynamoWriter._merge_delete(_df(base), _df(staged), ["pk"])
+    doomed = {pk for pk, _, _ in staged}
+    # put-free base: drop_duplicates not applied by delete — every base
+    # row whose key isn't staged must survive, all others must be gone.
+    survivors = [pk for pk, _, _ in base if pk not in doomed]
+    got = list(merged["pk"]) if not merged.empty else []
+    assert sorted(got) == sorted(survivors)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.floats(min_value=0.5, max_value=1000),
+    permits=st.lists(st.floats(min_value=0.01, max_value=5), max_size=8),
+)
+def test_token_bucket_never_negative_wait(rate, permits):
+    bucket = TokenBucket(rate, burst=sum(permits) + 1)  # all within burst
+    total_wait = sum(bucket.acquire(p) for p in permits)
+    assert total_wait == 0.0  # burst absorbs everything
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    target=st.floats(min_value=0, max_value=2),
+    provisioned=st.floats(min_value=0, max_value=10000),
+    n=st.integers(min_value=1, max_value=64),
+)
+def test_partition_rate_properties(target, provisioned, n):
+    r = partition_rate(target, provisioned, n)
+    assert r >= 0
+    if target > 0 and provisioned > 0:
+        # per-partition shares sum to ≈ the total budget (or the floor)
+        assert r >= min(0.1, target * provisioned)
+        assert r * n >= target * provisioned * 0.99 or r == 0.1
