@@ -77,10 +77,17 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
 
     Dedup happens at the ARRAY level (array_distinct) so both the
     exploded (doc_id, shingle) pairs and the per-doc counts derive
-    narrowly — zero shuffles — instead of explode → global distinct →
-    groupBy (two shuffles of the full shingle set).
+    narrowly — zero extra shuffles — instead of explode → global
+    distinct → groupBy (two shuffles of the full shingle set).
+
+    The repartition by doc_id matters twice: (1) a small/compacted
+    source (locally: one parquet file = ONE partition) would otherwise
+    run the entire shingling+hashing single-threaded; (2) downstream
+    per-doc groupBys reuse this partitioning, so the shuffle is paid
+    once. At 100 TB the source is already many partitions and AQE
+    coalesces this exchange to a near-no-op.
     """
-    return docs.select(
+    return docs.repartition("doc_id").select(
         "doc_id", F.array_distinct(shingles("text", SHINGLE_K)).alias("sharr")
     )
 
@@ -265,7 +272,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes). Near-dups are then hamming-close fingerprints; the
     fingerprint itself is the oracle-checked output."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # Same single-partition-source consideration as _shingle_arrays:
+    # parallelize the token hashing, and the groupBy reuses the keying.
+    toks = docs.repartition("doc_id").select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
     hashed = toks.select("doc_id", md5_64("tok").alias("h"))
     bit_aggs = [
         F.sum(

@@ -55,16 +55,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute with availableNow into a memory sink; return the table."""
+    """Execute with availableNow into a memory sink; return the table.
+
+    State-store task count is frozen from spark.sql.shuffle.partitions
+    at query start; 8 is plenty for the fixture's state and cuts
+    checkpoint I/O (each state partition writes its own delta files).
+    A production always-on stream would size this to the key space.
+    """
     name = "s_" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
