@@ -39,6 +39,7 @@ HEADLINE = [
     "c03_ann_cosine_topk",
     "c04_text_token_stats",
     "a04_dynamo_scan",
+    "a04_dynamo_scan_fact",
     "s01_stream_tumbling_window",
 ]
 
@@ -71,10 +72,12 @@ def main() -> None:
     from spark_dynamodb_spark.sources.dynamo_queries import (
         _ensure_customer_kv,
         _ensure_events_kv,
+        _ensure_lineitem_kv,
     )
 
     _ensure_customer_kv(spark, sf_dir)
     _ensure_events_kv(spark, sf_dir)
+    _ensure_lineitem_kv(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -242,6 +242,73 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b23_maps",
+    """
+    WITH m AS (
+      SELECT event_id,
+             MAP(['k', 'u'], [CAST(json_extract_string(props, '$.k') AS BIGINT), user_id]) AS props_map
+      FROM events WHERE event_id < 500
+    )
+    SELECT event_id,
+           map_keys(props_map) AS ks,
+           CAST(map_values(props_map) AS BIGINT[]) AS vs,
+           props_map['k'][1] AS k_val,
+           cardinality(props_map) AS n_entries
+    FROM m
+    ORDER BY event_id
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23c: map construction + map_keys/map_values/element_at —
+    DynamoDB M-type surface (SURVEY §1.2) as first-class map columns."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit("u"),
+        F.col("user_id"),
+    )
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_entries"),
+    ).orderBy("event_id")
+
+
+@query(
+    "b16_window_last_ignorenulls",
+    """
+    SELECT c_custkey, c_nationkey,
+           last_value(CASE WHEN c_acctbal > 0 THEN c_acctbal END IGNORE NULLS)
+             OVER (PARTITION BY c_nationkey ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_positive_bal
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def window_last_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16b: last_value with IGNORE NULLS — carry-forward of the most
+    recent positive balance per nation (the gap-fill idiom)."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = (
+        W.partitionBy("c_nationkey")
+        .orderBy("c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    positive = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.last(positive, ignorenulls=True).over(w).alias("last_positive_bal"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "b25_conditional",
     """
     SELECT o_orderkey,
