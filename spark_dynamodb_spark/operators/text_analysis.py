@@ -222,6 +222,79 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c04_text_token_bpe",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(ceil(len(toks) * 1.3) AS BIGINT) AS est_llm_tokens
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""C4f: BPE-ish token counting — a GPT-2-style pre-tokenizer
+    regex (word runs | single punctuation) plus the standard
+    ~1.3×-words LLM-token estimate. The real BPE merge table is a
+    lookup the regex pre-pass feeds at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.ceil(F.size(toks) * 1.3).alias("est_llm_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "c03_label_centroids",
+    """
+    WITH p AS (SELECT unnest(generate_series(1, 8)) AS pos),
+    e AS (
+      SELECT label, p.pos AS pos, embedding[p.pos] AS v
+      FROM embeddings CROSS JOIN p
+    )
+    SELECT label, pos,
+           round(SUM(CAST(v AS DOUBLE)) / COUNT(*), 9) AS mean_val
+    FROM e
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3c: per-label embedding centroids (first 8 dims) — the cluster
+    summary an IVF-style ANN index builds its coarse quantizer from.
+
+    posexplode → groupBy(label, pos) is fully map-side combinable; at
+    100 TB the shuffle carries (label × dim) partial sums only.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .filter(F.col("pos0") < 8)
+        .select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        .groupBy("label", "pos")
+        .agg(
+            # NOT the decimal detour here: Spark's float→decimal cast is
+            # string-mediated (shortest repr) while DuckDB quantizes the
+            # exact binary value — they disagree at the 7th decimal.
+            # Double sums + round(9) are stable: accumulation-order noise
+            # is ~1e-14, five orders below the rounding granularity.
+            F.round(
+                F.sum(F.col("v").cast("double")) / F.count("*"), 9
+            ).alias("mean_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query(
     "c04_text_fingerprint",
     f"""
     WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),

@@ -314,9 +314,16 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch replay (at-least-once → effectively-once)."""
     from pyspark.sql import Window as W
 
+    import hashlib
+    import os
+
     from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
 
-    table = "stream_user_state_" + uuid.uuid4().hex[:8]
+    # Fixed name per sf_dir: recreated (overwritten) every run instead
+    # of leaking a new random store directory per invocation.
+    table = "stream_user_state_" + hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
     schema_df = spark.createDataFrame(
         [],
         "user_id long, last_event_id long, last_event_type string, last_value double",

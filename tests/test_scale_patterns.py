@@ -4,6 +4,8 @@ that local fixtures can't exercise by size (SURVEY §7 / C6)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -29,6 +31,15 @@ def test_bucketed_join_has_no_shuffle(warehouse, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+    # A fresh session's in-memory catalog doesn't know about leftover
+    # managed-table locations from previous sessions — saveAsTable
+    # refuses (LOCATION_ALREADY_EXISTS). Clear them on disk.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("li_bucketed", "orders_bucketed"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     (
         li.write.bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
