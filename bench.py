@@ -52,7 +52,8 @@ def main() -> None:
     from spark_dynamodb_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
-    specs = load_all().specs()
+    registry = load_all()
+    specs = {name: registry.resolve(name) for name in HEADLINE + ["b01_scan_full"]}
 
     # Warmup 1: JVM + python worker pool + parquet footer caches.
     specs["b01_scan_full"].fn(spark, sf_dir).count()

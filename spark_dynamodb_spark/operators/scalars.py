@@ -30,7 +30,7 @@ from spark_dynamodb_spark.tables import load_table
            trim(c_name) AS name_trim,
            length(c_name) AS name_len,
            regexp_extract(c_name, '[0-9]+', 0) AS name_digits,
-           string_split(c_name, '#') AS name_parts,
+           array_to_string(string_split(c_name, '#'), '|') AS name_parts,
            replace(c_mktsegment, 'A', '_') AS seg_repl,
            lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nation_padded
     FROM customer
@@ -49,7 +49,10 @@ def strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim("c_name").alias("name_trim"),
         F.length("c_name").alias("name_len"),
         F.regexp_extract("c_name", "[0-9]+", 0).alias("name_digits"),
-        F.split("c_name", "#").alias("name_parts"),
+        # split() stays in the plan; the checked output is stringified —
+        # array-typed result columns crash the driver's canonicalizer
+        # (CORRECTNESS_r01 b20_strings).
+        F.array_join(F.split("c_name", "#"), "|").alias("name_parts"),
         F.regexp_replace("c_mktsegment", "A", "_").alias("seg_repl"),
         F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
     ).orderBy("c_custkey")
@@ -106,31 +109,38 @@ def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            round(p_retailprice, 1) AS price_r1,
            abs(p_retailprice - 1000.0) AS dist_1000,
-           ceil(p_retailprice) AS price_ceil,
-           floor(p_retailprice) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            round(sqrt(p_retailprice), 9) AS price_sqrt,
            round(ln(p_retailprice), 9) AS price_ln,
            round(pow(p_size, 2.0), 9) AS size_sq,
            CAST(p_size AS BIGINT) % 7 AS size_mod,
-           sign(p_retailprice - 1500.0) AS above_1500
+           CAST(sign(p_retailprice - 1500.0) AS DOUBLE) AS above_1500
     FROM part
     ORDER BY p_partkey
     """,
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B22: math family. Transcendentals rounded to 9 dp (ulp drift)."""
+    """B22: math family. Transcendentals rounded to 9 dp (ulp drift).
+
+    Integer-vs-float result types are pinned with explicit casts on
+    BOTH sides: Spark ceil/floor return BIGINT while DuckDB's return
+    DOUBLE, and signum returns DOUBLE while DuckDB sign is integral —
+    values match but the driver's stringified hash sees "1500" vs
+    "1500.0" (CORRECTNESS_r01 b22_math).
+    """
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
         F.round("p_retailprice", 1).alias("price_r1"),
         F.abs(F.col("p_retailprice") - 1000.0).alias("dist_1000"),
-        F.ceil("p_retailprice").alias("price_ceil"),
-        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
         F.round(F.sqrt("p_retailprice"), 9).alias("price_sqrt"),
         F.round(F.log("p_retailprice"), 9).alias("price_ln"),
         F.round(F.pow("p_size", F.lit(2.0)), 9).alias("size_sq"),
         (F.col("p_size").cast("bigint") % 7).alias("size_mod"),
-        F.signum(F.col("p_retailprice") - 1500.0).alias("above_1500"),
+        F.signum(F.col("p_retailprice") - 1500.0).cast("double").alias("above_1500"),
     ).orderBy("p_partkey")
 
 
@@ -250,8 +260,8 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id < 500
     )
     SELECT event_id,
-           map_keys(props_map) AS ks,
-           CAST(map_values(props_map) AS BIGINT[]) AS vs,
+           array_to_string(map_keys(props_map), '|') AS ks,
+           array_to_string(list_transform(map_values(props_map), x -> CAST(x AS VARCHAR)), '|') AS vs,
            props_map['k'][1] AS k_val,
            cardinality(props_map) AS n_entries
     FROM m
@@ -260,7 +270,12 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23c: map construction + map_keys/map_values/element_at —
-    DynamoDB M-type surface (SURVEY §1.2) as first-class map columns."""
+    DynamoDB M-type surface (SURVEY §1.2) as first-class map columns.
+
+    The map ops stay in the plan; the checked ks/vs outputs are
+    stringified with array_join because array-typed result columns
+    crash the driver's canonicalizer (CORRECTNESS_r01 b23_maps).
+    """
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.create_map(
         F.lit("k"),
@@ -270,8 +285,8 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.array_join(F.map_keys(m), "|").alias("ks"),
+        F.array_join(F.transform(F.map_values(m), lambda x: x.cast("string")), "|").alias("vs"),
         F.element_at(m, "k").alias("k_val"),
         F.size(m).alias("n_entries"),
     ).orderBy("event_id")
