@@ -247,43 +247,57 @@ def _to_arrow_expr(f: Filter):
     return None  # StringEndsWith, EqualNullSafe, anything else
 
 
-def _matches_doc(f: Filter, doc: dict) -> bool:
-    """Evaluate a pushed filter against a jsonl document (schemaless path)."""
+def _eval_doc(f: Filter, doc: dict):
+    """Evaluate a pushed filter against a jsonl document with SQL
+    three-valued logic: returns True / False / None (UNKNOWN).
+
+    A missing attribute (or a comparison against NULL) is UNKNOWN, and
+    crucially ``Not(UNKNOWN)`` stays UNKNOWN — so ``NOT(x = v)`` over a
+    document lacking ``x`` does NOT match, mirroring how Spark drops
+    NULL comparisons and how the Arrow expression path behaves. The
+    previous two-valued version returned rows it should exclude
+    (ADVICE r1: pushed filters are not re-evaluated by Spark).
+    """
+
     def v(attr):
         return doc.get(attr[0]) if len(attr) == 1 else None
 
     try:
-        if isinstance(f, EqualTo):
-            return v(f.attribute) == f.value
-        if isinstance(f, GreaterThan):
-            x = v(f.attribute)
-            return x is not None and x > f.value
-        if isinstance(f, GreaterThanOrEqual):
-            x = v(f.attribute)
-            return x is not None and x >= f.value
-        if isinstance(f, LessThan):
-            x = v(f.attribute)
-            return x is not None and x < f.value
-        if isinstance(f, LessThanOrEqual):
-            x = v(f.attribute)
-            return x is not None and x <= f.value
-        if isinstance(f, In):
-            return v(f.attribute) in f.value
+        if isinstance(f, Not):
+            child = _eval_doc(f.child, doc)
+            return None if child is None else not child
         if isinstance(f, IsNull):
             return v(f.attribute) is None
         if isinstance(f, IsNotNull):
             return v(f.attribute) is not None
+        x = v(f.attribute)
+        if x is None or getattr(f, "value", None) is None:
+            return None  # NULL comparison → UNKNOWN
+        if isinstance(f, EqualTo):
+            return x == f.value
+        if isinstance(f, GreaterThan):
+            return x > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return x >= f.value
+        if isinstance(f, LessThan):
+            return x < f.value
+        if isinstance(f, LessThanOrEqual):
+            return x <= f.value
+        if isinstance(f, In):
+            return x in f.value
         if isinstance(f, StringStartsWith):
-            x = v(f.attribute)
-            return isinstance(x, str) and x.startswith(f.value)
+            return x.startswith(f.value) if isinstance(x, str) else None
         if isinstance(f, StringContains):
-            x = v(f.attribute)
-            return isinstance(x, str) and f.value in x
-        if isinstance(f, Not):
-            return not _matches_doc(f.child, doc)
+            return f.value in x if isinstance(x, str) else None
     except TypeError:
-        return False
+        return None  # cross-type comparison in a schemaless doc → UNKNOWN
     return True
+
+
+def _matches_doc(f: Filter, doc: dict) -> bool:
+    """A pushed filter keeps a row only when it evaluates to TRUE
+    (UNKNOWN is excluded, like a SQL WHERE clause)."""
+    return _eval_doc(f, doc) is True
 
 
 # ---------------------------------------------------------------------------
@@ -554,8 +568,34 @@ class DynamoWriter(DataSourceWriter):
             merged = self._merge_update(base, staged, key_cols)
         else:
             merged = self._merge_put(base, staged, key_cols)
-        self._rewrite(merged, key_cols)
+        # The rewrite schema must come from the MERGED frame, not the
+        # staged input: a key-only delete or partial-column update
+        # carries a column subset, and serializing with the writer's
+        # input schema would silently drop every unmentioned attribute
+        # table-wide (ADVICE r1). Base dtypes win for base columns;
+        # staged dtypes cover newly-added attributes.
+        arrow_schema = self._merged_arrow_schema(
+            base_files if not self.overwrite else [], list(merged.columns)
+        )
+        self._rewrite(merged, key_cols, arrow_schema)
         self._cleanup(staged_paths)
+
+    def _merged_arrow_schema(self, base_files: list[str], merged_cols: list[str]):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        staged_schema = to_arrow_schema(self.schema_)
+        base_schema = pq.read_schema(base_files[0]) if base_files else None
+        fields = []
+        for c in merged_cols:
+            if base_schema is not None and c in base_schema.names:
+                fields.append(base_schema.field(c))
+            elif c in staged_schema.names:
+                fields.append(staged_schema.field(c))
+            else:  # unreachable: merged columns come from base ∪ staged
+                fields.append(pa.field(c, pa.string()))
+        return pa.schema(fields)
 
     def abort(self, messages: list[StagedFile]) -> None:
         self._cleanup([m.path for m in messages if m])
@@ -596,8 +636,14 @@ class DynamoWriter(DataSourceWriter):
         staged = staged.drop_duplicates(subset=key_cols, keep="last")
         b = base.set_index(key_cols)
         s = staged.set_index(key_cols)
-        s = s.reindex(columns=b.columns)
+        # Column union, base order first: a partial-column update leaves
+        # unmentioned base attributes intact, and an update may also ADD
+        # a new attribute (UpdateItem SET on a fresh name) — base rows
+        # get null for it.
+        all_cols = list(b.columns) + [c for c in s.columns if c not in b.columns]
+        s = s.reindex(columns=all_cols)
         updated = s.combine_first(b) if not s.empty else b
+        updated = updated.reindex(columns=all_cols)
         # combine_first aligns on the union of index values: existing
         # rows keep non-overridden attrs, new keys insert with nulls.
         return updated.reset_index()
@@ -611,16 +657,13 @@ class DynamoWriter(DataSourceWriter):
         marked = base.merge(keys, on=key_cols, how="left", indicator=True)
         return marked[marked["_merge"] == "left_only"].drop(columns="_merge")
 
-    def _rewrite(self, merged, key_cols) -> None:
+    def _rewrite(self, merged, key_cols, arrow_schema) -> None:
         """Atomically replace data segments (+ GSIs) with the merged table."""
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
         import shutil
 
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(self.schema_)
         n_seg = int(self.meta.get("n_segments", 8))
 
         def write_dir(df: pd.DataFrame, out: str, part_key: str, sort_keys: list[str]):

@@ -233,6 +233,97 @@ def test_nested_types_roundtrip(spark):
         assert bytes(back[pk].blob) == bytes(orig[pk].blob)
 
 
+def test_partial_update_keeps_unmentioned_columns(spark, sf_dir):
+    """UpdateItem with a column SUBSET: unmentioned attributes keep
+    their existing values table-wide (ADVICE r1: the rewrite schema
+    must come from the merged frame, not the staged input)."""
+    name = "t_partial_upd"
+    base = load_table(spark, sf_dir, "nation")
+    keyed_store.create_table(spark, base, name, hash_key="n_nationkey", n_segments=2)
+    patch = spark.createDataFrame([(0, "PATCHED")], "n_nationkey long, n_name string")
+    write_dynamo(patch, name, update=True)
+    back = read_dynamo(spark, name)
+    assert set(back.columns) == set(base.columns)  # nothing dropped
+    rows = {r.n_nationkey: r for r in back.collect()}
+    assert rows[0].n_name == "PATCHED"
+    orig = {r.n_nationkey: r for r in base.collect()}
+    assert rows[0].n_regionkey == orig[0].n_regionkey  # unmentioned attr kept
+    assert rows[5].n_name == orig[5].n_name  # untouched row intact
+
+
+def test_key_only_delete_keeps_columns(spark, sf_dir):
+    """DeleteItem by key with a key-only frame: survivors keep every
+    attribute (the reference connector supports key-only deletes)."""
+    name = "t_keyonly_del"
+    base = load_table(spark, sf_dir, "region")
+    keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=1)
+    keys = spark.createDataFrame([(0,), (3,)], "r_regionkey long")
+    write_dynamo(keys, name, delete=True)
+    back = read_dynamo(spark, name)
+    assert set(back.columns) == set(base.columns)
+    rows = {r.r_regionkey: r for r in back.collect()}
+    assert set(rows) == {1, 2, 4}
+    orig = {r.r_regionkey: r for r in base.collect()}
+    assert rows[1].r_name == orig[1].r_name
+
+
+def test_update_adds_new_attribute(spark, sf_dir):
+    """UpdateItem SET on a fresh attribute name adds the column; other
+    items read it as null (DynamoDB items are schemaless)."""
+    name = "t_add_attr"
+    base = load_table(spark, sf_dir, "region")
+    keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=1)
+    patch = spark.createDataFrame([(2, 42)], "r_regionkey long, priority long")
+    write_dynamo(patch, name, update=True)
+    back = read_dynamo(spark, name)
+    assert "priority" in back.columns
+    rows = {r.r_regionkey: r for r in back.collect()}
+    assert rows[2].priority == 42 and rows[0].priority is None
+    assert rows[2].r_name is not None  # existing attrs kept on the patched row
+
+
+def test_jsonl_not_filter_three_valued(spark, tmp_path):
+    """NOT over a missing attribute must NOT match (SQL three-valued
+    logic): pushed and unpushed plans agree on != and NOT(...) over
+    schemaless docs (ADVICE r1 — pushed filters are not re-checked)."""
+    tdir = tmp_path / "tv_kv" / "data"
+    tdir.mkdir(parents=True)
+    docs = [
+        {"pk": 1, "qty": 5},
+        {"pk": 2, "qty": 7},
+        {"pk": 3},  # qty missing → NULL: excluded by qty != 5 AND NOT(qty > 6)
+    ]
+    with open(tdir / "seg-0.jsonl", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    keyed_store.write_meta(
+        str(tmp_path),
+        "tv_kv",
+        {
+            "table": "tv_kv",
+            "hash_key": "pk",
+            "range_key": None,
+            "rcu": 0,
+            "wcu": 0,
+            "gsis": [],
+            "format": "jsonl",
+            "n_segments": 1,
+        },
+    )
+    for pred, want in [
+        (F.col("qty") != 5, [2]),
+        (~(F.col("qty") > 6), [1]),
+        (F.col("qty").isNull(), [3]),
+        (~F.col("qty").isNull() & (F.col("qty") != 7), [1]),
+    ]:
+        pushed = read_dynamo(spark, "tv_kv", storeDir=str(tmp_path)).filter(pred)
+        unpushed = read_dynamo(
+            spark, "tv_kv", storeDir=str(tmp_path), filterPushdown="false"
+        ).filter(pred)
+        assert sorted(r.pk for r in pushed.collect()) == want, str(pred)
+        assert sorted(r.pk for r in unpushed.collect()) == want, str(pred)
+
+
 def test_missing_table_raises_clearly(spark):
     with pytest.raises(Exception, match="(No such file|not exist|_meta)"):
         read_dynamo(spark, "no_such_table_xyz").collect()
