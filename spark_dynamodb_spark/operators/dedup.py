@@ -71,6 +71,17 @@ N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 JACCARD_T = 0.8
 
+# Skew guard for the LSH candidate stage (VERDICT r1): a hot (band,
+# key) bucket — boilerplate-heavy corpora produce them — goes
+# quadratic in the self-join. Buckets larger than this are DROPPED
+# from candidate generation: a true near-dup cluster of size m needs
+# only ONE of its 8 bands under the cap to surface every pair, and a
+# bucket this large at J >= 0.8 is overwhelmingly a low-similarity
+# boilerplate collision, not a duplicate cluster. 512 is far above
+# any fixture cluster (<= 5 docs) yet bounds per-bucket join work to
+# 512^2 rows regardless of corpus size.
+MAX_BUCKET_DOCS = 512
+
 
 def _shingle_arrays(docs: DataFrame) -> DataFrame:
     """(doc_id, sharr: array<string>) with per-doc-distinct shingles.
@@ -171,11 +182,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .cache()  # referenced twice by the self-join — avoid recompute
+        .cache()  # feeds the bucket-size agg AND the capped join
     )
+    # Skew guard: drop (band, key) buckets above MAX_BUCKET_DOCS before
+    # the self-join, bounding per-bucket work at any corpus size.
+    bucket_ok = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_docs"))
+        .filter(F.col("bucket_docs") <= MAX_BUCKET_DOCS)
+        .select("band", "key")
+    )
+    capped = bands.join(bucket_ok, ["band", "key"]).cache()
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = capped.alias("a")
+    b = capped.alias("b")
     cands = (
         a.join(
             b,
@@ -188,13 +208,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # exact-Jaccard verification, candidates only. Counts come narrowly
-    # from the array sizes (no groupBy); the candidate set is tiny so
-    # both verify joins broadcast it.
+    # from the array sizes (no groupBy). No hard broadcast hints: the
+    # candidate set is usually small but NOT provably bounded (VERDICT
+    # r1) — AQE picks broadcast at runtime when the side is small and
+    # falls back to shuffle join when it is not.
     counts = base.select("doc_id", F.size("sharr").alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s_a"))
     sb = sh.select(F.col("doc_id").alias("db"), F.col("shingle").alias("s_b"))
     common = (
-        sa.join(F.broadcast(cands), "doc_a")
+        sa.join(cands, "doc_a")
         .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("s_a") == F.col("s_b")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
@@ -203,18 +225,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-@query("c02_dedup_ngram_jaccard", SQL_EXACT_JACCARD_PAIRS)
+@query("c02_dedup_ngram_jaccard_baseline", SQL_EXACT_JACCARD_PAIRS)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2b: exact n-gram Jaccard pairs ≥ 0.8 — the quadratic-verify
-    baseline the LSH path prunes. Joins on shared shingles, so only
+    BASELINE the LSH path prunes (named _baseline per VERDICT r1 so
+    nobody reaches for it at scale). Joins on shared shingles, so only
     pairs with ≥1 common shingle are ever materialized (still the
     expensive path at 100 TB; use c02_dedup_minhash_lsh there)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -232,9 +255,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    # No broadcast hints — the per-doc count relation grows with the
+    # corpus; AQE broadcasts it only while it is actually small.
     return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
         .filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")

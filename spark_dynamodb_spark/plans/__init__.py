@@ -42,6 +42,18 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, f"cartesian product in plan:\n{plan}"
 
 
+def assert_no_broadcast_hint(df: DataFrame) -> None:
+    """No HARD broadcast hint anywhere in the logical plan — unbounded
+    relations (candidate sets, per-doc stats) must leave the build-side
+    choice to AQE, which broadcasts only under the size threshold
+    (VERDICT r1: a hot corpus can push a 'small' side past broadcast
+    limits; the hint would then OOM the driver at 100 TB)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed, (
+        f"hard broadcast hint in logical plan:\n{analyzed}"
+    )
+
+
 def assert_partial_aggregate(df: DataFrame) -> None:
     """Two-phase (map-side combined) hash aggregation."""
     plan = explain_str(df)

@@ -55,8 +55,70 @@ def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     assert dup_dist < rand_dist / 2
 
 
-def test_decode_stub_contract():
+def test_bmp_codec_roundtrip():
+    """Real BMP parse: header fields + byte-exact payload recovery
+    through bottom-up row order and stride padding."""
+    from spark_dynamodb_spark.functions import codecs
+
+    for payload in (b"", b"x", b"hello world" * 37, bytes(range(256))):
+        bmp = codecs.encode_bmp(payload, width=5)  # stride 15→16: padding real
+        img = codecs.decode_bmp(bmp)
+        assert img["width"] == 5 and img["bpp"] == 24
+        assert img["file_size"] == len(bmp)
+        assert img["pixel_data"][: len(payload)] == payload
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"PNG\x00 not a bmp at all........" * 3)
+
+
+def test_bmp_topdown_variant_parses():
+    """Negative-height (top-down) BMPs — the other legal row order."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    payload = bytes(range(60))
+    bmp = bytearray(codecs.encode_bmp(payload, width=5))
+    img0 = codecs.decode_bmp(bytes(bmp))
+    # flip to top-down: negate height and reverse the stored rows
+    stride = (5 * 3 + 3) // 4 * 4
+    height = img0["height"]
+    struct.pack_into("<i", bmp, 22, -height)
+    rows = [
+        bytes(bmp[54 + r * stride : 54 + (r + 1) * stride]) for r in range(height)
+    ]
+    bmp[54:] = b"".join(reversed(rows))
+    img1 = codecs.decode_bmp(bytes(bmp))
+    assert img1["pixel_data"] == img0["pixel_data"]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    from spark_dynamodb_spark.functions import codecs
+
+    payload = b"the quick brown fox" * 11
+    wav = codecs.encode_wav(payload, sample_rate=16000)
+    meta = codecs.decode_wav(wav)
+    assert meta["sample_rate"] == 16000 and meta["n_channels"] == 1
+    assert meta["n_samples"] == len(payload)
+    assert meta["duration_ms"] == len(payload) * 1000 // 16000
+    assert codecs.wav_payload_bytes(meta["sample_data"]) == payload
+    # chunk walking survives an extra LIST chunk before data
+    extra = wav[:12] + b"LIST\x04\x00\x00\x00INFO" + wav[12:]
+    assert codecs.decode_wav(extra)["n_samples"] == len(payload)
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"no riff here" * 4)
+
+
+def test_compressed_formats_still_raise():
+    """JPEG/PNG/non-PCM need real codec libs — explicit, not silent."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    bmp = bytearray(codecs.encode_bmp(b"abc"))
+    struct.pack_into("<H", bmp, 28, 8)  # claim 8bpp
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
-    f = multimodal.decode_image(b"abcd", fake=True)
-    assert f["n_bytes"] == 4 and f["head"] == "61626364"
+        codecs.decode_bmp(bytes(bmp))
+    wav = bytearray(codecs.encode_wav(b"abc"))
+    struct.pack_into("<H", wav, 20, 85)  # claim MP3 format tag
+    with pytest.raises(NotImplementedError):
+        codecs.decode_wav(bytes(wav))

@@ -14,6 +14,7 @@ from spark_dynamodb_spark.operators import (
 )
 from spark_dynamodb_spark.plans import (
     assert_broadcast_join,
+    assert_no_broadcast_hint,
     assert_no_cartesian,
     assert_pushed_filters,
     assert_read_schema_pruned,
@@ -67,6 +68,20 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
 def test_minhash_has_no_cartesian(spark, sf_dir):
     assert_no_cartesian(dedup.dedup_minhash_lsh(spark, sf_dir))
+
+
+def test_minhash_no_hard_broadcast_of_candidates(spark, sf_dir):
+    """The candidate relation is not provably bounded — the build-side
+    choice belongs to AQE, not a hint (VERDICT r1 skew flag)."""
+    assert_no_broadcast_hint(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert_no_broadcast_hint(dedup.dedup_ngram_jaccard(spark, sf_dir))
+
+
+def test_minhash_bucket_cap_in_plan(spark, sf_dir):
+    """The skew guard (bucket_docs <= cap) must survive optimization —
+    it is the bound that keeps a hot LSH bucket from going quadratic."""
+    plan = explain_str(dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert "bucket_docs" in plan, plan
 
 
 def test_ann_bucketed_no_cartesian(spark, sf_dir):
