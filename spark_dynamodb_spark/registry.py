@@ -62,6 +62,7 @@ ROTATED_GREEN_R1 = frozenset(
         "b19_except_all",
         "b19_intersect",
         "b19_union",
+        "b21_datetime",
         "b23_arrays",
         "b23_explode",
         "b24_from_json_struct",

@@ -164,6 +164,45 @@ def dynamo_gsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ensure_part_binkey_kv(spark: SparkSession, sf_dir: str) -> str:
+    """part keyed by a BINARY hash key (md5 digest bytes of the part
+    key) — the DynamoDB B-type key cell of SURVEY §1.2."""
+    name = f"part_binkey_kv_{_sf_tag(sf_dir)}"
+    if not os.path.exists(keyed_store.meta_path(keyed_store.DEFAULT_STORE_DIR, name)):
+        src = load_table(spark, sf_dir, "part").select(
+            F.unhex(F.md5(F.col("p_partkey").cast("string"))).alias("pk_b"),
+            "p_partkey",
+            "p_name",
+            "p_retailprice",
+        )
+        keyed_store.create_table(spark, src, name, hash_key="pk_b", n_segments=4)
+    return name
+
+
+@query(
+    "a09_dynamo_binary_key",
+    """
+    SELECT md5(CAST(p_partkey AS VARCHAR)) AS pk_hex, p_partkey, p_name
+    FROM part
+    WHERE p_partkey IN (7, 42, 1999)
+    """,
+)
+def dynamo_binary_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10: binary (B-type) hash key through the source — point
+    lookups push an In() filter with raw byte values down to the
+    Arrow scan (≙ DynamoDB BatchGetItem on B keys). The checked
+    output hex-encodes the key (binary output cells stringify
+    differently across pandas materializations)."""
+    import hashlib
+
+    table = _ensure_part_binkey_kv(spark, sf_dir)
+    want = [hashlib.md5(str(k).encode()).digest() for k in (7, 42, 1999)]
+    df = read_dynamo(spark, table)
+    return df.filter(F.col("pk_b").isin(want)).select(
+        F.lower(F.hex("pk_b")).alias("pk_hex"), "p_partkey", "p_name"
+    )
+
+
 @query(
     "a11_dynamo_write_put",
     """

@@ -324,6 +324,28 @@ def test_jsonl_not_filter_three_valued(spark, tmp_path):
         assert sorted(r.pk for r in unpushed.collect()) == want, str(pred)
 
 
+def test_binary_key_pushdown_agreement(spark):
+    """B-type (binary) key: equality/In pushdown to the Arrow scan
+    agrees with the unpushed plan (SURVEY §1.2 binary key cell)."""
+    import hashlib
+
+    df_src = spark.createDataFrame(
+        [(hashlib.md5(str(i).encode()).digest(), i, f"item{i}") for i in range(20)],
+        "kb binary, id long, name string",
+    )
+    keyed_store.create_table(spark, df_src, "t_binkey", hash_key="kb", n_segments=2)
+    want = [hashlib.md5(str(i).encode()).digest() for i in (3, 9)]
+    pred_eq = F.col("kb") == want[0]
+    pred_in = F.col("kb").isin(want)
+    for pred, n in [(pred_eq, 1), (pred_in, 2)]:
+        pushed = read_dynamo(spark, "t_binkey").filter(pred).collect()
+        unpushed = (
+            read_dynamo(spark, "t_binkey", filterPushdown="false").filter(pred).collect()
+        )
+        assert sorted(r.id for r in pushed) == sorted(r.id for r in unpushed)
+        assert len(pushed) == n
+
+
 def test_missing_table_raises_clearly(spark):
     with pytest.raises(Exception, match="(No such file|not exist|_meta)"):
         read_dynamo(spark, "no_such_table_xyz").collect()

@@ -88,6 +88,31 @@ def test_ann_bucketed_no_cartesian(spark, sf_dir):
     assert_no_cartesian(similarity.ann_lsh_bucketed(spark, sf_dir))
 
 
+def test_salted_join_partitions_on_salt(spark, sf_dir):
+    """The salted join must shuffle on (key, salt) — that composite
+    partitioning IS the skew fix (no single-partition hotspot for a
+    hot key); and the result must match the plain unsalted join."""
+    df = joins.salted_skew_join(spark, sf_dir)
+    plan = explain_str(df)
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("salt" in p and "l_suppkey" in p for p in parts), plan
+    assert_no_cartesian(df)
+
+
+def test_asof_join_single_shuffle_no_range_join(spark, sf_dir):
+    """The as-of join is the union-carry-forward plan: one exchange on
+    user_id, no join operator at all (no range-join pair blowup)."""
+    df = joins.asof_join(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+    assert "Join" not in plan, plan  # no join operator at all
+    # exactly one hash exchange (user_id window); the only other
+    # exchange is the final presentation orderBy (rangepartitioning)
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
 def test_flagship_whole_stage_codegen(spark, sf_dir):
     """The agg pipeline must stay inside WholeStageCodegen (no Python
     in the hot path)."""
