@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.text import (
@@ -179,31 +179,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .cache()  # feeds the bucket-size agg AND the capped join
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    # Skew guard: drop (band, key) buckets above MAX_BUCKET_DOCS before
-    # the self-join, bounding per-bucket work at any corpus size.
-    bucket_ok = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("bucket_docs"))
-        .filter(F.col("bucket_docs") <= MAX_BUCKET_DOCS)
-        .select("band", "key")
+    # Skew guard + pair generation in ONE exchange on (band, key):
+    # a window count tags every row with its bucket size, hot buckets
+    # (> MAX_BUCKET_DOCS) are dropped BEFORE any list materializes
+    # (window spills per group; nothing collects an unbounded array),
+    # and the groupBy that follows reuses the window's partitioning —
+    # no second shuffle. Candidate pairs then come from the bounded
+    # per-bucket array via a JVM higher-order cross of ids with
+    # itself (≤ cap² struct rows per bucket) instead of a self-join:
+    # no join, no second scan of the band relation.
+    w = Window.partitionBy("band", "key")
+    buckets = (
+        bands.withColumn("bucket_docs", F.count("*").over(w))
+        .filter((F.col("bucket_docs") <= MAX_BUCKET_DOCS) & (F.col("bucket_docs") >= 2))
+        .groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
     )
-    capped = bands.join(bucket_ok, ["band", "key"]).cache()
-
-    a = capped.alias("a")
-    b = capped.alias("b")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform(
+                    "ids", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
