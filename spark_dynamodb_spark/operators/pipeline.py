@@ -254,3 +254,127 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(nrm, 6).alias("l2_norm"),
         q_sum.alias("quant_sum"),
     ).orderBy("vec_id")
+
+
+@query(
+    "c04_text_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+    ),
+    bigrams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(t) - 1, 0)),
+               i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS bg
+      FROM toks
+    ),
+    bg_counts AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS n_bg FROM bigrams GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uni_counts AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+    totals AS (
+      SELECT (SELECT CAST(SUM(n_bg) AS BIGINT) FROM bg_counts) AS n_pairs,
+             (SELECT CAST(SUM(n_w) AS BIGINT) FROM uni_counts) AS n_toks
+    )
+    SELECT w1, w2, n_bg,
+           round(ln((n_bg * 1.0 / n_pairs)
+                    / ((a.n_w * 1.0 / n_toks) * (b.n_w * 1.0 / n_toks))), 9) AS pmi
+    FROM bg_counts
+    JOIN uni_counts a ON a.w = w1
+    JOIN uni_counts b ON b.w = w2
+    CROSS JOIN totals
+    WHERE n_bg >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 100
+    """,
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4h: PMI bigram collocations — ln(p(ab) / (p(a)p(b))) for
+    bigrams seen ≥5 times, top-100. Corpus statistics are combinable
+    aggregates; the two unigram joins run against the (small)
+    aggregated vocabulary, so AQE broadcasts them; totals join in as a
+    1-row broadcast. The n_bg >= 5 support cut prunes the bigram
+    relation BEFORE the joins — at 100 TB that filter is what keeps
+    the collocation join bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("t"))
+    bg_structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"), F.element_at("t", i + 1).alias("w2")
+        ),
+    )
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(bg_structs).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_bg"))
+        .filter(F.col("n_bg") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("n_w"))
+    )
+    # 1-row totals; n_pairs must count ALL bigrams (pre-support-cut)
+    n_pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.sum(F.size("t") - 1).alias("n_pairs"))
+    )
+    n_toks = toks.select(F.sum(F.size("t")).alias("n_toks"))
+    a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("na"))
+    b = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("nb"))
+    pmi = F.log(
+        (F.col("n_bg") / F.col("n_pairs"))
+        / ((F.col("na") / F.col("n_toks")) * (F.col("nb") / F.col("n_toks")))
+    )
+    return (
+        bg.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_toks))
+        .select("w1", "w2", "n_bg", F.round(pmi, 9).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+@query(
+    "b34_cdc_latest_per_key",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value, make_timestamp(epoch_ns(ts) // 1000) AS ts
+               FROM events),
+    r AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e
+    )
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM r WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: batch CDC compaction — latest record per key by event
+    time (ties broken by event_id), the materialize-a-changelog op
+    every ingestion pipeline runs. One shuffle on the key; at 100 TB
+    pre-bucketing the changelog by key makes this shuffle-free."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -40,6 +40,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checked, under the z_ name).
 ROTATED_GREEN_R1 = frozenset(
     {
+        "a05_dynamo_gsi",
+        "a06_dynamo_projection",
         "b01_scan_full",
         "b03_projection",
         "b03_sample_deterministic",
