@@ -77,13 +77,24 @@ def run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFr
     State-store task count is frozen from spark.sql.shuffle.partitions
     at query start — set from state_partitions(spark), then restored.
     """
+    import os
+    import shutil
+    import tempfile
+
     name = "s_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions(spark)))
+    # These are run-to-completion availableNow queries whose state dies
+    # with the run — a RAM-backed checkpoint (tmpfs) cuts the state
+    # store's delta-file fsync floor. A production always-on stream
+    # needs a DURABLE checkpoint (object store / HDFS) instead.
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_root, f"ss_ckpt_{name}")
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
@@ -91,6 +102,7 @@ def run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFr
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
