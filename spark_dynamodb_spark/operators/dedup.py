@@ -159,15 +159,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _shingle_arrays(docs).cache()  # one narrow pass, reused 3×
     sh = base.select("doc_id", F.explode("sharr").alias("shingle"))
 
-    # 32 minhash values per doc: min over shingles of xxhash64(seed, s).
-    # Signatures never reach the output (only exact-verified pairs do),
-    # so the fast JVM-intrinsic hash is fine here — no md5 portability
-    # constraint (see module docstring).
-    sig = sh.groupBy("doc_id").agg(
+    # 32 minhash values per doc: min over shingles of xxhash64(seed, s),
+    # computed NARROWLY as array_min(transform(sharr, ...)) — the
+    # shingles are already a per-doc array, so the signature stage
+    # needs no explode and NO shuffle (the old groupBy shuffled the
+    # full exploded shingle relation). Signatures never reach the
+    # output (only exact-verified pairs do), so the fast JVM-intrinsic
+    # hash is fine here — no md5 portability constraint.
+    def _seed_hash(i: int):
+        # closure factory: a 2-arg lambda would make F.transform pass
+        # the ARRAY INDEX as the second argument, clobbering the seed
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = base.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.array_min(F.transform("sharr", _seed_hash(i))).alias(f"h{i}")
             for i in range(N_HASHES)
-        ]
+        ],
     )
     # LSH bands: hash each band's signature slice, explode to (band, key)
     band_cols = [
