@@ -272,3 +272,147 @@ def multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(F.base64("payload")), "UTF-8").alias("decoded_text"),
         F.length(F.decode("payload", "UTF-8")).alias("n_chars_out"),
     ).orderBy("doc_id")
+
+
+@query(
+    "c05_multimodal_resize",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(CAST(text AS BLOB)) AS len,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / {BMP_WIDTH * 3}.0) AS BIGINT) AS h
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, text, len,
+             unnest(generate_series(0, CAST(ceil(h / 2.0) AS BIGINT) - 1)) AS r
+      FROM d
+    ),
+    cls AS (
+      SELECT doc_id, text, len, r, unnest(generate_series(0, {BMP_WIDTH // 2 - 1})) AS c
+      FROM rws
+    ),
+    bts AS (
+      SELECT doc_id,
+             CASE WHEN 2*r*{BMP_WIDTH * 3} + 6*c + k.k < len
+                  THEN ascii(substr(text, 2*r*{BMP_WIDTH * 3} + 6*c + k.k + 1, 1))
+                  ELSE 0 END AS b
+      FROM cls CROSS JOIN (SELECT unnest([0,1,2]) AS k) k
+    ),
+    sums AS (SELECT doc_id, CAST(SUM(b) AS BIGINT) AS sampled_sum FROM bts GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST({BMP_WIDTH // 2} AS BIGINT) AS out_width,
+           CAST(ceil(h / 2.0) AS BIGINT) AS out_height,
+           CAST({BMP_HEADER_BYTES} + ceil(h / 2.0) * {BMP_WIDTH // 2 * 3} AS BIGINT)
+             AS out_bytes,
+           s.sampled_sum
+    FROM d JOIN sums s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5e: REAL image resize — decode the BMP, 2× nearest-neighbor
+    downsample on the actual pixel grid (every 2nd row, every 2nd
+    pixel), re-ENCODE as a half-width BMP, decode again, and report
+    the re-parsed dimensions/file size plus the resized payload
+    checksum. The oracle recomputes every sampled byte position from
+    the BMP layout formulas — an off-by-one in stride or row order
+    shows up as a checksum mismatch."""
+    docs = with_bmp_columns(load_table(spark, sf_dir, "documents"))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_width", T.LongType()),
+            T.StructField("out_height", T.LongType()),
+            T.StructField("out_bytes", T.LongType()),
+            T.StructField("sampled_sum", T.LongType()),
+        ]
+    )
+    row_bytes = BMP_WIDTH * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                px = img["pixel_data"]
+                sampled = bytearray()
+                for r in range(0, img["height"], 2):
+                    row = px[r * row_bytes : (r + 1) * row_bytes]
+                    for c in range(0, BMP_WIDTH, 2):
+                        sampled += row[3 * c : 3 * c + 3]
+                resized = decode_bmp(encode_bmp(bytes(sampled), width=BMP_WIDTH // 2))
+                out["doc_id"].append(doc_id)
+                out["out_width"].append(resized["width"])
+                out["out_height"].append(resized["height"])
+                out["out_bytes"].append(resized["file_size"])
+                out["sampled_sum"].append(sum(resized["pixel_data"]))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "payload").mapInPandas(resize, out_schema).orderBy("doc_id")
+
+
+@query(
+    "c05_audio_resample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, len, 2)) AS p
+      FROM d
+    ),
+    sums AS (
+      SELECT doc_id, CAST(SUM(ascii(substr(text, p, 1))) AS BIGINT) AS payload_sum
+      FROM pos GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST({WAV_RATE // 2} AS BIGINT) AS sample_rate,
+           CAST(ceil(len / 2.0) AS BIGINT) AS n_samples,
+           CAST(ceil(len / 2.0) AS BIGINT) * 1000 // {WAV_RATE // 2} AS duration_ms,
+           s.payload_sum
+    FROM d JOIN sums s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5f: REAL audio resample — decode the PCM16 WAV, keep every 2nd
+    sample (naive 2× decimation), re-encode at half the rate, decode
+    again; report re-parsed rate/sample-count/duration plus the
+    recovered-payload checksum (oracle: bytes at odd 1-indexed
+    positions of the original text)."""
+    from spark_dynamodb_spark.functions.codecs import wav_payload_bytes
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("payload_sum", T.LongType()),
+        ]
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
+                kept = wav_payload_bytes(wav["sample_data"])[::2]
+                half = decode_wav(encode_wav(kept, sample_rate=WAV_RATE // 2))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(half["sample_rate"])
+                out["n_samples"].append(half["n_samples"])
+                out["duration_ms"].append(half["duration_ms"])
+                out["payload_sum"].append(
+                    sum(wav_payload_bytes(half["sample_data"]))
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text").mapInPandas(resample, out_schema).orderBy("doc_id")
+    )

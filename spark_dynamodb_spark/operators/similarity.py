@@ -212,3 +212,107 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "label", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- IVF (inverted-file) ANN — the coarse-quantizer scale path -----------
+
+NLIST = 16  # coarse cells (≈ sqrt(corpus) in production)
+NPROBE = 6  # cells searched per query
+KMEANS_ITERS = 3
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroids_of(assigned: DataFrame) -> DataFrame:
+    """(cell, vec) → (cell, cvec): element-wise mean per cell.
+
+    posexplode → groupBy(cell, pos) is fully combinable (the shuffle
+    carries nlist × dim partial sums); the per-cell array reassembles
+    with a sort-by-position transform — never through the driver.
+    """
+    return (
+        assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+
+
+@query("c03_ann_ivf", None)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3e: IVF ANN — deterministic mini k-means coarse quantizer
+    (hash-seeded cells, 2 Lloyd iterations, all DataFrame ops: the
+    per-iteration centroid update is a combinable aggregation and the
+    reassignment a broadcast-nlist argmin — nothing iterates on the
+    driver), then probe the NPROBE nearest cells per query: the
+    corpus join is an equi-join on cell, so each query scans
+    ~NPROBE/NLIST of the corpus instead of all of it.
+
+    Rows-only for the driver (iterative algorithm — SURVEY §5);
+    tests/test_llm.py gates recall@5 against the exact brute force.
+    """
+    from spark_dynamodb_spark.functions.text import md5_64
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    # deterministic seeding (no RNG APIs): cell = md5_64(vec_id) % NLIST
+    assigned = emb.withColumn(
+        "cell", (md5_64(F.col("vec_id").cast("string")) % NLIST).cast("int")
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _centroids_of(assigned)
+        w_assign = W.partitionBy("vec_id").orderBy(
+            _sq_dist(F.col("vec"), F.col("cvec")).asc(), F.col("cell").asc()
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "vec", "cell")
+        )
+    index = assigned  # (vec_id, vec, cell) — the inverted file
+    cents = _centroids_of(assigned)
+
+    q = index.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    # probe list: NPROBE nearest centroids per query (broadcast nlist)
+    w_probe = W.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "qvec", "cell")
+    )
+    # equi-join on cell: each query touches ~NPROBE/NLIST of the corpus
+    scored = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qvec", "vec").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )

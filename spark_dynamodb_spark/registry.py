@@ -40,8 +40,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # checked, under the z_ name).
 ROTATED_GREEN_R1 = frozenset(
     {
+        "a04_dynamo_scan",
         "a05_dynamo_gsi",
         "a06_dynamo_projection",
+        "a14_dynamo_typed_read",
         "b01_scan_full",
         "b03_projection",
         "b03_sample_deterministic",
@@ -54,6 +56,7 @@ ROTATED_GREEN_R1 = frozenset(
         "b08_semi_anti_join",
         "b09_range_join",
         "b10_cross_join",
+        "b11_agg_flagship_q1",
         "b12_agg_count_distinct",
         "b12_agg_stats",
         "b14_agg_cube",

@@ -36,6 +36,22 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=6/16 prunes ~62% of the corpus per query; its
+    recall must beat the random-probe floor (6/16 = 0.375) clearly —
+    the coarse quantizer has to be capturing real structure."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_ivf(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.45, f"IVF recall {recall:.2f} below gate"
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     """Planted near-dup pairs must have closer simhashes than random
     pairs on average."""
