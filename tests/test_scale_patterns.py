@@ -100,3 +100,61 @@ def test_salted_aggregation_matches_plain(spark, sf_dir):
     )
     got = {(r.event_type): (r.n, r.total) for r in salted.collect()}
     assert got == plain
+
+
+def test_partition_pruning_static(spark, sf_dir, tmp_path):
+    """Hive-style date partitioning: a filter on the partition column
+    must prune at PLANNING time (PartitionFilters on the scan) — the
+    lever that turns a 100 TB table scan into a one-partition read."""
+    from spark_dynamodb_spark.plans import explain_str
+
+    out = str(tmp_path / "orders_by_month")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.partitionBy("order_month").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    one_month = back.filter(F.col("order_month") == "1995-03").select(
+        F.count("*").alias("n")
+    )
+    plan = explain_str(one_month)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "order_month" in pf[0], plan
+    # and no pushed/data filter needed — pruning is metadata-only
+    want = orders.filter(F.col("order_month") == "1995-03").count()
+    assert one_month.collect()[0].n == want
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a selective filter on the DIM side prunes the partitioned
+    FACT side at runtime (dynamicpruning subquery in the scan) — the
+    star-join pattern that avoids scanning 100 TB of non-matching
+    partitions."""
+    out = str(tmp_path / "li_by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    # The dim filter must be on a NON-join column: a filter on the join
+    # key itself propagates as a static literal (constraint inference)
+    # and no runtime pruning is needed — DPP is for filters whose
+    # surviving key values are only known at runtime.
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .filter(F.col("l_linestatus") == "F")
+        .select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+    )
+    joined = fact.join(dim, fact.l_returnflag == dim.flag).select(
+        F.count("*").alias("n")
+    )
+    n = joined.collect()[0].n  # execute: AQE finalizes subquery plans
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    want = (
+        li.join(
+            dim.withColumnRenamed("flag", "f2"), li.l_returnflag == F.col("f2")
+        ).count()
+    )
+    assert n == want
