@@ -332,3 +332,110 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
         sim = term if sim is None else sim + term
     return bits.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C2e — duplicate-group assignment (connected components over pair graph)
+# ---------------------------------------------------------------------------
+
+SQL_COMPONENTS = f"""
+    WITH RECURSIVE
+    pairs AS ({SQL_EXACT_JACCARD_PAIRS.replace('ORDER BY doc_a, doc_b', '')}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+    sized AS (SELECT component_id, COUNT(*) AS group_size FROM comp GROUP BY component_id)
+    SELECT c.doc_id, c.component_id, s.group_size,
+           c.doc_id = c.component_id AS is_canonical
+    FROM comp c JOIN sized s USING (component_id)
+    ORDER BY c.doc_id
+"""
+
+MAX_CC_ITERATIONS = 20
+
+
+@query(
+    "c02_dedup_components",
+    SQL_COMPONENTS,
+    doc="""Oracle = DuckDB recursive CTE over the exact-Jaccard pair
+    graph (valid for the same recall reason as c02_dedup_minhash_lsh:
+    LSH misses nothing at the fixture's duplicate level).""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2e: duplicate-GROUP assignment — the step after pair finding
+    that an actual dedup pipeline needs: connected components over the
+    verified near-dup pairs, so A~B and B~C collapse into one group
+    {A,B,C} with a single canonical keeper (the min doc_id).
+
+    Iterative min-label propagation as pure DataFrame ops: each round
+    every vertex takes min(own label, neighbors' labels); converged
+    when no label changes. Rounds = graph diameter, and near-dup
+    graphs are short chains of tiny clusters (fixture diameter <= 3;
+    boilerplate mega-components are pre-cut by the LSH bucket cap), so
+    this is 2-4 rounds in practice. Each round is ONE shuffle join on
+    the edge list plus a groupBy that AQE co-partitions with it;
+    labels are localCheckpoint'ed per round to truncate lineage (a
+    production run on a real cluster would use reliable checkpointing
+    for fault tolerance instead). For adversarial long-diameter graphs
+    swap the propagation body for alternating large-star/small-star
+    (same join shape, O(log n) rounds) — the driver loop and the
+    convergence test stay identical.
+
+    Output: every document with its duplicate-group id, group size,
+    and the keep/drop verdict (is_canonical) — the keep-list a
+    training-data pipeline actually consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Undirected edge list, materialized once — the loop reuses it.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        # min label among each vertex's neighbors (one shuffle)…
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        # …folded into the vertex's own label (left join: isolated
+        # vertices keep their own id and exit the loop immediately).
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp = labels.select("doc_id", F.col("lbl").alias("component_id"))
+    sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
+    return (
+        comp.join(sized, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "group_size",
+            (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -162,3 +162,38 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "b36_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: unpivot/melt — wide measure columns to (measure, value)
+    rows, the inverse of b14_pivot. Spark's native unpivot is a narrow
+    row-local expand (no shuffle, no UDF; the oracle spells it as the
+    portable UNION ALL). Long-format is what training-metric stores
+    and plotting pipelines ingest."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "value",
+        )
+        .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )

@@ -378,3 +378,38 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "b35_approx_quantile",
+    """
+    SELECT p_brand,
+           quantile_disc(p_retailprice, 0.25) AS q25,
+           quantile_disc(p_retailprice, 0.50) AS q50,
+           quantile_disc(p_retailprice, 0.75) AS q75,
+           COUNT(*) AS n
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: sketch-based quantiles — percentile_approx (Greenwald-
+    Khanna, mergeable across partitions: one combinable shuffle, no
+    sort) per group. At accuracy >= group size the sketch is exact and
+    lands on the same nearest-rank element as DuckDB quantile_disc,
+    which is what gives this op a value-level oracle; at 100 TB the
+    user dials accuracy down (e.g. 100) and the same plan streams in
+    O(accuracy) memory per group instead of sorting each group."""
+    part = load_table(spark, sf_dir, "part")
+    acc = 1_000_000  # >= any sf's per-brand group size → exact path
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.percentile_approx("p_retailprice", 0.25, acc).alias("q25"),
+            F.percentile_approx("p_retailprice", 0.50, acc).alias("q50"),
+            F.percentile_approx("p_retailprice", 0.75, acc).alias("q75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("p_brand")
+    )

@@ -41,8 +41,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 ROTATED_GREEN_R1 = frozenset(
     {
         "a04_dynamo_scan",
+        "a04_dynamo_scan_fact",
         "a05_dynamo_gsi",
         "a06_dynamo_projection",
+        "a11_dynamo_write_put",
+        "a12_dynamo_write_update",
+        "a13_dynamo_write_delete",
         "a14_dynamo_typed_read",
         "b01_scan_full",
         "b03_projection",

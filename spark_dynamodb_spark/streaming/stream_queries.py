@@ -379,3 +379,67 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_dynamo(spark, table).orderBy("user_id")
+
+
+@query(
+    "s07_stream_stream_join",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {EVENTS_TS_SQL} AS ts FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           date_diff('microsecond', c.ts, p.ts) AS gap_us
+    FROM e c
+    JOIN e p ON c.user_id = p.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28+/s07: stream-stream interval join — clicks joined to the
+    same user's purchases within 10 minutes (the attribution join).
+
+    Both sides carry watermarks and the join has an explicit event-
+    time range, so Spark bounds each side's state store: a click is
+    dropped from state once the purchase-side watermark passes
+    click_ts + 10 min (without the range + watermarks, stream-stream
+    join state grows forever — the canonical production incident).
+    State shuffles once on user_id; inner-join matches emit in the
+    micro-batch they occur, so the availableNow single-batch run is
+    deterministic and SQL-oracle-checkable.
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return run_to_table(spark, joined, "append").orderBy("click_id", "purchase_id")
