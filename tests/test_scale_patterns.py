@@ -158,3 +158,80 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         ).count()
     )
     assert n == want
+
+
+def test_dynamic_partition_overwrite_sink(spark, sf_dir, tmp_path):
+    """Partitioned parquet sink with dynamic partition overwrite — the
+    idempotent daily-backfill write: rewriting ONE day's partition
+    must not truncate the others (static mode would wipe the whole
+    table root). This is the batch-sink twin of the s05 streaming
+    upsert."""
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        before = {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(out).groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        # Backfill exactly the 'click' partition with halved data.
+        clicks = (
+            load_table(spark, sf_dir, "events")
+            .filter((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+            .select("event_id", "event_type", "value")
+        )
+        clicks.write.partitionBy("event_type").mode("overwrite").parquet(out)
+        after = {
+            r["event_type"]: r["n"]
+            for r in spark.read.parquet(out).groupBy("event_type").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert after["click"] < before["click"]  # rewritten partition shrank
+    for k in before:  # every other partition untouched
+        if k != "click":
+            assert after[k] == before[k], (k, before[k], after[k])
+
+
+def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter pushdown: a selective dim filter plants a
+    BloomFilterMightContain probe on the fact side of the join, so
+    fact rows that can't match die at the scan instead of crossing
+    the shuffle — at 100 TB this is the difference between shuffling
+    the full fact table and shuffling the matching ~1%. Thresholds
+    are lowered only to make the toy fixture eligible; the plan shape
+    is what production gets by default."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.enabled": "false",  # stable plan to inspect
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan.replace(
+            " ", ""
+        ), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -141,3 +141,126 @@ def test_state_partitions_configurable(spark, sf_dir):
         assert got == baseline
     finally:
         spark.conf.unset(sq.STATE_PARTITIONS_CONF)
+
+
+def test_stream_stream_join_state_eviction_across_batches(spark, tmp_path):
+    """Stream-stream interval join drops a click from state once the
+    purchase-side watermark passes click_ts + join range: a purchase
+    arriving later than that must NOT produce a match (and the state
+    metric confirms eviction — without watermark + range the click
+    would sit in state forever; s07's scale claim)."""
+    import datetime as dt
+    import os
+    import time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_file(name: str, rows: list[tuple[int, str, str, int]]) -> None:
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "user_id": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+        pq.write_table(table, str(indir / name))
+
+    # Batch 1: click at 10:00 (user 1) + in-range purchase at 10:05
+    # (user 2's click has no purchase yet).
+    write_file(
+        "f1.parquet",
+        [
+            (1, "2024-01-01 10:00:00", "click", 1),
+            (2, "2024-01-01 10:05:00", "purchase", 1),
+            (3, "2024-01-01 10:00:00", "click", 2),
+        ],
+    )
+    time.sleep(1.1)
+    # Batch 2: fresh traffic at 12:00 ON BOTH SIDES. The global
+    # watermark is the MIN across the two withWatermark nodes, and
+    # each node only sees rows that pass its side's filter — a click
+    # alone would leave the purchase-side watermark at 9:55 and evict
+    # nothing. Both advance to 11:50 >> 10:00+10min, evicting the
+    # user-2 click from state.
+    write_file(
+        "f2.parquet",
+        [
+            (4, "2024-01-01 12:00:00", "click", 9),
+            (6, "2024-01-01 12:00:00", "purchase", 8),
+        ],
+    )
+    time.sleep(1.1)
+    # Batch 3: any fresh row. State cleanup runs at the END of the
+    # batch that holds the advanced operative watermark (joins do not
+    # pre-filter late INPUT rows — eviction timing is the only
+    # guarantee), so this batch is what physically evicts the user-2
+    # click (11:50 > 10:00 + 10 min).
+    write_file("f3.parquet", [(7, "2024-01-01 12:01:00", "click", 9)])
+    time.sleep(1.1)
+    # Batch 4: user-2 purchase arrives at 10:06 — inside the join
+    # range but behind the watermark; the matching click is gone.
+    write_file("f4.parquet", [(5, "2024-01-01 10:06:00", "purchase", 2)])
+    base = os.path.getmtime(indir / "f4.parquet")
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        os.utime(indir / f, (base - 30 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 10 MINUTES"
+        ),
+    ).select("click_id", "purchase_id")
+    name = "ssj_" + _uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+    # Only the batch-1 in-range match; the late user-2 purchase found
+    # evicted state.
+    assert got == {(1, 2)}, got
+    # State shrank after batch 2's watermark advance (clicks 1 and 3
+    # evicted), proving bounded state.
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert totals and totals[-1] < max(totals), totals
