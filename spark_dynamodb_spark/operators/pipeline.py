@@ -413,3 +413,140 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+def _sql_corpus_prep() -> str:
+    from spark_dynamodb_spark.functions.text import sql_normalize_text
+    from spark_dynamodb_spark.operators.dedup import SQL_EXACT_JACCARD_PAIRS
+    from spark_dynamodb_spark.operators.text_analysis import _sql_langid
+
+    langid_body = _sql_langid().replace("ORDER BY doc_id", "")
+    pairs_body = SQL_EXACT_JACCARD_PAIRS.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+    WITH RECURSIVE
+    lang AS ({langid_body}),
+    qual AS (
+      SELECT doc_id, toks,
+             (len(toks) BETWEEN 10 AND 100000)
+               AND (CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum')
+                    AS DOUBLE) / len(toks)) BETWEEN 2.0 AND 12.0 AS quality_ok
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    ex AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5({sql_normalize_text('text')})) AS exact_keep
+      FROM documents
+    ),
+    pairs AS ({pairs_body}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source,
+           lang.predicted_lang = 'en' AS lang_ok,
+           qual.quality_ok,
+           d.doc_id = ex.exact_keep AS exact_canonical,
+           d.doc_id = comp.component_id AS neardup_canonical,
+           lang.predicted_lang = 'en' AND qual.quality_ok
+             AND d.doc_id = ex.exact_keep
+             AND d.doc_id = comp.component_id AS kept,
+           CASE WHEN lang.predicted_lang != 'en' THEN 'lang'
+                WHEN NOT qual.quality_ok THEN 'quality'
+                WHEN d.doc_id != ex.exact_keep THEN 'exact_dup'
+                WHEN d.doc_id != comp.component_id THEN 'near_dup'
+           END AS drop_reason
+    FROM documents d
+    JOIN lang USING (doc_id)
+    JOIN qual USING (doc_id)
+    JOIN ex USING (doc_id)
+    JOIN comp USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "c07_corpus_prep",
+    _sql_corpus_prep(),
+    doc="""End-to-end keep-list: every stage verdict oracle-checked via
+    the composed SQL of the stage fragments (langid, quality rules,
+    window-min exact dedup, recursive-CTE components).""",
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: the end-to-end training-corpus prep pipeline — the flagship
+    COMPOSITION query. Every document is annotated with each cleaning
+    stage's verdict and the first failing stage:
+
+      lang       n-gram marker language-ID says not-English
+      quality    Gopher-style length/token-shape rules fail
+      exact_dup  another doc has the same normalized content hash
+      near_dup   doc is a non-canonical member of a MinHash-LSH
+                 duplicate component (c02_dedup_components)
+
+    kept = passes all four — the rows a tokenizer run would consume.
+
+    Scale shape: stages are independent single-shuffle plans over the
+    same corpus scan, joined back on doc_id (co-partitioned after the
+    first exchange; AQE reuses it). Nothing quadratic, nothing
+    collected: at 100 TB this is 4 passes + an O(diameter) component
+    loop over the near-dup pair graph only.
+    """
+    from spark_dynamodb_spark.functions.text import normalize_text
+    from spark_dynamodb_spark.operators.dedup import dedup_components
+    from spark_dynamodb_spark.operators.text_analysis import langid, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_ok = langid(spark, sf_dir).select(
+        "doc_id", (F.col("predicted_lang") == "en").alias("lang_ok")
+    )
+    quality_ok = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("passes_quality").alias("quality_ok")
+    )
+    exact = docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+    ).select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("content_hash"))
+        ).alias("exact_canonical"),
+    )
+    neardup = dedup_components(spark, sf_dir).select(
+        "doc_id", F.col("is_canonical").alias("neardup_canonical")
+    )
+    kept = (
+        F.col("lang_ok")
+        & F.col("quality_ok")
+        & F.col("exact_canonical")
+        & F.col("neardup_canonical")
+    )
+    drop_reason = (
+        F.when(~F.col("lang_ok"), "lang")
+        .when(~F.col("quality_ok"), "quality")
+        .when(~F.col("exact_canonical"), "exact_dup")
+        .when(~F.col("neardup_canonical"), "near_dup")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(lang_ok, "doc_id")
+        .join(quality_ok, "doc_id")
+        .join(exact, "doc_id")
+        .join(neardup, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "lang_ok",
+            "quality_ok",
+            "exact_canonical",
+            "neardup_canonical",
+            kept.alias("kept"),
+            drop_reason.alias("drop_reason"),
+        )
+        .orderBy("doc_id")
+    )

@@ -44,6 +44,7 @@ ROTATED_GREEN_R1 = frozenset(
         "a04_dynamo_scan_fact",
         "a05_dynamo_gsi",
         "a06_dynamo_projection",
+        "a07_dynamo_pushdown",
         "a11_dynamo_write_put",
         "a12_dynamo_write_update",
         "a13_dynamo_write_delete",
