@@ -550,3 +550,140 @@ def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c08_sessionization",
+    None,  # oracle assigned at definition (needs EVENTS_TS_SQL import)
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: batch sessionization — the gaps-and-islands assignment every
+    behavioral pipeline runs: a session breaks when a user is idle
+    > 30 min. lag() flags the break, a running sum numbers the island.
+
+    Scale shape: both windows partition by user_id — ONE shuffle on
+    the user key, then two narrow window passes over each user's
+    (time-sorted) partition; the per-session agg reuses the same
+    keying. The streaming twin is s03 (session_window); this is the
+    backfill path over historical data.
+    """
+    from spark_dynamodb_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_break = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "event_id", "ts", is_break.alias("brk")
+    ).withColumn(
+        "session_idx",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def _sql_sessionization() -> str:
+    from spark_dynamodb_spark.tables import EVENTS_TS_SQL
+
+    return f"""
+    WITH e AS (SELECT event_id, user_id, {EVENTS_TS_SQL} AS ts FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) > 30*60*1000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "c09_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS prefix
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(prefix // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(prefix % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM pre
+    ORDER BY doc_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: sequence packing — concat-and-chunk assignment of documents
+    into fixed {PACK_BUDGET}-token training sequences: each doc gets
+    the pack it STARTS in plus its offset (docs crossing a boundary
+    spill into the next pack, exactly how a packed pretraining loader
+    slices the concatenated token stream).
+
+    The exclusive prefix-sum is windowed PER SOURCE SHARD — a single
+    global ordering would serialize the cumsum through one partition
+    at 100 TB; per-shard packing shuffles once on the shard key and
+    packs shards independently (pack identity is (source, pack_id)),
+    which is what distributed loaders do anyway.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = t.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return pre.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"prefix div {PACK_BUDGET}").alias("pack_id"),
+        (F.col("prefix") % PACK_BUDGET).alias("pack_offset"),
+    ).orderBy("doc_id")
+
+
+from spark_dynamodb_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY.resolve("c08_sessionization").oracle = _sql_sessionization()
