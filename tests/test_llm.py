@@ -138,3 +138,67 @@ def test_compressed_formats_still_raise():
     struct.pack_into("<H", wav, 20, 85)  # claim MP3 format tag
     with pytest.raises(NotImplementedError):
         codecs.decode_wav(bytes(wav))
+
+
+def test_components_merge_transitive_chain(spark, tmp_path):
+    """A~B and B~C must land in ONE component even when J(A,C) < 0.8 —
+    the property pair-level dedup cannot express and the reason the
+    components op exists. The chain forces >= 2 label-propagation
+    iterations (C's label reaches A's min only through B)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dynamodb_spark.operators.dedup import dedup_components
+
+    # 40-word base; B shares 30 words with A and 30 with C; A and C
+    # share only 20 — with 3-shingles J(A,B), J(B,C) > 0.8 needs near
+    # identity, so build B = A with a small tail edit and C = B with
+    # another small tail edit; A vs C differ by both edits.
+    base = [f"w{i}" for i in range(60)]
+    a = " ".join(base)
+    b = " ".join(base[:-3] + ["xb1", "xb2", "xb3"])
+    c = " ".join(base[:-6] + ["xc1", "xc2", "xc3"] + ["xb1", "xb2", "xb3"])
+    # unrelated doc: its own singleton component
+    d = " ".join(f"q{i}" for i in range(60))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([a, b, c, d], pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["t"] * 4, pa.string()),
+            "n_chars": pa.array([len(a), len(b), len(c), len(d)], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: (r["component_id"], r["group_size"], r["is_canonical"])
+        for r in dedup_components(spark, str(tmp_path)).collect()
+    }
+    assert out[1] == (1, 3, True)
+    assert out[2] == (1, 3, False)
+    assert out[3] == (1, 3, False)  # reaches 1 only through 2
+    assert out[4] == (4, 1, True)
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Packing is lossless and bounded: offsets stay inside the
+    budget, pack ids are monotone within a source shard, and the
+    prefix arithmetic accounts for every token."""
+    from spark_dynamodb_spark.operators.pipeline import PACK_BUDGET, sequence_packing
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert len(by_source) > 1  # per-shard packing actually sharded
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        prefix = 0
+        for r in rs:
+            assert 0 <= r["pack_offset"] < PACK_BUDGET
+            assert r["pack_id"] == prefix // PACK_BUDGET
+            assert r["pack_offset"] == prefix % PACK_BUDGET
+            prefix += r["n_tokens"]
+        # pack ids monotone non-decreasing in doc order
+        ids = [r["pack_id"] for r in rs]
+        assert ids == sorted(ids)
