@@ -161,13 +161,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 32 minhash values per doc, computed NARROWLY from the per-doc
     # shingle array (no explode, NO shuffle). Each shingle is hashed
-    # ONCE (xxhash64); the 32 "permutations" are then odd-multiplier
-    # affine mixes h_i(x) = a_i*x + b_i over Z/2^64 — a bijection for
-    # odd a_i, so min over it is a valid MinHash draw — turning
-    # 32 string hashes per shingle into 1 hash + 32 codegen'd
-    # multiply-adds. Signatures never reach the output (only
-    # exact-verified pairs do), so the fast JVM-intrinsic hash is
-    # fine here — no md5 portability constraint.
+    # ONCE (xxhash64); the 32 "permutations" are then per-seed
+    # xor + shift-xor scrambles (see _mix) — 64-bit bijections, so
+    # min over each is a valid MinHash draw — turning 32 string
+    # hashes per shingle into 1 hash + 32 codegen'd bit mixes.
+    # Signatures never reach the output (only exact-verified pairs
+    # do), so the fast JVM-intrinsic hash is fine here — no md5
+    # portability constraint.
     hashed = base.withColumn(
         "harr", F.transform("sharr", lambda s: F.xxhash64(s))
     )
@@ -419,6 +419,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint(
         eager=True
     )
+    changed = -1
     for _ in range(MAX_CC_ITERATIONS):
         # min label among each vertex's neighbors (one shuffle)…
         nbr_min = (
@@ -442,6 +443,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Never return silently-unconverged components: a downstream
+        # keep-list would retain duplicates. Near-dup graphs converge
+        # in a few rounds; hitting the cap means the graph is
+        # pathological (diameter > cap) and needs the alternating
+        # large-star/small-star variant instead.
+        raise RuntimeError(
+            f"dedup_components: not converged after {MAX_CC_ITERATIONS} "
+            f"rounds ({changed} labels still changing)"
+        )
     comp = labels.select("doc_id", F.col("lbl").alias("component_id"))
     sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
     return (

@@ -340,30 +340,32 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sort — no candidate-pair blowup, no range-join explosion,
     and the same plan holds at 100 TB (skew = hot users; salt-by-time
     if one user dominates). Ties (click.ts == purchase.ts) are
-    excluded (strict <) by ordering clicks before purchases at equal
-    ts via a side rank. Oracle: DuckDB's native ASOF LEFT JOIN.
+    excluded (strict <) by ordering PURCHASES before clicks at equal
+    ts, so a same-instant click falls outside the purchase's
+    strictly-preceding frame. Oracle: DuckDB's native ASOF LEFT JOIN.
     """
     from pyspark.sql import Window as W
 
     e = load_table(spark, sf_dir, "events")
-    # side 0 = click (carrier), side 1 = purchase (probe); at equal ts
-    # the click sorts FIRST, so a same-instant click is NOT visible to
-    # the purchase (strict <) — lag the carried value by ordering.
+    # side 0 = purchase (probe), side 1 = click (carrier): at equal ts
+    # the PURCHASE sorts first, so a same-instant click lands AFTER it
+    # and stays outside the strictly-preceding frame (strict <). The
+    # opposite ordering would leak equal-ts clicks into the frame.
     tagged = e.filter(F.col("event_type").isin("click", "purchase")).select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         "ts",
-        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("side"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("side"),
     )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "side", "event_id")
         .rowsBetween(W.unboundedPreceding, -1)  # strictly earlier rows
     )
-    click_id = F.when(F.col("side") == 0, F.col("event_id"))
-    click_val = F.when(F.col("side") == 0, F.col("value"))
+    click_id = F.when(F.col("side") == 1, F.col("event_id"))
+    click_val = F.when(F.col("side") == 1, F.col("value"))
     carried = tagged.select(
         "event_id",
         "user_id",
@@ -375,7 +377,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last(click_val, ignorenulls=True).over(w).alias("last_click_value"),
     )
     return (
-        carried.filter(F.col("side") == 1)
+        carried.filter(F.col("side") == 0)
         .select(
             "event_id",
             "user_id",

@@ -109,7 +109,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered payload — a decoder that misreads stride, row order, or
     header offsets fails the hash.
     """
-    docs = with_bmp_columns(load_table(spark, sf_dir, "documents"))
+    # ASCII-only guard (mirrored in the oracle): the oracle reads byte
+    # values with character-indexed substr/ascii, which only equals the
+    # UTF-8 byte stream when octet_length == char length. The fixture
+    # is pure ASCII, so this filter drops nothing there.
+    docs = with_bmp_columns(
+        load_table(spark, sf_dir, "documents").filter(
+            F.octet_length("text") == F.length("text")
+        )
+    )
 
     out_schema = T.StructType(
         [
@@ -165,7 +173,10 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5s the recovered payload."""
     from spark_dynamodb_spark.functions.codecs import wav_payload_bytes
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Same ASCII-only guard as c05_multimodal_resize (see comment there).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
 
     out_schema = T.StructType(
         [
@@ -282,6 +293,7 @@ def multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              octet_length(CAST(text AS BLOB)) AS len,
              CAST(ceil(octet_length(CAST(text AS BLOB)) / {BMP_WIDTH * 3}.0) AS BIGINT) AS h
       FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
     ),
     rws AS (
       SELECT doc_id, text, len,
@@ -358,6 +370,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
     ),
     pos AS (
       SELECT doc_id, text,

@@ -363,10 +363,8 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (ties broken by event_id), the materialize-a-changelog op
     every ingestion pipeline runs. One shuffle on the key; at 100 TB
     pre-bucketing the changelog by key makes this shuffle-free."""
-    from pyspark.sql import Window as W
-
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -567,9 +565,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     keying. The streaming twin is s03 (session_window); this is the
     backfill path over historical data.
     """
-    from spark_dynamodb_spark.tables import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     is_break = F.when(

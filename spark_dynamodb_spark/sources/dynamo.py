@@ -291,7 +291,15 @@ def _eval_doc(f: Filter, doc: dict):
             return f.value in x if isinstance(x, str) else None
     except TypeError:
         return None  # cross-type comparison in a schemaless doc → UNKNOWN
-    return True
+    # Fail CLOSED on filter types this evaluator does not handle: a
+    # pushed filter is never re-evaluated by Spark, so a permissive
+    # default would silently return unfiltered rows the moment
+    # _to_arrow_expr learns a new filter type that this function does
+    # not (the exact bug class the three-valued rewrite fixed).
+    raise ValueError(
+        f"_eval_doc: unhandled pushed filter {type(f).__name__} — "
+        "extend _eval_doc alongside _to_arrow_expr"
+    )
 
 
 def _matches_doc(f: Filter, doc: dict) -> bool:
@@ -642,6 +650,24 @@ class DynamoWriter(DataSourceWriter):
         # get null for it.
         all_cols = list(b.columns) + [c for c in s.columns if c not in b.columns]
         s = s.reindex(columns=all_cols)
+        # Integer/bool columns must NOT round-trip through float64 —
+        # combine_first promotes any column that acquires NaN (absent
+        # patch attrs, skipped-null cells, inserted keys), and a
+        # float64 detour silently rounds int64 values above 2^53
+        # (snowflake-style ids). Merge those columns as object dtype
+        # (exact Python ints + None); the Arrow schema cast in
+        # _rewrite restores the real types losslessly.
+        exact_cols = [
+            c
+            for c in all_cols
+            if (c in b.columns and b[c].dtype.kind in "iub")
+            or (c in s.columns and str(s[c].dtype) != "object" and s[c].dtype.kind in "iub")
+        ]
+        for c in exact_cols:
+            if c in b.columns:
+                b[c] = b[c].astype(object)
+            if c in s.columns:
+                s[c] = s[c].astype(object)
         updated = s.combine_first(b) if not s.empty else b
         updated = updated.reindex(columns=all_cols)
         # combine_first aligns on the union of index values: existing

@@ -362,3 +362,42 @@ def test_missing_tablename_option_raises(spark):
 def test_unknown_projection_column_raises(spark, customer_kv):
     with pytest.raises(Exception):
         read_dynamo(spark, customer_kv, columns="c_custkey,nope").collect()
+
+
+def test_partial_update_preserves_large_ints(spark):
+    """int64 values above 2^53 must survive a partial-column update
+    bit-exactly: the pandas merge may not round-trip unmentioned (or
+    skipped-null) integer attributes through float64 (code-review r2:
+    combine_first promotes NaN-bearing columns and silently rounds
+    snowflake-style ids)."""
+    name = "t_bigint_upd"
+    big = 9007199254740993  # 2^53 + 1: unrepresentable in float64
+    base = spark.createDataFrame(
+        [(1, big, "a"), (2, big + 2, "b")],
+        "pk long, ref_id long, tag string",
+    )
+    keyed_store.create_table(spark, base, name, hash_key="pk", n_segments=1)
+    # patch touches only `tag` for pk=1, and INSERTS pk=3 (forces NaN
+    # alignment for ref_id on the new row)
+    patch = spark.createDataFrame(
+        [(1, "patched"), (3, "new")], "pk long, tag string"
+    )
+    write_dynamo(patch, name, update=True)
+    rows = {r.pk: r for r in read_dynamo(spark, name).collect()}
+    assert rows[1].ref_id == big  # exact, not 9007199254740992.0
+    assert rows[2].ref_id == big + 2
+    assert rows[1].tag == "patched" and rows[3].tag == "new"
+    assert rows[3].ref_id is None
+
+
+def test_eval_doc_unhandled_filter_fails_closed():
+    """_eval_doc must raise on a pushed-filter type it does not
+    handle, never default to keep-the-row (pushed filters are not
+    re-evaluated by Spark)."""
+    import pytest as _pytest
+    from pyspark.sql.datasource import EqualNullSafe
+
+    from spark_dynamodb_spark.sources.dynamo import _eval_doc
+
+    with _pytest.raises(ValueError, match="unhandled pushed filter"):
+        _eval_doc(EqualNullSafe(("x",), 1), {"x": 1})

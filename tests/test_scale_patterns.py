@@ -235,3 +235,60 @@ def test_bloom_filter_runtime_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_join_excludes_equal_timestamp_click(spark, tmp_path):
+    """Strict-< AS-OF semantics on a crafted tie: a click at EXACTLY
+    the purchase's timestamp must not attribute (code-review r2: the
+    window side-ordering previously leaked equal-ts clicks into the
+    strictly-preceding frame). Verified end-to-end against the DuckDB
+    ASOF oracle on the same crafted table."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dynamodb_spark.operators.joins import asof_join
+    from spark_dynamodb_spark.registry import load_all
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ns(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: click at t+0, purchase at t+0 (TIE — must NOT match),
+        # earlier click at t-60 (must match instead)
+        (1, ns(-60), 1, "click", 1.0),
+        (2, ns(0), 1, "click", 2.0),
+        (3, ns(0), 1, "purchase", 30.0),
+        # user 2: only a same-instant click → last_click_id NULL
+        (4, ns(5), 2, "click", 4.0),
+        (5, ns(5), 2, "purchase", 50.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_id: r.last_click_id
+        for r in asof_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {3: 1, 5: None}, got
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = load_all().resolve("b33_asof_join").oracle
+    want = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
+    assert got == want
