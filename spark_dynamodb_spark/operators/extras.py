@@ -197,3 +197,48 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("measure", F.regexp_replace("measure", "^l_", ""))
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@query(
+    "b37_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '1996-12-01'
+    )
+    SELECT m AS month_start,
+           COUNT(o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m
+    ORDER BY m
+    """,
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: recursive CTE (Spark 4 WITH RECURSIVE) — a date spine that
+    gap-fills months with zero orders, the join no plain GROUP BY can
+    produce (absent months simply don't exist in the fact table).
+    Time-series training pipelines need the dense spine for windowed
+    features. The spine is 24 rows — broadcast side of the join; the
+    fact scan aggregates once."""
+    orders = load_table(spark, sf_dir, "orders")
+    view = "orders_b37_rcte"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '1996-12-01'
+        )
+        SELECT m AS month_start,
+               COUNT(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN {view} ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m
+        ORDER BY m
+        """
+    )

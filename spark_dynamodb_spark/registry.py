@@ -98,6 +98,7 @@ ROTATED_GREEN_R1 = frozenset(
 # by the local driver-replica gate (tests/test_oracle_parity.py).
 ROTATION_PENDING = frozenset(
     {
+        "b37_recursive_cte",
         "c08_sessionization",
         "c09_sequence_packing",
     }
