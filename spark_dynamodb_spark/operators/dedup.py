@@ -465,3 +465,76 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C10 — decontamination (train/benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# src0 plays the held-out benchmark; everything else is training data.
+BENCH_SOURCE = "src0"
+CONTAM_T = 0.2  # flag train docs sharing >= 20% of a bench doc's shingles
+
+
+@query(
+    "c10_decontamination",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    docs2 AS (SELECT doc_id, source FROM documents),
+    bench AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN docs2 USING (doc_id)
+      WHERE docs2.source = '{BENCH_SOURCE}'
+    ),
+    train AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN docs2 USING (doc_id)
+      WHERE docs2.source != '{BENCH_SOURCE}'
+    ),
+    bn AS (SELECT doc_id, COUNT(*) AS n FROM bench GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS c
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY train_doc, bench_doc
+    )
+    SELECT train_doc, bench_doc,
+           round(c * 1.0 / bn.n, 6) AS bench_overlap
+    FROM hits JOIN bn ON bn.doc_id = bench_doc
+    WHERE c * 1.0 / bn.n >= {CONTAM_T}
+    ORDER BY train_doc, bench_doc
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: train/benchmark decontamination — flag training documents
+    whose shingles cover >= 20% of any benchmark document (the
+    train-test leakage check every pretraining corpus runs before a
+    model sees it; src0 stands in for the held-out benchmark).
+
+    Scale shape: the BENCHMARK side is small by nature (evals are
+    thousands of docs, not billions) — its exploded shingle relation
+    broadcasts via AQE, so the train corpus is scanned once and never
+    shuffled whole; the groupBy aggregates only actual hits. With a
+    giant benchmark the same plan degrades gracefully to a shuffle
+    join on the shingle key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs)
+    src = docs.select("doc_id", "source")
+    labeled = sh.join(src, "doc_id")
+    bench = labeled.filter(F.col("source") == BENCH_SOURCE).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = labeled.filter(F.col("source") != BENCH_SOURCE).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    bn = bench.groupBy("bench_doc").agg(F.count("*").alias("n"))
+    hits = (
+        train.join(bench, "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count("*").alias("c"))
+    )
+    frac = F.col("c") / F.col("n")
+    return (
+        hits.join(bn, "bench_doc")
+        .filter(frac >= CONTAM_T)
+        .select("train_doc", "bench_doc", F.round(frac, 6).alias("bench_overlap"))
+        .orderBy("train_doc", "bench_doc")
+    )

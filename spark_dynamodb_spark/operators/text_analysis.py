@@ -328,3 +328,47 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c04_text_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(toks) - 2, 1)),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+             AS dup_gram_frac,
+           1.0 - len(list_distinct(grams)) * 1.0 / len(grams) > 0.2
+             AS flagged_repetitive
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4i: within-document repetition (Gopher rule): the fraction of
+    duplicated 3-grams inside each document — boilerplate/spam has a
+    high duplicate-gram fraction even when no other doc matches it.
+    Entirely narrow (per-row array ops, no explode, no shuffle): the
+    cheapest quality rule to run at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingles("text", 3)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = 1.0 - n_distinct.cast("double") / n_grams
+    return docs.select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(dup_frac, 6).alias("dup_gram_frac"),
+        (dup_frac > 0.2).alias("flagged_repetitive"),
+    ).orderBy("doc_id")

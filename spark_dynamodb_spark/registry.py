@@ -99,8 +99,10 @@ ROTATED_GREEN_R1 = frozenset(
 ROTATION_PENDING = frozenset(
     {
         "b37_recursive_cte",
+        "c04_text_repetition",
         "c08_sessionization",
         "c09_sequence_packing",
+        "c10_decontamination",
     }
 )
 
