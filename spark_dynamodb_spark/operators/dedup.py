@@ -538,3 +538,82 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_doc", "bench_doc", F.round(frac, 6).alias("bench_overlap"))
         .orderBy("train_doc", "bench_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# C12 — chunk-level (line/paragraph-style) exact dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 10  # tokens per chunk
+
+
+@query(
+    "c12_chunk_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               1, greatest(CAST(ceil(len(toks) / {CHUNK_W}.0) AS BIGINT), 1)))
+               AS i
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             {sql_md5_64(f"array_to_string(toks[((i-1)*{CHUNK_W}+1):((i-1)*{CHUNK_W}+{CHUNK_W})], ' ')")}
+               AS h
+      FROM e
+    ),
+    w AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx)
+               AS rn
+      FROM c
+    ),
+    kept AS (SELECT doc_id, COUNT(*) AS n_kept FROM w WHERE rn = 1 GROUP BY doc_id),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM c GROUP BY doc_id)
+    SELECT tot.doc_id, tot.n_chunks, coalesce(kept.n_kept, 0) AS n_kept
+    FROM tot LEFT JOIN kept USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: chunk-level exact dedup (the C4/line-level rule adapted to
+    unpunctuated fixture text): split every document into fixed
+    {CHUNK_W}-token chunks, keep only the globally-first occurrence of
+    each chunk (first = smallest (doc_id, chunk_idx)), and report how
+    much of each document survives — the cross-document boilerplate
+    scrub that runs after whole-doc dedup in a pretraining pipeline.
+
+    Scale shape: the global winner per chunk is ONE combinable groupBy
+    on a 60-bit chunk hash whose shuffle rows are (hash, min-pair) —
+    never chunk text; per-doc totals are a second combinable agg on
+    doc_id. No window over the full corpus, no pair join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(CHUNK_W))).cast("int"), F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i * CHUNK_W + 1, CHUNK_W))
+    )
+    e = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select("doc_id", "chunk_idx", md5_64("chunk").alias("h"))
+    winners = (
+        e.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    tot = e.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        tot.join(winners, "doc_id", "left")
+        .select(
+            "doc_id", "n_chunks", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+        )
+        .orderBy("doc_id")
+    )

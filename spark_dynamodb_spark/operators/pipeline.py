@@ -680,6 +680,73 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# C11 — domain-mixture resampling
+# ---------------------------------------------------------------------------
+
+# Keep-rate granularity. floor() on BOTH sides before the integer
+# compare: Spark's double→bigint CAST truncates while DuckDB's rounds,
+# so the threshold must be floored explicitly to agree.
+MIX_DENOM = 1_000_000
+
+
+@query(
+    "c11_domain_mixture",
+    f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (SELECT source, n, mn * 1.0 / n AS rate FROM c CROSS JOIN m),
+    k AS (
+      SELECT d.source
+      FROM documents d JOIN r USING (source)
+      WHERE {sql_md5_64("'mix' || CAST(doc_id AS VARCHAR)")} % {MIX_DENOM}
+            < CAST(floor(rate * {MIX_DENOM}) AS BIGINT)
+    )
+    SELECT r.source, r.n AS n_in,
+           round(r.rate, 6) AS target_rate,
+           coalesce(kc.n_kept, 0) AS n_kept
+    FROM r LEFT JOIN (
+      SELECT source, COUNT(*) AS n_kept FROM k GROUP BY source
+    ) kc USING (source)
+    ORDER BY source
+    """,
+)
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: domain-mixture resampling — downsample every source domain
+    to the smallest domain's size (uniform target mixture) with a
+    deterministic per-row hash, the way pretraining corpora rebalance
+    web/books/code shares without RAND().
+
+    Scale shape: the per-domain rate table is a tiny aggregate
+    (distinct sources), broadcast back onto the corpus; the keep
+    decision is then a pure narrow filter — the 100 TB corpus is
+    scanned once and never shuffled (the final per-source count here
+    is reporting, not part of the resample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source", "n", (F.col("mn") * 1.0 / F.col("n")).alias("rate")
+    )
+    h = md5_64(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % MIX_DENOM
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(h < F.floor(F.col("rate") * MIX_DENOM).cast("long"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_in"),
+            F.round("rate", 6).alias("target_rate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 from spark_dynamodb_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.resolve("c08_sessionization").oracle = _sql_sessionization()

@@ -1,0 +1,187 @@
+"""Subquery / lateral / ordered-aggregation SQL surface — SURVEY §2
+Part B extensions (round 2): EXISTS semi-join rewrites, correlated
+scalar subqueries, LATERAL joins, and ordered string aggregation.
+
+These exercise Catalyst's subquery decorrelation machinery through
+``spark.sql`` (the same surface a reference user migrating SQL
+workloads hits), not hand-built joins — the PLAN is the deliverable:
+
+- EXISTS decorrelates to a left semi join on the correlation key (one
+  shuffle, no row explosion — the 100 TB-safe shape for "has at least
+  one matching child row").
+- A correlated aggregate scalar subquery decorrelates to an
+  aggregate-then-join: the per-key aggregate is computed ONCE and
+  joined back, not re-run per outer row.
+- LATERAL with ORDER BY + LIMIT decorrelates to a ranked window over
+  the joined child — top-k-per-key without a driver loop.
+
+Float discipline: aggregate outputs route through the exact-decimal
+detour (functions/exact.py) so hashes match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+
+@query(
+    "b38_exists_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      AND o_orderdate < TIMESTAMP '1995-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: correlated EXISTS (TPC-H Q4 shape — orders with at least
+    one late-shipped line). Catalyst decorrelates to a left semi join
+    on l_orderkey: the lineitem side never duplicates orders rows, and
+    both date filters push to the scans."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq_lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM sq_orders_v
+        WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (
+            SELECT 1 FROM sq_lineitem_v
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+# Threshold expression written IDENTICALLY in both engines: exact
+# decimal sum cast to double, one double divide, one double multiply —
+# every IEEE op in the same order, so the per-part threshold is
+# bit-identical and no boundary row can flip between engines.
+_Q17_THRESHOLD = (
+    "0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)"
+    " / COUNT(l_quantity))"
+)
+
+
+@query(
+    "b39_scalar_subquery",
+    f"""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT {_Q17_THRESHOLD} FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39: correlated aggregate scalar subquery (TPC-H Q17 shape —
+    small-quantity orders vs each part's average). Catalyst
+    decorrelates to one aggregate over lineitem grouped by partkey
+    joined back — the inner aggregate runs once, not per outer row."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("sq17_lineitem_v")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("sq17_part_v")
+    return spark.sql(
+        f"""
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                     / 7.0, 4) AS avg_yearly
+        FROM sq17_lineitem_v JOIN sq17_part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (
+            SELECT {_Q17_THRESHOLD} FROM sq17_lineitem_v l2
+            WHERE l2.l_partkey = p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "b40_lateral_topk_per_key",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice
+           FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2
+         ) t
+    WHERE c.c_custkey % 50 = 0
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B40: LATERAL correlated subquery with ORDER BY + LIMIT — the
+    SQL spelling of top-k-per-key. Catalyst decorrelates the LIMIT
+    into a ranked window over one join; no per-customer re-scan of
+    orders happens (the 100 TB shape — same plan as b18_topk but
+    reached through the LATERAL surface)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer_v c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM lat_orders_v o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               LIMIT 2
+             ) t
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@query(
+    "b41_string_agg",
+    """
+    SELECT c_nationkey,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_custkey % 20 = 0
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: ordered string aggregation (LISTAGG/STRING_AGG). Spark has
+    no ordered string_agg; collect_list → array_sort → array_join is
+    the deterministic equivalent (sorting inside the row, AFTER the
+    combinable collect, so partition order can't leak into output).
+    The shuffle carries the collected arrays — bounded here by the
+    sampled input; at 100 TB cap group sizes (slice) or use a
+    sketch."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") % 20 == 0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_mktsegment")), ","
+            ).alias("segments"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -99,10 +99,16 @@ ROTATED_GREEN_R1 = frozenset(
 ROTATION_PENDING = frozenset(
     {
         "b37_recursive_cte",
+        "b38_exists_subquery",
+        "b39_scalar_subquery",
+        "b40_lateral_topk_per_key",
+        "b41_string_agg",
         "c04_text_repetition",
         "c08_sessionization",
         "c09_sequence_packing",
         "c10_decontamination",
+        "c11_domain_mixture",
+        "c12_chunk_dedup",
     }
 )
 
@@ -180,6 +186,7 @@ def load_all() -> QueryRegistry:
         scalars,
         setops,
         similarity,
+        sqlsurface,
         text_analysis,
         udfs,
         windows,

@@ -13,6 +13,7 @@ from spark_dynamodb_spark.operators import (
     relational,
     setops,
     similarity,
+    sqlsurface,
 )
 from spark_dynamodb_spark.plans import (
     physical_plan,
@@ -162,3 +163,45 @@ def test_unpivot_is_narrow_expand(spark, sf_dir):
 
 def test_corpus_prep_no_cartesian(spark, sf_dir):
     assert_no_cartesian(pipeline.corpus_prep(spark, sf_dir))
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """B38: the EXISTS must become a (left) semi join — never a
+    per-outer-row re-scan or a row-duplicating inner join."""
+    plan = physical_plan(sqlsurface.exists_subquery(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scalar_subquery_aggregates_once(spark, sf_dir):
+    """B39: the correlated aggregate runs ONCE (grouped by the
+    correlation key) and joins back — exactly one aggregate over the
+    inner lineitem scan, no nested-loop re-execution."""
+    plan = physical_plan(sqlsurface.scalar_subquery(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+
+
+def test_lateral_limit_becomes_window_group_limit(spark, sf_dir):
+    """B40: LATERAL ... ORDER BY ... LIMIT k decorrelates to a ranked
+    window with group-limit pushdown (top-k per key without sorting
+    whole groups), not a per-row subquery loop."""
+    plan = physical_plan(sqlsurface.lateral_topk_per_key(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_domain_mixture_keep_filter_is_broadcast(spark, sf_dir):
+    """C11: the rate table joins onto the corpus scan as a broadcast —
+    the 100 TB corpus itself is never shuffled to decide keeps."""
+    df = pipeline.domain_mixture(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_chunk_dedup_no_window_over_corpus(spark, sf_dir):
+    """C12: global winner-per-chunk must be the combinable agg path —
+    a Window over the exploded corpus would sort every chunk."""
+    plan = physical_plan(dedup.chunk_dedup(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
