@@ -237,3 +237,68 @@ def min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# B42 — time-bucket OHLC downsample (min_by / max_by surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "b42_ohlc_downsample",
+    """
+    WITH e AS (
+      SELECT event_type, value, event_id,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) AS bucket,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+      FROM e
+    )
+    SELECT event_type, bucket,
+           arg_min(value, ord) AS open,
+           arg_max(value, ord) AS close,
+           min(value) AS low,
+           max(value) AS high,
+           COUNT(*) AS n_events
+    FROM k
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: time-series downsample to hourly OHLC bars per event type —
+    the MIN_BY/MAX_BY (arg_min/arg_max) aggregate surface. The
+    first/last pick orders by a zero-padded (epoch_us, event_id)
+    string because a composite struct key has no DuckDB arg_min twin;
+    event_id breaks timestamp ties deterministically.
+
+    Scale shape: ONE combinable aggregation — min_by/max_by partial-
+    aggregate map-side like min/max, so the shuffle carries one bar
+    per (type, hour) per partition, never raw events. This is the
+    hypertable-rollup/continuous-aggregate query at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    ordc = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.date_trunc("hour", "ts").alias("bucket"),
+            ordc.alias("ord"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", "ord").alias("open"),
+            F.max_by("value", "ord").alias("close"),
+            F.min("value").alias("low"),
+            F.max("value").alias("high"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -372,3 +372,57 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup_frac, 6).alias("dup_gram_frac"),
         (dup_frac > 0.2).alias("flagged_repetitive"),
     ).orderBy("doc_id")
+
+
+@query(
+    "c13_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    total AS (SELECT COUNT(*) AS t FROM tok),
+    scored AS (
+      SELECT tok.doc_id, ln(vocab.n * 1.0 / total.t) AS lp
+      FROM tok JOIN vocab USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: unigram language-model scoring — the cheapest perplexity
+    proxy a corpus-quality pipeline runs: average log-probability of a
+    document's tokens under the corpus's own unigram distribution
+    (spammy/outlier docs score far below the mode and get filtered).
+
+    Scale shape: the vocabulary is one combinable groupBy on the
+    token; the corpus total is a 1-row broadcast; scoring re-joins the
+    token relation to the vocab on the token key (AQE broadcasts the
+    vocab when it fits, shuffle-joins when a 100 TB corpus's vocab
+    does not); the per-doc reduce is a second combinable agg. The
+    per-token log term rides the exact-decimal detour so the per-doc
+    sum is engine- and partitioning-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("n"))
+    total = tok.agg(F.count("*").alias("t"))
+    scored = tok.join(vocab, "term").crossJoin(F.broadcast(total)).select(
+        "doc_id", F.log(F.col("n") * 1.0 / F.col("t")).alias("lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

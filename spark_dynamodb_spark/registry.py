@@ -103,12 +103,14 @@ ROTATION_PENDING = frozenset(
         "b39_scalar_subquery",
         "b40_lateral_topk_per_key",
         "b41_string_agg",
+        "b42_ohlc_downsample",
         "c04_text_repetition",
         "c08_sessionization",
         "c09_sequence_packing",
         "c10_decontamination",
         "c11_domain_mixture",
         "c12_chunk_dedup",
+        "c13_unigram_logprob",
     }
 )
 

@@ -205,3 +205,13 @@ def test_chunk_dedup_no_window_over_corpus(spark, sf_dir):
     plan = physical_plan(dedup.chunk_dedup(spark, sf_dir))
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ohlc_min_by_partial_aggregates(spark, sf_dir):
+    """B42: min_by/max_by must partial-aggregate map-side — the
+    shuffle carries one bar per (type, hour) per partition, never raw
+    events."""
+    from spark_dynamodb_spark.operators import aggregates
+
+    plan = physical_plan(aggregates.ohlc_downsample(spark, sf_dir))
+    assert "partial_min_by" in plan or "partial_min(" in plan, plan
