@@ -80,10 +80,12 @@ def main() -> None:
     _ensure_events_kv(spark, sf_dir)
     _ensure_lineitem_kv(spark, sf_dir)
 
-    # Two measured runs per query, min taken: this box shows 30-50%
-    # run-to-run noise (shared-host effects); min-of-2 measures the
-    # query, not the neighbors. Labeled in the JSON for transparency.
-    RUNS = 2
+    # Three measured runs per query, min taken: this box shows 30-50%
+    # run-to-run noise (shared-host effects — e.g. c02 measured 2.1 s
+    # and 3.4 s in back-to-back bench invocations of identical code);
+    # min-of-3 measures the query, not the neighbors. Labeled in the
+    # JSON for transparency.
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn

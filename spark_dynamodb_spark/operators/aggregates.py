@@ -302,3 +302,79 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "b43_bitwise_agg",
+    """
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: bitwise aggregates (BIT_AND/BIT_OR/BIT_XOR) — the bitmap
+    building block (e.g. folding permission masks or feature flags).
+
+    Scale shape: all three are associative+commutative, so they
+    partial-aggregate map-side; the shuffle carries one 64-bit state
+    per (priority, partition)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Histogram bucketing: the bucket index is floored EXPLICITLY on both
+# sides (Spark double→long CAST truncates, DuckDB's rounds) and capped
+# with least() so the max value lands in the top bucket, not one past.
+HIST_LO, HIST_HI, HIST_N = 0.0, 600_000.0, 20
+
+
+@query(
+    "b44_histogram",
+    f"""
+    SELECT CAST(least(floor((o_totalprice - {HIST_LO}) / (({HIST_HI} - {HIST_LO}) / {HIST_N})), {HIST_N - 1}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: fixed-width histogram — equi-width bucketing of a numeric
+    column with per-bucket count + exact sum. The profile/EDA query
+    every pipeline runs before choosing quantization or filter bounds.
+
+    Scale shape: bucket index is a narrow projection, then ONE
+    combinable aggregate over {HIST_N} groups — the shuffle carries at
+    most {HIST_N} rows per map partition regardless of input size."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (HIST_HI - HIST_LO) / HIST_N
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / width), F.lit(HIST_N - 1)
+    ).cast("long")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )

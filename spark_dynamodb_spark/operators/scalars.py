@@ -356,3 +356,34 @@ def conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("o_totalprice", F.lit(2000.0)).alias("capped"),
         F.greatest("o_totalprice", F.lit(100.0)).alias("floored"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "b46_regexp_extract_all",
+    """
+    SELECT event_id,
+           array_to_string(regexp_extract_all(props, '[0-9]+'), '|') AS nums,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_nums,
+           regexp_matches(props, '"k":\\s*[0-9]') AS has_k,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def regexp_extract_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20b: regexp surface — extract-all (stringified: array outputs
+    crash the driver canonicalizer), match-count, rlike, global
+    replace over the JSON props column.
+
+    All four are JVM-side codegen'd regex ops (no Python); at 100 TB
+    the regex runs where the row is, and the pattern is a literal so
+    it compiles once per task."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = "[0-9]+"
+    return ev.select(
+        "event_id",
+        F.array_join(F.regexp_extract_all("props", F.lit(pat), 0), "|").alias("nums"),
+        F.size(F.regexp_extract_all("props", F.lit(pat), 0)).alias("n_nums"),
+        F.col("props").rlike('"k":\\s*[0-9]').alias("has_k"),
+        F.regexp_replace("props", pat, "#").alias("masked"),
+    ).orderBy("event_id")

@@ -426,3 +426,43 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Stopword set for the normalize op: literal on both sides.
+_STOPWORDS = ("the", "a", "of", "and")
+
+
+@query(
+    "c04_text_normalize",
+    f"""
+    SELECT doc_id,
+           array_to_string(
+             list_filter(string_split(lower(text), ' '),
+                         t -> t NOT IN {_STOPWORDS!r} AND t <> ''),
+             ' ') AS clean_text,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t NOT IN {_STOPWORDS!r} AND t <> '')) AS BIGINT)
+             AS n_kept
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4g: text normalization — lowercase, tokenize, drop stopwords,
+    re-join. The cleaning pass that precedes dedup/quality scoring in
+    a corpus pipeline, expressed with a JVM higher-order FILTER lambda
+    (no Python, no explode/re-group round trip).
+
+    Scale shape: fully narrow — zero shuffles; each row is cleaned in
+    place inside whole-stage codegen. The DuckDB oracle uses the same
+    lambda via list_filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    kept = F.expr(
+        f"filter(split(lower(text), ' '), t -> NOT t IN ({sw}) AND t <> '')"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+    ).orderBy("doc_id")

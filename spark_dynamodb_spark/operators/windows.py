@@ -150,3 +150,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_10min"),
         "ts",
     ).orderBy("user_id", "ts", "event_id").drop("ts")
+
+
+@query(
+    "b45_window_distribution",
+    """
+    SELECT p_partkey, p_brand,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           ntile(10) OVER w AS decile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    ORDER BY p_partkey
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15b: distribution window functions — percent_rank/cume_dist/
+    ntile give each row its position in the brand's price distribution
+    (the building block for percentile-threshold filters).
+
+    Determinism: the window orders by (price, pk) so ranks are total-
+    order stable; percent_rank/cume_dist divide identical integers in
+    both engines, so the doubles are bit-equal."""
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    ).orderBy("p_partkey")

@@ -99,6 +99,11 @@ ROTATED_GREEN_R1 = frozenset(
 ROTATION_PENDING = frozenset(
     {
         "b37_recursive_cte",
+        "b43_bitwise_agg",
+        "b44_histogram",
+        "b45_window_distribution",
+        "b46_regexp_extract_all",
+        "c04_text_normalize",
         "b38_exists_subquery",
         "b39_scalar_subquery",
         "b40_lateral_topk_per_key",
