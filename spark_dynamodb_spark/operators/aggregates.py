@@ -378,3 +378,85 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "b47_regression_aggs",
+    f"""
+    WITH s AS (
+      SELECT l_returnflag, l_quantity AS x,
+             l_extendedprice / 10000.0 AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {sql_dsum('x')} AS sx,
+             {sql_dsum('y')} AS sy,
+             {sql_dsum('x * y')} AS sxy,
+             {sql_dsum('x * x')} AS sx2,
+             {sql_dsum('y * y')} AS sy2
+      FROM s GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sx2 - sx * sx) AS slope,
+           (sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sx2 - sx * sx) * sx)
+             / CAST(n AS DOUBLE) AS intercept,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+                * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_xy,
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1.0) AS covar_s
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: statistical aggregates — least-squares slope/intercept,
+    Pearson correlation, sample covariance of (quantity, price) per
+    return flag. The feature-correlation profile every dataset audit
+    runs.
+
+    Parity design: native CORR/REGR_* accumulate doubles in
+    partition order (never hash-comparable across engines), so the
+    five raw moments are summed through the exact-decimal detour and
+    the closed-form statistics are derived from them with the SAME
+    IEEE expression on both sides — bit-equal at any partitioning.
+    Price is pre-scaled by 1e-4 so every product term (qty integral,
+    price 2-decimal) lands EXACTLY on the decimal(28,6) grid — no
+    rounding decision for either engine's double→decimal cast (their
+    midpoint behaviors differ!) — and every moment total stays under
+    9e9, the envelope where decimal→double casts are single-rounded
+    in both engines. Correlation is scale-invariant; slope/intercept/
+    covariance are reported on the scaled price (documented unit).
+
+    Scale shape: ONE pass, one combinable aggregate; the shuffle
+    carries 6 numbers per (flag, partition) regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice") / F.lit(10000.0)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sx2"),
+        dsum(y * y, "sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    slope = (nd * sxy - sx * sy) / (nd * sx2 - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sx2 - sx * sx) * F.sqrt(nd * sy2 - sy * sy)
+    )
+    covar = (sxy - sx * sy / nd) / (nd - F.lit(1.0))
+    return m.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        corr.alias("corr_xy"),
+        covar.alias("covar_s"),
+    ).orderBy("l_returnflag")

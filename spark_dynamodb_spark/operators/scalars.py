@@ -387,3 +387,38 @@ def regexp_extract_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").rlike('"k":\\s*[0-9]').alias("has_k"),
         F.regexp_replace("props", pat, "#").alias("masked"),
     ).orderBy("event_id")
+
+
+@query(
+    "b48_string_distance",
+    """
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS lev,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS vowel_runs,
+           reverse(p_brand) AS brand_rev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20c: string-distance and -shaping surface — Levenshtein edit
+    distance (the fuzzy-match primitive), split_part, regexp match
+    count, reverse, zero-pad. All JVM codegen'd; no Python.
+
+    At 100 TB these are narrow per-row ops inside whole-stage
+    codegen; levenshtein is the building block for fuzzy dedup
+    blocking (pair it with c02's LSH candidates rather than running
+    it all-pairs)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)).alias(
+            "vowel_runs"
+        ),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+    ).orderBy("p_partkey")

@@ -466,3 +466,69 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(kept, " ").alias("clean_text"),
         F.size(kept).cast("long").alias("n_kept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "c15_token_diversity",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_unique,
+             CAST(SUM(c * c) AS BIGINT) AS s_c2
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_unique,
+           CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+           1.0 - CAST(s_c2 AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS simpson
+    FROM agg ORDER BY doc_id
+    """,
+)
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4k: per-document token diversity — type-token ratio and
+    Simpson diversity index (1 - Σ(c/n)²), the quality signals that
+    separate natural text from boilerplate and keyword stuffing.
+
+    Parity design: Simpson is chosen over Shannon entropy
+    DELIBERATELY — entropy needs ln(), which is not correctly-rounded
+    IEEE, and Java's Math.log disagrees with libm by 1 ulp on ~1% of
+    inputs (measured: 6/500 docs mismatched), which no decimal detour
+    can repair. Simpson needs only integer moments (Σc, Σc², count)
+    aggregated EXACTLY, plus single-rounded double divisions that are
+    bit-equal in both engines at any partitioning.
+
+    Scale shape: explode → count(doc,token) → per-doc combinable agg.
+    Both aggregations partial map-side; the shuffles carry (doc,
+    token, count) then (doc, 3 integers) — never document text. This
+    beats the narrow all-in-row formulation (quadratic in tokens per
+    row) for long documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), t -> t <> '')")
+        ).alias("tok"),
+    )
+    cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("c") * F.col("c")).alias("s_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        (F.col("n_unique").cast("double") / nd).alias("ttr"),
+        (F.lit(1.0) - F.col("s_c2").cast("double") / (nd * nd)).alias(
+            "simpson"
+        ),
+    ).orderBy("doc_id")

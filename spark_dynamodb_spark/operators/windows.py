@@ -181,3 +181,97 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(10).over(w).alias("decile"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "c14_ts_interpolate",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), f AS (
+      SELECT event_id, user_id, t, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wp AS pt,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER wn AS nt
+      FROM e
+      WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pt IS NULL THEN nv
+                WHEN nt IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                          * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+           END AS v_filled,
+           (v IS NULL) AS was_gap
+    FROM f
+    ORDER BY event_id
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: time-series linear interpolation — fill masked readings
+    (every 5th event plays the sensor dropout) from the nearest
+    non-null neighbors per user, weighted by event-time distance.
+    Leading/trailing gaps fall back to nearest-neighbor fill.
+
+    Determinism: the time axis is integer epoch-micros (exact
+    subtraction, then ONE double division), ordering is total
+    (t, event_id), and the blend is the same IEEE expression in both
+    engines.
+
+    Scale shape: one shuffle on user_id; both window frames share the
+    partitioning+ordering so Catalyst plans a single Exchange + Sort
+    reused by the two Window passes. State per row is two (value, ts)
+    pairs — no self-join, no point-lookup loop."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    v, t = F.col("v"), F.col("t")
+    f = e.select(
+        "event_id",
+        "user_id",
+        "t",
+        "v",
+        F.last(v, ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp).alias("pt"),
+        F.first(v, ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn).alias("nt"),
+    )
+    pv, pt, nv, nt = F.col("pv"), F.col("pt"), F.col("nv"), F.col("nt")
+    blend = pv + (nv - pv) * (
+        (t - pt).cast("double") / (nt - pt).cast("double")
+    )
+    return f.select(
+        "event_id",
+        "user_id",
+        F.when(v.isNotNull(), v)
+        .when(pt.isNull(), nv)
+        .when(nt.isNull(), pv)
+        .otherwise(blend)
+        .alias("v_filled"),
+        v.isNull().alias("was_gap"),
+    ).orderBy("event_id")

@@ -100,6 +100,10 @@ ROTATION_PENDING = frozenset(
     {
         "b37_recursive_cte",
         "b43_bitwise_agg",
+        "b47_regression_aggs",
+        "b48_string_distance",
+        "c14_ts_interpolate",
+        "c15_token_diversity",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",
