@@ -215,3 +215,38 @@ def test_ohlc_min_by_partial_aggregates(spark, sf_dir):
 
     plan = physical_plan(aggregates.ohlc_downsample(spark, sf_dir))
     assert "partial_min_by" in plan or "partial_min(" in plan, plan
+
+
+def test_interpolate_single_window_pass(spark, sf_dir):
+    """c14: all four neighbor lookups (pv/pt/nv/nt) must land in ONE
+    Window operator behind ONE hash Exchange on user_id — the frames
+    share partitioning+ordering, so a second sort or shuffle would be
+    a regression."""
+    from spark_dynamodb_spark.operators import windows as win
+
+    plan = physical_plan(win.ts_interpolate(spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_regression_aggs_single_pass(spark, sf_dir):
+    """b47: the five moments must compute in one partial→final
+    aggregate (one Exchange on the group key plus the presentation
+    sort) — a second scan or shuffle would defeat the one-pass
+    design."""
+    plan = physical_plan(aggregates.regression_aggs(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_token_diversity_shuffles_counts_not_text(spark, sf_dir):
+    """c15: after the explode, only (doc_id, tok) and then integer
+    moments cross the wire — the document text column must not appear
+    in any Exchange's output schema."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.token_diversity(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
