@@ -387,3 +387,58 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "b49_nullsafe_join",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE c_nationkey END AS nkey
+      FROM customer),
+    n AS (
+      SELECT n_nationkey, n_name FROM nation
+      UNION ALL SELECT NULL, 'UNMATCHED')
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM c JOIN n ON nkey IS NOT DISTINCT FROM n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: null-safe equality join (<=> / IS NOT DISTINCT FROM) —
+    NULL keys match each other instead of vanishing, the semantics
+    ETL reconciliation needs when "unknown" is a real category. Every
+    5th customer's nation is nulled; a sentinel NULL dim row catches
+    them.
+
+    Scale shape: <=> is still an equi-join predicate — Catalyst plans
+    a hash join (broadcast here: the dim is tiny), NOT the
+    nested-loop fallback a `coalesce(a,-1)=coalesce(b,-1)` rewrite
+    risks. All NULL keys hash to one partition; if the null share is
+    large, pre-split them with the salted-join pattern (b32)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nkey"),
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .unionAll(
+            load_table(spark, sf_dir, "nation")
+            .limit(1)
+            .select(
+                F.lit(None).cast("long").alias("n_nationkey"),
+                F.lit("UNMATCHED").alias("n_name"),
+            )
+        )
+    )
+    return (
+        cust.join(F.broadcast(nat), cust.nkey.eqNullSafe(nat.n_nationkey))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_name")
+    )

@@ -750,3 +750,40 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_dynamodb_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY.resolve("c08_sessionization").oracle = _sql_sessionization()
+
+
+@query(
+    "c17_group_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang, rk
+    FROM r WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+)
+def group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: fixed-size per-stratum sample — exactly k=3 documents per
+    language, chosen by hash rank (deterministic "random": md5 of the
+    id is uniform but reproducible across runs and engines). The
+    companion to c06_stratified_sample, which keeps a FRACTION per
+    stratum; evaluation sets want a fixed COUNT.
+
+    Scale shape: one shuffle on the stratum key; WindowGroupLimit
+    pushes the rk<=3 cut into the per-partition sort, so each task
+    keeps a 3-row heap per stratum instead of fully sorting it."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    return (
+        docs.select("doc_id", "lang", rk.alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("lang", "rk")
+    )

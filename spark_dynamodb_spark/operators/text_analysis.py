@@ -532,3 +532,69 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "c16_inverted_index",
+    """
+    WITH p AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS tok
+      FROM documents),
+    r AS (SELECT doc_id, tok,
+                 row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+          FROM p)
+    SELECT tok,
+           COUNT(*) AS n_docs,
+           array_to_string(
+             list_sort(list(CAST(doc_id AS VARCHAR))
+                       FILTER (WHERE rn <= 10)), '|') AS postings
+    FROM r
+    GROUP BY tok
+    HAVING COUNT(*) >= 5
+    ORDER BY tok
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: inverted-index build — token → document frequency + a
+    BOUNDED posting-list sample (first 10 doc_ids). The index/search
+    side of a corpus pipeline.
+
+    Scale shape: distinct (doc, token) pairs, ONE shuffle on token for
+    the row_number window, and the groupBy(token) right after reuses
+    that partitioning — no second exchange. The collected posting list
+    is capped BEFORE collection (rank ≤ 10), so a stopword's state is
+    10 ids, never a million-element array. Postings are stringified
+    (driver canonicalizer rejects array columns); doc_ids are sorted
+    in-row so partition arrival order can't leak."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), t -> t <> '')")
+        ).alias("tok"),
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("tok").orderBy("doc_id"))
+    r = p.select("doc_id", "tok", rn.alias("rn"))
+    return (
+        r.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 10,
+                            F.col("doc_id").cast("string"),
+                        )
+                    )
+                ),
+                "|",
+            ).alias("postings"),
+        )
+        .filter(F.col("n_docs") >= 5)
+        .orderBy("tok")
+    )

@@ -104,6 +104,10 @@ ROTATION_PENDING = frozenset(
         "b48_string_distance",
         "c14_ts_interpolate",
         "c15_token_diversity",
+        "c16_inverted_index",
+        "c17_group_sample",
+        "b49_nullsafe_join",
+        "s08_stream_static_enrich",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",

@@ -443,3 +443,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
     return run_to_table(spark, joined, "append").orderBy("click_id", "purchase_id")
+
+
+@query(
+    "s08_stream_static_enrich",
+    f"""
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS tier,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27+: stream-static enrichment join — the standard "enrich the
+    event stream with a dimension table" production shape. The static
+    side is re-read per micro-batch (picking up dim updates) and
+    broadcast by AQE; the streamed side never re-shuffles for the
+    join.
+
+    Batch-equivalence oracle: with one availableNow run over the
+    fixture the result equals the batch LEFT JOIN + aggregate.
+    """
+    from spark_dynamodb_spark.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = ev.join(cust, ev.user_id == cust.c_custkey, "left")
+    agg = (
+        enriched.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("tier")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+    )
+    return run_to_table(spark, agg, "complete").orderBy("tier")

@@ -250,3 +250,22 @@ def test_token_diversity_shuffles_counts_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_inverted_index_agg_reuses_window_partitioning(spark, sf_dir):
+    """c16: exactly two exchanges — distinct on (doc,tok) and the
+    window on tok; the groupBy(tok) must reuse the window's
+    partitioning rather than shuffle a third time."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.inverted_index(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 2, plan
+
+
+def test_group_sample_uses_window_group_limit(spark, sf_dir):
+    """c17: the rk<=3 cut must push into WindowGroupLimit (per-task
+    top-k heap), not a full per-stratum sort."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.group_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
