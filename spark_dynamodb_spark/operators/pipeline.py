@@ -787,3 +787,61 @@ def group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "c18_global_ids",
+    """
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) AS gid
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: global contiguous ID assignment — the scalable twin of
+    ``row_number() OVER (ORDER BY key)``. A naive global window
+    collapses 100 TB into ONE task; instead: (1) range-bucket rows by
+    key (order-preserving), (2) count per bucket and prefix-sum the
+    16-row bucket table, (3) broadcast offsets back and add the
+    within-bucket rank. Every stage is distributed; the only global
+    object is the 16-row offset table.
+
+    The oracle IS the naive global row_number — values identical,
+    plan radically different (plan-gated: no SinglePartition window).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    B = 16
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    # Order-preserving range bucket in [0, B): any deterministic
+    # monotone bucketing works — parity rides on the final ids only.
+    b = docs.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.col("lo"))
+                * B
+                / (F.col("hi") - F.col("lo") + 1)
+            ),
+            F.lit(B - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("doc_id")
+    )
+    return (
+        b.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("off") + rk).alias("gid"))
+        .orderBy("doc_id")
+    )

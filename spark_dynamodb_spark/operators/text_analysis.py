@@ -598,3 +598,79 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 5)
         .orderBy("tok")
     )
+
+
+# Chunking geometry: 50-token chunks, stride 30 (20-token overlap).
+CHUNK_SIZE, CHUNK_STRIDE = 50, 30
+
+
+@query(
+    "c19_chunk_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS toks
+      FROM documents),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS n_toks,
+             CASE WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+                  ELSE CAST(ceil((len(toks) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                            AS INT) + 1 END AS n_chunks
+      FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM n)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                        chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+                AS INT) AS chunk_len,
+           array_to_string(toks[chunk_id * {CHUNK_STRIDE} + 1 :
+                                chunk_id * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+                           ' ') AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: overlapping token chunking — fixed 50-token windows with
+    stride 30 (20-token overlap), the standard document → embedding /
+    RAG-unit split. Tail rule: a doc shorter than one chunk yields
+    exactly one (short) chunk; otherwise enough chunks that the last
+    one reaches the end.
+
+    Scale shape: fully narrow — tokenize, compute the chunk count per
+    row, explode a tiny index sequence, slice the token array in
+    place. Zero shuffles before the presentation sort; chunking
+    happens where each document's row already lives."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    n = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.when(F.size("toks") <= CHUNK_SIZE, F.lit(1))
+        .otherwise(
+            F.ceil(
+                (F.size("toks") - CHUNK_SIZE) / float(CHUNK_STRIDE)
+            ).cast("int")
+            + 1
+        )
+        .alias("n_chunks"),
+    )
+    c = n.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, CHUNK_SIZE
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).alias("chunk_len"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")

@@ -108,6 +108,8 @@ ROTATION_PENDING = frozenset(
         "c17_group_sample",
         "b49_nullsafe_join",
         "s08_stream_static_enrich",
+        "c18_global_ids",
+        "c19_chunk_overlap",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",

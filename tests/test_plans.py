@@ -269,3 +269,23 @@ def test_group_sample_uses_window_group_limit(spark, sf_dir):
 
     plan = physical_plan(pl.group_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_ids_row_number_is_bucket_partitioned(spark, sf_dir):
+    """c18: the data-scale row_number must be partitioned by bucket —
+    a global (SinglePartition) row_number over the documents relation
+    would collapse 100 TB into one task. SinglePartition exchanges
+    are allowed only for the tiny bucket/offset tables."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.global_ids(spark, sf_dir))
+    assert "row_number() windowspecdefinition(bucket" in plan, plan
+
+
+def test_chunk_overlap_is_narrow(spark, sf_dir):
+    """c19: chunking must happen where the row lives — no exchange
+    below the explode; the only shuffle is the presentation sort."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.chunk_overlap(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 0, plan
