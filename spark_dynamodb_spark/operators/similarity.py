@@ -316,3 +316,52 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --- C20: random-projection dimensionality reduction ------------------------
+RP_OUT_DIMS = 8
+
+
+def _rp_sql() -> str:
+    cols = []
+    for p in range(RP_OUT_DIMS):
+        signs = "[" + ", ".join(f"{s}.0" for s in _plane(p)) + "]"
+        cols.append(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {DIM}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({signs})[i])), "
+            f"(a, v) -> a + v) AS y{p}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings ORDER BY vec_id"
+    )
+
+
+@query("c20_random_projection", _rp_sql())
+def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: Johnson-Lindenstrauss sign-matrix random projection —
+    64-dim embeddings down to 8 dims with the same deterministic ±1
+    hyperplanes the LSH tables use (md5-seeded, engine-independent).
+    The cheap pre-step before clustering/dedup when full-dim cosine is
+    too expensive.
+
+    Parity design: ±1 products are EXACT sign flips, so the only
+    rounding is the summation — pinned to a left fold in array order
+    on both engines (F.aggregate ↔ list_reduce), hence bit-equal.
+    Embedding float32 widens exactly to double first.
+
+    Scale shape: fully narrow — 8×64 multiply-adds per row inside
+    whole-stage codegen, zero shuffles, no Python. At 100 TB this is
+    a pure map stage that AQE never needs to touch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    embd = F.col("embedding").cast("array<double>")
+    cols = []
+    for p in range(RP_OUT_DIMS):
+        signs = F.array(*[F.lit(float(s)) for s in _plane(p)])
+        y = F.aggregate(
+            F.zip_with(embd, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        cols.append(y.alias(f"y{p}"))
+    return emb.select("vec_id", *cols).orderBy("vec_id")

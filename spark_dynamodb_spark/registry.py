@@ -110,6 +110,7 @@ ROTATION_PENDING = frozenset(
         "s08_stream_static_enrich",
         "c18_global_ids",
         "c19_chunk_overlap",
+        "c20_random_projection",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",

@@ -101,3 +101,21 @@ def test_partition_rate_properties(target, provisioned, n):
         # per-partition shares sum to ≈ the total budget (or the floor)
         assert r >= min(0.1, target * provisioned)
         assert r * n >= target * provisioned * 0.99 or r == 0.1
+
+
+def test_driver_window_holds_exactly_50_unprefixed_names():
+    """The driver's correctness gate records the first 50 registry
+    names in lexical order. Every name beyond the 50 curated slots
+    must be parked under x_/z_ (registry rotation sets) — a new
+    @query registered without parking would silently push a checked
+    entry out of the window."""
+    from spark_dynamodb_spark.registry import load_all
+
+    names = sorted(load_all().specs().keys())
+    unprefixed = [n for n in names if not n.startswith(("x_", "z_"))]
+    assert len(unprefixed) == 50, (
+        f"{len(unprefixed)} unprefixed entries; park new queries in "
+        f"ROTATION_PENDING. Extra: {unprefixed[50:] or 'n/a'}"
+    )
+    # and the prefixes must sort AFTER every unprefixed name
+    assert all(n < "x_" for n in unprefixed)
