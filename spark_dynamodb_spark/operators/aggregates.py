@@ -460,3 +460,45 @@ def regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("corr_xy"),
         covar.alias("covar_s"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "b50_conditional_aggs",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           min(o_orderkey) FILTER (WHERE o_orderstatus = 'O')
+             AS first_open_key,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: conditional aggregates — count_if, bool_and/bool_or, and
+    a filtered min. The SQL surface for "how many rows satisfy P per
+    group" without a self-join or a pre-filter that would lose the
+    group's other aggregates.
+
+    Scale shape: every one of these is a combinable aggregate (the
+    filter folds into the partial state update), so the shuffle
+    carries one boolean/long per group per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 150000.0).alias("n_big"),
+            F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+            F.min(
+                F.when(
+                    F.col("o_orderstatus") == "O", F.col("o_orderkey")
+                )
+            ).alias("first_open_key"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -845,3 +845,75 @@ def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", (F.col("off") + rk).alias("gid"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c21_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest({{TOKS}}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT token, n,
+             CAST(SUM(n) OVER (ORDER BY n DESC, token
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum
+      FROM counts)
+    SELECT token, n, cum,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM ranked, tot
+    WHERE cum - n < CAST(0.8 * total AS DOUBLE)
+    ORDER BY cum
+    """.replace("{TOKS}", "list_filter(string_split(lower(text), ' '), x -> x <> '')"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: vocabulary coverage cut — the smallest frequency-ranked
+    token set whose cumulative count reaches 80% of corpus mass (a
+    token is kept if the mass BEFORE it is still under the target).
+    The standard "how big must the vocab be" pruning step.
+
+    Parity design: the cumulative sum is pure BIGINT (exact); the
+    only doubles are one division and one 0.8*total product — both
+    single-rounded identical ops. Ties in the rank order break on the
+    token string, so `cum` is total-order deterministic.
+
+    Scale shape: combinable token counts, then the window + threshold
+    run over the AGGREGATED vocabulary relation (vocab-sized, not
+    corpus-sized). The cumsum window is a single global order over
+    that small relation — acceptable because vocabularies are ≤ a few
+    million rows regardless of corpus size; the 100 TB corpus itself
+    is touched once by the combinable count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.col("n").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "token", "n", F.sum("n").over(w).alias("cum")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("cum") - F.col("n")).cast("double")
+            < F.lit(0.8) * F.col("total").cast("double")
+        )
+        .select(
+            "token",
+            "n",
+            "cum",
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("cum")
+    )

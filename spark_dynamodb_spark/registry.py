@@ -111,6 +111,8 @@ ROTATION_PENDING = frozenset(
         "c18_global_ids",
         "c19_chunk_overlap",
         "c20_random_projection",
+        "c21_vocab_coverage",
+        "b50_conditional_aggs",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",
