@@ -67,3 +67,17 @@ def sql_normalize_text(expr: str) -> str:
 
 def sql_tokens(expr: str) -> str:
     return f"string_split({sql_normalize_text(expr)}, ' ')"
+
+
+def simple_tokens(col: Column | str) -> Column:
+    """Lowercase whitespace tokens with empties dropped — the light
+    tokenizer shared by the diversity/index/chunking/vocab ops (no
+    punctuation normalization; pairs with sql_simple_tokens)."""
+    name = col if isinstance(col, str) else None
+    expr = name or "text"
+    return F.expr(f"filter(split(lower({expr}), ' '), x -> x <> '')")
+
+
+def sql_simple_tokens(expr: str) -> str:
+    """DuckDB mirror of :func:`simple_tokens`."""
+    return f"list_filter(string_split(lower({expr}), ' '), x -> x <> '')"

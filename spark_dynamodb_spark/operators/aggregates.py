@@ -421,12 +421,15 @@ def regression_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     five raw moments are summed through the exact-decimal detour and
     the closed-form statistics are derived from them with the SAME
     IEEE expression on both sides — bit-equal at any partitioning.
-    Price is pre-scaled by 1e-4 so every product term (qty integral,
-    price 2-decimal) lands EXACTLY on the decimal(28,6) grid — no
+    Price is pre-scaled by 1e-4 so x, y, x·y and x·x (qty integral,
+    price 2-decimal) land EXACTLY on the decimal(28,6) grid — no
     rounding decision for either engine's double→decimal cast (their
-    midpoint behaviors differ!) — and every moment total stays under
-    9e9, the envelope where decimal→double casts are single-rounded
-    in both engines. Correlation is scale-invariant; slope/intercept/
+    midpoint behaviors differ!). y·y has 12 decimals and DOES round,
+    but safely: its true tail is a multiple of 1e-12 and can never be
+    the exact 5e-7 midpoint (c² ≡ 5·10⁵ mod 10⁶ has no solution mod
+    64), so both engines round the bit-identical double the same way.
+    Every moment total also stays under 9e9, the envelope where
+    decimal→double casts are single-rounded in both engines. Correlation is scale-invariant; slope/intercept/
     covariance are reported on the scaled price (documented unit).
 
     Scale shape: ONE pass, one combinable aggregate; the shuffle

@@ -428,9 +428,7 @@ def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "nation")
         .select("n_nationkey", "n_name")
         .unionAll(
-            load_table(spark, sf_dir, "nation")
-            .limit(1)
-            .select(
+            spark.range(1).select(
                 F.lit(None).cast("long").alias("n_nationkey"),
                 F.lit("UNMATCHED").alias("n_name"),
             )

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.text import (
     md5_64,
+    simple_tokens,
     sql_md5_64,
+    sql_simple_tokens,
     sql_tokens,
     tokens,
 )
@@ -802,10 +804,15 @@ def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C18: global contiguous ID assignment — the scalable twin of
     ``row_number() OVER (ORDER BY key)``. A naive global window
     collapses 100 TB into ONE task; instead: (1) range-bucket rows by
-    key (order-preserving), (2) count per bucket and prefix-sum the
-    16-row bucket table, (3) broadcast offsets back and add the
-    within-bucket rank. Every stage is distributed; the only global
+    key (order-preserving), (2) rank AND count per bucket behind one
+    Exchange, (3) prefix-sum the 16-row bucket table and broadcast
+    the offsets back. Every stage is distributed; the only global
     object is the 16-row offset table.
+
+    Both consumers of the bucketed relation (the offsets branch and
+    the final join) hang off the SAME Exchange subtree, so Spark's
+    ReuseExchange executes the scan+shuffle once — the data is read
+    twice only logically, not physically (plan-gated).
 
     The oracle IS the naive global row_number — values identical,
     plan radically different (plan-gated: no SinglePartition window).
@@ -830,19 +837,30 @@ def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bucket"),
     )
-    counts = b.groupBy("bucket").agg(F.count("*").alias("n"))
+    # Rank and per-bucket count in the same post-shuffle stage: both
+    # windows share the Exchange(bucket), and every downstream branch
+    # reuses it.
+    wb = Window.partitionBy("bucket")
+    b2 = b.select(
+        "doc_id",
+        "bucket",
+        F.row_number().over(wb.orderBy("doc_id")).alias("rk"),
+        F.count("*").over(wb).alias("cnt"),
+    )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "bucket", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("off")
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("bucket").orderBy("doc_id")
+    offsets = (
+        b2.select("bucket", "cnt")
+        .distinct()
+        .select(
+            "bucket",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off"),
+        )
     )
     return (
-        b.join(F.broadcast(offsets), "bucket")
-        .select("doc_id", (F.col("off") + rk).alias("gid"))
+        b2.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("off") + F.col("rk")).alias("gid"))
         .orderBy("doc_id")
     )
 
@@ -851,21 +869,21 @@ def global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c21_vocab_coverage",
     f"""
     WITH tok AS (
-      SELECT unnest({{TOKS}}) AS token FROM documents),
+      SELECT unnest({sql_simple_tokens('text')}) AS token FROM documents),
     counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
-    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
     ranked AS (
       SELECT token, n,
              CAST(SUM(n) OVER (ORDER BY n DESC, token
                                ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND CURRENT ROW) AS BIGINT) AS cum
+                               AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
       FROM counts)
     SELECT token, n, cum,
            CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
-    FROM ranked, tot
-    WHERE cum - n < CAST(0.8 * total AS DOUBLE)
+    FROM ranked
+    WHERE 5 * (cum - n) < 4 * total
     ORDER BY cum
-    """.replace("{TOKS}", "list_filter(string_split(lower(text), ' '), x -> x <> '')"),
+    """,
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C21: vocabulary coverage cut — the smallest frequency-ranked
@@ -873,39 +891,41 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     token is kept if the mass BEFORE it is still under the target).
     The standard "how big must the vocab be" pruning step.
 
-    Parity design: the cumulative sum is pure BIGINT (exact); the
-    only doubles are one division and one 0.8*total product — both
-    single-rounded identical ops. Ties in the rank order break on the
-    token string, so `cum` is total-order deterministic.
+    Parity design: cumulative sum, total, and the 80% threshold
+    (5·(cum−n) < 4·total) are ALL pure BIGINT — exact at any corpus
+    size; the only double is the reported coverage ratio (one
+    division). Ties in the rank order break on the token string, so
+    `cum` is total-order deterministic.
 
-    Scale shape: combinable token counts, then the window + threshold
-    run over the AGGREGATED vocabulary relation (vocab-sized, not
-    corpus-sized). The cumsum window is a single global order over
-    that small relation — acceptable because vocabularies are ≤ a few
-    million rows regardless of corpus size; the 100 TB corpus itself
-    is touched once by the combinable count."""
+    Scale shape: ONE combinable-count pass over the corpus; the
+    cumsum AND the grand total come from windows over the same
+    aggregated vocab-sized relation (a second `counts.agg(...)`
+    subtree would re-scan the corpus). The global-order window is
+    acceptable because vocabularies are ≤ a few million rows
+    regardless of corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     counts = (
         docs.select(
-            F.explode(
-                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
-            ).alias("token")
+            F.explode(simple_tokens("text")).alias("token")
         )
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    total = counts.agg(F.sum("n").alias("total"))
     w = Window.orderBy(F.col("n").desc(), "token").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = counts.select(
-        "token", "n", F.sum("n").over(w).alias("cum")
+        "token",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
     )
     return (
-        ranked.crossJoin(F.broadcast(total))
-        .filter(
-            (F.col("cum") - F.col("n")).cast("double")
-            < F.lit(0.8) * F.col("total").cast("double")
+        ranked.filter(
+            5 * (F.col("cum") - F.col("n")) < 4 * F.col("total")
         )
         .select(
             "token",

@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.text import (
     md5_64,
+    simple_tokens,
+    sql_simple_tokens,
     normalize_text,
     shingles,
     sql_md5_64,
@@ -470,11 +472,10 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c15_token_diversity",
-    """
+    f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '),
-                                t -> t <> '')) AS tok
+             unnest({sql_simple_tokens('text')}) AS tok
       FROM documents),
     cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
     agg AS (
@@ -512,9 +513,7 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        F.explode(
-            F.expr("filter(split(lower(text), ' '), t -> t <> '')")
-        ).alias("tok"),
+        F.explode(simple_tokens("text")).alias("tok"),
     )
     cnt = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     agg = cnt.groupBy("doc_id").agg(
@@ -536,11 +535,10 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c16_inverted_index",
-    """
+    f"""
     WITH p AS (
       SELECT DISTINCT doc_id,
-             unnest(list_filter(string_split(lower(text), ' '),
-                                t -> t <> '')) AS tok
+             unnest({sql_simple_tokens('text')}) AS tok
       FROM documents),
     r AS (SELECT doc_id, tok,
                  row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
@@ -571,9 +569,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     p = docs.select(
         "doc_id",
-        F.explode(
-            F.expr("filter(split(lower(text), ' '), t -> t <> '')")
-        ).alias("tok"),
+        F.explode(simple_tokens("text")).alias("tok"),
     ).distinct()
     from pyspark.sql import Window as W
 
@@ -609,7 +605,7 @@ CHUNK_SIZE, CHUNK_STRIDE = 50, 30
     f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(lower(text), ' '), x -> x <> '')
+             {sql_simple_tokens('text')}
                AS toks
       FROM documents),
     n AS (
@@ -645,7 +641,7 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     place. Zero shuffles before the presentation sort; chunking
     happens where each document's row already lives."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    toks = simple_tokens("text")
     n = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id",
         "toks",

@@ -208,6 +208,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN v IS NOT NULL THEN v
                 WHEN pt IS NULL THEN nv
                 WHEN nt IS NULL THEN pv
+                WHEN nt = pt THEN pv
                 ELSE pv + (nv - pv)
                           * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
            END AS v_filled,
@@ -271,6 +272,7 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(v.isNotNull(), v)
         .when(pt.isNull(), nv)
         .when(nt.isNull(), pv)
+        .when(nt == pt, pv)  # duplicate-timestamp neighbors: 0/0 guard
         .otherwise(blend)
         .alias("v_filled"),
         v.isNull().alias("was_gap"),

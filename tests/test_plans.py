@@ -289,3 +289,25 @@ def test_chunk_overlap_is_narrow(spark, sf_dir):
 
     plan = physical_plan(ta.chunk_overlap(spark, sf_dir))
     assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_global_ids_reuses_bucket_exchange(spark, sf_dir):
+    """c18: the offsets branch and the final join must share one
+    physical Exchange (ReuseExchange) — otherwise the corpus is
+    scanned and shuffled twice."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    df = pl.global_ids(spark, sf_dir)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_vocab_coverage_scans_corpus_once(spark, sf_dir):
+    """c21: total must derive from the aggregated vocab relation via
+    a window — a second counts.agg() subtree would re-scan and
+    re-tokenize the full corpus."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.vocab_coverage(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
