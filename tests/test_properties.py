@@ -119,3 +119,50 @@ def test_driver_window_holds_exactly_50_unprefixed_names():
     )
     # and the prefixes must sort AFTER every unprefixed name
     assert all(n < "x_" for n in unprefixed)
+
+
+def test_chunk_overlap_geometry(spark, sf_dir):
+    """c19: every chunk except a doc's last is exactly CHUNK_SIZE
+    tokens; consecutive chunk starts differ by CHUNK_STRIDE; the last
+    chunk reaches the document's end (coverage, no token dropped)."""
+    from spark_dynamodb_spark.operators.text_analysis import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_overlap,
+    )
+    from spark_dynamodb_spark.functions.text import simple_tokens
+    from spark_dynamodb_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    chunks = chunk_overlap(spark, sf_dir).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(simple_tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {d for d in n_toks}
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = n_toks[doc_id]
+        for r in rows[:-1]:
+            assert r["chunk_len"] == CHUNK_SIZE, (doc_id, r)
+        last = rows[-1]
+        # last chunk must reach the end: start + len == n
+        assert last["chunk_id"] * CHUNK_STRIDE + last["chunk_len"] == n, (
+            doc_id,
+            last,
+            n,
+        )
+
+
+def test_global_ids_contiguous(spark, sf_dir):
+    """c18: ids are a permutation of 1..N following the key order."""
+    from spark_dynamodb_spark.operators.pipeline import global_ids
+
+    rows = global_ids(spark, sf_dir).collect()
+    assert [r["gid"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
