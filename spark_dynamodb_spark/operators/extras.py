@@ -242,3 +242,98 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY m
         """
     )
+
+
+# --- B51/B52/B53: alternate source formats ---------------------------------
+# Round-trip the orders table through CSV / JSON-lines / ORC and
+# aggregate the re-read frame. The oracle reads the PARQUET ground
+# truth, so a green row proves the format path is lossless (types,
+# timestamps, doubles). Staging is per-format+sf under /tmp and
+# re-written each call (overwrite — the queries must be rerunnable).
+
+ORDERS_FMT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       min(o_orderdate) AS first_date,
+       max(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _roundtrip_orders(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import hashlib
+    import tempfile
+    import os
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(f"{fmt}:{sf_dir}".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"fmt_rt_{fmt}_{tag}")
+    writer = orders.write.mode("overwrite")
+    if fmt == "csv":
+        # header + explicit timestamp format; doubles use Java's
+        # shortest round-trip repr so the re-read is bit-exact.
+        writer.option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).csv(path)
+        back = (
+            spark.read.schema(orders.schema)
+            .option("header", True)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(path)
+        )
+    elif fmt == "json":
+        writer.option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).json(path)
+        back = (
+            spark.read.schema(orders.schema)
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .json(path)
+        )
+    elif fmt == "orc":
+        writer.orc(path)
+        back = spark.read.orc(path)
+    else:  # pragma: no cover
+        raise ValueError(fmt)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("b51_csv_roundtrip", ORDERS_FMT_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: CSV source/sink round trip — write orders as headered CSV,
+    re-read with an explicit schema, aggregate. Green oracle = the
+    text path preserves longs, doubles (shortest round-trip repr) and
+    microsecond timestamps exactly.
+
+    Scale shape: CSV write/read are narrow per-partition streams; the
+    only shuffle is the aggregate's. Schema is explicit — header
+    inference on 100 TB would scan files twice."""
+    return _roundtrip_orders(spark, sf_dir, "csv")
+
+
+@query("b52_jsonl_roundtrip", ORDERS_FMT_ORACLE)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: JSON-lines source/sink round trip (the interchange format
+    of most corpus pipelines) — explicit schema on read, like B51."""
+    return _roundtrip_orders(spark, sf_dir, "json")
+
+
+@query("b53_orc_roundtrip", ORDERS_FMT_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: ORC columnar round trip — the second columnar format the
+    engine reads/writes natively; schema travels with the file."""
+    return _roundtrip_orders(spark, sf_dir, "orc")

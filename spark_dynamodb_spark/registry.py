@@ -113,6 +113,9 @@ ROTATION_PENDING = frozenset(
         "c20_random_projection",
         "c21_vocab_coverage",
         "b50_conditional_aggs",
+        "b51_csv_roundtrip",
+        "b52_jsonl_roundtrip",
+        "b53_orc_roundtrip",
         "b44_histogram",
         "b45_window_distribution",
         "b46_regexp_extract_all",
