@@ -38,24 +38,41 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark cannot read
-    natively (PARQUET_TYPE_ILLEGAL); we read nanos as long
-    (``nanosAsLong``) and truncate to microseconds — the DuckDB oracle
-    mirrors this exactly with ``make_timestamp(epoch_ns(ts) // 1000)``
-    (see EVENTS_TS_SQL).
+    ``events.ts`` has drifted across fixture regenerations —
+    TIMESTAMP(NANOS) in round 1/2, ``timestamp[us]`` (isAdjustedToUTC=
+    false → Spark TIMESTAMP_NTZ) since the round-2 refresh — so this
+    single choke point normalizes every variant to one canonical type:
+    session-timezone TIMESTAMP at microsecond precision (the session tz
+    is UTC, session.py:32). Downstream operators may assume plain
+    TIMESTAMP and use ``unix_micros`` freely.
+
+    - nanos fixtures: Spark can't read TIMESTAMP(NANOS) natively
+      (PARQUET_TYPE_ILLEGAL); read nanos as long (``nanosAsLong``) and
+      truncate to micros.
+    - µs/NTZ fixtures: cast NTZ → TIMESTAMP; under the UTC session tz
+      this is epoch-preserving and matches DuckDB's naive reading.
+
+    The DuckDB oracle mirror (EVENTS_TS_SQL) is the identity on µs
+    timestamps and the same ns→µs truncation on nanos ones.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":  # timestamp[us], no tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-# DuckDB-side mirror of the events.ts nanosecond→microsecond truncation.
-# The driver registers `events` as a raw view (TIMESTAMP_NS), so every
-# oracle SQL that touches ts inlines this expression.
+# DuckDB-side mirror of the events.ts normalization. The driver
+# registers `events` as a raw view, so every oracle SQL that touches ts
+# inlines this expression. epoch_ns works on both TIMESTAMP_NS (old
+# fixtures) and TIMESTAMP (current µs fixtures); // 1000 then
+# make_timestamp reconstructs µs — the identity for µs inputs, the
+# truncation for ns ones. Lockstep with load_table by construction.
 EVENTS_TS_SQL = "make_timestamp(epoch_ns(ts) // 1000)"
 
 
