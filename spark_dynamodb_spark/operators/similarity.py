@@ -120,15 +120,71 @@ N_TABLES = 8
 BITS_PER_TABLE = 4
 
 
-@query("c03_ann_lsh_bucketed", None)
+def _sql_signs(p: int) -> str:
+    """Plane p as a DuckDB double-list literal (same md5 seeding)."""
+    return "[" + ", ".join(f"{s}.0" for s in _plane(p)) + "]"
+
+
+def _lsh_sql() -> str:
+    """DuckDB mirror of ann_lsh_bucketed (VERDICT r2 #5: was rows-only).
+
+    The hyperplanes are deterministic md5-seeded constants, so the SQL
+    twin simply INLINES them (the same trick _rp_sql uses): per-table
+    buckets via a UNION ALL over the 8 tables, candidates via the same
+    any-table equi-join, exact cosine + rank on the candidate set.
+    Sign decisions compare bit-equal dot products (list_dot_product ↔
+    left-fold F.aggregate), so both engines bucket identically.
+    """
+    branches = []
+    for t in range(N_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {_sql_signs(t * BITS_PER_TABLE + b)})"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(BITS_PER_TABLE)
+        )
+        branches.append(f"SELECT vec_id, vec, {t} AS t, {bits} AS bucket FROM v")
+    union = " UNION ALL ".join(branches)
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    bl AS ({union}),
+    q AS (SELECT vec_id AS query_id, t, bucket FROM bl WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT DISTINCT q.query_id, bl.vec_id AS neighbor_id
+      FROM bl JOIN q ON bl.t = q.t AND bl.bucket = q.bucket
+      WHERE bl.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(qv.vec, nv.vec)
+               / (sqrt(list_dot_product(qv.vec, qv.vec)) * sqrt(list_dot_product(nv.vec, nv.vec)))
+               AS cos
+      FROM cand c
+      JOIN v qv ON qv.vec_id = c.query_id
+      JOIN v nv ON nv.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@query("c03_ann_lsh_bucketed", _lsh_sql())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3b: LSH-bucketed ANN — the 100 TB path. 8 hash tables × 4
     hyperplane-sign bits; a vector is a candidate for a query if they
     share a bucket in ANY table (standard multi-table LSH: recall
     compounds across tables while each bucket join stays an equi-join).
 
-    Rows-only for the driver (bucketing isn't reasonably SQL-
-    expressible); tests/test_llm.py checks recall vs brute force.
+    Value-checked by the driver since round 3: the md5-seeded planes
+    are inlined into the DuckDB twin (_lsh_sql), so bucketing, the
+    candidate set, and the returned cosines are all hash-compared.
+    tests/test_llm.py additionally gates recall vs brute force.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
@@ -235,11 +291,20 @@ def _centroids_of(assigned: DataFrame) -> DataFrame:
     posexplode → groupBy(cell, pos) is fully combinable (the shuffle
     carries nlist × dim partial sums); the per-cell array reassembles
     with a sort-by-position transform — never through the driver.
+
+    The mean is the EXACT decimal-sum mean (functions.exact.davg), not
+    native AVG: double accumulation order varies with partitioning, so
+    exact sums are what make the whole k-means — and therefore the
+    final IVF top-k — bit-reproducible across engines and runs. That
+    is what lets the DuckDB twin (_ivf_sql) unroll the same Lloyd
+    iterations and hash-match (VERDICT r2 #5: was rows-only).
     """
+    from spark_dynamodb_spark.functions.exact import davg
+
     return (
         assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
         .groupBy("cell", "pos")
-        .agg(F.avg("v").alias("m"))
+        .agg(davg("v", "m"))
         .groupBy("cell")
         .agg(
             F.transform(
@@ -250,18 +315,123 @@ def _centroids_of(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query("c03_ann_ivf", None)
+_SQL_SQDIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, {dim}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+)
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """DuckDB mirror of _sq_dist: left fold over per-element squared
+    diffs with 0.0 init — the same order F.aggregate(zip_with(...))
+    evaluates, so distances are bit-equal."""
+    return _SQL_SQDIST.format(a=a, b=b, dim=DIM)
+
+
+def _ivf_sql() -> str:
+    """DuckDB mirror of ann_ivf. The k-means loop is deterministic and
+    fixed-depth (md5-seeded cells, KMEANS_ITERS Lloyd iterations with
+    exact-decimal centroid means), so the twin simply UNROLLS it as
+    chained CTEs: a0 (seed) → cents0 → a1 → cents1 → ... → index +
+    final centroids → probe top-NPROBE cells → equi-join on cell →
+    exact cosine top-k. Every float reduction is either an exact
+    decimal sum or a pinned left fold, hence hash-identical output.
+    """
+    seed_cell = (
+        "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {NLIST} AS INT)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        " FROM embeddings)",
+        f"a0 AS (SELECT vec_id, vec, {seed_cell} AS cell FROM v)",
+    ]
+    for k in range(KMEANS_ITERS):
+        ctes.append(
+            f"""cents{k} AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM a{k} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""a{k + 1} AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT v.vec_id, v.vec, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_sql_sqdist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+        FROM v CROSS JOIN cents{k} c
+      ) WHERE rn = 1
+    )"""
+        )
+    last = f"a{KMEANS_ITERS}"
+    ctes.append(
+        f"""centsF AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM {last} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT q.vec_id AS query_id, q.vec AS qvec, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_sqdist("q.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+        FROM (SELECT * FROM {last} WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN centsF c
+      ) WHERE rn <= {NPROBE}
+    )"""
+    )
+    ctes.append(
+        f"""scored AS (
+      SELECT p.query_id, i.vec_id AS neighbor_id,
+             list_dot_product(p.qvec, i.vec)
+               / (sqrt(list_dot_product(p.qvec, p.qvec)) * sqrt(list_dot_product(i.vec, i.vec)))
+               AS cos
+      FROM probes p
+      JOIN {last} i ON i.cell = p.cell AND i.vec_id <> p.query_id
+    )"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@query("c03_ann_ivf", _ivf_sql())
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3e: IVF ANN — deterministic mini k-means coarse quantizer
-    (hash-seeded cells, 2 Lloyd iterations, all DataFrame ops: the
-    per-iteration centroid update is a combinable aggregation and the
-    reassignment a broadcast-nlist argmin — nothing iterates on the
-    driver), then probe the NPROBE nearest cells per query: the
+    (hash-seeded cells, KMEANS_ITERS Lloyd iterations, all DataFrame
+    ops: the per-iteration centroid update is a combinable aggregation
+    and the reassignment a broadcast-nlist argmin — nothing iterates
+    on the driver), then probe the NPROBE nearest cells per query: the
     corpus join is an equi-join on cell, so each query scans
     ~NPROBE/NLIST of the corpus instead of all of it.
 
-    Rows-only for the driver (iterative algorithm — SURVEY §5);
-    tests/test_llm.py gates recall@5 against the exact brute force.
+    Value-checked by the driver since round 3: exact-decimal centroid
+    means make the whole iteration engine-portable, and _ivf_sql
+    unrolls it in DuckDB. tests/test_llm.py additionally gates
+    recall@5 against the exact brute force.
     """
     from spark_dynamodb_spark.functions.text import md5_64
 
