@@ -43,6 +43,15 @@ HEADLINE = [
     "s01_stream_tumbling_window",
 ]
 
+# LLM-pipeline additions (VERDICT r2 #6): timed and reported the same
+# way but totaled separately ("extra_total") so "value" stays
+# round-over-round comparable with BENCH_r01/r02's 15-query headline.
+EXTRA = [
+    "c07_corpus_prep",
+    "c02_dedup_components",
+    "c16_inverted_index",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +62,9 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=cpus)
     registry = load_all()
-    specs = {name: registry.resolve(name) for name in HEADLINE + ["b01_scan_full"]}
+    specs = {
+        name: registry.resolve(name) for name in HEADLINE + EXTRA + ["b01_scan_full"]
+    }
 
     # Warmup 1: JVM + python worker pool + parquet footer caches.
     specs["b01_scan_full"].fn(spark, sf_dir).count()
@@ -63,7 +74,7 @@ def main() -> None:
     # compile on first execution) without touching the measured data.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in HEADLINE:
+        for name in HEADLINE + EXTRA:
             try:
                 specs[name].fn(spark, warm_sf).count()
             except Exception as e:  # noqa: BLE001 — warmup must not kill the bench
@@ -86,19 +97,24 @@ def main() -> None:
     # min-of-3 measures the query, not the neighbors. Labeled in the
     # JSON for transparency.
     RUNS = 3
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn
-        best = None
-        for r in range(RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    def measure(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = specs[name].fn
+            best = None
+            for r in range(RUNS):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    timings = measure(HEADLINE)
+    extra = measure(EXTRA)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -106,7 +122,9 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **extra},
+                "extra_total": round(sum(extra.values()), 3),
+                "extra_queries": EXTRA,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "runs_per_query": RUNS,
