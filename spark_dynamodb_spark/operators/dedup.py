@@ -617,3 +617,183 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C22 — cross-source content-overlap matrix (round 3)
+# ---------------------------------------------------------------------------
+
+SQL_SOURCE_SHINGLES = f"""
+    SELECT DISTINCT source, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - {SHINGLE_K - 1}, 1)),
+             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
+    FROM (SELECT source, {sql_tokens('text')} AS toks FROM documents)
+"""
+
+
+@query(
+    "c22_source_overlap",
+    f"""
+    WITH sh AS ({SQL_SOURCE_SHINGLES}),
+    n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    c AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, n_shared,
+           round(n_shared * 1.0 / (na.n + nb.n - n_shared), 6) AS jaccard
+    FROM c
+    JOIN n na ON na.source = src_a
+    JOIN n nb ON nb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: cross-source content-overlap matrix — distinct-shingle
+    Jaccard between every source pair. The dataset-curation question
+    "which of my crawls/dumps duplicate each other" answered before
+    any expensive mixing decision.
+
+    Scale shape: (source, shingle) distincts derive narrowly per doc
+    (array_distinct before explode); the equi-join on shingle emits at
+    most n_sources² rows per shingle (sources are a small dimension —
+    hundreds at 100 TB — so no bucket cap needed, unlike doc-level
+    LSH); both aggregations are map-side combinable. One shuffle on
+    shingle, one on the (src_a, src_b) pair key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.repartition("doc_id")
+        .select(
+            "source",
+            F.explode(F.array_distinct(shingles("text", SHINGLE_K))).alias("shingle"),
+        )
+        .distinct()
+    )
+    n = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    c = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") * 1.0 / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        c.join(na, "src_a")
+        .join(nb, "src_b")
+        .select("src_a", "src_b", "n_shared", F.round(jac, 6).alias("jaccard"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C23 — source-priority dedup (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "c23_source_priority_dedup",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, md5({sql_normalize_text('text')}) AS content_hash
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, content_hash,
+             row_number() OVER (PARTITION BY content_hash
+                                ORDER BY source, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM h
+    )
+    SELECT content_hash, doc_id AS keep_doc_id, source AS keep_source, n_copies
+    FROM ranked WHERE rn = 1
+    ORDER BY keep_doc_id
+    """,
+)
+def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: "keep the best copy" dedup — one survivor per exact
+    content hash, chosen by source priority (lexical source order
+    stands in for a quality ranking; tie-break doc_id). The standard
+    refinement of C1 when the same document exists in a curated dump
+    AND a raw crawl: the curated copy must win, not the lowest id.
+
+    Scale shape: one shuffle on the 16-byte content hash; both window
+    functions share the (hash) partitioning so Catalyst plans a single
+    Exchange + Sort. The shuffle carries (hash, source, doc_id) — 
+    never the document text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "source", F.md5(normalize_text("text")).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash").orderBy("source", "doc_id")
+    wc = Window.partitionBy("content_hash")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "content_hash",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("source").alias("keep_source"),
+            "n_copies",
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C25 — per-doc n-gram novelty (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "c25_ngram_novelty",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(*) FILTER (WHERE f.first_doc = sh.doc_id) AS n_novel
+      FROM sh JOIN first f ON f.shingle = sh.shingle
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_grams, n_novel,
+           round(n_novel * 1.0 / n_grams, 6) AS novelty
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: per-doc n-gram novelty — the fraction of a document's
+    distinct 3-gram shingles it contributes FIRST to the corpus
+    (doc_id order = ingestion order). The curation signal behind
+    "stop crawling this source, it adds nothing new" / novelty-decay
+    curves over a stream of documents.
+
+    Scale shape: shingle first-owners are one combinable min-agg over
+    the exploded distinct shingles; the ownership join is an equi-join
+    on shingle whose left side reuses the same derivation; the final
+    per-doc rollup is combinable. Two shuffles total (shingle, then
+    doc_id) — no windows over the whole corpus, no driver state.
+    """
+    sh = _distinct_shingles(load_table(spark, sf_dir, "documents"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias("novelty"),
+    ).orderBy("doc_id")

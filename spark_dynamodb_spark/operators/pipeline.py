@@ -937,3 +937,135 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cum")
     )
+
+
+# ---------------------------------------------------------------------------
+# C26 — per-source quality-percentile filter (round 3)
+# ---------------------------------------------------------------------------
+
+C26_KEEP_FRAC = 0.8
+
+
+@query(
+    "c26_quality_percentile_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum')
+                  AS DOUBLE) / len(toks) AS score
+      FROM t
+    ),
+    ranked AS (
+      SELECT doc_id, source, score,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY score, doc_id) AS pr
+      FROM scored
+    )
+    SELECT doc_id, source, round(score, 6) AS score, round(pr, 6) AS pr,
+           pr <= {C26_KEEP_FRAC} AS kept
+    FROM ranked
+    ORDER BY doc_id
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: per-source quality-percentile gate — score every document
+    (mean token length, the cheapest Gopher-style signal) and keep the
+    bottom {C26_KEEP_FRAC:.0%} of each SOURCE's score distribution...
+    i.e. thresholds are per-domain, not global: a uniform global
+    cutoff would wipe out whole low-resource sources, the classic
+    curation mistake this operator exists to avoid.
+
+    Determinism: the score is one integer-sum division; percent_rank
+    divides identical integers under a total (score, doc_id) order —
+    bit-equal in both engines.
+
+    Scale shape: one shuffle on source + per-partition sort for the
+    window. Source is a modest-cardinality key; a 100 TB run with few
+    giant sources would pre-aggregate an approximate per-source
+    threshold (b35's GK sketch) and broadcast it instead — this exact
+    variant is the correctness anchor for that optimization.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = docs.select(
+        "doc_id", "source", (total_chars.cast("double") / F.size(toks)).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.round("score", 6).alias("score"),
+            F.round("pr", 6).alias("pr"),
+            (F.col("pr") <= C26_KEEP_FRAC).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C27 — dataset-card rollup (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "c27_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT lang, source, n_chars, len({sql_tokens('text')}) AS n_tokens
+      FROM documents
+    )
+    SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           GROUPING(lang) + 2 * GROUPING(source) AS gid,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM t
+    GROUP BY ROLLUP (lang, source)
+    ORDER BY gid, lang, source
+    """,
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: dataset-card rollup — the composition table every corpus
+    release ships: docs / tokens / bytes per (lang x source), per
+    lang, and overall, in one ROLLUP pass. The first artifact a
+    training-data audit asks for, and the input to c11's mixture
+    weights.
+
+    All-integer aggregates (counts and sums of exact ints) — no float
+    discipline needed; gid disambiguates real NULL groups from rollup
+    totals exactly as in b14.
+
+    Scale shape: ROLLUP is one combinable aggregation (Spark expands
+    grouping sets map-side); the shuffle carries (lang, source, gid)
+    partial sums — tiny regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", "source", "n_chars", F.size(tokens("text")).alias("n_tokens"))
+    return (
+        t.rollup("lang", "source")
+        .agg(
+            (F.grouping("lang") + 2 * F.grouping("source")).alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+        )
+        .orderBy("gid", "lang", "source")
+    )

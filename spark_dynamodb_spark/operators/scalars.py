@@ -422,3 +422,49 @@ def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.col("p_brand")).alias("brand_rev"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# B55 — error-safe (try_*) arithmetic surface (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "b55_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_linenumber - 3, 0) AS safe_div,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS ln_roundtrip,
+           ([l_returnflag, l_linestatus])[l_linenumber] AS maybe_flag
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25b/B55: error-safe expression surface — Spark 4 runs in ANSI
+    mode where division by zero, bad casts and out-of-range element
+    access THROW; the try_* family is the production idiom for "null,
+    don't crash" over dirty data. try_divide hits a real zero divisor
+    (linenumber 3), try_cast a non-numeric string, try_element_at an
+    out-of-bounds index.
+
+    DuckDB has no try_divide/try_element_at; the oracle mirrors with
+    nullif-guarded division and native out-of-bounds-is-NULL list
+    indexing, which define the same results.
+
+    Scale: all narrow codegen'd per-row expressions — the point is
+    semantic coverage, not plan shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3).alias(
+            "safe_div"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("ln_roundtrip"),
+        F.try_element_at(
+            F.array("l_returnflag", "l_linestatus"), F.col("l_linenumber")
+        ).alias("maybe_flag"),
+    ).orderBy("l_orderkey", "l_linenumber")

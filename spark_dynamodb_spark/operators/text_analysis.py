@@ -670,3 +670,75 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).alias("chunk_len"),
         F.array_join(piece, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# C24 — winnowing fingerprints (round 3)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per selection window
+
+
+@query(
+    "c24_winnowing_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    k AS (
+      SELECT doc_id, list_transform(
+               generate_series(1, greatest(len(toks) - {WINNOW_K - 1}, 1)),
+               i -> {sql_md5_64(f"array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')")}
+             ) AS kh
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id, list_transform(
+               generate_series(1, greatest(len(kh) - {WINNOW_W - 1}, 1)),
+               j -> list_min(kh[j:j+{WINNOW_W - 1}])
+             ) AS fps
+      FROM k
+    )
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, unnest(list_sort(list_distinct(fps))) AS fp FROM w
+    )
+    ORDER BY doc_id, fp
+    """,
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    — the MOSS algorithm): hash every {WINNOW_K}-token k-gram, slide a
+    window of {WINNOW_W} hashes, keep each window's minimum. The
+    selected hash set is the guarantee-bearing fingerprint: any shared
+    run of >= K + W - 1 tokens between two documents shares at least
+    one selected hash — the local-similarity complement to MinHash's
+    whole-document Jaccard (c02).
+
+    Parity: hashes are portable md5-derived 60-bit ints (xxhash64
+    would be faster Spark-side but has no DuckDB twin); window minima
+    and dedup are integer ops. Short docs degrade exactly like the
+    shingle rule: < K tokens -> one k-gram of the whole text.
+
+    Scale shape: entirely NARROW — per-row array transforms inside
+    whole-stage codegen, no explode before the final fingerprint set,
+    zero pre-output shuffles. At 100 TB this is a pure map stage; the
+    downstream use (group by fp to find shared runs) inherits c02's
+    bucket-cap discipline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    m = F.greatest(n - (WINNOW_K - 1), F.lit(1))
+    kh = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: md5_64(F.concat_ws(" ", F.slice(toks, i, WINNOW_K))),
+    )
+    t = docs.select("doc_id", kh.alias("kh"))
+    wn = F.greatest(F.size("kh") - (WINNOW_W - 1), F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), wn),
+        lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
+    )
+    return (
+        t.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )

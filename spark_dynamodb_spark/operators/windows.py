@@ -277,3 +277,110 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_filled"),
         v.isNull().alias("was_gap"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B54 — event-time range-interval window (round 3)
+# ---------------------------------------------------------------------------
+
+B54_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes of microseconds
+
+
+@query(
+    "b54_time_range_window",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, value, epoch_ns(ts) // 1000 AS t FROM events
+    )
+    SELECT event_id, event_type,
+           COUNT(*) OVER w AS n_in_window,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_5min
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN {B54_WINDOW_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: trailing event-time window — per event, the count and
+    exact sum of the last 5 minutes of same-type events. The moving-
+    aggregate complement to B17's numeric range frames: the frame is
+    defined on the EVENT-TIME axis (epoch micros), the standard
+    "rolling 5-minute revenue / error rate" shape, and the batch twin
+    of the s02 sliding stream window.
+
+    Determinism: the frame bound is an integer range over exact epoch
+    micros — ties in t land in the same frame on both engines, no
+    order-dependence; the windowed sum takes the exact-decimal detour
+    (functions/exact.py) so accumulation order can't show.
+
+    Scale shape: one shuffle on event_type + per-partition sort, then
+    a streaming frame scan (Spark's range-frame window keeps a sliding
+    buffer, not the whole partition, in memory). A low-cardinality
+    partition key at 100 TB would bottleneck — production would bucket
+    by (event_type, day) first; here cardinality matches the fixture.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type", "value", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-B54_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_in_window"),
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias("sum_5min"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B56 — distinct count over a trailing event-time window (round 3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "b56_distinct_over_window",
+    f"""
+    WITH e AS (
+      SELECT event_id, event_type, user_id, epoch_ns(ts) // 1000 AS t FROM events
+    )
+    SELECT event_id, event_type,
+           len(list_distinct(list(user_id) OVER w)) AS n_users_5min
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN {B54_WINDOW_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: COUNT(DISTINCT) over a moving frame — neither engine
+    supports it natively as a window aggregate, so both spell it as
+    collect-into-frame-list + distinct + size (the rolling "unique
+    users in the last 5 minutes" metric).
+
+    Scale note: the frame list materializes every frame's members per
+    row — fine while frames are bounded (minutes of events per type),
+    but a 100 TB run with huge frames would switch to the streaming
+    s02-style sliding window (state holds per-user latest-seen, not
+    lists) or approx_count_distinct over the window, trading exactness
+    for O(1) state. This exact variant is their correctness anchor.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-B54_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w))).alias(
+            "n_users_5min"
+        ),
+    ).orderBy("event_id")

@@ -311,3 +311,40 @@ def test_vocab_coverage_scans_corpus_once(spark, sf_dir):
 
     plan = physical_plan(pl.vocab_coverage(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_winnowing_is_narrow(spark, sf_dir):
+    """c24: fingerprint selection must be a pure map stage — k-gram
+    hashing, window minima and dedup all happen where the row lives;
+    the only shuffle is the presentation sort."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.winnowing_fingerprint(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_source_overlap_two_data_shuffles(spark, sf_dir):
+    """c22: one exchange keyed on shingle (join + source counts reuse
+    it), one on the (src_a, src_b) pair rollup, plus the initial
+    doc_id spread — and the overlap join must be an equi-join, never
+    a cartesian."""
+    plan = physical_plan(dedup.source_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("hashpartitioning(shingle") <= 2, plan
+
+
+def test_source_priority_dedup_single_exchange(spark, sf_dir):
+    """c23: both windows (rank + copy count) share the content-hash
+    partitioning — exactly one data exchange."""
+    plan = physical_plan(dedup.source_priority_dedup(spark, sf_dir))
+    assert plan.count("hashpartitioning(content_hash") == 1, plan
+
+
+def test_time_range_window_single_exchange(spark, sf_dir):
+    """b54: the trailing event-time frame is one shuffle on
+    event_type + one sort — no self-join reformulation."""
+    from spark_dynamodb_spark.operators import windows as wi
+
+    plan = physical_plan(wi.time_range_window(spark, sf_dir))
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+    assert "Join" not in plan, plan
