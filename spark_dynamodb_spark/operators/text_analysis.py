@@ -725,20 +725,31 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-cap discipline.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n = F.size(toks)
-    m = F.greatest(n - (WINNOW_K - 1), F.lit(1))
-    kh = F.transform(
+    t = docs.select("doc_id", _winnow_khashes("text").alias("kh"))
+    return (
+        t.select("doc_id", F.explode(_winnow_fps_from_khashes("kh")).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def _winnow_khashes(text_col) -> "F.Column":
+    """Portable md5 hashes of every WINNOW_K-token k-gram (narrow)."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (WINNOW_K - 1), F.lit(1))
+    return F.transform(
         F.sequence(F.lit(1), m),
         lambda i: md5_64(F.concat_ws(" ", F.slice(toks, i, WINNOW_K))),
     )
-    t = docs.select("doc_id", kh.alias("kh"))
-    wn = F.greatest(F.size("kh") - (WINNOW_W - 1), F.lit(1))
-    fps = F.transform(
-        F.sequence(F.lit(1), wn),
-        lambda j: F.array_min(F.slice("kh", j, WINNOW_W)),
-    )
-    return (
-        t.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
-        .orderBy("doc_id", "fp")
+
+
+def _winnow_fps_from_khashes(kh_col) -> "F.Column":
+    """Distinct window-minima fingerprint set from a k-gram hash array
+    (the winnowing selection step — shared by the query and the
+    guarantee property test in tests/test_properties.py)."""
+    wn = F.greatest(F.size(kh_col) - (WINNOW_W - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), wn),
+            lambda j: F.array_min(F.slice(kh_col, j, WINNOW_W)),
+        )
     )

@@ -348,3 +348,47 @@ def test_time_range_window_single_exchange(spark, sf_dir):
     plan = physical_plan(wi.time_range_window(spark, sf_dir))
     assert plan.count("hashpartitioning(event_type") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ngram_novelty_no_window_no_cartesian(spark, sf_dir):
+    """c25: first-owner derivation is a combinable min-agg + equi-join
+    — no corpus-wide Window, no cartesian."""
+    plan = physical_plan(dedup.ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_quality_percentile_single_exchange(spark, sf_dir):
+    """c26: score is narrow; the only data shuffle is the per-source
+    window partitioning."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.quality_percentile_filter(spark, sf_dir))
+    assert plan.count("hashpartitioning(source") == 1, plan
+
+
+def test_dataset_card_single_combinable_agg(spark, sf_dir):
+    """c27: ROLLUP is ONE Expand + partial/final HashAggregate pair —
+    a single data exchange, grouping sets never multi-scan."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.dataset_card(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("Expand") >= 1, plan
+
+
+def test_try_arithmetic_is_narrow(spark, sf_dir):
+    """b55: pure per-row codegen — zero data shuffles."""
+    from spark_dynamodb_spark.operators import scalars as sc
+
+    plan = physical_plan(sc.try_arithmetic(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 0, plan
+
+
+def test_distinct_over_window_single_exchange(spark, sf_dir):
+    """b56: one shuffle on event_type, no self-join reformulation."""
+    from spark_dynamodb_spark.operators import windows as wi
+
+    plan = physical_plan(wi.distinct_over_window(spark, sf_dir))
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+    assert "Join" not in plan, plan

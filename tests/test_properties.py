@@ -166,3 +166,59 @@ def test_global_ids_contiguous(spark, sf_dir):
     rows = global_ids(spark, sf_dir).collect()
     assert [r["gid"] for r in rows] == list(range(1, len(rows) + 1))
     assert [r["doc_id"] for r in rows] == sorted(r["doc_id"] for r in rows)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """c24: the winnowing guarantee (Schleimer et al. §2): any two
+    documents sharing a token run of length >= K + W - 1 select at
+    least one common fingerprint. 40 doc pairs with a shared 8-token
+    run planted at varying positions inside otherwise-disjoint noise,
+    plus control pairs with NO shared run that must (at these sizes)
+    not collide."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_fps_from_khashes,
+        _winnow_khashes,
+    )
+
+    rng = random.Random(42)
+    run_len = WINNOW_K + WINNOW_W - 1
+    rows = []
+    for pid in range(40):
+        shared = [f"s{pid}x{j}" for j in range(run_len)]
+        for side in (0, 1):
+            n_noise = rng.randint(run_len, 40)
+            noise = [f"n{pid}_{side}_{j}" for j in range(n_noise)]
+            pos = rng.randint(0, n_noise)
+            toks = noise[:pos] + shared + noise[pos:]
+            rows.append((pid, side, " ".join(toks)))
+    df = spark.createDataFrame(rows, "pid int, side int, text string")
+    fps = df.select(
+        "pid", "side", _winnow_fps_from_khashes(_winnow_khashes("text")).alias("fps")
+    )
+    a = fps.filter("side = 0").select("pid", F.col("fps").alias("fa"))
+    b = fps.filter("side = 1").select("pid", F.col("fps").alias("fb"))
+    joined = a.join(b, "pid").select(
+        "pid", F.arrays_overlap("fa", "fb").alias("hit")
+    )
+    misses = [r.pid for r in joined.collect() if not r.hit]
+    assert not misses, f"winnowing guarantee violated for pairs {misses}"
+
+    # control: disjoint-token pairs share nothing
+    c_a = fps.filter("side = 0 AND pid < 20").select(
+        F.col("pid").alias("pa"), F.col("fps").alias("fa")
+    )
+    c_b = fps.filter("side = 1 AND pid >= 20").select(
+        F.col("pid").alias("pb"), F.col("fps").alias("fb")
+    )
+    cross_hits = (
+        c_a.crossJoin(c_b)
+        .filter(F.arrays_overlap("fa", "fb"))
+        .count()
+    )
+    assert cross_hits == 0, "unrelated docs share fingerprints"
