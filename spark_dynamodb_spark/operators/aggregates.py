@@ -505,3 +505,65 @@ def conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# B57 — two-stage salted aggregation (agg-skew variant of b32) (round 3)
+# ---------------------------------------------------------------------------
+
+B57_SALTS = 8
+
+
+@query(
+    "b57_salted_agg",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(l_quantity) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: two-stage salted aggregation — b32's skew treatment for
+    AGGREGATIONS: a handful of hot group keys (l_returnflag has 3)
+    would send whole key-worth of rows to single reducers; salting the
+    first stage by a deterministic per-row hash spreads each hot key
+    over {B57_SALTS} reducers, and a second tiny aggregation merges the
+    per-salt partials. The oracle is the PLAIN single-stage GROUP BY —
+    green proves the decomposition is exact (counts and decimal sums
+    are associative; the mean folds from (sum, count) partials, never
+    from averaged averages).
+
+    Spark's own partial aggregation already does this map-side when
+    state is small; the explicit salt matters when per-group state is
+    too big to combine map-side (large collect-style or sketch states)
+    — this query pins the pattern and its exactness.
+    """
+    from spark_dynamodb_spark.functions.text import md5_64
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt",
+        (md5_64(F.concat_ws("#", "l_orderkey", "l_linenumber")) % B57_SALTS).cast(
+            "int"
+        ),
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).alias("price_dec"),
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("qty_dec"),
+        F.count("l_quantity").alias("n_qty"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            F.sum("price_dec").cast("double").alias("total_price"),
+            (F.sum("qty_dec").cast("double") / F.sum("n_qty")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -803,3 +803,62 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6).alias("novelty"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C28 — containment (asymmetric near-dup) pairs (round 3, x_-parked)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_T = 0.9
+
+
+@query(
+    "c28_containment_pairs",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / na.n, 6) AS containment
+    FROM common
+    JOIN n na ON na.doc_id = doc_a
+    WHERE c * 1.0 / na.n >= {CONTAINMENT_T}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: shingle CONTAINMENT pairs — |A∩B| / |A| ≥ {CONTAINMENT_T},
+    the asymmetric score that catches doc A quoted/embedded inside a
+    larger doc B, which symmetric Jaccard (c02) structurally misses
+    (a small doc inside a big one has low Jaccard but containment 1).
+    Ordered pairs: (a,b) and (b,a) score differently by design.
+
+    Scale note: this is the exact-verify formulation (one shingle
+    equi-join + combinable counts — the c02b baseline shape). At
+    100 TB the candidate step is prefix filtering on the rarest
+    shingles per doc (sort shingles by global df, index only the first
+    few) before this same verify join — the MinHash/LSH trick does NOT
+    transfer because minhash estimates Jaccard, not containment.
+    """
+    sh = _distinct_shingles(load_table(spark, sf_dir, "documents"))
+    n = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    score = F.col("c") * 1.0 / F.col("na")
+    return (
+        common.join(na, "doc_a")
+        .filter(score >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", F.round(score, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )

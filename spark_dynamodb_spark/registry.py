@@ -143,10 +143,16 @@ ROTATED_GREEN_R1 = frozenset(
 
 
 # Entries awaiting their first driver window slot, parked under ``x_``
-# (sorts after the window, before the z_ greens). EMPTY as of round 3:
-# all 34 round-2 parked names are now unprefixed and inside the
-# 50-name window. New entries that overflow a future window go here.
-ROTATION_PENDING: frozenset[str] = frozenset()
+# (sorts after the window, before the z_ greens). All 34 round-2
+# parked names were unparked in round 3 (the window holds exactly 50
+# unproven names); the two below were added after the round-3 window
+# filled and rotate in next round.
+ROTATION_PENDING: frozenset[str] = frozenset(
+    {
+        "b57_salted_agg",
+        "c28_containment_pairs",
+    }
+)
 
 
 def display_name(name: str) -> str:
