@@ -110,12 +110,21 @@ def _distinct_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-SQL_SHINGLES = f"""
-    SELECT doc_id, unnest(list_distinct(list_transform(
+def sql_shingles(key_col: str = "doc_id", distinct_rows: bool = False) -> str:
+    """DuckDB mirror of _shingle_arrays keyed by ``key_col`` — ONE
+    source of truth for the shingle rule (k, short-doc fallback) so
+    per-doc and per-source oracles cannot drift (round-3 review)."""
+    sel = "SELECT DISTINCT" if distinct_rows else "SELECT"
+    grams = ", ".join(f"toks[i+{j}]" for j in range(SHINGLE_K))
+    return f"""
+    {sel} {key_col}, unnest(list_distinct(list_transform(
              generate_series(1, greatest(len(toks) - {SHINGLE_K - 1}, 1)),
-             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
-    FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+             i -> concat_ws(' ', {grams})))) AS shingle
+    FROM (SELECT {key_col}, {sql_tokens('text')} AS toks FROM documents)
 """
+
+
+SQL_SHINGLES = sql_shingles()
 
 SQL_EXACT_JACCARD_PAIRS = f"""
     WITH sh AS ({SQL_SHINGLES}),
@@ -629,12 +638,7 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C22 — cross-source content-overlap matrix (round 3)
 # ---------------------------------------------------------------------------
 
-SQL_SOURCE_SHINGLES = f"""
-    SELECT DISTINCT source, unnest(list_distinct(list_transform(
-             generate_series(1, greatest(len(toks) - {SHINGLE_K - 1}, 1)),
-             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) AS shingle
-    FROM (SELECT source, {sql_tokens('text')} AS toks FROM documents)
-"""
+SQL_SOURCE_SHINGLES = sql_shingles("source", distinct_rows=True)
 
 
 @query(

@@ -64,7 +64,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = reader.schema(_events_raw_schema(T.LongType())).parquet(sf_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if getattr(ts_type, "tz", None) is None:
+    import pyarrow as pa
+
+    if not pa.types.is_timestamp(ts_type):
+        raise ValueError(
+            f"events.ts footer type {ts_type} is not a handled variant "
+            f"(TIMESTAMP ns/us/ms, with or without tz) — the fixtures "
+            f"drifted again; extend events_stream AND tables.load_table"
+        )
+    if ts_type.tz is None:
         raw = reader.schema(_events_raw_schema(T.TimestampNTZType())).parquet(sf_dir)
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     raw = reader.schema(_events_raw_schema(T.TimestampType())).parquet(sf_dir)

@@ -63,6 +63,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":  # timestamp[us], no tz
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":  # loudly reject a third drift variant
+            raise ValueError(
+                f"events.ts loaded as unhandled type {ts_type!r} — the "
+                f"fixtures drifted again; extend tables.load_table AND "
+                f"streaming.events_stream (and re-check EVENTS_TS_SQL)"
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

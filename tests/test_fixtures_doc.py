@@ -66,6 +66,13 @@ def arrow_type_str(t) -> str:
     return str(t).replace("item: ", "").replace("element: ", "")
 
 
+def test_testdata_present():
+    """The tripwire is meaningless if it silently collects nothing:
+    at least one driver fixture directory must exist (the schema
+    tests below parametrize over SF_DIRS and would vanish quietly)."""
+    assert SF_DIRS, "no /root/testdata/sf* directories found — fixture tripwire cannot run"
+
+
 def test_fixtures_md_documents_all_tables():
     doc = parse_fixtures_md()
     assert sorted(doc) == sorted(TABLE_NAMES), (

@@ -111,12 +111,21 @@ def test_driver_window_holds_exactly_50_unprefixed_names():
     entry out of the window."""
     from spark_dynamodb_spark.registry import load_all
 
+    from spark_dynamodb_spark.registry import ROTATION_PENDING
+
     names = sorted(load_all().specs().keys())
     unprefixed = [n for n in names if not n.startswith(("x_", "z_"))]
     assert len(unprefixed) <= 50, (
         f"{len(unprefixed)} unprefixed entries; park new queries in "
         f"ROTATION_PENDING. Extra: {unprefixed[50:] or 'n/a'}"
     )
+    # under-filled windows waste driver slots: only allowed when there
+    # is genuinely nothing left to pull in
+    if ROTATION_PENDING:
+        assert len(unprefixed) == 50, (
+            f"window has {50 - len(unprefixed)} free slot(s) while "
+            f"{sorted(ROTATION_PENDING)} sit parked — unpark to fill it"
+        )
     # and the prefixes must sort AFTER every unprefixed name
     assert all(n < "x_" for n in unprefixed)
 
