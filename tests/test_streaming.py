@@ -290,3 +290,94 @@ def test_stream_event_time_matches_batch_loader(spark, sf_dir):
     )
     assert (srow.lo, srow.hi) == (brow.lo, brow.hi)
     assert srow.lo.year > 1971, srow.lo  # the 1000x bug lands in Jan 1970
+
+
+def test_stream_batch_equivalence_sliding_session_join(spark, sf_dir):
+    """SURVEY §5 batch-vs-stream agreement for the remaining windowed
+    queries: the streamed sliding window (s02), session window (s03)
+    and stream-stream interval join (s07) must equal the same logic
+    run in batch over the fixture. (s01 has its own test above; the
+    driver's DuckDB oracles check values too — this pins the
+    batch/stream agreement property itself, independent of DuckDB.)"""
+    from spark_dynamodb_spark.functions.exact import dsum
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        session_window,
+        sliding_window,
+        stream_stream_join,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    streamed = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in sliding_window(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.window_start, r.n_events, r.total_value)
+        for r in (
+            ev.groupBy(F.window("ts", "5 minutes", "1 minute"))
+            .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert streamed == batch
+
+    streamed_s = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in session_window(spark, sf_dir).collect()
+    }
+    batch_s = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in (
+            ev.groupBy(F.session_window("ts", "30 seconds"), "user_id")
+            .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert streamed_s == batch_s
+
+    streamed_j = {
+        (r.click_id, r.purchase_id, r.gap_us)
+        for r in stream_stream_join(spark, sf_dir).collect()
+    }
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch_j = {
+        (r.click_id, r.purchase_id, r.gap_us)
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "gap_us"
+            ),
+        )
+        .collect()
+    }
+    assert streamed_j == batch_j
