@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.exact import davg, dsum, sql_davg, sql_dsum
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
 
 # ---------------------------------------------------------------------------
 # B11 — flagship: TPC-H Q1-style pricing summary (hash aggregation)
@@ -245,10 +245,10 @@ def min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b42_ohlc_downsample",
-    """
+    f"""
     WITH e AS (
       SELECT event_type, value, event_id,
-             make_timestamp(epoch_ns(ts) // 1000) AS ts
+             {EVENTS_TS_SQL} AS ts
       FROM events
     ),
     k AS (

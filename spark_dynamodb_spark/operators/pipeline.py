@@ -35,7 +35,7 @@ from spark_dynamodb_spark.functions.text import (
     tokens,
 )
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
 
 # split fractions: 90 / 5 / 5 over hash buckets 0..99
 TRAIN_END, VAL_END = 90, 95
@@ -346,7 +346,7 @@ def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "b34_cdc_latest_per_key",
     f"""
-    WITH e AS (SELECT event_id, user_id, event_type, value, make_timestamp(epoch_ns(ts) // 1000) AS ts
+    WITH e AS (SELECT event_id, user_id, event_type, value, {EVENTS_TS_SQL} AS ts
                FROM events),
     r AS (
       SELECT user_id, event_id, event_type, value,

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, EVENTS_TS_US_SQL, load_table
 
 
 @query(
@@ -185,9 +185,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c14_ts_interpolate",
-    """
+    f"""
     WITH e AS (
-      SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t,
+      SELECT event_id, user_id, {EVENTS_TS_US_SQL} AS t,
              CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
       FROM events
     ), f AS (
@@ -290,7 +290,7 @@ B54_WINDOW_US = 5 * 60 * 1_000_000  # 5 minutes of microseconds
     "b54_time_range_window",
     f"""
     WITH e AS (
-      SELECT event_id, event_type, value, epoch_ns(ts) // 1000 AS t FROM events
+      SELECT event_id, event_type, value, {EVENTS_TS_US_SQL} AS t FROM events
     )
     SELECT event_id, event_type,
            COUNT(*) OVER w AS n_in_window,
@@ -345,7 +345,7 @@ def time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b56_distinct_over_window",
     f"""
     WITH e AS (
-      SELECT event_id, event_type, user_id, epoch_ns(ts) // 1000 AS t FROM events
+      SELECT event_id, event_type, user_id, {EVENTS_TS_US_SQL} AS t FROM events
     )
     SELECT event_id, event_type,
            len(list_distinct(list(user_id) OVER w)) AS n_users_5min

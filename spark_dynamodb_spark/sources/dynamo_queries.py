@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.registry import query
 from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
-from spark_dynamodb_spark.tables import load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -146,9 +146,9 @@ def dynamo_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a05_dynamo_gsi",
-    """
+    f"""
     WITH e AS (SELECT event_id, user_id, event_type, value,
-                      make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events)
+                      {EVENTS_TS_SQL} AS ts FROM events)
     SELECT event_id, user_id, event_type, value
     FROM e
     WHERE event_type = 'purchase'

@@ -81,6 +81,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # truncation for ns ones. Lockstep with load_table by construction.
 EVENTS_TS_SQL = "make_timestamp(epoch_ns(ts) // 1000)"
 
+# Integer-micros variant of the same normalization (for oracles that
+# work on the epoch-microsecond axis directly). Keep BOTH constants in
+# lockstep with load_table — they are the single source of truth for
+# the DuckDB side of the events.ts rule; oracle SQL must interpolate
+# these rather than inlining the expression.
+EVENTS_TS_US_SQL = "epoch_ns(ts) // 1000"
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
