@@ -151,6 +151,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "b57_salted_agg",
         "c28_containment_pairs",
+        "s09_stream_outer_join",
     }
 )
 

@@ -516,3 +516,84 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, agg, "complete").orderBy("tier")
+
+
+@query(
+    "s09_stream_outer_join",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, {EVENTS_TS_SQL} AS ts FROM events),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM e
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS purchase_ts
+          FROM e WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                        (SELECT max(purchase_ts) FROM p))
+                  - INTERVAL 30 MINUTE AS w),
+    m AS (
+      SELECT c.click_id, p.purchase_id, c.user_id
+      FROM c JOIN p ON c.user_id = p.p_user_id
+                   AND p.purchase_ts >= c.click_ts
+                   AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+    ),
+    u AS (
+      SELECT c.click_id, NULL::BIGINT AS purchase_id, c.user_id
+      FROM c
+      WHERE c.click_id NOT IN (SELECT click_id FROM m)
+        AND c.click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT click_id, purchase_id, user_id
+    FROM (SELECT * FROM m UNION ALL SELECT * FROM u)
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s09: stream-stream LEFT OUTER interval join — s07's attribution
+    join plus the rows marketing actually asks about: clicks that led
+    to NO purchase within 10 minutes, emitted with a null purchase_id
+    once the watermark proves no future match can arrive.
+
+    Oracle semantics (verified exactly at sf0.001 and sf0.01): a
+    matched click emits its match rows; an unmatched click emits one
+    null row iff click_ts + 10 min < final watermark, where the final
+    watermark is min(max click_ts, max purchase_ts) - 30 min — the
+    availableNow run executes a terminal no-data micro-batch that
+    advances the watermark and flushes exactly those rows. Clicks
+    newer than the final watermark stay in state and emit NOTHING —
+    the honest semantics of an outer join over an unbounded stream,
+    and precisely what the SQL twin reproduces.
+
+    Scale shape: same bounded two-sided state as s07 (the range
+    condition + both-side watermarks let Spark evict each click once
+    the purchase watermark passes click_ts + 10 min).
+    """
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 10 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_table(spark, joined, "append").orderBy("click_id", "purchase_id")
