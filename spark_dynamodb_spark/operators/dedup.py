@@ -866,3 +866,89 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(score, 6).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# C29 — truncation/prefix duplicates (round 3, x_-parked)
+# ---------------------------------------------------------------------------
+
+PREFIX_K = 12  # tokens hashed for the anchor bucket
+
+
+@query(
+    "c29_prefix_duplicates",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_normalize_text('text')} AS norm,
+             {sql_tokens('text')} AS toks
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, norm, len(toks) AS n,
+             {sql_md5_64(f"array_to_string(toks[1:{PREFIX_K}], ' ')")} AS anchor
+      FROM t
+    )
+    SELECT s.doc_id AS short_doc, l.doc_id AS long_doc,
+           s.n AS short_tokens, l.n AS long_tokens
+    FROM a s JOIN a l
+      ON s.anchor = l.anchor
+     AND s.doc_id <> l.doc_id
+     AND (s.n < l.n OR (s.n = l.n AND s.doc_id < l.doc_id))
+    WHERE starts_with(l.norm, s.norm)
+    ORDER BY short_doc, long_doc
+    """,
+)
+def prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: truncation-artifact detection — doc S whose entire text is
+    a PREFIX of a longer doc L (the classic crawl artifact: the same
+    page captured whole and cut off). Jaccard misses these when the
+    length ratio is extreme; containment (c28) catches the shingle
+    overlap but not strict prefix-ness.
+
+    Shape: anchor-bucket on the md5 of the first {PREFIX_K} tokens
+    (any true prefix pair shares it by construction — no recall loss),
+    equi-join inside buckets only, then one startswith verify per
+    candidate. Ties (identical docs) keep the lower id as "short".
+
+    Scale: the anchor join is an equi-join; bucket sizes are duplicate
+    -cluster sized, not corpus sized (boilerplate-heavy corpora would
+    add c02's bucket cap on hot anchors). The verify is a narrow
+    per-row string op on candidate pairs only — never all pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    a = docs.select(
+        "doc_id",
+        normalize_text("text").alias("norm"),
+        F.size(toks).alias("n"),
+        md5_64(F.concat_ws(" ", F.slice(toks, 1, PREFIX_K))).alias("anchor"),
+    )
+    s = a.select(
+        F.col("doc_id").alias("short_doc"),
+        F.col("norm").alias("s_norm"),
+        F.col("n").alias("short_tokens"),
+        F.col("anchor").alias("s_anchor"),
+    )
+    long = a.select(
+        F.col("doc_id").alias("long_doc"),
+        F.col("norm").alias("l_norm"),
+        F.col("n").alias("long_tokens"),
+        F.col("anchor").alias("l_anchor"),
+    )
+    cand = s.join(
+        long,
+        (F.col("s_anchor") == F.col("l_anchor"))
+        & (F.col("short_doc") != F.col("long_doc"))
+        & (
+            (F.col("short_tokens") < F.col("long_tokens"))
+            | (
+                (F.col("short_tokens") == F.col("long_tokens"))
+                & (F.col("short_doc") < F.col("long_doc"))
+            )
+        ),
+    )
+    return (
+        cand.filter(F.col("l_norm").startswith(F.col("s_norm")))
+        .select("short_doc", "long_doc", "short_tokens", "long_tokens")
+        .orderBy("short_doc", "long_doc")
+    )

@@ -1069,3 +1069,86 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C30 — robust (MAD) length-outlier flags (round 3, x_-parked)
+# ---------------------------------------------------------------------------
+
+C30_MAD_K = 3.0
+
+
+@query(
+    "c30_length_outliers",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({sql_tokens('text')}) AS n_tokens
+      FROM documents
+    ),
+    med AS (
+      SELECT source, quantile_disc(n_tokens, 0.5) AS med
+      FROM t GROUP BY source
+    ),
+    dev AS (
+      SELECT t.doc_id, t.source, t.n_tokens, med.med,
+             abs(t.n_tokens - med.med) AS adev
+      FROM t JOIN med USING (source)
+    ),
+    mad AS (
+      SELECT source, quantile_disc(adev, 0.5) AS mad FROM dev GROUP BY source
+    )
+    SELECT dev.doc_id, dev.source, dev.n_tokens,
+           CAST(dev.med AS BIGINT) AS source_median,
+           CAST(mad.mad AS BIGINT) AS source_mad,
+           dev.adev > {C30_MAD_K} * greatest(mad.mad, 1) AS is_outlier
+    FROM dev JOIN mad USING (source)
+    ORDER BY doc_id
+    """,
+)
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: robust per-source length-outlier flags — median/MAD
+    (median absolute deviation) instead of mean/stddev, because crawl
+    length distributions are heavy-tailed and a single 100 MB page
+    drags a mean-based z-score past any threshold. A doc is flagged
+    when |len - median| > {C30_MAD_K} x MAD (MAD floored at 1 so a
+    perfectly uniform source flags nothing rather than everything).
+
+    Exactness: token counts, discrete medians (percentile with
+    midpoint-free DISC semantics — identical in both engines on
+    integers), and integer comparisons only — no float discipline
+    needed anywhere.
+
+    Scale shape: two combinable per-source aggregations (median via
+    percentile_approx at 100 TB — same plan, sketch merge) and two
+    broadcast-sized joins on source. The corpus is scanned once; the
+    per-doc relation shuffles once on source... and even that shuffle
+    disappears if the stats table is broadcast (AQE decides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    med = t.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)").alias("med")
+    )
+    dev = t.join(med, "source").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+    )
+    return (
+        dev.join(mad, "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("med").cast("long").alias("source_median"),
+            F.col("mad").cast("long").alias("source_mad"),
+            (
+                F.col("adev")
+                > C30_MAD_K * F.greatest(F.col("mad"), F.lit(1))
+            ).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )

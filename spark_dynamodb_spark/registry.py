@@ -151,6 +151,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "b57_salted_agg",
         "c28_containment_pairs",
+        "c29_prefix_duplicates",
+        "c30_length_outliers",
         "s09_stream_outer_join",
     }
 )
