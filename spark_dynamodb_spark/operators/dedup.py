@@ -884,17 +884,28 @@ PREFIX_K = 12  # tokens hashed for the anchor bucket
       FROM documents
     ),
     a AS (
-      SELECT doc_id, norm, len(toks) AS n,
-             {sql_md5_64(f"array_to_string(toks[1:{PREFIX_K}], ' ')")} AS anchor
-      FROM t
+      SELECT doc_id, norm, toks, len(toks) AS n FROM t WHERE len(toks) >= 1
+    ),
+    s AS (
+      SELECT doc_id, norm, n, least(n, {PREFIX_K}) AS plen,
+             {sql_md5_64(f"array_to_string(toks[1:least(n, {PREFIX_K})], ' ')")} AS anchor
+      FROM a
+    ),
+    l AS (
+      SELECT doc_id, n, g.plen,
+             {sql_md5_64("array_to_string(toks[1:g.plen], ' ')")} AS anchor
+      FROM a CROSS JOIN
+           (SELECT unnest(generate_series(1, {PREFIX_K})) AS plen) g
+      WHERE g.plen <= least(n, {PREFIX_K})
     )
     SELECT s.doc_id AS short_doc, l.doc_id AS long_doc,
            s.n AS short_tokens, l.n AS long_tokens
-    FROM a s JOIN a l
-      ON s.anchor = l.anchor
+    FROM s JOIN l
+      ON s.anchor = l.anchor AND s.plen = l.plen
      AND s.doc_id <> l.doc_id
      AND (s.n < l.n OR (s.n = l.n AND s.doc_id < l.doc_id))
-    WHERE starts_with(l.norm, s.norm)
+    JOIN a la ON la.doc_id = l.doc_id
+    WHERE starts_with(la.norm, s.norm)
     ORDER BY short_doc, long_doc
     """,
 )
@@ -905,50 +916,74 @@ def prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ratio is extreme; containment (c28) catches the shingle
     overlap but not strict prefix-ness.
 
-    Shape: anchor-bucket on the md5 of the first {PREFIX_K} tokens
-    (any true prefix pair shares it by construction — no recall loss),
-    equi-join inside buckets only, then one startswith verify per
-    candidate. Ties (identical docs) keep the lower id as "short".
+    Shape: anchor-bucket on the md5 of a token prefix. The short side
+    anchors on its first min(n, {PREFIX_K}) tokens; the long side
+    emits one anchor per prefix length 1..min(n, {PREFIX_K}) and the
+    join matches on (anchor, plen) — so a short doc with fewer than
+    {PREFIX_K} tokens still finds its extensions (ADVICE r3: a single
+    fixed-{PREFIX_K} anchor silently missed those). Candidates then
+    get one startswith verify against the long doc's text, re-joined
+    by id so the ×{PREFIX_K} anchor fan-out never carries document
+    text through the shuffle. Ties (identical docs) keep the lower id
+    as "short". Remaining caveat: anchors live on token boundaries, so
+    a truncation mid-token (l_norm = s_norm + "x" with no space) is
+    out of scope by definition — both engines apply the same rule.
 
     Scale: the anchor join is an equi-join; bucket sizes are duplicate
     -cluster sized, not corpus sized (boilerplate-heavy corpora would
-    add c02's bucket cap on hot anchors). The verify is a narrow
-    per-row string op on candidate pairs only — never all pairs.
+    add c02's bucket cap on hot anchors). The long side fans out
+    {PREFIX_K}× but carries only (id, n, plen, hash) — ~40 bytes/row.
+    The verify is a narrow per-row string op on candidate pairs only —
+    never all pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     a = docs.select(
         "doc_id",
         normalize_text("text").alias("norm"),
+        toks.alias("toks"),
         F.size(toks).alias("n"),
-        md5_64(F.concat_ws(" ", F.slice(toks, 1, PREFIX_K))).alias("anchor"),
-    )
+    ).filter(F.col("n") >= 1)
+    plen_s = F.least(F.col("n"), F.lit(PREFIX_K))
     s = a.select(
         F.col("doc_id").alias("short_doc"),
         F.col("norm").alias("s_norm"),
         F.col("n").alias("short_tokens"),
-        F.col("anchor").alias("s_anchor"),
+        plen_s.alias("plen"),
+        md5_64(F.concat_ws(" ", F.slice(F.col("toks"), 1, plen_s))).alias("anchor"),
     )
-    long = a.select(
-        F.col("doc_id").alias("long_doc"),
-        F.col("norm").alias("l_norm"),
-        F.col("n").alias("long_tokens"),
-        F.col("anchor").alias("l_anchor"),
+    long = (
+        a.select(
+            F.col("doc_id").alias("long_doc"),
+            F.col("n").alias("long_tokens"),
+            F.col("toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("n"), F.lit(PREFIX_K)))
+            ).alias("plen"),
+        )
+        .select(
+            "long_doc",
+            "long_tokens",
+            "plen",
+            md5_64(
+                F.concat_ws(" ", F.slice(F.col("toks"), 1, F.col("plen")))
+            ).alias("anchor"),
+        )
     )
-    cand = s.join(
-        long,
-        (F.col("s_anchor") == F.col("l_anchor"))
-        & (F.col("short_doc") != F.col("long_doc"))
+    cand = s.join(long, ["anchor", "plen"]).filter(
+        (F.col("short_doc") != F.col("long_doc"))
         & (
             (F.col("short_tokens") < F.col("long_tokens"))
             | (
                 (F.col("short_tokens") == F.col("long_tokens"))
                 & (F.col("short_doc") < F.col("long_doc"))
             )
-        ),
+        )
     )
+    lnorm = a.select(F.col("doc_id").alias("long_doc"), F.col("norm").alias("l_norm"))
     return (
-        cand.filter(F.col("l_norm").startswith(F.col("s_norm")))
+        cand.join(lnorm, "long_doc")
+        .filter(F.col("l_norm").startswith(F.col("s_norm")))
         .select("short_doc", "long_doc", "short_tokens", "long_tokens")
         .orderBy("short_doc", "long_doc")
     )

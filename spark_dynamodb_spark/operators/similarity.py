@@ -352,7 +352,7 @@ def _ivf_sql() -> str:
             f"""cents{k} AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
         SELECT cell, pos,
-               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(vec[pos]) AS m
         FROM a{k} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
         GROUP BY cell, pos
       ) GROUP BY cell
@@ -374,7 +374,7 @@ def _ivf_sql() -> str:
         f"""centsF AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
         SELECT cell, pos,
-               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(vec[pos]) AS m
         FROM {last} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
         GROUP BY cell, pos
       ) GROUP BY cell

@@ -346,6 +346,7 @@ def time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH e AS (
       SELECT event_id, event_type, user_id, {EVENTS_TS_US_SQL} AS t FROM events
+      WHERE user_id IS NOT NULL
     )
     SELECT event_id, event_type,
            len(list_distinct(list(user_id) OVER w)) AS n_users_5min
@@ -369,7 +370,12 @@ def distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     for O(1) state. This exact variant is their correctness anchor.
     """
     ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
+    # Explicit non-null guard on both engines (ADVICE r3): Spark's
+    # collect_list silently drops NULLs while DuckDB's list() keeps
+    # them, so a fixture drift introducing NULL user_id would flip the
+    # two counts differently. Filtering NULLs up front makes the
+    # null-handling difference unreachable.
+    e = ev.filter(F.col("user_id").isNotNull()).select(
         "event_id", "event_type", "user_id", F.unix_micros("ts").alias("t")
     )
     w = (

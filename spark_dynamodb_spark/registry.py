@@ -138,24 +138,67 @@ ROTATED_GREEN_R1 = frozenset(
         "c07_corpus_prep",
         "s04_stream_dedup_watermark",
         "s05_stream_foreachbatch_upsert",
+        # --- driver-green in CORRECTNESS_r03.json (round-3 window) ---
+        "b37_recursive_cte",
+        "b38_exists_subquery",
+        "b39_scalar_subquery",
+        "b40_lateral_topk_per_key",
+        "b41_string_agg",
+        "b42_ohlc_downsample",
+        "b43_bitwise_agg",
+        "b44_histogram",
+        "b45_window_distribution",
+        "b46_regexp_extract_all",
+        "b47_regression_aggs",
+        "b48_string_distance",
+        "b49_nullsafe_join",
+        "b50_conditional_aggs",
+        "b51_csv_roundtrip",
+        "b52_jsonl_roundtrip",
+        "b53_orc_roundtrip",
+        "b54_time_range_window",
+        "b55_try_arithmetic",
+        "b56_distinct_over_window",
+        "c03_ann_ivf",
+        "c03_ann_lsh_bucketed",
+        "c04_text_normalize",
+        "c04_text_repetition",
+        "c08_sessionization",
+        "c09_sequence_packing",
+        "c10_decontamination",
+        "c11_domain_mixture",
+        "c12_chunk_dedup",
+        "c13_unigram_logprob",
+        "c14_ts_interpolate",
+        "c15_token_diversity",
+        "c16_inverted_index",
+        "c17_group_sample",
+        "c18_global_ids",
+        "c19_chunk_overlap",
+        "c20_random_projection",
+        "c21_vocab_coverage",
+        "c22_source_overlap",
+        "c23_source_priority_dedup",
+        "c24_winnowing_fingerprint",
+        "c25_ngram_novelty",
+        "c26_quality_percentile_filter",
+        "c27_dataset_card",
+        "s01_stream_tumbling_window",
+        "s02_stream_sliding_window",
+        "s03_stream_session_window",
+        "s06_stream_stateful_custom",
+        "s07_stream_stream_join",
+        "s08_stream_static_enrich",
     }
 )
 
 
 # Entries awaiting their first driver window slot, parked under ``x_``
-# (sorts after the window, before the z_ greens). All 34 round-2
-# parked names were unparked in round 3 (the window holds exactly 50
-# unproven names); the two below were added after the round-3 window
-# filled and rotate in next round.
-ROTATION_PENDING: frozenset[str] = frozenset(
-    {
-        "b57_salted_agg",
-        "c28_containment_pairs",
-        "c29_prefix_duplicates",
-        "c30_length_outliers",
-        "s09_stream_outer_join",
-    }
-)
+# (sorts after the window, before the z_ greens). Round-4 start: all
+# five round-3 parked names (b57/c28/c29/c30/s09) were unparked into
+# the window after CORRECTNESS_r03 came back 50/50 green; new round-4
+# operators join them unprefixed until the window fills again.
+ROTATION_PENDING: frozenset[str] = frozenset()
 
 
 def display_name(name: str) -> str:
