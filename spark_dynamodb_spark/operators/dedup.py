@@ -386,6 +386,71 @@ SQL_COMPONENTS = f"""
 MAX_CC_ITERATIONS = 20
 
 
+def min_label_components(vertices: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair graph, as pure
+    DataFrame ops. ``vertices``: one column ``id``; ``pairs``: columns
+    ``a``, ``b``. Returns (id, component_id) where component_id is the
+    minimum id reachable from the vertex.
+
+    Iterative min-label propagation: each round every vertex takes
+    min(own label, neighbors' labels); converged when no label
+    changes. Rounds = graph diameter — near-dup graphs are short
+    chains of tiny clusters, so 2–4 rounds in practice. Each round is
+    ONE shuffle join on the edge list plus a groupBy AQE co-partitions
+    with it; labels are localCheckpoint'ed per round to truncate
+    lineage (a production cluster would use reliable checkpointing
+    for fault tolerance). The convergence count rides INSIDE the
+    checkpointed relation — a filter+count over materialized rows,
+    not a second label-vs-label join (round-3 bench: that extra join
+    was ~a third of each round's wall clock). For adversarial
+    long-diameter graphs swap the body for alternating large-star /
+    small-star (same join shape, O(log n) rounds).
+
+    Shared by c02_dedup_components (shingle near-dup graph) and
+    c31_semantic_dedup (embedding-cosine graph).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select("id", F.col("id").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    changed = -1
+    for _ in range(MAX_CC_ITERATIONS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (F.coalesce(F.col("nbr_lbl") < F.col("lbl"), F.lit(False))).alias(
+                    "improved"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("improved")).count()
+        labels = new_labels.drop("improved")
+        if changed == 0:
+            break
+    if changed != 0:
+        # Never return silently-unconverged components: a downstream
+        # keep-list would retain duplicates. Hitting the cap means the
+        # graph is pathological (diameter > cap) and needs the
+        # alternating large-star/small-star variant instead.
+        raise RuntimeError(
+            f"min_label_components: not converged after {MAX_CC_ITERATIONS} "
+            f"rounds ({changed} labels still changing)"
+        )
+    return labels.select("id", F.col("lbl").alias("component_id"))
+
+
 @query(
     "c02_dedup_components",
     SQL_COMPONENTS,
@@ -418,57 +483,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline actually consumes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # Undirected edge list, materialized once — the loop reuses it.
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint(
-        eager=True
-    )
-    changed = -1
-    for _ in range(MAX_CC_ITERATIONS):
-        # min label among each vertex's neighbors (one shuffle)…
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        # …folded into the vertex's own label (left join: isolated
-        # vertices keep their own id and exit the loop immediately).
-        # The per-row improvement flag rides along INSIDE the same
-        # checkpointed relation, so the convergence test below is a
-        # filter+count over already-materialized rows — not a second
-        # join re-shuffling old vs new labels (round-3 bench: that
-        # extra join was ~a third of each round's wall clock).
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
-                (F.coalesce(F.col("nbr_lbl") < F.col("lbl"), F.lit(False))).alias(
-                    "improved"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter(F.col("improved")).count()
-        labels = new_labels.drop("improved")
-        if changed == 0:
-            break
-    if changed != 0:
-        # Never return silently-unconverged components: a downstream
-        # keep-list would retain duplicates. Near-dup graphs converge
-        # in a few rounds; hitting the cap means the graph is
-        # pathological (diameter > cap) and needs the alternating
-        # large-star/small-star variant instead.
-        raise RuntimeError(
-            f"dedup_components: not converged after {MAX_CC_ITERATIONS} "
-            f"rounds ({changed} labels still changing)"
-        )
-    comp = labels.select("doc_id", F.col("lbl").alias("component_id"))
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "component_id")
     sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
     return (
         comp.join(sized, "component_id")
@@ -986,4 +1006,211 @@ def prefix_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_norm").startswith(F.col("s_norm")))
         .select("short_doc", "long_doc", "short_tokens", "long_tokens")
         .orderBy("short_doc", "long_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C32 — directed contamination matrix (round 4; extends c10/c22)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c32_contamination_matrix",
+    f"""
+    WITH sh AS ({SQL_SOURCE_SHINGLES}),
+    n AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    c AS (
+      SELECT t.source AS train_src, e.source AS eval_src, COUNT(*) AS n_shared
+      FROM sh t JOIN sh e ON t.shingle = e.shingle AND t.source <> e.source
+      GROUP BY train_src, eval_src
+    )
+    SELECT train_src, eval_src, n_shared,
+           round(n_shared * 1.0 / ne.n, 6) AS eval_coverage
+    FROM c JOIN n ne ON ne.source = eval_src
+    ORDER BY train_src, eval_src
+    """,
+)
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32: the full directed contamination matrix (VERDICT r3 #2f) —
+    for every ordered source pair (train, eval), the fraction of the
+    eval source's distinct n-grams that also occur in the train
+    source. c10 answers "is THIS benchmark leaked into my training
+    mix"; c32 answers the curation-time generalization: which of my
+    dumps contaminate which others, in which DIRECTION. Asymmetric by
+    construction (a small eval swallowed by a big crawl shows
+    coverage ~1 one way, ~0 the other), unlike c22's symmetric
+    Jaccard.
+
+    Scale shape: identical to c22 — per-source distinct shingles
+    derive narrowly per doc, ONE equi-join on the shingle key emits at
+    most n_sources² rows per shingle (sources are a small dimension),
+    and both aggregations combine map-side. The directed output is
+    free: the same join emits (a,b) and (b,a) symmetric hits and only
+    the normalizing denominator differs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.repartition("doc_id")
+        .select(
+            "source",
+            F.explode(F.array_distinct(shingles("text", SHINGLE_K))).alias("shingle"),
+        )
+        .distinct()
+    )
+    n = sh.groupBy("source").agg(F.count("*").alias("n"))
+    t = sh.select(F.col("source").alias("train_src"), "shingle")
+    e = sh.select(F.col("source").alias("eval_src"), "shingle")
+    c = (
+        t.join(e, "shingle")
+        .filter(F.col("train_src") != F.col("eval_src"))
+        .groupBy("train_src", "eval_src")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ne = n.select(F.col("source").alias("eval_src"), F.col("n").alias("ne"))
+    cov = F.col("n_shared") * 1.0 / F.col("ne")
+    return (
+        c.join(ne, "eval_src")
+        .select(
+            "train_src", "eval_src", "n_shared", F.round(cov, 6).alias("eval_coverage")
+        )
+        .orderBy("train_src", "eval_src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C34 — best-copy keeper per near-dup component (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c34_component_best_keeper",
+    f"""
+    WITH RECURSIVE
+    pairs AS ({SQL_EXACT_JACCARD_PAIRS.replace('ORDER BY doc_a, doc_b', '')}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id),
+    sized AS (
+      SELECT component_id, COUNT(*) AS group_size FROM comp GROUP BY component_id
+    ),
+    ranked AS (
+      SELECT c.component_id, d.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.component_id
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT r.component_id, s.group_size,
+           r.doc_id AS keeper_doc, r.n_chars AS keeper_chars
+    FROM ranked r JOIN sized s USING (component_id)
+    WHERE r.rn = 1 AND s.group_size > 1
+    ORDER BY r.component_id
+    """,
+)
+def component_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: quality-aware canonical selection — c02 groups near-dups
+    and keeps the MIN doc_id; real curation keeps the BEST copy. Per
+    multi-doc duplicate component, keep the longest document
+    (n_chars, tiebreak min doc_id) — the "fullest capture wins" rule
+    that pairs with c29's truncation detection (the truncated copy
+    loses). c23 applies the same idea per exact content hash; this
+    operates on the transitive NEAR-dup groups.
+
+    Scale shape: adds ONE broadcast-size join (component labels ×
+    doc metadata) and a window partitioned by component on top of the
+    shared component loop — the text itself never moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "component_id")
+    sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(sized, "component_id")
+        .filter(F.col("group_size") > 1)
+        .select(
+            "component_id",
+            "group_size",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+        .orderBy("component_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C35 — incremental dedup (new batch vs standing corpus)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c35_incremental_dedup",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5({sql_normalize_text('text')}) AS content_hash
+      FROM documents
+    ),
+    corpus AS (
+      SELECT content_hash, MIN(doc_id) AS dup_of
+      FROM h WHERE doc_id % 2 = 0 GROUP BY content_hash
+    ),
+    incr AS (SELECT doc_id, content_hash FROM h WHERE doc_id % 2 = 1)
+    SELECT i.doc_id, c.dup_of IS NULL AS is_new, c.dup_of
+    FROM incr i LEFT JOIN corpus c USING (content_hash)
+    ORDER BY i.doc_id
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: the daily-ingest shape of exact dedup — dedup a NEW batch
+    (odd doc_ids stand in for today's crawl) against the standing
+    corpus (even doc_ids) without re-deduping the corpus. Every new
+    doc is either genuinely new or a duplicate of a specific corpus
+    doc (dup_of).
+
+    Scale shape: this is why dedup indexes exist — the corpus side
+    collapses to (content_hash, min_id) ONCE (combinable agg,
+    maintainable incrementally as a standing table keyed by hash),
+    and each day's batch joins against it by hash: the 100 TB corpus
+    text is never re-read, the join carries 16-byte hashes, and AQE
+    broadcasts whichever side is small (normally the day's batch).
+    The same index-join shape extends to MinHash bands for
+    incremental NEAR-dup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+    )
+    corpus = (
+        h.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    incr = h.filter(F.col("doc_id") % 2 == 1)
+    return (
+        incr.join(corpus, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("is_new"),
+            "dup_of",
+        )
+        .orderBy("doc_id")
     )

@@ -337,3 +337,145 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B53: ORC columnar round trip — the second columnar format the
     engine reads/writes natively; schema travels with the file."""
     return _roundtrip_orders(spark, sf_dir, "orc")
+
+
+# ---------------------------------------------------------------------------
+# B61 — range-partitioned sorted write layout (round 4)
+# ---------------------------------------------------------------------------
+
+
+def range_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"rangelayout:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"range_layout_{tag}")
+
+
+@query(
+    "b61_range_write_layout",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           min(l_orderkey) AS min_key
+    FROM lineitem
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def range_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61: the "sorted 100 TB output" story (VERDICT r3 #2e) — write
+    lineitem clustered by ship date via repartitionByRange +
+    sortWithinPartitions, then aggregate the READ-BACK files. The
+    oracle reads the parquet ground truth, so a green row proves the
+    clustered layout is lossless.
+
+    Why this layout at scale: range partitioning puts each time slice
+    in O(1) files, and the within-file sort gives parquet tight
+    min/max column stats on l_shipdate — a later time-filtered scan
+    prunes whole files/row-groups instead of reading 100 TB.
+    tests/test_scale_patterns.py asserts the per-file min/max ranges
+    are actually disjoint, which is the property pruning relies on;
+    the RangePartitioning exchange is plan-gated in tests/test_plans.py.
+
+    The sampled range boundaries are data-dependent but RESULT-neutral
+    (any boundary split yields the same rows back), so the oracle
+    comparison is unaffected by sampling nondeterminism.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = range_layout_path(sf_dir)
+    (
+        li.repartitionByRange(16, "l_shipdate")
+        .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.min("l_orderkey").alias("min_key"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B66 — hive-partitioned write + partition-pruned read (round 4)
+# ---------------------------------------------------------------------------
+
+
+def partitioned_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"partlayout:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"part_layout_{tag}")
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The read side of b66, exposed for the plan gate."""
+    back = spark.read.parquet(partitioned_layout_path(sf_dir))
+    return (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "b66_partitioned_write_prune",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66: hive-partitioned output layout — write orders partitioned
+    by o_orderpriority (directory per value), then answer a
+    priority-filtered aggregate from the read-back. The sibling of
+    b61: range-clustering prunes by SORT KEY ranges within files,
+    directory partitioning prunes whole DIRECTORIES by exact value —
+    the layout every lakehouse table uses for its coarse filter
+    column.
+
+    The plan gate (tests/test_plans.py) asserts the filter became a
+    PartitionFilter on the scan — 4 of 5 directories are never
+    opened, which at 100 TB is the difference between listing a fifth
+    of the files and reading everything. The oracle aggregates the
+    parquet ground truth, so the round trip (including the
+    partition-column type restore) is value-checked.
+
+    Partition-count discipline at scale: o_orderpriority has 5
+    values; partitionBy on a HIGH-cardinality key would instead
+    produce millions of tiny files — that case belongs to b61's
+    range layout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(partitioned_layout_path(sf_dir))
+    )
+    return partition_pruned_scan(spark, sf_dir)

@@ -440,3 +440,199 @@ def nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# B60 — runtime Bloom-filter join pruning (round 4)
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # Thresholds lowered so the toy fixture is eligible; the PLAN SHAPE
+    # (bloom_filter_agg on the filtered dim, BloomFilterMightContain
+    # guarding the fact scan) is what production gets by default.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Force the shuffle join: the 100 TB scenario is a dim too big to
+    # broadcast — exactly when the runtime bloom filter pays for itself.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan builder shared by the b60 query and its plan gate."""
+    # Isolated child session: same SparkContext/warehouse, OWN conf —
+    # the threshold overrides must not leak into sibling queries run
+    # on the driver's session.
+    ns = spark.newSession()
+    for k, v in _BLOOM_CONFS.items():
+        ns.conf.set(k, v)
+    li = load_table(ns, sf_dir, "lineitem")
+    orders = load_table(ns, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b60_bloom_join_prune",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60: shuffle join with a RUNTIME Bloom filter planted on the
+    fact side (VERDICT r3 #2d — promoted from a plan test to a
+    first-class query). The selective dim filter (1-URGENT ≈ 20% of
+    orders) builds a bloom_filter_agg over its join keys during
+    planning; BloomFilterMightContain then kills non-matching fact
+    rows AT THE SCAN, before they pay the shuffle. At 100 TB this is
+    the difference between shuffling the full fact table and shuffling
+    only the ~matching fraction — the standard semi-join reduction,
+    with zero false-negative risk (Bloom false positives are removed
+    by the exact join that follows, so results are bit-identical to
+    the plain join; the oracle is exactly that plain join).
+
+    tests/test_plans.py asserts the probe's presence in the physical
+    plan, so a Spark upgrade silently dropping the runtime filter
+    fails the gate rather than quietly re-shuffling everything.
+    """
+    return bloom_pruned_join_frame(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# B65 — NOT IN with its three-valued null semantics (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b65_null_aware_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65: NOT IN — customers with no order since 1999. Deceptively
+    NOT the same operator as b08's anti-join: NOT IN is three-valued,
+    so one NULL in the subquery empties the whole result, and a NULL
+    probe key never qualifies. Spark must therefore plan a
+    null-AWARE anti join (it can't prove o_custkey non-null from
+    parquet), not a plain LeftAnti — the plan gate pins that, and
+    tests/test_scale_patterns.py proves the one-NULL-empties-it
+    semantics against DuckDB's NOT IN on a crafted frame.
+
+    Scale shape: the subquery side is broadcast (it must be visible
+    in FULL to every probe task — that is the price of null-aware
+    semantics, and why NOT EXISTS (b38) is the better spelling when
+    the writer KNOWS keys are non-null: it stays a shuffleable
+    LeftSemi/Anti).
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("naaj_customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("naaj_orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM naaj_customer_v
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM naaj_orders_v
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B67 — bucketed tables: the co-located (exchange-free) join (round 4)
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def _bucket_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"bucketed:{sf_dir}".encode()).hexdigest()[:10]
+
+
+def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (once per sf) two bucketed tables and the exchange-free
+    join over them; shared by the b67 query and its plan gate."""
+    ns = spark.newSession()  # conf isolation; catalog is shared
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tag = _bucket_tag(sf_dir)
+    li_t, ord_t = f"b67_lineitem_{tag}", f"b67_orders_{tag}"
+    if not ns.catalog.tableExists(li_t):
+        (
+            load_table(ns, sf_dir, "lineitem")
+            .write.bucketBy(N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(li_t)
+        )
+        (
+            load_table(ns, sf_dir, "orders")
+            .write.bucketBy(N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(ord_t)
+        )
+    li, orders = ns.table(li_t), ns.table(ord_t)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b67_bucketed_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67: bucketing — both tables written bucketBy(8, join key) +
+    sortBy, so the fact-fact join runs with ZERO exchanges: each task
+    zips bucket i of one table with bucket i of the other (plan-gated:
+    no Exchange under the SortMergeJoin). THE layout decision for a
+    join two 100 TB tables hit daily — the shuffle is paid once at
+    write time and amortized over every subsequent join; broadcast is
+    disabled here precisely because the production case is
+    both-sides-huge.
+
+    The oracle joins the plain parquet ground truth, so bucketed
+    write + read round-trips values exactly.
+    """
+    return bucketed_join_frame(spark, sf_dir)

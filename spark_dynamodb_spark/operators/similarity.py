@@ -329,15 +329,11 @@ def _sql_sqdist(a: str, b: str) -> str:
     return _SQL_SQDIST.format(a=a, b=b, dim=DIM)
 
 
-def _ivf_sql() -> str:
-    """DuckDB mirror of ann_ivf. The k-means loop is deterministic and
-    fixed-depth (md5-seeded cells, KMEANS_ITERS Lloyd iterations with
-    exact-decimal centroid means), so the twin simply UNROLLS it as
-    chained CTEs: a0 (seed) → cents0 → a1 → cents1 → ... → index +
-    final centroids → probe top-NPROBE cells → equi-join on cell →
-    exact cosine top-k. Every float reduction is either an exact
-    decimal sum or a pinned left fold, hence hash-identical output.
-    """
+def _ivf_index_ctes() -> tuple[list[str], str]:
+    """The shared CTE chain that unrolls the deterministic k-means
+    assignment (a0 seed → cents0 → a1 → … → a{KMEANS_ITERS}) — the
+    inverted-file index both c03_ann_ivf and c31_semantic_dedup build
+    on. Returns (ctes, name_of_final_assignment_cte)."""
     seed_cell = (
         "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         f" % {NLIST} AS INT)"
@@ -369,7 +365,19 @@ def _ivf_sql() -> str:
       ) WHERE rn = 1
     )"""
         )
-    last = f"a{KMEANS_ITERS}"
+    return ctes, f"a{KMEANS_ITERS}"
+
+
+def _ivf_sql() -> str:
+    """DuckDB mirror of ann_ivf. The k-means loop is deterministic and
+    fixed-depth (md5-seeded cells, KMEANS_ITERS Lloyd iterations with
+    exact-decimal centroid means), so the twin simply UNROLLS it as
+    chained CTEs: a0 (seed) → cents0 → a1 → cents1 → ... → index +
+    final centroids → probe top-NPROBE cells → equi-join on cell →
+    exact cosine top-k. Every float reduction is either an exact
+    decimal sum or a pinned left fold, hence hash-identical output.
+    """
+    ctes, last = _ivf_index_ctes()
     ctes.append(
         f"""centsF AS (
       SELECT cell, list(m ORDER BY pos) AS cvec FROM (
@@ -418,21 +426,13 @@ def _ivf_sql() -> str:
     )
 
 
-@query("c03_ann_ivf", _ivf_sql())
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3e: IVF ANN — deterministic mini k-means coarse quantizer
-    (hash-seeded cells, KMEANS_ITERS Lloyd iterations, all DataFrame
-    ops: the per-iteration centroid update is a combinable aggregation
-    and the reassignment a broadcast-nlist argmin — nothing iterates
-    on the driver), then probe the NPROBE nearest cells per query: the
-    corpus join is an equi-join on cell, so each query scans
-    ~NPROBE/NLIST of the corpus instead of all of it.
-
-    Value-checked by the driver since round 3: exact-decimal centroid
-    means make the whole iteration engine-portable, and _ivf_sql
-    unrolls it in DuckDB. tests/test_llm.py additionally gates
-    recall@5 against the exact brute force.
-    """
+def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic IVF inverted file: (vec_id, vec, cell) after
+    KMEANS_ITERS Lloyd iterations from md5-seeded cells. All DataFrame
+    ops — the centroid update is a combinable aggregation, the
+    reassignment a broadcast-nlist argmin; nothing iterates on the
+    driver. Shared by c03_ann_ivf (probe path) and c31_semantic_dedup
+    (within-cell pair generation)."""
     from spark_dynamodb_spark.functions.text import md5_64
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -453,8 +453,26 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", "vec", "cell")
         )
-    index = assigned  # (vec_id, vec, cell) — the inverted file
-    cents = _centroids_of(assigned)
+    return assigned
+
+
+@query("c03_ann_ivf", _ivf_sql())
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3e: IVF ANN — deterministic mini k-means coarse quantizer
+    (hash-seeded cells, KMEANS_ITERS Lloyd iterations, all DataFrame
+    ops: the per-iteration centroid update is a combinable aggregation
+    and the reassignment a broadcast-nlist argmin — nothing iterates
+    on the driver), then probe the NPROBE nearest cells per query: the
+    corpus join is an equi-join on cell, so each query scans
+    ~NPROBE/NLIST of the corpus instead of all of it.
+
+    Value-checked by the driver since round 3: exact-decimal centroid
+    means make the whole iteration engine-portable, and _ivf_sql
+    unrolls it in DuckDB. tests/test_llm.py additionally gates
+    recall@5 against the exact brute force.
+    """
+    index = ivf_index(spark, sf_dir)  # (vec_id, vec, cell)
+    cents = _centroids_of(index)
 
     q = index.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
@@ -535,3 +553,254 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cols.append(y.alias(f"y{p}"))
     return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+# --- C31: semantic dedup (embedding-cluster blocking + components) ----------
+
+SEMANTIC_T = 0.99  # within-cell cosine threshold for "same content"
+
+
+def _semantic_dedup_sql() -> str:
+    """DuckDB twin of c31: the unrolled IVF assignment CTEs, then
+    within-cell pairs at cos >= SEMANTIC_T, then exact connected
+    components via a recursive reachability CTE (same pattern as
+    c02's SQL_COMPONENTS)."""
+    ctes, last = _ivf_index_ctes()
+    cos = (
+        "list_dot_product(a.vec, b.vec) / "
+        "(sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))"
+    )
+    ctes.append(
+        f"""pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM {last} a JOIN {last} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEMANTIC_T}
+    )"""
+    )
+    ctes.append(
+        """edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    )"""
+    )
+    ctes.append(
+        """reach(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.id = e.src
+    )"""
+    )
+    ctes.append(
+        "comp AS (SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id)"
+    )
+    ctes.append(
+        "sized AS (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id)"
+    )
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + """
+    SELECT c.vec_id, c.group_id, s.group_size,
+           c.vec_id = c.group_id AS is_canonical
+    FROM comp c JOIN sized s USING (group_id)
+    ORDER BY c.vec_id
+    """
+    )
+
+
+@query("c31_semantic_dedup", _semantic_dedup_sql())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: SemDeDup-style semantic deduplication (VERDICT r3 #2b) —
+    cluster embeddings with the deterministic IVF k-means, form
+    candidate pairs ONLY within a cluster cell (cos >= SEMANTIC_T),
+    collapse pairs into duplicate groups with the shared min-label
+    component loop, and keep the min vec_id per group as canonical.
+
+    This is the embedding-space sibling of c02_dedup_components: c02
+    groups lexical near-dups (shingle overlap), c31 groups semantic
+    near-dups that share no tokens. The cluster-blocking trick is what
+    makes it 100 TB-shaped: the pair space is bounded per cell
+    (corpus²/nlist in expectation, with nlist ~ sqrt(corpus) in
+    production), every join is an equi-join on cell, and the
+    component loop only touches the near-dup pair graph — boundary
+    pairs straddling two cells are the accepted recall tradeoff every
+    SemDeDup implementation makes.
+
+    Parity: cell assignment is the bit-reproducible IVF index
+    (exact-decimal centroid means), cosines are pinned left folds, so
+    the DuckDB twin replays the identical pipeline and the recursive
+    CTE computes the identical components.
+    """
+    from spark_dynamodb_spark.operators.dedup import min_label_components
+
+    idx = ivf_index(spark, sf_dir)
+    a = idx.select(F.col("vec_id").alias("pa"), F.col("vec").alias("va"), "cell")
+    b = idx.select(F.col("vec_id").alias("pb"), F.col("vec").alias("vb"), "cell")
+    cos = cosine_similarity("va", "vb")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(cos >= SEMANTIC_T)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    comp = min_label_components(ids, pairs).select(
+        F.col("id").alias("vec_id"), F.col("component_id").alias("group_id")
+    )
+    sized = comp.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        comp.join(sized, "group_id")
+        .select(
+            "vec_id",
+            "group_id",
+            "group_size",
+            (F.col("vec_id") == F.col("group_id")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- C33: cluster purity (IVF cells vs ground-truth labels) -----------------
+
+
+def _cluster_purity_sql() -> str:
+    ctes, last = _ivf_index_ctes()
+    ctes.append(
+        f"""cl AS (
+      SELECT i.cell, e.label FROM {last} i JOIN embeddings e USING (vec_id)
+    )"""
+    )
+    ctes.append(
+        """counts AS (
+      SELECT cell, label, COUNT(*) AS c FROM cl GROUP BY cell, label
+    )"""
+    )
+    ctes.append(
+        """tot AS (SELECT cell, SUM(c) AS n_vecs FROM counts GROUP BY cell)"""
+    )
+    ctes.append(
+        """top AS (
+      SELECT cell, label AS top_label, c AS top_c FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cell ORDER BY c DESC, label) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT t.cell, CAST(t.n_vecs AS BIGINT) AS n_vecs, p.top_label,
+           round(p.top_c * 1.0 / t.n_vecs, 6) AS purity
+    FROM tot t JOIN top p USING (cell)
+    ORDER BY t.cell
+    """
+    )
+
+
+@query("c33_cluster_purity", _cluster_purity_sql())
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: clustering quality scorecard — for every IVF cell, its
+    size, majority ground-truth label, and purity (majority share).
+    The standard health check before trusting an embedding clustering
+    for semantic dedup (c31) or stratified curation: purity near 1
+    means cells align with real content groups; a low-purity cell is
+    where near-dup false positives would come from.
+
+    Scale shape: the contingency table is a combinable two-key
+    groupBy (cells × labels rows, tiny), the majority pick a window
+    over it — nothing touches the corpus after the index build. Ties
+    break on the smaller label for determinism.
+    """
+    idx = ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = (
+        idx.join(emb, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.groupBy("cell").agg(F.sum("c").alias("n_vecs"))
+    w = W.partitionBy("cell").orderBy(F.col("c").desc(), "label")
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("top_label"), F.col("c").alias("top_c"))
+    )
+    purity = F.col("top_c") * 1.0 / F.col("n_vecs")
+    return (
+        tot.join(top, "cell")
+        .select("cell", "n_vecs", "top_label", F.round(purity, 6).alias("purity"))
+        .orderBy("cell")
+    )
+
+
+# --- C36: cross-lingual pair mining (bitext candidates) ---------------------
+
+
+@query(
+    "c36_bitext_mining",
+    """
+    WITH v AS (
+      SELECT e.vec_id, e.label, d.lang,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    scored AS (
+      SELECT a.vec_id, a.lang, b.vec_id AS best_match, b.lang AS best_lang,
+             list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+               AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.vec, b.vec)
+                 / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+                 DESC, b.vec_id) AS rn
+      FROM v a JOIN v b ON a.label = b.label AND a.lang <> b.lang
+    )
+    SELECT vec_id, lang, best_match, best_lang, round(cos, 6) AS cosine
+    FROM scored WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: cross-lingual pair mining — for every document, its most
+    similar SAME-topic document in a DIFFERENT language (top-1 by
+    embedding cosine within the label block). The LASER/bitext-mining
+    shape that builds parallel-text training pairs from comparable
+    corpora; emitting the top-1 with its score leaves the
+    margin-thresholding to the consumer.
+
+    Scale shape: identical blocking discipline to c02's embedding
+    near-dup — pairs only form inside a label block (at scale the
+    block key is a coarse cluster id, e.g. c31's IVF cell), the block
+    join is an equi-join, and the top-1 is a WindowGroupLimit-able
+    rank, so nothing materializes beyond block-bounded candidates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = emb.join(docs, "vec_id")
+    a = v.select(
+        "vec_id", "label", "lang", F.col("vec").alias("va")
+    )
+    b = v.select(
+        F.col("vec_id").alias("best_match"),
+        F.col("label").alias("lb"),
+        F.col("lang").alias("best_lang"),
+        F.col("vec").alias("vb"),
+    )
+    cos = cosine_similarity("va", "vb")
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "best_match")
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("lang") != F.col("best_lang")))
+        .select("vec_id", "lang", "best_match", "best_lang", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "lang", "best_match", "best_lang", F.round("cos", 6).alias("cosine"))
+        .orderBy("vec_id")
+    )

@@ -390,3 +390,42 @@ def distinct_over_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_5min"
         ),
     ).orderBy("event_id")
+
+
+@query("b56_distinct_over_window_approx", None)  # rows-only: HLL++ sketch has no DuckDB twin
+def distinct_over_window_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56b: the SCALE path for distinct-count-over-moving-frame —
+    approx_count_distinct (HLL++, rsd 2%) over the same 5-minute
+    event-time range frame as the exact b56 twin.
+
+    Why this exists (VERDICT r3 "What's wrong" #1): the exact variant
+    materializes every frame as an array (collect_list + array_distinct)
+    — O(frame size) task memory per row, a skew bomb when one
+    event_type has a hot 5-minute burst at 100 TB. The HLL++ window
+    aggregate keeps ONE bounded sketch buffer per frame evaluation
+    instead: memory is O(2^p) constant, never O(frame). CPU is still
+    O(frame) per row (window aggregates without retract support
+    re-accumulate), so the streaming s02-style state is the ultimate
+    answer for unbounded frames — this is the batch middle ground.
+
+    Correctness: rows-only for the driver (DuckDB has no HLL++ twin by
+    construction, same as z_b13); tests/test_plans.py gates the plan
+    (no collect_list anywhere) and tests/test_scale_patterns.py
+    bounds the relative error vs the exact twin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.filter(F.col("user_id").isNotNull()).select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t")
+        .rangeBetween(-B54_WINDOW_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.approx_count_distinct("user_id", 0.02)
+        .over(w)
+        .alias("n_users_5min_approx"),
+    ).orderBy("event_id")

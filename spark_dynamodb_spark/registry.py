@@ -265,10 +265,12 @@ def load_all() -> QueryRegistry:
     # cheap and circular imports are impossible.
     from spark_dynamodb_spark.operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup,
         extras,
         joins,
         multimodal,
+        mutations,
         pipeline,
         relational,
         scalars,

@@ -597,3 +597,115 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("click_id", "purchase_id", "user_id")
     return run_to_table(spark, joined, "append").orderBy("click_id", "purchase_id")
+
+
+@query(
+    "s11_stream_windowed_topk",
+    f"""
+    WITH e AS (SELECT event_type, value, {EVENTS_TS_SQL} AS ts FROM events),
+    agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             {sql_dsum('value')} AS total_value
+      FROM e
+      GROUP BY window_start, event_type
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type) AS INT) AS rnk
+      FROM agg
+    )
+    SELECT window_start, event_type, n_events, total_value, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27++: streaming leaderboard — hourly tumbling counts per event
+    type (streaming state), then the top-3 types per hour ranked on
+    the emitted result table. Ranking across keys INSIDE a streaming
+    query would need complete-mode re-sorts of all state every batch;
+    the production pattern is exactly this split: stream maintains the
+    per-(window, key) aggregate incrementally, the cheap top-k runs
+    over the (tiny) aggregate output downstream. Ties rank
+    deterministically by event_type.
+    """
+    from pyspark.sql import Window as W
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    out = run_to_table(spark, agg, "complete")
+    w = W.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        out.select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )
+
+
+@query(
+    "s12_stream_append_windows",
+    f"""
+    WITH e AS (SELECT event_type, value, {EVENTS_TS_SQL} AS ts FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    agg AS (
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             {sql_dsum('value')} AS total_value
+      FROM e
+      GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, n_events, total_value
+    FROM agg
+    WHERE window_start + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+    ORDER BY window_start, event_type
+    """,
+)
+def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30+: APPEND-mode windowed aggregation — unlike s01 (complete
+    mode re-emits all state every batch), append mode emits each
+    window EXACTLY ONCE, when the watermark proves it closed. The
+    only mode that works with append-only sinks (files, Kafka), i.e.
+    the one a 100 TB pipeline actually ships.
+
+    Oracle semantics (probed empirically, boundary included): the
+    availableNow run ends with a no-data micro-batch advancing the
+    watermark to max(ts) - 10 min; a window emits iff window_end <=
+    final watermark (Spark's eviction predicate is inclusive —
+    verified with a crafted fixture whose watermark lands exactly on
+    a window end). Windows newer than that stay in state and emit
+    nothing — exactly what the SQL twin's cutoff reproduces.
+
+    Scale shape: same single (window, key) state shuffle as s01, but
+    state is BOUNDED by the watermark horizon (closed windows are
+    evicted on emit) — complete mode's state grows forever, append's
+    doesn't.
+    """
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    out = run_to_table(spark, agg, "append")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")

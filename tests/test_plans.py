@@ -392,3 +392,131 @@ def test_distinct_over_window_single_exchange(spark, sf_dir):
     plan = physical_plan(wi.distinct_over_window(spark, sf_dir))
     assert plan.count("hashpartitioning(event_type") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_distinct_over_window_approx_no_frame_list(spark, sf_dir):
+    """b56b (the scale path): HLL++ sketch per frame, NEVER a frame
+    materialized as an array — collect_list absent from the plan, same
+    single event_type exchange as the exact twin."""
+    from spark_dynamodb_spark.operators import windows as wi
+
+    plan = physical_plan(wi.distinct_over_window_approx(spark, sf_dir))
+    assert "collect_list" not in plan, plan
+    assert "approx_count_distinct" in plan, plan
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+
+
+def test_merge_upsert_single_join_no_cartesian(spark, sf_dir):
+    """b58: MERGE compiles to exactly one full-outer join."""
+    from spark_dynamodb_spark.operators import mutations as mu
+
+    df = mu.merge_upsert(spark, sf_dir)
+    plan = physical_plan(df)
+    assert_no_cartesian(df)
+    assert plan.count("Join") >= 1 and "FullOuter" in plan, plan
+
+
+def test_scd2_single_window_pass(spark, sf_dir):
+    """b59: lag-filter + lead/row_number share one (custkey, time)
+    sort — a single exchange on o_custkey, no join."""
+    from spark_dynamodb_spark.operators import mutations as mu
+
+    plan = physical_plan(mu.scd2_intervals(spark, sf_dir))
+    assert plan.count("hashpartitioning(o_custkey") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_bloom_join_prune_probe_present(spark, sf_dir):
+    """b60: the runtime Bloom filter actually lands on the fact scan."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    plan = physical_plan(jo.bloom_pruned_join_frame(spark, sf_dir))
+    flat = plan.replace(" ", "")
+    assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in flat, plan
+
+
+def test_range_write_layout_uses_range_partitioning(spark, sf_dir):
+    """b61: the write plan carries a RangePartitioning exchange plus a
+    within-partition sort (the file-clustering recipe)."""
+    from pyspark.sql import functions as F
+    from spark_dynamodb_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.repartitionByRange(16, "l_shipdate").sortWithinPartitions(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    plan = physical_plan(staged)
+    assert "rangepartitioning(l_shipdate" in plan, plan
+    assert "Sort [l_shipdate" in plan, plan
+
+
+def test_tpch_q3_all_dims_broadcast_fact_scanned_once(spark, sf_dir):
+    """b62: both dims broadcast; the fact never shuffles pre-agg; the
+    ship-date filter reaches the parquet scan."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.tpch_q3(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_pushed_filters(df, "GreaterThan(l_shipdate")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q5_six_relations_one_fact_pass(spark, sf_dir):
+    """b63: five broadcast joins, zero shuffle joins — the fact is
+    read once and only the final n_name agg exchanges data."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_tpch_q10_returnflag_pushed_topk(spark, sf_dir):
+    """b64: the R-flag filter reaches the scan; top-20 is TakeOrdered
+    (no global sort)."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.tpch_q10(spark, sf_dir)
+    assert_pushed_filters(df, "EqualTo(l_returnflag,R)")
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_null_aware_anti_join_planned(spark, sf_dir):
+    """b65: NOT IN plans the null-AWARE broadcast anti join (the
+    trailing `true` on the BroadcastHashJoin line), not a plain
+    LeftAnti."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    plan = physical_plan(jo.null_aware_anti_join(spark, sf_dir))
+    assert "LeftAnti, BuildRight, true" in plan, plan
+
+
+def test_partitioned_write_prune_partition_filter(spark, sf_dir):
+    """b66: the priority filter prunes directories at the scan."""
+    from spark_dynamodb_spark.operators import extras as ex
+
+    ex.partitioned_write_prune(spark, sf_dir).collect()  # ensure layout exists
+    plan = physical_plan(ex.partition_pruned_scan(spark, sf_dir))
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan, plan
+
+
+def test_bucketed_join_no_exchange_under_smj(spark, sf_dir):
+    """b67: bucket-aligned SortMergeJoin — zero exchanges on either
+    join input (only the downstream agg/sort shuffle remains)."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    plan = physical_plan(jo.bucketed_join_frame(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_mom_delta_single_agg_via_cache(spark, sf_dir):
+    """b68: both self-join sides read the cached monthly aggregate."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.mom_revenue_delta(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") == 2, plan

@@ -292,3 +292,72 @@ def test_asof_join_excludes_equal_timestamp_click(spark, tmp_path):
     oracle = load_all().resolve("b33_asof_join").oracle
     want = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
     assert got == want
+
+
+def test_range_layout_files_are_disjoint(spark, sf_dir):
+    """b61: per-file l_shipdate [min, max] ranges must not overlap —
+    the property that lets a time-filtered scan prune whole files."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from spark_dynamodb_spark.operators.extras import (
+        range_layout_path,
+        range_write_layout,
+    )
+
+    range_write_layout(spark, sf_dir).collect()  # (re)write the layout
+    ranges = []
+    for f in glob.glob(os.path.join(range_layout_path(sf_dir), "*.parquet")):
+        md = pq.read_metadata(f)
+        idx = pq.read_schema(f).names.index("l_shipdate")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi <= blo, (ahi, blo)
+
+
+def test_distinct_over_window_approx_error_bound(spark, sf_dir):
+    """b56b: the HLL++ windowed count stays within 10% relative error
+    of the exact frame-list twin (rsd is 2%; 10% leaves slack for
+    small frames where HLL++ switches to sparse exact mode)."""
+    from spark_dynamodb_spark.operators.windows import (
+        distinct_over_window,
+        distinct_over_window_approx,
+    )
+
+    exact = {
+        r["event_id"]: r["n_users_5min"]
+        for r in distinct_over_window(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_id"]: r["n_users_5min_approx"]
+        for r in distinct_over_window_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for eid, n in exact.items():
+        a = approx[eid]
+        assert abs(a - n) <= max(1, 0.10 * n), (eid, n, a)
+
+
+def test_not_in_one_null_empties_result(spark, sf_dir):
+    """b65's semantic cliff, proven on a crafted frame in BOTH engines:
+    a single NULL in the NOT IN subquery returns zero rows."""
+    import duckdb
+
+    spark.createDataFrame([(1,), (2,)], "k BIGINT").createOrReplaceTempView("probe_v")
+    spark.createDataFrame(
+        [(1,), (None,)], "k BIGINT"
+    ).createOrReplaceTempView("sub_v")
+    n_spark = spark.sql(
+        "SELECT k FROM probe_v WHERE k NOT IN (SELECT k FROM sub_v)"
+    ).count()
+    con = duckdb.connect()
+    n_duck = con.execute(
+        "SELECT count(*) FROM (VALUES (1), (2)) p(k) "
+        "WHERE k NOT IN (SELECT * FROM (VALUES (1), (NULL)) s(k))"
+    ).fetchone()[0]
+    assert n_spark == 0 and n_duck == 0, (n_spark, n_duck)
