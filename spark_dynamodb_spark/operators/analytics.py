@@ -236,3 +236,646 @@ def mom_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 window: the rest of the schema-feasible TPC-H suite (adapted
+# to the fixture columns — no partsupp/commitdate/receiptdate/shipmode/
+# phone in the fixtures, so Q2/Q11/Q12/Q16/Q20/Q21 have no faithful
+# spelling and the affected predicates are substituted as documented
+# per query). Reference parity: the reference connector delegates ALL
+# of this to Spark's relational engine (SURVEY §2 Part B preamble);
+# these entries prove the delegated surface end-to-end against DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b69_tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69: TPC-H Q4 (order-priority checking) — orders per priority in
+    one quarter having at least one line shipped after the order date
+    (the fixture stand-in for Q4's commitdate<receiptdate lateness
+    test). EXISTS compiles to a LEFT SEMI join, so the fact side
+    deduplicates during the join — no post-join distinct.
+
+    Scale shape: the quarter filter prunes orders at the scan; the
+    semi join shuffles by orderkey once (lineitem carries only
+    orderkey+shipdate after pruning); the priority rollup is a
+    5-group partial agg.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b70_tpch_q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B70: TPC-H Q6 (forecasting revenue change) — the pure
+    scan-filter-aggregate microbenchmark: no join, one global sum of
+    discount given on small-quantity 1997 lines.
+
+    Scale shape: all four predicates reach the parquet scan
+    (min/max + dictionary pruning skips whole row groups); the sum is
+    a partial-agg reduce — the only exchange carries ONE decimal per
+    task. At 100 TB this is the query that proves pushdown works.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
+    )
+
+
+@query(
+    "b71_tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+          OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B71: TPC-H Q7 (volume shipping) — bilateral trade volume
+    between two nations by year. The join graph binds the supplier's
+    nation and the customer's nation through DIFFERENT paths from the
+    same fact row, then takes the disjunction of the two directions.
+
+    Scale shape: both nation lookups broadcast (two aliases of a
+    25-row dim); supplier and customer broadcast; the two-year
+    shipdate range is pushed to the fact scan; one shuffle for the
+    (supp, cust, year) rollup. The OR pair filter evaluates on
+    broadcast-joined columns — no fact re-scan per direction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_revenue_col(), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "b72_tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             AS nation_volume,
+           {sql_dsum('volume')} AS total_volume,
+           round({sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {sql_dsum('volume')}, 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B72: TPC-H Q8 (national market share) — NATION_3's share of
+    PROMO-part revenue sold into ASIA-region customers, by order
+    year. The conditional-sum-over-join pattern: ONE pass computes
+    both the numerator (CASE-guarded) and denominator.
+
+    Determinism: both sums ride the decimal detour; the share is one
+    IEEE division of two bit-identical doubles, rounded.
+
+    Scale shape: every dimension broadcasts (part is filtered to
+    PROMO before broadcast); the fact is scanned once with the date
+    range pushed; one shuffle for the per-year rollup (≤3 groups →
+    partial aggs carry almost nothing).
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _revenue_col()
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(nation_vol, "nation_volume"),
+            dsum(vol, "total_volume"),
+        )
+        .select(
+            "o_year",
+            "nation_volume",
+            "total_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "b73_tpch_q9_product_profit",
+    f"""
+    SELECT n_name AS nation, o_year, {sql_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n_name, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B73: TPC-H Q9 (product-type profit) adapted — revenue on
+    '%widget%' parts by supplier nation and order year. (The fixture
+    has no partsupp, so Q9's ps_supplycost term drops out and profit
+    reduces to discounted revenue — the join graph and rollup are
+    Q9's.) The LIKE is a contains-substring filter evaluated on the
+    2k-row part dim BEFORE its broadcast, not on the fact.
+
+    Scale shape: part (pre-filtered), supplier, orders, nation all
+    broadcast; fact scanned once; one shuffle for the
+    (nation, year) rollup.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dsum(_revenue_col(), "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "b74_tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B74: TPC-H Q13 (customer order-count distribution) — the
+    two-level aggregate: orders per customer (LEFT join so
+    zero-order customers survive with c_count 0; the join predicate's
+    extra non-key condition — here a priority exclusion standing in
+    for Q13's comment NOT LIKE — must live in the JOIN clause, not
+    WHERE, or the LEFT join silently turns inner), then the histogram
+    of those counts.
+
+    Scale shape: count(o_orderkey) — not count(*) — so unmatched
+    LEFT rows count 0. First agg shuffles by custkey; the second
+    sees one row per customer and a few dozen distinct counts —
+    partial aggs collapse it to nothing.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "b75_tpch_q14_promo_effect",
+    f"""
+    SELECT
+      {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+        AS promo_revenue,
+      {sql_dsum(_REVENUE)} AS total_revenue,
+      round(100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            / {sql_dsum(_REVENUE)}, 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B75: TPC-H Q14 (promotion effect) — the percentage of one
+    month's revenue that came from PROMO-type parts. Single global
+    group; the CASE-guarded numerator and the total share one fact
+    pass.
+
+    Scale shape: month filter pushed to the fact scan; part
+    broadcasts; the aggregate reduces to a single row of two
+    decimals — the exchange after partial agg is one row per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue_col()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(dsum(promo, "promo_revenue"), dsum(rev, "total_revenue"))
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "b76_tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum(_REVENUE)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B76: TPC-H Q15 (top supplier) — supplier(s) with the maximum
+    quarterly revenue, ties kept. The classic "aggregate, then filter
+    by the aggregate's own max" view query.
+
+    Scale shape: the per-supplier aggregate shuffles the quarter's
+    fact slice once; its global max is a 1-row broadcast joined back
+    to the (tiny) aggregate — NOT a SinglePartition window over the
+    whole aggregate, which would serialize at 100 TB supplier
+    cardinalities. Exact-decimal revenue makes the `=` against the
+    max reliable (both sides derive from the same decimal sums).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(_revenue_col(), "total_revenue"))
+    )
+    vmax = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(
+            F.broadcast(vmax),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "b77_tpch_q17_small_quantity",
+    f"""
+    SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey,
+             0.2 * ({sql_dsum('l_quantity')} / count(l_quantity)) AS avg_qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    ) part_avg ON agg_partkey = l_partkey
+    WHERE p_brand = 'Brand#1' AND l_quantity < avg_qty_threshold
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B77: TPC-H Q17 (small-quantity-order revenue) — revenue lost
+    if Brand#1 orders below 20% of that part's average quantity were
+    dropped. The correlated-average pattern, decorrelated by hand
+    into a per-part aggregate joined back to the fact — the spelling
+    Catalyst produces for the subquery form, made explicit.
+
+    Determinism: the threshold is decimal-sum/count then one IEEE
+    multiply — bit-stable — so the `<` cut is identical in both
+    engines; the final division by 7.0 is one IEEE op on the decimal
+    sum.
+
+    Scale shape: the per-part average shuffles by partkey (partial
+    aggs first); the fact re-joins it ON partkey in the SAME
+    partitioning (AQE reuses the exchange); brand filter lives on
+    the broadcast part dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("avg_qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, F.col("agg_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty_threshold"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "b78_tpch_q18_large_volume",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING {sql_dsum('l_quantity')} > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B78: TPC-H Q18 (large-volume customers) — orders whose total
+    line quantity exceeds 300 units, with their customer. The
+    IN-subquery-with-HAVING pattern: a per-order aggregate acts as a
+    semi-join filter on the same fact it came from.
+
+    Scale shape: the HAVING aggregate and the outer per-order
+    aggregate share the orderkey partitioning (one exchange,
+    AQE-reused); the qualifying-order set is tiny → broadcast semi
+    join; customer broadcasts into the survivors.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_okey")),
+                F.col("l_orderkey") == F.col("big_okey"), "inner")
+        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "b79_tpch_q19_discounted_revenue",
+    f"""
+    SELECT {sql_dsum(_REVENUE)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B79: TPC-H Q19 (discounted revenue) — a disjunction of three
+    brand/size/quantity envelopes over the part-lineitem join (the
+    fixture stand-in for Q19's brand/container/quantity triples).
+    The OR spans BOTH sides of the join, so no single clause can be
+    pushed whole; what CAN be pushed is the union envelope.
+
+    Scale shape: part broadcasts; the residual OR evaluates inside
+    whole-stage codegen post-join; Catalyst additionally derives the
+    quantity envelope (1..40) as a pushable fact-scan filter from
+    the disjunction. One partial-agg reduce, single-row result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (q >= 1) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 25)
+            & (q >= 10) & (q <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(26, 50)
+            & (q >= 20) & (q <= 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(_revenue_col(), "revenue"))
+    )
+
+
+@query(
+    "b80_tpch_q22_idle_customers",
+    f"""
+    SELECT n_name AS nation, count(*) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B80: TPC-H Q22 (global sales opportunity) adapted — customers
+    with above-average positive balances and NO recent orders (the
+    fixture has no c_phone, so the country-code grouping becomes the
+    nation dim and "never ordered" becomes "no order since 2000").
+    Scalar subquery threshold + anti join + rollup in one plan.
+
+    Determinism: the threshold is the exact-decimal mean (davg
+    shape); comparing c_acctbal > threshold is then engine-identical.
+
+    Scale shape: the global mean is a 1-row broadcast (crossJoin of
+    a single-row aggregate — bounded by construction); the NOT
+    EXISTS is a broadcast anti join on the date-pruned orders slice;
+    nation broadcasts; one shuffle for the ≤25-group rollup.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders_recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            F.broadcast(orders_recent),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("nation")
+    )

@@ -520,3 +520,74 @@ def test_mom_delta_single_agg_via_cache(spark, sf_dir):
 
     plan = physical_plan(an.mom_revenue_delta(spark, sf_dir))
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_tpch_q4_semi_join_no_post_distinct(spark, sf_dir):
+    """b69: EXISTS compiles to a semi join (dedup inside the join) —
+    no Distinct/Aggregate between the join and the priority rollup
+    beyond the rollup itself; the quarter filter reaches the orders
+    scan."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.tpch_q4(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filters(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_tpch_q6_all_predicates_pushed_single_row(spark, sf_dir):
+    """b70: every filter reaches the parquet scan; the aggregate is
+    partial (map-side) — the exchange carries partial sums only."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.tpch_q6(spark, sf_dir)
+    assert_pushed_filters(df, "GreaterThanOrEqual(l_shipdate")
+    assert_pushed_filters(df, "LessThan(l_quantity,24.0)")
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q7_q8_q9_dims_all_broadcast(spark, sf_dir):
+    """b71/b72/b73: every dimension (incl. both nation aliases)
+    broadcasts — the fact is scanned once, no shuffle join anywhere."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    for fn, n_joins in ((an.tpch_q7, 5), (an.tpch_q8, 7), (an.tpch_q9, 4)):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") == n_joins, (fn.__name__, plan)
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+            fn.__name__,
+            plan,
+        )
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark, sf_dir):
+    """b76: the max-revenue filter is a 1-row broadcast join, NOT a
+    SinglePartition window over the per-supplier aggregate."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.tpch_q15(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_tpch_q18_having_filter_semi_shape(spark, sf_dir):
+    """b78: the >300 HAVING set joins back as a broadcast; top-100 is
+    TakeOrdered (no global sort of the aggregate)."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.tpch_q18(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
+
+
+def test_tpch_q22_threshold_broadcast_anti_join(spark, sf_dir):
+    """b80: scalar threshold is a 1-row broadcast nested-loop (bounded
+    by construction); the no-recent-orders test is a broadcast ANTI
+    join with the date filter pushed to the orders scan."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
