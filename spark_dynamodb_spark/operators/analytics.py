@@ -879,3 +879,324 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 window: event-stream product analytics (funnel, retention,
+# streaks, concurrency, transitions) — the composed window/agg reports
+# a warehouse runs over an events table. All on the delegated Spark
+# surface (SURVEY §2 Part B preamble); events.ts rides the tables.py
+# normalization choke point and its EVENTS_TS_*_SQL mirrors.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as W  # noqa: E402
+
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, EVENTS_TS_US_SQL  # noqa: E402
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "b81_funnel_conversion",
+    f"""
+    WITH e AS (SELECT user_id, event_type, {EVENTS_TS_US_SQL} AS t FROM events),
+    u1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN t END)
+                       OVER (PARTITION BY user_id) AS t1 FROM e),
+    u2 AS (SELECT *, min(CASE WHEN event_type = 'view' AND t >= t1 THEN t END)
+                       OVER (PARTITION BY user_id) AS t2 FROM u1),
+    u3 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t >= t2 THEN t END)
+                       OVER (PARTITION BY user_id) AS t3 FROM u2),
+    u4 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t >= t3 THEN t END)
+                       OVER (PARTITION BY user_id) AS t4 FROM u3),
+    per_user AS (
+      SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3, min(t4) AS t4
+      FROM u4 GROUP BY user_id
+    )
+    SELECT count(t1) AS n_signup, count(t2) AS n_view,
+           count(t3) AS n_click, count(t4) AS n_purchase
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B81: ordered funnel conversion — users reaching each stage of
+    signup → view → click → purchase, where stage k counts only if it
+    happens AT OR AFTER the user's stage-(k-1) time. The canonical
+    product-analytics query that naive per-stage counts get wrong
+    (a purchase BEFORE signup must not convert).
+
+    Implementation: four chained conditional window-mins over the SAME
+    user partitioning — Catalyst collapses them into ONE exchange +
+    sort with four Window operators stacked; no join, no re-shuffle
+    per stage. The per-user collapse and the final global count are
+    partial aggregates.
+
+    Determinism: stage times are min() of integer epoch-micros —
+    order-free; counts are exact.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    wu = W.partitionBy("user_id")
+    stage = e
+    prev = None
+    for i, ev_type in enumerate(_FUNNEL, start=1):
+        cond = F.col("event_type") == ev_type
+        if prev is not None:
+            cond = cond & (F.col("t") >= F.col(prev))
+        stage = stage.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col("t"))).over(wu)
+        )
+        prev = f"t{i}"
+    per_user = stage.groupBy("user_id").agg(
+        *[F.min(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
+    )
+
+
+@query(
+    "b82_retention_cohorts",
+    f"""
+    WITH e AS (SELECT user_id, CAST(date_trunc('week', {EVENTS_TS_SQL}) AS DATE)
+                 AS week FROM events),
+    firsts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B82: weekly retention cohorts — users grouped by their
+    first-activity week, counted in each subsequent week they return.
+    The triangle matrix behind every retention dashboard.
+
+    Scale shape: one (user, week) distinct (shuffle by user+week
+    collapses to almost nothing), the per-user first week reduced from
+    the SAME distinct set (no second fact scan), joined back on
+    user_id — at fixture scale the join broadcasts; at 100 TB both
+    sides are already user-keyed so AQE picks a co-partitioned join.
+    The final rollup is a few hundred (cohort, offset) groups.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    )
+    active = e.distinct()
+    firsts = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "b83_activity_streaks",
+    f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST({EVENTS_TS_SQL} AS DATE) AS day FROM events
+    ),
+    grp AS (
+      SELECT user_id, day,
+             date_diff('day', DATE '2024-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS streak_len, min(day) AS streak_start
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           min(streak_start) AS first_active_day,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83: gaps-and-islands — each user's longest run of consecutive
+    active days. The classic trick: day-ordinal minus row_number is
+    constant within a consecutive run, so one window + two aggregates
+    find every streak with no self-join.
+
+    Scale shape: the distinct collapses the fact to (user, day); the
+    row_number window and both rollups share the user partitioning —
+    one exchange end to end (the window's sort key extends the
+    partition key).
+    """
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    wu = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        - F.row_number().over(wu),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"), F.min("day").alias("streak_start")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_len").alias("longest_streak"),
+            F.min("streak_start").alias("first_active_day"),
+            F.sum("streak_len").alias("n_active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+B84_SESSION_US = 10 * 60 * 1_000_000  # each event holds a 10-minute session
+
+
+@query(
+    "b84_peak_concurrency",
+    f"""
+    WITH e AS (SELECT event_id, {EVENTS_TS_US_SQL} AS t FROM events),
+    pts AS (
+      SELECT event_id, t, 1 AS delta FROM e
+      UNION ALL
+      SELECT event_id, t + {B84_SESSION_US}, -1 FROM e
+    ),
+    r AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM pts
+    )
+    SELECT CAST(make_timestamp(t) AS DATE) AS day,
+           CAST(max(running) AS BIGINT) AS peak_concurrency
+    FROM r
+    GROUP BY day
+    ORDER BY day
+    """,
+)
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B84: peak concurrent sessions per day — the sweep-line
+    algorithm: each event opens a 10-minute session, +1/-1 boundary
+    points are prefix-summed in time order, and the daily max of the
+    running count is the answer (capacity-planning's favorite query).
+
+    A global ORDER BY prefix-sum is a SinglePartition window — the
+    100 TB killer — so this uses the bucketed two-phase form (the
+    c18_global_ids pattern): points partition by DAY for the in-day
+    prefix sum, per-day delta totals (≤ a few hundred rows) get an
+    exclusive cumulative carry on the driver-sized side, and the
+    in-day prefix plus the day's carry equals the global running sum
+    exactly — sessions crossing midnight are carried, not lost.
+
+    Determinism: ties order by (t, delta, event_id) — a total order;
+    -1 sorts before +1 at the same instant (half-open sessions), and
+    reordering equal keys never changes the attained max.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t")
+    )
+    pts = e.select("event_id", "t", F.lit(1).alias("delta")).unionAll(
+        e.select(
+            "event_id",
+            (F.col("t") + F.lit(B84_SESSION_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    pts = pts.withColumn("day", F.timestamp_micros("t").cast("date"))
+    w_in_day = (
+        W.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_day = pts.withColumn("run_in_day", F.sum("delta").over(w_in_day))
+    day_totals = pts.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    w_days = (
+        W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carries = day_totals.withColumn(
+        "carry", F.sum("day_delta").over(w_days) - F.col("day_delta")
+    ).select("day", "carry")
+    return (
+        in_day.join(F.broadcast(carries), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("carry") + F.col("run_in_day")).alias("peak_concurrency"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "b85_event_transitions",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, {EVENTS_TS_US_SQL} AS t, event_id FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+               AS prev_type
+      FROM e
+    ),
+    cnt AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM cnt
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B85: first-order Markov transition matrix over per-user event
+    sequences — counts and row-normalized probabilities of event_type
+    A followed by B. The behavioral-modeling primitive (next-action
+    prediction features, anomaly scoring).
+
+    Scale shape: lag() shuffles by user once; the (prev, next) rollup
+    is ≤ |types|² groups, so partial aggs collapse the stream; the
+    row-normalizing window runs over that tiny matrix, not the fact.
+
+    Determinism: sequence order is the total (t, event_id) key;
+    probabilities are one integer division per cell, rounded.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    wu = W.partitionBy("user_id").orderBy("t", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(wu).alias("prev_type"),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        cnt.select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wp), 6
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -591,3 +591,58 @@ def test_tpch_q22_threshold_broadcast_anti_join(spark, sf_dir):
     plan = physical_plan(an.tpch_q22(spark, sf_dir))
     assert "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """b81: four chained conditional window-mins collapse onto ONE
+    user_id exchange — no per-stage reshuffle, no join."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.funnel_conversion(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_streaks_two_combined_exchanges(spark, sf_dir):
+    """b83: exactly two hash exchanges — the (user, day) distinct
+    (with map-side partial agg so raw events never shuffle) and the
+    user re-key for the window; the streak rollup and the per-user
+    rollup both reuse the window's partitioning."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.activity_streaks(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    # map-side combine before the first shuffle: partial distinct agg
+    assert plan.count("HashAggregate(keys=[user_id") >= 2, plan
+
+
+def test_peak_concurrency_fact_window_is_day_bucketed(spark, sf_dir):
+    """b84: the fact-sized prefix sum partitions by day (bucketed
+    two-phase form); the only unpartitioned window runs over the
+    per-day totals, after their (tiny) aggregation."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.peak_concurrency(spark, sf_dir))
+    assert "Window" in plan, plan
+    # the in-day running sum is partitioned by day
+    assert "Exchange hashpartitioning(day" in plan, plan
+    # the carry side is broadcast back, not shuffled into the fact
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_event_transitions_window_over_matrix_not_fact(spark, sf_dir):
+    """b85: the row-normalizing window partitions by prev_type AFTER
+    the (prev,next) rollup — it sees ≤|types|² rows, not the fact."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.event_transitions(spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    w_pos = plan.rfind("Window")
+    agg_pos = plan.find("HashAggregate")
+    # formatted plans list operators top-down (output first): the
+    # normalize window must appear ABOVE (before) the count aggregate.
+    assert w_pos != -1 and agg_pos != -1, plan
