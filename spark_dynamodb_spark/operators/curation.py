@@ -1,0 +1,285 @@
+"""Round-4 corpus-curation operators: PII redaction, boilerplate
+removal, and model-based quality filtering (SURVEY §2 Part C family —
+the training-data pipeline stages between raw crawl and dedup).
+
+Reference parity: the reference connector has no text surface at all
+(SURVEY §0 — it delegates everything past the scan to Spark); these
+are the LLM-pipeline extension mandated by the build brief, expressed
+as pure DataFrame plans.
+
+Hash discipline: cross-engine comparisons hash via md5 (functions/
+text.py); everything shuffled is hashes/counts, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_dynamodb_spark.functions.text import (
+    md5_64,
+    simple_tokens,
+    sql_md5_64,
+    sql_simple_tokens,
+)
+from spark_dynamodb_spark.registry import query
+from spark_dynamodb_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# C37 — PII detection + redaction
+# ---------------------------------------------------------------------------
+#
+# The fixture corpus is synthetic word soup with no natural PII, so the
+# operator plants deterministic PII first — an email and a long numeric
+# reference derived from doc_id, via IDENTICAL string expressions in
+# both engines — and then proves the detector/redactor finds and strips
+# exactly what was planted. The regexes use only constructs with the
+# same semantics in Java regex (Spark) and RE2 (DuckDB).
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_RE = r"\d{7,}"
+
+
+@query(
+    "c37_pii_redaction",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com ref '
+                  || CAST(1000000 + (doc_id * 37) % 9000000 AS VARCHAR)
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+                  regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                  '{_LONGNUM_RE}')) AS BIGINT)
+             AS n_longnums,
+           md5(regexp_replace(
+                 regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_LONGNUM_RE}', '<NUM>', 'g'))
+             AS redacted_hash
+    FROM planted
+    ORDER BY doc_id
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: PII scrub — detect emails and long numeric identifiers,
+    count them, and emit the md5 of the fully-redacted text (emails →
+    <EMAIL> first, then surviving 7+-digit runs → <NUM>; the order
+    matters because email local parts contain digits). The fixture
+    has no natural PII, so deterministic PII is planted per doc_id by
+    the same expression in both engines — the green row proves the
+    detector finds exactly what was planted and the redaction is
+    byte-identical.
+
+    Scale shape: pure narrow map (regex inside whole-stage codegen),
+    no shuffle at all except the output ORDER BY; at 100 TB this
+    pipelines with the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com ref "),
+            (1000000 + (F.col("doc_id") * 37) % 9000000).cast("string"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(no_email, F.lit(_LONGNUM_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_longnums"),
+        F.md5(
+            F.regexp_replace(no_email, _LONGNUM_RE, "<NUM>").cast("binary")
+        ).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C38 — boilerplate n-gram detection
+# ---------------------------------------------------------------------------
+
+BP_K = 8  # token n-gram width
+BP_MIN_DOCS = 3  # a gram in >= this many distinct docs is boilerplate
+
+
+def _sql_grams(k: int) -> str:
+    """DuckDB: all k-token windows of a doc (docs with >= k tokens)."""
+    return f"""
+      SELECT doc_id, gram
+      FROM (
+        SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents
+      ), LATERAL (
+        SELECT unnest(list_transform(
+                 range(1, len(toks) - {k - 1} + 1),
+                 i -> array_to_string(toks[i:i + {k - 1}], ' '))) AS gram
+      )
+      WHERE len(toks) >= {k}
+    """
+
+
+@query(
+    "c38_boilerplate_ngrams",
+    f"""
+    WITH grams AS ({_sql_grams(BP_K)}),
+    hashed AS (SELECT doc_id, {sql_md5_64('gram')} AS h FROM grams),
+    bp AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+      GROUP BY h HAVING count(*) >= {BP_MIN_DOCS}
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(count(CASE WHEN bp.h IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_boilerplate
+    FROM hashed LEFT JOIN bp ON hashed.h = bp.h
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: boilerplate detection — token 8-grams shared by >= 3
+    distinct documents are "boilerplate" (headers, footers, license
+    blurbs in a real crawl); each doc reports how many of its gram
+    positions hit the boilerplate set. The removal step is then a
+    trivial filter on the same join.
+
+    Scale shape: grams hash to 64-bit ints at the source (shuffles
+    carry hashes, never text); the boilerplate set is the output of a
+    distinct+HAVING rollup — tiny by construction — and broadcast
+    back into the per-doc count. Two hash shuffles total, both over
+    (doc_id, hash) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simple_tokens("text").alias("toks")
+    ).filter(F.size("toks") >= BP_K)
+    # positions 1..n-k+1; zip_with-free spelling: transform over index range
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (BP_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, BP_K)),
+            )
+        ).alias("gram"),
+    )
+    hashed = grams.select("doc_id", md5_64("gram").alias("h"))
+    bp = (
+        hashed.distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("h", F.lit(1).alias("is_bp"))
+    )
+    return (
+        hashed.join(F.broadcast(bp), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_bp").cast("long").alias("n_boilerplate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C41 — model-based quality filtering (fixed-weight linear classifier)
+# ---------------------------------------------------------------------------
+#
+# Stand-in for the fastText-style quality classifier every pretraining
+# pipeline runs: a linear model over cheap text statistics. Weights are
+# fixed constants (a trained model would broadcast its coefficients the
+# same way); the score is a handful of per-row IEEE ops — identical in
+# both engines, no aggregation-order concerns.
+
+_QSTOP = ("the", "a", "of", "and", "key", "table")
+_Q_THRESHOLD = 0.5
+
+
+@query(
+    "c41_quality_classifier",
+    f"""
+    WITH feats AS (
+      SELECT source,
+             len(toks) AS n_toks,
+             len(list_filter(toks, t -> t IN ({', '.join(repr(s) for s in _QSTOP)})))
+               AS n_stop,
+             len(list_distinct(toks)) AS n_uniq,
+             len(array_to_string(toks, '')) AS n_chars
+      FROM (SELECT source, {sql_simple_tokens('text')} AS toks FROM documents)
+    ),
+    scored AS (
+      SELECT source,
+             1.2 * (CAST(n_uniq AS DOUBLE) / n_toks)
+               - 0.8 * (CAST(n_stop AS DOUBLE) / n_toks)
+               + 0.05 * (CAST(n_chars AS DOUBLE) / n_toks)
+               - 0.001 * n_toks AS score
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(CASE WHEN score > {_Q_THRESHOLD} THEN 1 END) AS BIGINT)
+             AS n_keep,
+           CAST(count(CASE WHEN score <= {_Q_THRESHOLD} THEN 1 END) AS BIGINT)
+             AS n_drop,
+           round(min(score), 6) AS min_score,
+           round(max(score), 6) AS max_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: model-based quality filter — a fixed-weight linear scorer
+    over per-doc statistics (type-token ratio up, stopword ratio
+    down, mean token length up, length penalty), thresholded into
+    keep/drop counts per source. The shape of fastText/logreg quality
+    gates in pretraining pipelines; swapping real trained weights in
+    changes constants, not the plan.
+
+    Determinism: each feature is an integer; the score is a fixed
+    left-to-right chain of IEEE ops on those integers — bit-identical
+    across engines; min/max need no accumulation-order care.
+
+    Scale shape: narrow per-row feature extraction fused into the
+    scan, then one partial-agg rollup by source.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", simple_tokens("text").alias("toks")
+    )
+    stop_set = ", ".join(repr(s) for s in _QSTOP)
+    feats = docs.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.size(F.expr(f"filter(toks, t -> t IN ({stop_set}))")).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.length(F.array_join("toks", "")).alias("n_chars"),
+    )
+    score = (
+        1.2 * (F.col("n_uniq").cast("double") / F.col("n_toks"))
+        - 0.8 * (F.col("n_stop").cast("double") / F.col("n_toks"))
+        + 0.05 * (F.col("n_chars").cast("double") / F.col("n_toks"))
+        - 0.001 * F.col("n_toks")
+    )
+    return (
+        feats.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.when(F.col("score") > _Q_THRESHOLD, 1)).cast("long").alias("n_keep"),
+            F.count(F.when(F.col("score") <= _Q_THRESHOLD, 1)).cast("long").alias("n_drop"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("source")
+    )

@@ -479,3 +479,91 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(partitioned_layout_path(sf_dir))
     )
     return partition_pruned_scan(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# B86 — morton (z-order) interleaved write layout (round 4)
+# ---------------------------------------------------------------------------
+
+_MORTON_BITS = 8  # 8 bits per dimension -> 16-bit morton code
+
+
+def _sql_morton(x: str, y: str) -> str:
+    """Bit-interleave expression, valid in BOTH Spark SQL and DuckDB:
+    morton = Σ ((x>>i)&1)·2^(2i) + ((y>>i)&1)·2^(2i+1). Disjoint bits,
+    so plain addition — no OR needed."""
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_MORTON_EXPR = _sql_morton("(l_partkey % 256)", "(l_suppkey % 256)")
+
+
+def morton_layout_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"mortonlayout:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"morton_layout_{tag}")
+
+
+@query(
+    "b86_morton_write_layout",
+    f"""
+    WITH m AS (SELECT *, {_MORTON_EXPR} AS morton FROM lineitem)
+    SELECT CAST(morton // 1024 AS BIGINT) AS z_bucket,
+           count(*) AS n,
+           min(morton) AS min_morton,
+           max(morton) AS max_morton,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM m
+    GROUP BY z_bucket
+    ORDER BY z_bucket
+    """,
+)
+def morton_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B86: multi-dimensional clustering — write lineitem z-ordered on
+    (l_partkey, l_suppkey) by range-partitioning + sorting on the
+    16-bit morton interleave of the two keys, then aggregate the
+    READ-BACK files. B61 clusters one dimension; the morton curve
+    keeps BOTH keys' locality, so later scans filtered on EITHER key
+    touch a small band of files (each key's bits occupy alternating
+    positions → a key range maps to O(few) curve segments).
+
+    The oracle computes the identical morton expression on the raw
+    table — a green row proves the interleave + layout round-trip is
+    lossless. Layout quality (per-file morton ranges disjoint) is
+    asserted in tests/test_scale_patterns.py; the RangePartitioning
+    exchange is plan-gated.
+
+    Determinism: morton is pure integer bit math, bucket rollups are
+    exact; revenue rides the decimal detour.
+    """
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "morton", F.expr(_MORTON_EXPR)
+    )
+    path = morton_layout_path(sf_dir)
+    (
+        li.repartitionByRange(16, "morton")
+        .sortWithinPartitions("morton", "l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy((F.col("morton") / 1024).cast("long").alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("morton").alias("min_morton"),
+            F.max("morton").alias("max_morton"),
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -804,3 +804,184 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "lang", "best_match", "best_lang", F.round("cos", 6).alias("cosine"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C39 — maximum-inner-product top-k (round 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c39_mips_topk",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec) AS ip
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ip,
+             row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rnk, round(ip, 6) AS inner_product
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39: maximum-inner-product search — c03's cosine baseline with
+    the UNNORMALIZED dot product as the score, the retrieval metric
+    recommendation/embedding-score models actually train for (cosine
+    and MIPS rank differently whenever norms vary). Same bounded
+    shape: fixed query set broadcast, corpus scanned once, per-query
+    top-k via WindowGroupLimit.
+
+    Determinism: the dot product is F.aggregate's fixed left-to-right
+    fold over zip_with products — the exact order DuckDB's
+    list_dot_product uses — so scores are bit-identical; ties rank by
+    neighbor_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot("qvec", "vec").alias("ip"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("ip").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.round("ip", 6).alias("inner_product")
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C40 — kNN label voting (round 4)
+# ---------------------------------------------------------------------------
+
+KNN_N_TEST = 50  # vec_id < 50 are held-out queries
+KNN_K = 10
+
+
+@query(
+    "c40_knn_label_vote",
+    f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    test AS (SELECT vec_id AS query_id, label AS true_label, vec AS qvec
+             FROM v WHERE vec_id < {KNN_N_TEST}),
+    train AS (SELECT vec_id, label, vec FROM v WHERE vec_id >= {KNN_N_TEST}),
+    scored AS (
+      SELECT t.query_id, t.true_label, tr.label,
+             list_dot_product(t.qvec, tr.vec)
+               / (sqrt(list_dot_product(t.qvec, t.qvec))
+                  * sqrt(list_dot_product(tr.vec, tr.vec))) AS cos,
+             tr.vec_id
+      FROM test t CROSS JOIN train tr
+    ),
+    topk AS (
+      SELECT query_id, true_label, label
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rnk
+            FROM scored)
+      WHERE rnk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS n_votes
+      FROM topk GROUP BY query_id, true_label, label
+    ),
+    winner AS (
+      SELECT query_id, true_label, label AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY n_votes DESC, label) AS vrnk
+            FROM votes)
+      WHERE vrnk = 1
+    )
+    SELECT true_label AS label,
+           count(*) AS n_queries,
+           CAST(count(CASE WHEN predicted = true_label THEN 1 END) AS BIGINT)
+             AS n_correct
+    FROM winner
+    GROUP BY true_label
+    ORDER BY true_label
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: kNN classification accuracy — hold out the first 50
+    vectors, predict each one's label by majority vote of its 10
+    nearest train-set neighbors (cosine), and report per-label
+    accuracy. The standard embedding-space sanity check a pipeline
+    runs after re-training an encoder (label agreement ≈ embedding
+    quality).
+
+    Vote ties break deterministically (highest count, then smallest
+    label); neighbor ties break on vec_id.
+
+    Scale shape: the held-out queries broadcast (bounded set); the
+    train corpus streams past once; per-query top-k is a
+    WindowGroupLimit; the vote and accuracy rollups act on k·|test|
+    rows — nothing corpus-sized shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    test = emb.filter(F.col("vec_id") < KNN_N_TEST).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("vec").alias("qvec"),
+    )
+    train = emb.filter(F.col("vec_id") >= KNN_N_TEST)
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "query_id",
+        "true_label",
+        "label",
+        cosine_similarity("qvec", "vec").alias("cos"),
+        "vec_id",
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("query_id", "true_label", "label")
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    winner = (
+        votes.withColumn("vrnk", F.row_number().over(wv))
+        .filter(F.col("vrnk") == 1)
+        .select("query_id", "true_label", F.col("label").alias("predicted"))
+    )
+    return (
+        winner.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count(F.when(F.col("predicted") == F.col("true_label"), 1))
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("label")
+    )

@@ -266,6 +266,7 @@ def load_all() -> QueryRegistry:
     from spark_dynamodb_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        curation,
         dedup,
         extras,
         joins,

@@ -646,3 +646,68 @@ def test_event_transitions_window_over_matrix_not_fact(spark, sf_dir):
     # formatted plans list operators top-down (output first): the
     # normalize window must appear ABOVE (before) the count aggregate.
     assert w_pos != -1 and agg_pos != -1, plan
+
+
+def test_pii_redaction_is_narrow(spark, sf_dir):
+    """c37: regex detect+redact is a pure narrow map — no exchange
+    except the output ordering's range partition."""
+    from spark_dynamodb_spark.operators import curation as cu
+
+    plan = physical_plan(cu.pii_redaction(spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_boilerplate_set_broadcast_hashes_not_text(spark, sf_dir):
+    """c38: the boilerplate set joins back via broadcast, and the
+    exchanged columns are (doc_id, hash) — raw gram text never
+    shuffles."""
+    from spark_dynamodb_spark.operators import curation as cu
+
+    plan = physical_plan(cu.boilerplate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1), m.group(0)
+
+
+def test_quality_classifier_single_rollup(spark, sf_dir):
+    """c41: feature extraction fuses into the scan; one partial-agg
+    source rollup is the only exchange."""
+    from spark_dynamodb_spark.operators import curation as cu
+
+    plan = physical_plan(cu.quality_classifier(spark, sf_dir))
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_mips_and_knn_corpus_never_shuffles(spark, sf_dir):
+    """c39/c40: the corpus side streams past a broadcast query set —
+    no SortMergeJoin, no corpus-sized exchange before the top-k."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    for fn in (sim.mips_topk, sim.knn_label_vote):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, (fn.__name__, plan)
+        assert "BroadcastNestedLoopJoin" in plan, (fn.__name__, plan)
+
+
+def test_morton_write_layout_range_partitions_on_morton(spark, sf_dir):
+    """b86: the staged write carries a RangePartitioning exchange on
+    the morton code plus the within-partition sort."""
+    from pyspark.sql import functions as F
+    from spark_dynamodb_spark.operators.extras import _MORTON_EXPR
+    from spark_dynamodb_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "morton", F.expr(_MORTON_EXPR)
+    )
+    staged = li.repartitionByRange(16, "morton").sortWithinPartitions(
+        "morton", "l_orderkey", "l_linenumber"
+    )
+    plan = physical_plan(staged)
+    assert "rangepartitioning(morton" in plan, plan
+    assert "Sort [morton" in plan, plan

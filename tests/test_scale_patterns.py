@@ -361,3 +361,30 @@ def test_not_in_one_null_empties_result(spark, sf_dir):
         "WHERE k NOT IN (SELECT * FROM (VALUES (1), (NULL)) s(k))"
     ).fetchone()[0]
     assert n_spark == 0 and n_duck == 0, (n_spark, n_duck)
+
+
+def test_morton_layout_files_are_disjoint(spark, sf_dir):
+    """b86: per-file morton [min, max] ranges must not overlap — the
+    z-order clustering property that bounds file touches for scans
+    filtered on either interleaved key."""
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    from spark_dynamodb_spark.operators.extras import (
+        morton_layout_path,
+        morton_write_layout,
+    )
+
+    morton_write_layout(spark, sf_dir).collect()  # (re)write the layout
+    ranges = []
+    for f in glob.glob(os.path.join(morton_layout_path(sf_dir), "*.parquet")):
+        md = pq.read_metadata(f)
+        idx = pq.read_schema(f).names.index("morton")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi <= blo, (ahi, blo)
