@@ -709,3 +709,167 @@ def stream_append_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+@query(
+    "s14_stream_cascaded_windows",
+    f"""
+    WITH e AS (SELECT event_type, value, {EVENTS_TS_SQL} AS ts FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e)
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM e
+    GROUP BY hour_start, event_type
+    HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    ORDER BY hour_start, event_type
+    """,
+)
+def cascaded_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful operators (Spark 3.5+/4): a 5-minute windowed
+    aggregate feeding a 1-hour rollup INSIDE one streaming query —
+    the standard two-tier downsample (raw → minutely → hourly) that
+    previously needed two jobs with an intermediate topic. The second
+    groupBy keys on window_time() of the first window — the event-
+    time column Spark propagates through chained apps.
+
+    Emission rule (s12's probed inclusive boundary, lifted one
+    level): an hour emits iff hour_end <= final watermark; every
+    5-minute sub-window then satisfies w_end <= hour_end <= wm, so
+    each emitted hour aggregates its complete set of closed
+    sub-windows — which is why the oracle can roll up raw events
+    directly.
+
+    Determinism: level-1 totals are exact decimal sums cast to
+    double (each exactly representable), recast to decimal for the
+    level-2 sum — equal to one global decimal sum by construction.
+
+    Scale shape: two bounded state stores — (5-min window, type) and
+    (hour, type); the second sees 12× fewer rows per key; both
+    evict on watermark. The shuffle between them carries partial
+    aggregates, never raw events.
+    """
+    lvl1 = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n5"), dsum("value", "v5"))
+    )
+    lvl2 = (
+        lvl1.groupBy(
+            F.window(F.window_time("window"), "1 hour").alias("hwindow"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n5").alias("n_events"),
+            F.sum(F.col("v5").cast("decimal(28,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    out = run_to_table(spark, lvl2, "append")
+    return out.select(
+        F.col("hwindow.start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+def file_sink_path(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"filesink:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"stream_file_sink_{tag}")
+    return os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+
+@query(
+    "s13_stream_file_sink_exactly_once",
+    f"""
+    WITH e AS (SELECT event_type, value, {EVENTS_TS_SQL} AS ts FROM events),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e),
+    agg AS (
+      SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             {sql_dsum('value')} AS total_value
+      FROM e
+      GROUP BY window_start, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CAST(n_events AS DECIMAL(28,6))) AS DOUBLE) AS n_events_total,
+           CAST(SUM(CAST(total_value AS DECIMAL(28,6))) AS DOUBLE) AS value_total
+    FROM agg
+    WHERE window_start + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once PARQUET FILE SINK — the append-mode windowed agg
+    (s12's plan) written to real files with a checkpoint, then READ
+    BACK through the sink's commit log and re-aggregated. The other
+    s* entries prove streaming compute on a memory sink; this one
+    proves the durable-output path a production pipeline ships:
+    Spark's file sink records committed files in _spark_metadata, so
+    a re-read sees each emitted window exactly once even if a batch
+    is retried (at-least-once writes + commit-log read = exactly-once
+    observe).
+
+    The sink directory is wiped before each run (the checkpoint binds
+    file-source offsets to the fixture; a stale checkpoint from an
+    older fixture would replay wrongly).
+
+    Oracle: the same inclusive watermark-eviction cutoff as s12,
+    rolled up per event_type — value-level proof that the files
+    contain exactly the closed windows, no dupes, no gaps.
+
+    Scale shape: one (window, key) state shuffle, then partitioned
+    parquet appends; the commit log makes downstream batch readers
+    consistent without any table-format dependency.
+    """
+    import shutil
+
+    out_dir, ckpt = file_sink_path(sf_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = spark.read.parquet(out_dir)  # honors _spark_metadata commit log
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.col("n_events").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("n_events_total"),
+            F.sum(F.col("total_value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("value_total"),
+        )
+        .orderBy("event_type")
+    )
