@@ -50,6 +50,11 @@ EXTRA = [
     "c07_corpus_prep",
     "c02_dedup_components",
     "c16_inverted_index",
+    # round-4 representatives: widest TPC-H composite, bucketed
+    # sweep-line windows, hash-shuffled text pipeline
+    "b72_tpch_q8_market_share",
+    "b84_peak_concurrency",
+    "c38_boilerplate_ngrams",
 ]
 
 

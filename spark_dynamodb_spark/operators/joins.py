@@ -583,6 +583,17 @@ def bucketed_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = _bucket_tag(sf_dir)
     li_t, ord_t = f"b67_lineitem_{tag}", f"b67_orders_{tag}"
     if not ns.catalog.tableExists(li_t):
+        # A fresh (in-memory) metastore doesn't know the table, but a
+        # PREVIOUS session's warehouse directory may still exist on
+        # disk — saveAsTable then fails LOCATION_ALREADY_EXISTS.
+        # Managed-table data without its metastore entry is garbage by
+        # definition; clear it before (re)creating.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(ns.conf.get("spark.sql.warehouse.dir")).path
+        for t in (li_t, ord_t):
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
         (
             load_table(ns, sf_dir, "lineitem")
             .write.bucketBy(N_BUCKETS, "l_orderkey")

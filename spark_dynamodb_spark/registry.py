@@ -39,7 +39,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # the driver's cap is not lexical-first-50 the prefix is harmless
 # (entries are still checked, under the z_ name).
 #
-# Round-3 window (unprefixed): the 34 previously x_-parked names
+# Round-4 window (unprefixed): the five round-3 parked names (first
+# driver rows) plus this round's 45 new operators — TPC-H suite
+# completion, event analytics, write layouts, curation, streaming.
+# Historical round-3 note: the 34 previously x_-parked names
 # (ROTATION_PENDING is now empty — every one gets its first driver row
 # this round), the 5 streaming rows red in r2 from the fixture ts
 # drift (s01/s02/s03/s06/s07 — fixed, must re-prove green), the 2 ANN
