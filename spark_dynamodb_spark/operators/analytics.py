@@ -680,34 +680,37 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B77: TPC-H Q17 (small-quantity-order revenue) — revenue lost
     if Brand#1 orders below 20% of that part's average quantity were
-    dropped. The correlated-average pattern, decorrelated by hand
-    into a per-part aggregate joined back to the fact — the spelling
-    Catalyst produces for the subquery form, made explicit.
+    dropped. The correlated-average pattern.
+
+    The oracle keeps the textbook decorrelation (per-part aggregate
+    over the WHOLE fact, joined back). The Spark plan exploits that
+    the threshold is per-PART: semi-reduce the fact to Brand#1 lines
+    FIRST (broadcast join on the filtered dim — the slice is
+    |brand|/|brands| of the fact), then compute the 20%-of-average
+    threshold as a WINDOW over the slice's partkey partition and
+    filter in place. Each part's lines all survive into the slice, so
+    the window average equals the full-fact per-part average —
+    result-identical, but ONE fact scan and ONE (sliced) exchange
+    instead of two full scans + agg-join. Plan-gated: single lineitem
+    scan, exactly one hashpartitioning exchange.
 
     Determinism: the threshold is decimal-sum/count then one IEEE
     multiply — bit-stable — so the `<` cut is identical in both
     engines; the final division by 7.0 is one IEEE op on the decimal
     sum.
-
-    Scale shape: the per-part average shuffles by partkey (partial
-    aggs first); the fact re-joins it ON partkey in the SAME
-    partitioning (AQE reuses the exchange); brand filter lives on
-    the broadcast part dim.
     """
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    part_avg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
-        (
-            0.2
-            * (
-                F.sum(F.col("l_quantity").cast("decimal(28,6)")).cast("double")
-                / F.count("l_quantity")
-            )
-        ).alias("avg_qty_threshold")
+    wp = W.partitionBy("l_partkey")
+    sliced = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    threshold = 0.2 * (
+        F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wp).cast("double")
+        / F.count("l_quantity").over(wp)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(part_avg, F.col("agg_partkey") == F.col("l_partkey"))
+        sliced.withColumn("avg_qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("avg_qty_threshold"))
         .agg(
             (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly")
@@ -738,27 +741,45 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-subquery-with-HAVING pattern: a per-order aggregate acts as a
     semi-join filter on the same fact it came from.
 
-    Scale shape: the HAVING aggregate and the outer per-order
-    aggregate share the orderkey partitioning (one exchange,
-    AQE-reused); the qualifying-order set is tiny → broadcast semi
-    join; customer broadcasts into the survivors.
+    Scale shape: the IN-subquery spelling scans the fact TWICE (once
+    for the HAVING set, once for the outer rollup); this plan fuses
+    both into ONE scan + ONE orderkey exchange — the per-order
+    quantity total is a window sum over the orderkey partition (order
+    groups are tiny, ≤7 lines), the >300 filter runs on it, and the
+    final per-order aggregate reuses the same partitioning. Orders
+    and customer broadcast into the survivors. Plan-gated: exactly
+    one hashpartitioning exchange, single lineitem scan.
+
+    Determinism: the window total and the emitted sum_qty are the
+    same exact-decimal sum.
     """
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("q"))
+    wo = W.partitionBy("l_orderkey")
+    big_lines = (
+        li.withColumn(
+            "q", F.sum(F.col("l_quantity").cast("decimal(28,6)")).over(wo)
+        )
         .filter(F.col("q") > 300)
-        .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "big_okey")),
-                F.col("l_orderkey") == F.col("big_okey"), "inner")
-        .join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        big_lines.join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        # group on l_orderkey (the window's partition key) so the agg
+        # REUSES the window exchange; alias to o_orderkey on output
+        .groupBy("l_orderkey", "c_custkey", "c_name", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )

@@ -573,13 +573,15 @@ def test_tpch_q15_max_is_broadcast_not_window(spark, sf_dir):
 
 
 def test_tpch_q18_having_filter_semi_shape(spark, sf_dir):
-    """b78: the >300 HAVING set joins back as a broadcast; top-100 is
+    """b78: the >300 filter is a window over the orderkey partition
+    (no second fact scan); orders and customer broadcast; top-100 is
     TakeOrdered (no global sort of the aggregate)."""
     from spark_dynamodb_spark.operators import analytics as an
 
     plan = physical_plan(an.tpch_q18(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "Window" in plan, plan
 
 
 def test_tpch_q22_threshold_broadcast_anti_join(spark, sf_dir):
@@ -711,3 +713,20 @@ def test_morton_write_layout_range_partitions_on_morton(spark, sf_dir):
     plan = physical_plan(staged)
     assert "rangepartitioning(morton" in plan, plan
     assert "Sort [morton" in plan, plan
+
+
+def test_tpch_q17_q18_single_fact_scan_one_exchange(spark, sf_dir):
+    """b77/b78 window rewrites: ONE lineitem scan and ONE
+    hashpartitioning exchange each (the subquery spelling scans the
+    fact twice); all dims broadcast."""
+    from spark_dynamodb_spark.operators import analytics as an
+    import re
+
+    for fn in (an.tpch_q17, an.tpch_q18):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert plan.count("lineitem.parquet") == 1, (fn.__name__, plan)
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, (
+            fn.__name__,
+            plan,
+        )
+        assert "SortMergeJoin" not in plan, (fn.__name__, plan)
