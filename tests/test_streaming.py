@@ -381,3 +381,113 @@ def test_stream_batch_equivalence_sliding_session_join(spark, sf_dir):
         .collect()
     }
     assert streamed_j == batch_j
+
+
+def test_file_sink_commit_log_hides_uncommitted_files(spark, sf_dir):
+    """s13's exactly-once claim: a parquet file in the sink directory
+    that is NOT in the _spark_metadata commit log (e.g. debris from a
+    crashed/retried batch) must be invisible to readers that go
+    through the sink's log."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        file_sink_exactly_once,
+        file_sink_path,
+    )
+
+    committed = file_sink_exactly_once(spark, sf_dir).collect()
+    out_dir, _ = file_sink_path(sf_dir)
+    # plant an orphan data file shaped like the sink's schema
+    orphan = pa.table(
+        {
+            "window_start": pa.array([0], pa.timestamp("us")),
+            "event_type": pa.array(["ORPHAN"], pa.string()),
+            "n_events": pa.array([10**6], pa.int64()),
+            "total_value": pa.array([1e9], pa.float64()),
+        }
+    )
+    pq.write_table(orphan, os.path.join(out_dir, "part-orphan.parquet"))
+    try:
+        back = spark.read.parquet(out_dir)
+        types = [r["event_type"] for r in back.select("event_type").distinct().collect()]
+        assert "ORPHAN" not in types, types
+        # and the aggregate over the committed files is unchanged
+        again = file_sink_exactly_once(spark, sf_dir).collect()
+        assert committed == again
+    finally:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+
+
+def test_cascaded_windows_across_batches(spark, tmp_path):
+    """s14's chain across micro-batches: 5-min windows from TWO
+    separate batches must roll up into one hour row, emitted exactly
+    once after the watermark closes the hour."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(table, str(indir / name))
+
+    # hour 10 gets two 5-min windows from two DIFFERENT batches;
+    # batch 3 raises the watermark past 11:00 and closes the hour.
+    write_file("f1.parquet", [(1, "2024-01-01 10:00:30", 1.0)])
+    time.sleep(1.1)
+    write_file("f2.parquet", [(2, "2024-01-01 10:07:00", 2.0)])
+    time.sleep(1.1)
+    write_file("f3.parquet", [(3, "2024-01-01 12:00:00", 4.0)])
+    base = os.path.getmtime(indir / "f3.parquet")
+    for i, f in enumerate(["f1.parquet", "f2.parquet"]):
+        os.utime(indir / f, (base - 20 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+    lvl1 = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.sum("value").alias("v5"))
+    )
+    lvl2 = (
+        lvl1.groupBy(F.window(F.window_time("window"), "1 hour").alias("hw"))
+        .agg(F.sum("v5").alias("total"))
+    )
+    name = "casc_" + uuid.uuid4().hex[:8]
+    q = (
+        lvl2.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    rows = {r["hw"].start.strftime("%H:%M"): r["total"] for r in out}
+    assert rows.get("10:00") == 3.0, out  # both batches' 5-min windows
+    assert sum(1 for r in out if r["hw"].start.strftime("%H:%M") == "10:00") == 1
+    assert "12:00" not in rows, out  # still open, must not emit
