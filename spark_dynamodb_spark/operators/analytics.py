@@ -1221,3 +1221,162 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 parked additions (x_ until the round-5 window rotates):
+# B87–B89 — the last TPC-H adaptation plus exact grouped order stats.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b87_tpch_q12_shipping_modes",
+    """
+    SELECT l_linestatus AS ship_class,
+           CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS high_line_count,
+           CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                           THEN 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY ship_class
+    ORDER BY ship_class
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B87: TPC-H Q12 (shipping modes / order priority) adapted — the
+    fixture has no l_shipmode, so l_linestatus stands in as the
+    shipping class; the priority split (urgent+high vs rest) is
+    Q12's verbatim CASE pair. Conditional-count-over-join, the last
+    schema-feasible TPC-H shape.
+
+    Scale shape: year filter pushed to the fact scan; orders
+    broadcast; two CASE counts share one pass; ≤2 output groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.count(F.when(high, 1)).cast("long").alias("high_line_count"),
+            F.count(F.when(~high, 1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "b88_grouped_exact_median",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                         THEN o_totalprice ELSE 0 END) AS DOUBLE)
+             / count(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN 1 END)
+             AS median_price
+    FROM ranked
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def grouped_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B88: EXACT grouped median via rank selection — b35 covers the
+    approximate (sketch) path; this is the exactness anchor, spelled
+    engine-neutrally: rank each group (ties totally ordered by the
+    key), pick the one-or-two middle rows by integer arithmetic, and
+    average them with a single IEEE division. Native MEDIAN()/
+    percentile functions are deliberately avoided — their
+    interpolation paths differ subtly across engines; the rank
+    formula is bit-identical by construction.
+
+    Scale shape: one segment exchange; the window sort is the cost —
+    an exact median fundamentally needs per-group order. At 100 TB
+    you'd use b35's sketch unless exactness is contractual.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ws = W.partitionBy("c_mktsegment")
+    wr = ws.orderBy("o_totalprice", "o_orderkey")
+    mid = F.col("rn").isin(
+        ((F.col("n") + 1) / 2).cast("long"), ((F.col("n") + 2) / 2).cast("long")
+    )
+    ranked = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_totalprice",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(ws).alias("n"),
+        )
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            (
+                F.sum(F.when(mid, F.col("o_totalprice")).otherwise(0.0)).cast(
+                    "double"
+                )
+                / F.count(F.when(mid, 1))
+            ).alias("median_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "b89_per_user_modal_event",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type) AS rnk
+          FROM cnt)
+    WHERE rnk = 1
+    ORDER BY user_id
+    """,
+)
+def per_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B89: grouped MODE — each user's most frequent event type
+    (deterministic tie-break: highest count, then lexical type). The
+    two-level count-then-rank spelling keeps the window on the
+    (user, type) matrix, never the fact. Native F.mode is avoided:
+    its tie choice is unspecified, which an oracle comparison can't
+    tolerate.
+
+    Scale shape: one (user,type) rollup with map-side combine, then a
+    WindowGroupLimit top-1 on the tiny matrix sharing the user
+    partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), "event_type")
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -283,3 +283,111 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C44 — feature-hashed document embeddings (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+#
+# The hashing trick (Weinberger et al. 2009): project a bag of tokens
+# into a fixed-width vector by hashing each token to a bucket with a
+# ±1 sign hash — no vocabulary, no training, collision-tolerant. The
+# cheap dense featurization pipelines use when a trained encoder is
+# overkill (near-dup pre-filters, cheap clustering, drift monitors).
+
+FH_DIM = 8
+
+_SPARK_MD5_64 = "cast(conv(substring(md5({x}), 1, 15), 16, 10) as bigint)"
+_DUCK_MD5_64 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _fh_dim_exprs(md5_64_tpl: str) -> list[str]:
+    """Per-dimension signed-count expressions, one per bucket — the
+    SAME formula rendered per dialect (only the md5→int64 spelling
+    differs)."""
+    b = md5_64_tpl.format(x="t") + f" % {FH_DIM}"
+    s = md5_64_tpl.format(x="('s' || t)") + " % 2"
+    out = []
+    for i in range(FH_DIM):
+        pos = f"len(list_filter(toks, t -> {b} = {i} AND {s} = 0))"
+        neg = f"len(list_filter(toks, t -> {b} = {i} AND {s} = 1))"
+        out.append(f"({pos} - {neg})")
+    return out
+
+
+@query(
+    "c44_feature_hash_embedding",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents
+    ),
+    raw AS (
+      SELECT doc_id,
+             {', '.join(f'CAST({e} AS DOUBLE) AS r{i}' for i, e in enumerate(_fh_dim_exprs(_DUCK_MD5_64)))}
+      FROM toks
+    ),
+    normed AS (
+      SELECT doc_id,
+             sqrt({' + '.join(f'r{i} * r{i}' for i in range(FH_DIM))}) AS nrm,
+             {', '.join(f'r{i}' for i in range(FH_DIM))}
+      FROM raw
+    )
+    SELECT doc_id,
+           {', '.join(f'round(r{i} / nullif(nrm, 0.0), 6) AS f{i}' for i in range(FH_DIM))}
+    FROM normed
+    ORDER BY doc_id
+    """,
+)
+def feature_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C44: hashing-trick embeddings — each token lands in
+    md5-derived bucket (of {FH_DIM}) with an md5-derived ±1 sign;
+    the signed counts are L2-normalized into a dense doc vector. The
+    output spreads dims across scalar columns (f0..f{FH_DIM - 1})
+    because the driver's comparator cannot sort array cells.
+
+    Determinism: buckets/signs come from md5 (engine-portable —
+    functions/text.py discipline); integer counts; sqrt and the
+    divisions are correctly-rounded single IEEE ops; round(…, 6)
+    both sides.
+
+    Scale shape: pure narrow map over the scan — {2 * FH_DIM} list
+    passes per doc, all inside codegen, zero shuffles (plan-gated
+    like c37). At 100 TB this featurizer pipelines with the read.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simple_tokens("text").alias("toks")
+    )
+    raw = docs.select(
+        "doc_id",
+        *[
+            F.expr(e).cast("double").alias(f"r{i}")
+            for i, e in enumerate(
+                _sparkify(_fh_dim_exprs(_SPARK_MD5_64))
+            )
+        ],
+    )
+    nrm = F.sqrt(
+        sum(F.col(f"r{i}") * F.col(f"r{i}") for i in range(FH_DIM))
+    )
+    return (
+        raw.withColumn("nrm", nrm)
+        .select(
+            "doc_id",
+            *[
+                F.round(
+                    F.col(f"r{i}") / F.nullif(F.col("nrm"), F.lit(0.0)), 6
+                ).alias(f"f{i}")
+                for i in range(FH_DIM)
+            ],
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sparkify(exprs: list[str]) -> list[str]:
+    """Translate the shared expression skeleton to Spark SQL: DuckDB's
+    list_filter/len become filter/size."""
+    return [
+        e.replace("list_filter", "filter").replace("len(", "size(")
+        for e in exprs
+    ]

@@ -1214,3 +1214,83 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C43 — near-dup pipeline evaluation (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c43_neardup_eval",
+    # placeholders patched below once both c02 oracles are registered
+    """
+    WITH truth AS ({TRUTH}),
+    pred AS ({PRED}),
+    tp AS (
+      SELECT count(*) AS n_tp FROM truth t
+      JOIN pred p ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM pred) AS n_pred,
+           (SELECT n_tp FROM tp) AS n_tp,
+           round(CAST((SELECT n_tp FROM tp) AS DOUBLE)
+                 / (SELECT count(*) FROM pred), 6) AS precision_,
+           round(CAST((SELECT n_tp FROM tp) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 6) AS recall_
+    """,
+)
+def neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C43: precision/recall of the MinHash+LSH near-dup detector
+    against the exact n-gram Jaccard baseline — the calibration run a
+    dedup pipeline does before committing to a banding config (SURVEY
+    §2 C2 row names LSH's recall trade; this measures it). Both sides
+    ARE the registered c02 queries, so the eval grades the shipped
+    plans.
+
+    The fixture's planted dups are near-identical (J ≈ 0.98), so
+    both precision and recall land at 1.0 here; the value of the
+    entry is the harness — changing bands/rows or the threshold
+    shows up as a changed row, hash-caught.
+
+    Scale shape: both inputs are the (small) detected-pair sets; the
+    TP join and the three counts are bounded by pair counts, not the
+    corpus.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pred = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    tp = truth.join(
+        pred, (truth.doc_a == F.col("pa")) & (truth.doc_b == F.col("pb"))
+    ).agg(F.count("*").alias("n_tp"))
+    counts = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(pred.agg(F.count("*").alias("n_pred")))
+        .crossJoin(tp)  # three 1-row frames — bounded by construction
+    )
+    return counts.select(
+        "n_truth",
+        "n_pred",
+        "n_tp",
+        F.round(F.col("n_tp").cast("double") / F.col("n_pred"), 6).alias(
+            "precision_"
+        ),
+        F.round(F.col("n_tp").cast("double") / F.col("n_truth"), 6).alias(
+            "recall_"
+        ),
+    )
+
+
+def _finalize_c43_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c43_neardup_eval")
+    truth_sql = REGISTRY.resolve("c02_dedup_ngram_jaccard_baseline").oracle
+    pred_sql = REGISTRY.resolve("c02_dedup_minhash_lsh").oracle
+    spec.oracle = spec.oracle.replace("{TRUTH}", truth_sql).replace(
+        "{PRED}", pred_sql
+    )
+
+
+_finalize_c43_oracle()

@@ -985,3 +985,93 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# C42 — ANN recall evaluation (round 4, parked for round-5 window)
+# ---------------------------------------------------------------------------
+#
+# Composes the two registered c03 entries: the brute-force exact top-k
+# is ground truth, the bucketed-LSH top-k is the system under test.
+# The oracle literally embeds both entries' oracle SQL as CTEs, so the
+# evaluation's ground truth is itself the already-hash-proven SQL.
+
+
+def _registered_oracle(name: str) -> str:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    return REGISTRY.resolve(name).oracle
+
+
+@query(
+    "c42_ann_recall_eval",
+    # built lazily at registration time — both c03 entries are
+    # registered above in this module, so resolve() is safe here
+    f"""
+    WITH exact AS ({{EXACT}}),
+    approx AS ({{APPROX}}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hits
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id
+    ),
+    base AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT base.query_id, n_exact,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall
+    FROM base LEFT JOIN hits ON base.query_id = hits.query_id
+    ORDER BY base.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C42: recall@k of the bucketed-LSH ANN against the brute-force
+    exact top-k — the evaluation loop every ANN deployment runs
+    before trusting an index (c03_ann_lsh_bucketed's docstring cites
+    recall as its design trade; this measures it per query). Both
+    sides ARE the registered c03 queries — prod evaluation of prod
+    plans, not reimplementations.
+
+    Scale shape: both inputs are per-query top-k tables (|queries|·k
+    rows); everything here is bounded small. The exact side's corpus
+    scan is the evaluation's cost, which is exactly why you sample
+    queries (N_QUERIES) rather than sweep the corpus.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# Patch the placeholder oracle now that both dependencies are resolvable.
+def _finalize_c42_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c42_ann_recall_eval")
+    spec.oracle = spec.oracle.replace(
+        "{EXACT}", _registered_oracle("c03_ann_cosine_topk")
+    ).replace("{APPROX}", _registered_oracle("c03_ann_lsh_bucketed"))
+
+
+_finalize_c42_oracle()

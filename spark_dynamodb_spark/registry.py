@@ -200,8 +200,21 @@ ROTATED_GREEN_R1 = frozenset(
 # (sorts after the window, before the z_ greens). Round-4 start: all
 # five round-3 parked names (b57/c28/c29/c30/s09) were unparked into
 # the window after CORRECTNESS_r03 came back 50/50 green; new round-4
-# operators join them unprefixed until the window fills again.
-ROTATION_PENDING: frozenset[str] = frozenset()
+# operators joined them unprefixed until the window filled at exactly
+# 50. These later round-4 additions are parked for the round-5 window
+# (all locally oracle-green):
+ROTATION_PENDING: frozenset[str] = frozenset(
+    {
+        "a18_dynamo_ttl_scan",
+        "b87_tpch_q12_shipping_modes",
+        "b88_grouped_exact_median",
+        "b89_per_user_modal_event",
+        "c42_ann_recall_eval",
+        "c43_neardup_eval",
+        "c44_feature_hash_embedding",
+        "s15_stream_dedup_within_watermark",
+    }
+)
 
 
 def display_name(name: str) -> str:

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.registry import query
 from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
-from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, EVENTS_TS_US_SQL, load_table
 
 
 def _sf_tag(sf_dir: str) -> str:
@@ -268,3 +268,40 @@ def dynamo_write_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed = base.filter(F.col("n_regionkey") == 0)
     write_dynamo(doomed, name, delete=True)
     return read_dynamo(spark, name)
+
+
+@query(
+    "a18_dynamo_ttl_scan",
+    f"""
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      {EVENTS_TS_US_SQL} AS t FROM events)
+    SELECT event_id, user_id, event_type, value
+    FROM e
+    WHERE t + 864000000000 >= 1706140800000000
+    ORDER BY event_id
+    """,
+)
+def dynamo_ttl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: TTL-aware scan — DynamoDB expires items whose TTL
+    attribute (epoch seconds) has passed, and expired-but-not-yet-
+    deleted items are expected to be filtered client-side (AWS
+    documents lazy TTL deletion; reference parity: SURVEY §1.1 item
+    model — TTL is a reserved numeric attribute, the connector
+    surfaces it as a plain column). Here the TTL is derived: each
+    event lives 10 days past its ts; the scan keeps items alive at a
+    FIXED reference instant (2024-01-25 00:00:00 UTC — constant, for
+    determinism; a live connector would use the request time).
+
+    Scale shape: the TTL predicate is a pushdown-eligible numeric
+    comparison — it prunes inside the source scan exactly like A7's
+    conditions; nothing expired crosses the wire.
+    """
+    table = _ensure_events_kv(spark, sf_dir)
+    df = read_dynamo(spark, table)
+    ttl_us = F.unix_micros("ts") + F.lit(10 * 24 * 3600 * 1_000_000)
+    ref_us = F.lit(1706140800000000)  # 2024-01-25 00:00:00 UTC in µs
+    return (
+        df.filter(ttl_us >= ref_us)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )

@@ -873,3 +873,44 @@ def file_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "s15_stream_dedup_within_watermark",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s15: dropDuplicatesWithinWatermark (Spark 3.5+) — s04's
+    dropDuplicates keeps EVERY key's state forever unless the event-
+    time column is part of the key; the WithinWatermark variant
+    expires each key's dedup state once the watermark passes its
+    FIRST-SEEN time + delay, which is the production spelling when
+    duplicates arrive close together (retries, at-least-once sources)
+    but keys recur forever. State is bounded by the watermark horizon
+    instead of the key cardinality.
+
+    Output discipline: which physical row survives dedup is
+    batch-order-dependent, so the query emits only the KEY columns'
+    rollup (distinct users per type) — deterministic regardless of
+    survivor choice; with the fixture's single-batch run every
+    (user_id, event_type) pair dedups to exactly one row, which is
+    what the oracle counts.
+    """
+    result = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_to_table(spark, result, "append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
