@@ -231,3 +231,102 @@ def test_winnowing_shared_run_guarantee(spark):
         .count()
     )
     assert cross_hits == 0, "unrelated docs share fingerprints"
+
+
+def test_peak_concurrency_bucketed_equals_global(spark, sf_dir):
+    """b84: the day-bucketed two-phase prefix sum must equal the naive
+    global single-partition sweep — the rewrite is a pure plan
+    optimization, including sessions crossing midnight."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators.analytics import (
+        B84_SESSION_US,
+        peak_concurrency,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t")
+    )
+    pts = e.select("event_id", "t", F.lit(1).alias("delta")).unionAll(
+        e.select(
+            "event_id",
+            (F.col("t") + F.lit(B84_SESSION_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = W.orderBy("t", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = (
+        pts.withColumn("running", F.sum("delta").over(w))
+        .groupBy(F.timestamp_micros("t").cast("date").alias("day"))
+        .agg(F.max("running").alias("peak_concurrency"))
+        .orderBy("day")
+        .collect()
+    )
+    bucketed = peak_concurrency(spark, sf_dir).collect()
+    assert [tuple(r) for r in bucketed] == [tuple(r) for r in naive]
+
+
+def test_exact_median_matches_duckdb_median(spark, sf_dir):
+    """b88: the rank-selection formula must agree with DuckDB's native
+    MEDIAN on the same data (the native function is avoided in the
+    oracle only for bit-level interpolation portability; the VALUES
+    must still agree to float tolerance)."""
+    import duckdb
+
+    from spark_dynamodb_spark.operators.analytics import grouped_exact_median
+    from spark_dynamodb_spark.tables import table_path
+
+    got = {
+        r["c_mktsegment"]: r["median_price"]
+        for r in grouped_exact_median(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""
+            SELECT c_mktsegment, median(o_totalprice)
+            FROM read_parquet('{table_path(sf_dir, "orders")}') o
+            JOIN read_parquet('{table_path(sf_dir, "customer")}') c
+              ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_feature_hash_embeddings_unit_norm(spark, sf_dir):
+    """c44: every non-zero embedding must be unit-L2 (up to the
+    declared rounding) — the normalization actually normalizes."""
+    from spark_dynamodb_spark.operators.curation import (
+        FH_DIM,
+        feature_hash_embedding,
+    )
+
+    rows = feature_hash_embedding(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        dims = [r[f"f{i}"] for i in range(FH_DIM)]
+        if all(d is None for d in dims):
+            continue  # zero vector (nrm 0) — allowed
+        norm2 = sum(d * d for d in dims)
+        assert abs(norm2 - 1.0) < 1e-4, (r["doc_id"], norm2)
+
+
+def test_ann_recall_eval_bounds_and_ground_truth_size(spark, sf_dir):
+    """c42: recall ∈ [0,1], n_exact = TOP_K for every query, and the
+    fixture's near-identical planted dups keep mean recall > 0."""
+    from spark_dynamodb_spark.operators.similarity import TOP_K, ann_recall_eval
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == TOP_K
+        assert 0.0 <= r["recall"] <= 1.0
+    assert sum(r["recall"] for r in rows) > 0
