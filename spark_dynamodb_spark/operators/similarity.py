@@ -1075,3 +1075,188 @@ def _finalize_c42_oracle() -> None:
 
 
 _finalize_c42_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C45 — MMR diversified re-rank (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.7
+MMR_SELECT = 3  # greedy picks from each query's TOP_K candidate pool
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as CTEs (the c03_ann_ivf unrolled-Lloyd
+    technique): sel1 = argmax rel; each later step scores remaining
+    candidates by λ·rel − (1−λ)·max-sim-to-selected and takes the
+    deterministic argmax (score desc, cid)."""
+    steps = ["""
+    sel1 AS (
+      SELECT query_id, cid, 7 * rel_u AS score_u, 1 AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel_u DESC, cid) AS rn FROM cand)
+      WHERE rn = 1
+    ),
+    selected1 AS (SELECT query_id, cid, score_u, step FROM sel1)
+    """]
+    for i in range(2, MMR_SELECT + 1):
+        steps.append(f"""
+    , rem{i} AS (
+      SELECT c.query_id, c.cid, c.rel_u,
+             max(s.sim_u) AS maxsim_u
+      FROM cand c
+      JOIN sims s ON s.query_id = c.query_id AND s.cid_a = c.cid
+      JOIN selected{i - 1} p ON p.query_id = c.query_id AND p.cid = s.cid_b
+      WHERE NOT EXISTS (SELECT 1 FROM selected{i - 1} q
+                        WHERE q.query_id = c.query_id AND q.cid = c.cid)
+      GROUP BY c.query_id, c.cid, c.rel_u
+    ),
+    sel{i} AS (
+      SELECT query_id, cid,
+             7 * rel_u - 3 * maxsim_u AS score_u, {i} AS step
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY 7 * rel_u - 3 * maxsim_u DESC, cid) AS rn
+            FROM rem{i})
+      WHERE rn = 1
+    ),
+    selected{i} AS (SELECT * FROM selected{i - 1} UNION ALL SELECT * FROM sel{i})
+    """)
+    body = "".join(steps)
+    return f"""
+    WITH exact AS ({{EXACT}}),
+    cand AS (SELECT query_id, neighbor_id AS cid,
+                 CAST(round(cosine * 1000000) AS BIGINT) AS rel_u FROM exact),
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings),
+    sims AS (
+      SELECT a.query_id, a.cid AS cid_a, b.cid AS cid_b,
+             CAST(round(round(list_dot_product(va.vec, vb.vec)
+               / (sqrt(list_dot_product(va.vec, va.vec))
+                  * sqrt(list_dot_product(vb.vec, vb.vec))), 6) * 1000000)
+               AS BIGINT) AS sim_u
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid
+      JOIN v va ON va.vec_id = a.cid
+      JOIN v vb ON vb.vec_id = b.cid
+    ),
+    {body}
+    SELECT query_id, step, cid, score_u
+    FROM selected{MMR_SELECT}
+    ORDER BY query_id, step
+    """
+
+
+@query("c45_mmr_rerank", _mmr_sql())
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    1998) — greedily diversify each query's top-k: pick the most
+    relevant candidate, then repeatedly the one maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked. The
+    standard redundancy killer between retrieval and a context
+    window. The greedy loop is inherently sequential, but its depth
+    is the SELECT count — so it unrolls into a static plan
+    (MMR_SELECT stages over bounded per-query pools), the same
+    technique as c03_ann_ivf's unrolled Lloyd iterations; the oracle
+    unrolls identically in SQL.
+
+    Determinism: relevance and pairwise sims enter as INTEGER
+    micro-units (6dp-rounded cosines ×1e6 — each within one ulp of an
+    integer, so the cast is exact), and with λ=0.7 the MMR score is
+    pure integer arithmetic: score_µ = 7·rel_µ − 3·maxsim_µ (units of
+    1e-7). No float round() in any emitted or ranked value — a
+    compounded-float near-tie at sf0.01 flipped Spark's HALF_UP
+    against DuckDB's rounding by one digit, which integer scoring
+    eliminates by construction. Argmax ties break on cid.
+
+    Scale shape: everything past the (already-bounded) c03 candidate
+    pool is |queries|·k² — the corpus is touched only by the
+    candidate generator. That containment is WHY re-rankers can
+    afford quadratic diversity terms.
+    """
+    exact = ann_cosine_topk(spark, sf_dir)
+    cand = exact.select(
+        "query_id",
+        F.col("neighbor_id").alias("cid"),
+        F.round(F.col("cosine") * 1000000).cast("long").alias("rel_u"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    a = cand.select("query_id", F.col("cid").alias("cid_a"))
+    b = cand.select(F.col("query_id").alias("qb"), F.col("cid").alias("cid_b"))
+    va = emb.select(F.col("vec_id").alias("ia"), F.col("vec").alias("veca"))
+    vb = emb.select(F.col("vec_id").alias("ib"), F.col("vec").alias("vecb"))
+    sims = (
+        a.join(b, (a.query_id == F.col("qb")) & (F.col("cid_a") != F.col("cid_b")))
+        .join(F.broadcast(va), F.col("cid_a") == F.col("ia"))
+        .join(F.broadcast(vb), F.col("cid_b") == F.col("ib"))
+        .select(
+            "query_id",
+            "cid_a",
+            "cid_b",
+            F.round(F.round(cosine_similarity("veca", "vecb"), 6) * 1000000)
+            .cast("long")
+            .alias("sim_u"),
+        )
+    )
+    w1 = W.partitionBy("query_id").orderBy(F.col("rel_u").desc(), "cid")
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            (7 * F.col("rel_u")).alias("score_u"),
+            F.lit(1).alias("step"),
+        )
+    )
+    for i in range(2, MMR_SELECT + 1):
+        sel_keys = selected.select(
+            F.col("query_id").alias("sq"), F.col("cid").alias("scid")
+        )
+        rem = (
+            cand.join(
+                sel_keys,
+                (cand.query_id == F.col("sq")) & (cand.cid == F.col("scid")),
+                "left_anti",
+            )
+            .join(
+                sims.withColumnRenamed("query_id", "simq"),
+                (F.col("query_id") == F.col("simq"))
+                & (F.col("cid") == F.col("cid_a")),
+            )
+            .join(
+                sel_keys,
+                (F.col("simq") == F.col("sq")) & (F.col("cid_b") == F.col("scid")),
+            )
+            .groupBy("query_id", "cid", "rel_u")
+            .agg(F.max("sim_u").alias("maxsim_u"))
+        )
+        mmr = 7 * F.col("rel_u") - 3 * F.col("maxsim_u")
+        wi = W.partitionBy("query_id").orderBy(mmr.desc(), "cid")
+        pick = (
+            rem.withColumn("rn", F.row_number().over(wi))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cid",
+                mmr.alias("score_u"),
+                F.lit(i).alias("step"),
+            )
+        )
+        selected = selected.unionAll(pick)
+    return selected.select("query_id", "step", "cid", "score_u").orderBy(
+        "query_id", "step"
+    )
+
+
+def _finalize_c45_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c45_mmr_rerank")
+    spec.oracle = spec.oracle.replace(
+        "{EXACT}", _registered_oracle("c03_ann_cosine_topk")
+    )
+
+
+_finalize_c45_oracle()

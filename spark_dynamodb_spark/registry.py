@@ -206,12 +206,14 @@ ROTATED_GREEN_R1 = frozenset(
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "a18_dynamo_ttl_scan",
+        "a19_dynamo_conditional_put",
         "b87_tpch_q12_shipping_modes",
         "b88_grouped_exact_median",
         "b89_per_user_modal_event",
         "c42_ann_recall_eval",
         "c43_neardup_eval",
         "c44_feature_hash_embedding",
+        "c45_mmr_rerank",
         "s15_stream_dedup_within_watermark",
     }
 )

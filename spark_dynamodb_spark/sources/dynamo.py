@@ -34,7 +34,7 @@ Read options (reference names preserved, SURVEY §2 Part A):
   bytesPerRCU (4000), filterPushdown (true), throughput (100 —
   on-demand default), columns (projection: comma-separated),
   region/roleArn (no-op shims).
-Write options: writeBatchSize (25), targetCapacity, update, delete,
+Write options: writeBatchSize (25), targetCapacity, update, delete, putIfAbsent,
   throughput, bytesPerWCU (1000).
 """
 
@@ -488,6 +488,8 @@ class DynamoWriter(DataSourceWriter):
             if _bool_opt(options, "delete", False)
             else "update"
             if _bool_opt(options, "update", False)
+            else "put_if_absent"
+            if _bool_opt(options, "putIfAbsent", False)
             else "put"
         )
         self.staging = os.path.join(self.store_dir, self.table, ".staged")
@@ -574,6 +576,8 @@ class DynamoWriter(DataSourceWriter):
             merged = self._merge_delete(base, staged, key_cols)
         elif self.mode == "update":
             merged = self._merge_update(base, staged, key_cols)
+        elif self.mode == "put_if_absent":
+            merged = self._merge_put_if_absent(base, staged, key_cols)
         else:
             merged = self._merge_put(base, staged, key_cols)
         # The rewrite schema must come from the MERGED frame, not the
@@ -629,6 +633,24 @@ class DynamoWriter(DataSourceWriter):
         if merged.empty:
             return merged
         return merged.drop_duplicates(subset=key_cols, keep="last")
+
+    @staticmethod
+    def _merge_put_if_absent(base, staged, key_cols):
+        """Conditional PutItem with attribute_not_exists(pk) (A19):
+        staged items insert ONLY where the key is absent; existing
+        items are untouched (DynamoDB would reject the put with
+        ConditionalCheckFailedException — batch semantics here are
+        skip-on-conflict, the idempotent-backfill shape). keep="first"
+        with base concatenated first is exactly that rule."""
+        import pandas as pd
+
+        if base.empty:
+            merged = staged
+        else:
+            merged = pd.concat([base, staged], ignore_index=True)
+        if merged.empty:
+            return merged
+        return merged.drop_duplicates(subset=key_cols, keep="first")
 
     @staticmethod
     def _merge_update(base, staged, key_cols):

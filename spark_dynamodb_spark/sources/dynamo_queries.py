@@ -305,3 +305,49 @@ def dynamo_ttl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "a19_dynamo_conditional_put",
+    """
+    SELECT n_nationkey,
+           n_name,
+           n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100 AS n_nationkey,
+           'NEW_' || n_name AS n_name,
+           n_regionkey
+    FROM nation WHERE n_nationkey % 2 = 0
+    ORDER BY n_nationkey
+    """,
+)
+def dynamo_conditional_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: conditional put (attribute_not_exists) — the idempotent-
+    backfill write: a staged batch that COLLIDES with half the
+    existing keys (same key, garbage values) and also carries new
+    keys. Put-if-absent must keep every existing item byte-identical
+    and insert only the new keys — the oracle's UNION of untouched
+    base + new rows proves both halves. DynamoDB spelling:
+    PutItem with ConditionExpression attribute_not_exists(pk);
+    batch semantics here are skip-on-conflict.
+    """
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    name = f"nation_condput_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(spark, base, name, hash_key="n_nationkey", n_segments=2)
+    evens = base.filter(F.col("n_nationkey") % 2 == 0)
+    staged = evens.select(
+        F.col("n_nationkey"),  # colliding keys: must NOT overwrite
+        F.lit("GARBAGE").alias("n_name"),
+        F.lit(-99).cast("int").alias("n_regionkey"),
+    ).unionAll(
+        evens.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),  # new keys
+            F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"),
+            F.col("n_regionkey"),
+        )
+    )
+    write_dynamo(staged, name, putIfAbsent=True)
+    return read_dynamo(spark, name).orderBy("n_nationkey")
