@@ -24,4 +24,10 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return SF_SMALL
+    # Default sf0.001 keeps the suite fast; the driver checks at
+    # sf0.01, and data-dependent float near-ties CAN differ between
+    # the two (c45's round() tie appeared only at sf0.01). Before
+    # shipping new oracle entries, re-run at driver scale:
+    #   SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01 \
+    #     python -m pytest tests/test_oracle_parity.py
+    return os.environ.get("SPARK_GRAFT_TEST_SF", SF_SMALL)
