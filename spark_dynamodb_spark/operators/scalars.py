@@ -468,3 +468,104 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array("l_returnflag", "l_linestatus"), F.col("l_linenumber")
         ).alias("maybe_flag"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "b91_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B91: the Spark 4 VARIANT type — parse_json() produces an
+    open-schema binary-encoded value; variant_get extracts typed
+    paths without a declared struct schema (the semi-structured path
+    for columns whose shape drifts, vs b24's string-walking
+    get_json_object and the fixed-schema from_json). The extracted
+    values compute downstream like ordinary columns; DuckDB's JSON
+    type mirrors the semantics.
+
+    try_variant_get on an absent path yields NULL (error-safe
+    spelling, mirroring b55's try_* discipline).
+
+    Scale shape: narrow codegen map — VARIANT parses once per row and
+    both extractions read the same parsed value; at 100 TB this
+    replaces two string re-parses per extraction with one binary
+    decode.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "int").alias("k_int"),
+            (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+            F.try_variant_get(v, "$.missing", "string").alias("missing"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "b92_higher_order_functions",
+    """
+    WITH t AS (
+      SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber) AS qs
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), qs),
+                            (acc, x) -> acc + x) AS DOUBLE) AS total_qty,
+           len(list_filter(qs, x -> x >= 25)) AS n_bulk,
+           CAST(list_reduce(list_prepend(FALSE, list_transform(qs, x -> x > 45)),
+                            (acc, x) -> acc OR x) AS BOOLEAN) AS any_huge,
+           CAST(list_reduce(list_prepend(TRUE, list_transform(qs, x -> x > 0)),
+                            (acc, x) -> acc AND x) AS BOOLEAN) AS all_positive
+    FROM t
+    ORDER BY l_orderkey
+    LIMIT 500
+    """,
+)
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B92: the higher-order-function surface as a first-class query —
+    aggregate (fold), filter, exists, forall over per-order quantity
+    arrays. Several C-family operators lean on these internally; this
+    entry pins their SEMANTICS directly against DuckDB's lambda
+    spellings (list_reduce with a seeded prepend = F.aggregate's
+    explicit zero; exists/forall = folded OR/AND).
+
+    Determinism: the fold runs left-to-right over an ORDER BY
+    l_linenumber array in both engines — accumulation order is pinned
+    by construction, so even the double sum is bit-stable.
+
+    Scale shape: one orderkey rollup builds the arrays (tiny groups);
+    every lambda then runs inside codegen per row.
+    """
+    ev = load_table(spark, sf_dir, "lineitem")
+    qs = F.array_sort(
+        F.collect_list(F.struct("l_linenumber", "l_quantity"))
+    )
+    t = (
+        ev.groupBy("l_orderkey")
+        .agg(
+            F.transform(qs, lambda s: s["l_quantity"]).alias("qs")
+        )
+    )
+    return (
+        t.select(
+            "l_orderkey",
+            F.aggregate(
+                "qs", F.lit(0.0), lambda acc, x: acc + x
+            ).alias("total_qty"),
+            F.size(F.filter("qs", lambda x: x >= 25)).alias("n_bulk"),
+            F.exists("qs", lambda x: x > 45).alias("any_huge"),
+            F.forall("qs", lambda x: x > 0).alias("all_positive"),
+        )
+        .orderBy("l_orderkey")
+        .limit(500)
+    )

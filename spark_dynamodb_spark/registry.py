@@ -214,7 +214,10 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c43_neardup_eval",
         "c44_feature_hash_embedding",
         "c45_mmr_rerank",
+        "b91_variant_json",
+        "b92_higher_order_functions",
         "s15_stream_dedup_within_watermark",
+        "s16_stream_union_merge",
     }
 )
 

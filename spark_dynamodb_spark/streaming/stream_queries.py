@@ -914,3 +914,55 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("n_distinct_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "s16_stream_union_merge",
+    f"""
+    WITH e AS (SELECT user_id, event_type, value, {EVENTS_TS_SQL} AS ts FROM events),
+    tagged AS (
+      SELECT *, CASE WHEN user_id % 2 = 0 THEN 'shard_even' ELSE 'shard_odd' END
+                  AS shard
+      FROM e
+    )
+    SELECT event_type, shard,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM tagged
+    GROUP BY event_type, shard
+    ORDER BY event_type, shard
+    """,
+)
+def stream_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s16: UNION of two live streams into one stateful aggregate —
+    the multi-source merge every sharded ingestion runs (two Kafka
+    clusters, two regions, two topics). Both legs read the same
+    fixture but filter disjoint user shards, so the union is provably
+    a partition of the full table and the oracle can aggregate the
+    base table directly.
+
+    Watermark semantics: the merged watermark is the MIN of the legs'
+    watermarks (Spark holds back until every input catches up) —
+    invisible in a single-batch run but the reason both legs get the
+    same delay here.
+
+    Scale shape: each leg scans independently; the union is free
+    (no shuffle); one (type, shard) state exchange downstream.
+    """
+    base = events_stream(spark, sf_dir)
+    even = base.filter(F.col("user_id") % 2 == 0).withColumn(
+        "shard", F.lit("shard_even")
+    )
+    odd = base.filter(F.col("user_id") % 2 == 1).withColumn(
+        "shard", F.lit("shard_odd")
+    )
+    merged = even.withWatermark("ts", "10 minutes").unionAll(
+        odd.withWatermark("ts", "10 minutes")
+    )
+    agg = merged.groupBy("event_type", "shard").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select(
+        "event_type", "shard", "n_events", "total_value"
+    ).orderBy("event_type", "shard")
