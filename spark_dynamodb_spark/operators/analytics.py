@@ -379,7 +379,10 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders is FACT-sized — no hard broadcast hint; Catalyst/AQE
+        # broadcasts it at small SFs from size stats and falls back to
+        # a shuffle join at scale (the r1 no-hard-broadcast rule)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -455,7 +458,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders: fact-sized, 2-year slice — size-stat/AQE decides
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(reg), F.col("cn_region") == F.col("r_regionkey"))
@@ -518,7 +522,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        # orders: unfiltered fact — never hard-broadcast
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -766,7 +771,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 300)
     )
     return (
-        big_lines.join(F.broadcast(orders), F.col("l_orderkey") == orders.o_orderkey)
+        # orders: unfiltered fact — no hard hint (>300 survivors are
+        # few, so AQE broadcasts the SURVIVOR side at any scale)
+        big_lines.join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         # group on l_orderkey (the window's partition key) so the agg
         # REUSES the window exchange; alias to o_orderkey on output

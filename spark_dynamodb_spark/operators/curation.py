@@ -158,8 +158,9 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: grams hash to 64-bit ints at the source (shuffles
     carry hashes, never text); the boilerplate set is the output of a
-    distinct+HAVING rollup — tiny by construction — and broadcast
-    back into the per-doc count. Two hash shuffles total, both over
+    distinct+HAVING rollup — usually tiny, but not provably bounded,
+    so its join back into the per-doc count carries NO hard broadcast
+    hint (AQE broadcasts when it fits). All exchanges carry
     (doc_id, hash) pairs.
     """
     docs = load_table(spark, sf_dir, "documents").select(
@@ -184,7 +185,10 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h", F.lit(1).alias("is_bp"))
     )
     return (
-        hashed.join(F.broadcast(bp), "h", "left")
+        # bp is usually tiny but NOT provably bounded (a template-heavy
+        # corpus can have a huge boilerplate set) — leave the build-side
+        # choice to AQE rather than a hard hint (r1 minhash rule)
+        hashed.join(bp, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

@@ -661,7 +661,8 @@ def test_pii_redaction_is_narrow(spark, sf_dir):
 
 
 def test_boilerplate_set_broadcast_hashes_not_text(spark, sf_dir):
-    """c38: the boilerplate set joins back via broadcast, and the
+    """c38: the boilerplate set joins back via a STAT-chosen broadcast
+    (no hard hint — the set is not provably bounded), and the
     exchanged columns are (doc_id, hash) — raw gram text never
     shuffles."""
     from spark_dynamodb_spark.operators import curation as cu
