@@ -877,8 +877,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the global mean is a 1-row broadcast (crossJoin of
     a single-row aggregate — bounded by construction); the NOT
-    EXISTS is a broadcast anti join on the date-pruned orders slice;
-    nation broadcasts; one shuffle for the ≤25-group rollup.
+    EXISTS is an anti join on the date-pruned orders slice (no hard
+    hint — the slice is fact-sized at low selectivity, so the
+    build-side choice belongs to AQE); nation broadcasts; one
+    shuffle for the ≤25-group rollup.
     """
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
@@ -894,8 +896,10 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(threshold))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        # the recent-orders slice is fact-sized at low selectivity —
+        # no hard hint; AQE broadcasts it when it fits
         .join(
-            F.broadcast(orders_recent),
+            orders_recent,
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
