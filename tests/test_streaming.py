@@ -491,3 +491,76 @@ def test_cascaded_windows_across_batches(spark, tmp_path):
     assert rows.get("10:00") == 3.0, out  # both batches' 5-min windows
     assert sum(1 for r in out if r["hw"].start.strftime("%H:%M") == "10:00") == 1
     assert "12:00" not in rows, out  # still open, must not emit
+
+
+def test_dedup_within_watermark_state_expires(spark, tmp_path):
+    """s15's semantic difference from plain dropDuplicates: once the
+    watermark passes a key's first-seen time + delay, its dedup state
+    is dropped — a LATER recurrence of the same key is emitted AGAIN.
+    Plain dropDuplicates would suppress it forever."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(table, str(indir / name))
+
+    # Eviction timing: batch N evicts at its END using its OPERATIVE
+    # watermark (committed at the end of batch N-1). So:
+    # f1: key 7 at 10:00 (emitted; dedup state expires at 10:10).
+    # f2: 12:00 event → watermark commits to 11:50 after this batch.
+    # f3: runs WITH wm=11:50 → key 7's expired state is evicted at
+    #     this batch's end.
+    # f4: key 7 AGAIN at 12:02 — re-emitted (state gone); the
+    #     in-batch duplicate still dedups.
+    write_file("f1.parquet", [(7, "2024-01-01 10:00:00")])
+    time.sleep(1.1)
+    write_file("f2.parquet", [(1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)
+    write_file("f3.parquet", [(2, "2024-01-01 12:01:00")])
+    time.sleep(1.1)
+    write_file(
+        "f4.parquet",
+        [(7, "2024-01-01 12:02:00"), (7, "2024-01-01 12:02:00")],
+    )
+    base = os.path.getmtime(indir / "f4.parquet")
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        os.utime(indir / f, (base - 30 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    name = "ddww_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).collect()
+    emits_for_7 = sorted(r["ts"] for r in out if r["user_id"] == 7)
+    assert len(emits_for_7) == 2, out  # 10:00 and the post-expiry 12:00:30
+    assert emits_for_7[0].hour == 10 and emits_for_7[1].hour == 12
