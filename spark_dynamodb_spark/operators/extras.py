@@ -567,3 +567,66 @@ def morton_write_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# B93 — observe() pipeline metrics (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b93_observe_metrics",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN l_discount >= 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted,
+           {sql_dsum('l_extendedprice')} AS total_price,
+           CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B93: df.observe() — accumulator-backed metrics collected AS A
+    SIDE EFFECT of an action, the API for pipeline health counters
+    (rows written, nulls seen, value ranges) without a second scan.
+    The query filters the fact, attaches four observed aggregates,
+    drives the action with a foreach sink (row-discarding), and
+    returns the observation as a 1-row frame.
+
+    Oracle: the same aggregates computed the ordinary way — proving
+    the observed metrics equal a dedicated aggregation pass.
+
+    Scale shape: observe() adds a CollectMetrics node — per-partition
+    partial aggregates merged on the driver, zero extra shuffles and
+    zero extra scans; exactly why production pipelines use it instead
+    of a second count().
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    obs = Observation("b93")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_discount") >= 0.05, 1)).alias("n_discounted"),
+        dsum("l_extendedprice", "total_price"),
+        F.min("l_shipdate").alias("first_ship"),
+    )
+    # Drive the action with the row-discarding noop sink. NOT
+    # .foreach(): that drops to the RDD path, which bypasses the
+    # CollectMetrics node — the metrics never fire and obs.get blocks
+    # forever (found the hard way).
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_discounted"],
+                float(m["total_price"]),
+                m["first_ship"],
+            )
+        ],
+        "n_rows long, n_discounted long, total_price double, first_ship timestamp",
+    )

@@ -177,3 +177,90 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey, s.word
         """
     )
+
+
+@query(
+    "c46_map_in_arrow",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(array_to_string(t, '')) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_unique
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46: mapInArrow — the lowest-overhead Python escape hatch:
+    batches arrive as raw pyarrow RecordBatches (no pandas
+    conversion), transform with pyarrow.compute kernels (C++
+    vectorized), emit RecordBatches back. One level below B26's
+    pandas UDFs; the right tool when the Python-side work is itself
+    Arrow-native (tokenizers with Arrow bindings, Arrow-producing
+    model runtimes).
+
+    The batch fn computes per-doc token stats with pa.compute
+    kernels plus vectorized numpy scatter/sort — no Python-level
+    per-row loop anywhere.
+
+    Scale shape: narrow map over the scan; Arrow both ways means the
+    only cost vs JVM codegen is the (zero-copy) IPC hop.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            toks = pc.split_pattern(
+                pc.utf8_lower(batch.column("text")), " "
+            )
+            # flatten; empties are masked below (the oracle's
+            # list_filter mirror — pyarrow has no list-level filter)
+            flat = pc.list_flatten(toks)
+            nonempty = pc.not_equal(flat, "")
+            parents = pc.list_parent_indices(toks)
+            import numpy as np
+
+            n = len(batch)
+            n_tokens = np.zeros(n, dtype="int64")
+            n_chars = np.zeros(n, dtype="int64")
+            np.add.at(
+                n_tokens, parents.to_numpy(zero_copy_only=False),
+                nonempty.to_numpy(zero_copy_only=False).astype("int64"),
+            )
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            np.add.at(n_chars, parents.to_numpy(zero_copy_only=False), lens)
+            # unique per doc: vectorized sort-boundary count over
+            # (parent, token) — lexsort, then a new (parent, token)
+            # pair starts wherever either component changes
+            tok_np = flat.to_numpy(zero_copy_only=False)
+            par_np = parents.to_numpy(zero_copy_only=False)
+            mask = nonempty.to_numpy(zero_copy_only=False)
+            tok_m, par_m = tok_np[mask], par_np[mask]
+            n_unique = np.zeros(n, dtype="int64")
+            if len(par_m):
+                order = np.lexsort((tok_m, par_m))
+                ps, ts = par_m[order], tok_m[order]
+                new_pair = np.ones(len(ps), dtype=bool)
+                new_pair[1:] = (ps[1:] != ps[:-1]) | (ts[1:] != ts[:-1])
+                np.add.at(n_unique, ps[new_pair], 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(n_tokens),
+                    pa.array(n_chars),
+                    pa.array(n_unique),
+                ],
+                ["doc_id", "n_tokens", "n_chars", "n_unique"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_tokens long, n_chars long, n_unique long"
+    ).orderBy("doc_id")

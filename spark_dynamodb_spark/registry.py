@@ -216,6 +216,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c45_mmr_rerank",
         "b91_variant_json",
         "b92_higher_order_functions",
+        "b93_observe_metrics",
+        "c46_map_in_arrow",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
     }
