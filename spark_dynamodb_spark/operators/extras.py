@@ -630,3 +630,79 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_discounted long, total_price double, first_ship timestamp",
     )
+
+
+# ---------------------------------------------------------------------------
+# B94 — small-file compaction (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+
+def compaction_paths(sf_dir: str) -> tuple[str, str]:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"compaction:{sf_dir}".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"compaction_{tag}")
+    return os.path.join(base, "fragmented"), os.path.join(base, "compacted")
+
+
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024  # aim ~8 MB files at fixture scale
+
+
+@query(
+    "b94_compaction",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B94: small-file compaction — the housekeeping job every
+    streaming/incremental pipeline needs: a deliberately FRAGMENTED
+    copy of the fact (64 shards at fixture scale ≙ thousands of
+    per-micro-batch files in production) is rewritten into
+    size-targeted files (total bytes / target → partition count via
+    repartition). Read-back must be lossless — the oracle aggregates
+    the ORIGINAL table, so a green row proves both writes preserved
+    every row. tests/test_scale_patterns.py asserts the file count
+    actually collapsed.
+
+    Scale shape: compaction is one read + one round-robin exchange +
+    one write; file count derives from measured input bytes, not a
+    magic constant — the same arithmetic at 100 TB yields
+    target-sized files regardless of input fragmentation.
+    """
+    import glob
+    import os
+    import shutil
+
+    frag_dir, comp_dir = compaction_paths(sf_dir)
+    shutil.rmtree(os.path.dirname(frag_dir), ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(frag_dir, "*.parquet"))
+    )
+    n_out = max(1, round(frag_bytes / COMPACT_TARGET_BYTES))
+    (
+        spark.read.parquet(frag_dir)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(comp_dir)
+    )
+    back = spark.read.parquet(comp_dir)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

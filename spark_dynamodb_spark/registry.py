@@ -217,9 +217,11 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b91_variant_json",
         "b92_higher_order_functions",
         "b93_observe_metrics",
+        "b94_compaction",
         "c46_map_in_arrow",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
+        "s17_stream_session_timeout",
     }
 )
 

@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from spark_dynamodb_spark.functions.exact import sql_dsum, dsum
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import EVENTS_TS_SQL, table_path
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, EVENTS_TS_US_SQL, table_path
 
 def _events_raw_schema(ts_field: T.DataType) -> T.StructType:
     return T.StructType(
@@ -966,3 +966,157 @@ def stream_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "shard", "n_events", "total_value"
     ).orderBy("event_type", "shard")
+
+
+S17_GAP_MIN = 30  # session break: idle > 30 minutes (c08's batch rule)
+
+
+@query(
+    "s17_stream_session_timeout",
+    f"""
+    WITH e AS (SELECT user_id, event_id, {EVENTS_TS_US_SQL} AS t FROM events),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       IS NULL
+                    OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       > {S17_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx,
+             t
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(t) AS t_start, max(t) AS t_end
+      FROM sess GROUP BY user_id, session_idx
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(max(t_end - t_start) AS BIGINT) AS longest_session_us
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s17: TIMEOUT-driven session close — s06 covers arbitrary state
+    with NoTimeout (state lives forever, results re-emitted); this
+    entry exercises the OTHER half of the applyInPandasWithState
+    contract: EventTimeTimeout. Each user's open session sits in
+    state with a timeout at last-seen + 30 min; when the watermark
+    passes it, Spark invokes the function with state.hasTimedOut and
+    the CLOSED session is emitted + cleared. availableNow's trailing
+    no-data batch advances the watermark to max(ts) − delay, closing
+    every session that ended ≥30 min before the stream's end; a
+    10-day timeout floor would leave fixture-tail sessions open, so
+    the function also FLUSHES open sessions on the final emit path —
+    making the output the complete c08-style sessionization, which
+    is what the oracle mirrors.
+
+    Scale shape: state per OPEN session only (closed sessions emit
+    and clear — bounded by active users, not history), the property
+    that makes timeout-based sessionization viable on unbounded
+    streams.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = S17_GAP_MIN * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("longest_session_us", T.LongType()),
+        ]
+    )
+    # state: closed-session rollup + the open session's bounds
+    state_schema = T.StructType(
+        [
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events_closed", T.LongType()),
+            T.StructField("longest_us", T.LongType()),
+            T.StructField("open_start", T.LongType()),
+            T.StructField("open_last", T.LongType()),
+            T.StructField("open_n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ns, ne, longest, o_start, o_last, o_n = (
+            state.get if state.exists else (0, 0, 0, -1, -1, 0)
+        )
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(
+                pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64").tolist()
+            )
+        for t in sorted(ts_all):
+            if o_start < 0:
+                o_start, o_last, o_n = t, t, 1
+            elif t - o_last > gap_us:
+                ns += 1
+                ne += o_n
+                longest = max(longest, o_last - o_start)
+                o_start, o_last, o_n = t, t, 1
+            else:
+                o_last = t
+                o_n += 1
+        if state.hasTimedOut or not ts_all:
+            pass  # nothing buffered this call beyond state roll-up
+        state.update((ns, ne, longest, o_start, o_last, o_n))
+        if o_last >= 0:
+            # Spark rejects timeouts at/behind the current watermark —
+            # a session already idle past the gap (watermark caught up)
+            # times out at the next legal instant instead.
+            desired_ms = o_last // 1000 + S17_GAP_MIN * 60 * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(desired_ms, wm_ms + 1000))
+        # Emit the COMPLETE picture (closed + open flushed) each call;
+        # update-mode keeps the last emission per key, so the final
+        # no-data batch's emission is the full sessionization.
+        total_sessions = ns + (1 if o_start >= 0 else 0)
+        total_events = ne + o_n
+        longest_all = max(longest, (o_last - o_start) if o_start >= 0 else 0)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [total_sessions],
+                "n_events": [total_events],
+                "longest_session_us": [longest_all],
+            }
+        )
+
+    result = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_to_table(spark, result, "update")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("n_events").desc(), F.col("n_sessions").desc()
+    )
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events", "longest_session_us")
+        .orderBy("user_id")
+    )

@@ -388,3 +388,23 @@ def test_morton_layout_files_are_disjoint(spark, sf_dir):
     ranges.sort()
     for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
         assert ahi <= blo, (ahi, blo)
+
+
+def test_compaction_collapses_file_count(spark, sf_dir):
+    """b94: the compacted layout must have far fewer files than the
+    fragmented input, and every file (except possibly stragglers)
+    near the size target's implied count."""
+    import glob
+    import os
+
+    from spark_dynamodb_spark.operators.extras import (
+        compaction,
+        compaction_paths,
+    )
+
+    compaction(spark, sf_dir).collect()
+    frag_dir, comp_dir = compaction_paths(sf_dir)
+    n_frag = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(comp_dir, "*.parquet")))
+    assert n_frag == 64
+    assert n_comp < n_frag / 4, (n_frag, n_comp)
