@@ -706,3 +706,83 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# B95 — ANALYZE TABLE statistics + cost-based optimization (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _cbo_tag(sf_dir: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"cbo:{sf_dir}".encode()).hexdigest()[:10]
+
+
+def cbo_session_and_tables(spark: SparkSession, sf_dir: str):
+    """Catalog tables with column statistics + a CBO-enabled session
+    (shared by the b95 query and its plan gate)."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.cbo.enabled", "true")
+    ns.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    tag = _cbo_tag(sf_dir)
+    names = {}
+    for t in ("lineitem", "orders", "customer"):
+        name = f"b95_{t}_{tag}"
+        if not ns.catalog.tableExists(name):
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(ns.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            load_table(ns, sf_dir, t).write.mode("overwrite").saveAsTable(name)
+            ns.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        names[t] = name
+    return ns, names
+
+
+@query(
+    "b95_cbo_stats_join",
+    f"""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           {sql_dsum('l_extendedprice')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 400000.0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B95: cost-based optimization — ANALYZE TABLE column statistics
+    (ndv, min/max, null counts, histograms) feeding Catalyst's CBO
+    join-reorder. With stats, the optimizer KNOWS the o_totalprice
+    filter keeps only a sliver of orders and sizes/reorders the join
+    graph from estimated cardinalities instead of raw file sizes —
+    at 100 TB the difference between building a hash table on the
+    filtered sliver vs a fact-sized relation. The plan gate asserts
+    rowCount statistics actually reach the optimized plan.
+
+    The catalog detour (saveAsTable) exists because path-based
+    parquet reads can't carry ANALYZE stats; production tables live
+    in a metastore for exactly this reason.
+    """
+    ns, names = cbo_session_and_tables(spark, sf_dir)
+    li, orders, cust = (ns.table(names[t]) for t in ("lineitem", "orders", "customer"))
+    return (
+        li.join(
+            orders.filter(F.col("o_totalprice") > 400000.0),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("l_extendedprice", "revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -218,6 +218,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b92_higher_order_functions",
         "b93_observe_metrics",
         "b94_compaction",
+        "b95_cbo_stats_join",
         "c46_map_in_arrow",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",

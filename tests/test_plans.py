@@ -731,3 +731,24 @@ def test_tpch_q17_q18_single_fact_scan_one_exchange(spark, sf_dir):
             plan,
         )
         assert "SortMergeJoin" not in plan, (fn.__name__, plan)
+
+
+def test_cbo_stats_reach_optimizer(spark, sf_dir):
+    """b95: ANALYZE column statistics must flow into the optimized
+    plan — explain(cost) shows estimated rowCount on the analyzed
+    relations (the input CBO join-reorder decides from)."""
+    from spark_dynamodb_spark.operators.extras import cbo_session_and_tables
+
+    ns, names = cbo_session_and_tables(spark, sf_dir)
+    df = (
+        ns.table(names["orders"]).filter("o_totalprice > 400000.0")
+        .join(
+            ns.table(names["lineitem"]),
+            ns.table(names["orders"]).o_orderkey
+            == ns.table(names["lineitem"]).l_orderkey,
+        )
+    )
+    cost = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "cost"
+    )
+    assert "rowCount=" in cost, cost
