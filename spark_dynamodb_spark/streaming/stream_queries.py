@@ -1071,8 +1071,15 @@ def session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 o_last = t
                 o_n += 1
-        if state.hasTimedOut or not ts_all:
-            pass  # nothing buffered this call beyond state roll-up
+        if state.hasTimedOut and not ts_all and o_start >= 0:
+            # Watermark passed last-seen + gap with no new data: the
+            # open session CLOSES — fold it into the rollup and clear
+            # the open-session fields. This is what keeps state
+            # bounded by OPEN sessions on an unbounded stream.
+            ns += 1
+            ne += o_n
+            longest = max(longest, o_last - o_start)
+            o_start, o_last, o_n = -1, -1, 0
         state.update((ns, ne, longest, o_start, o_last, o_n))
         if o_last >= 0:
             # Spark rejects timeouts at/behind the current watermark —

@@ -564,3 +564,138 @@ def test_dedup_within_watermark_state_expires(spark, tmp_path):
     emits_for_7 = sorted(r["ts"] for r in out if r["user_id"] == 7)
     assert len(emits_for_7) == 2, out  # 10:00 and the post-expiry 12:00:30
     assert emits_for_7[0].hour == 10 and emits_for_7[1].hour == 12
+
+
+def test_session_timeout_fires_across_batches(spark, tmp_path):
+    """s17: an EventTimeTimeout must actually FIRE when the watermark
+    passes an idle session's last-seen + gap (no new data for that
+    key), closing the session; a later event for the same user then
+    opens session #2."""
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from spark_dynamodb_spark.streaming.stream_queries import S17_GAP_MIN
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def write_file(name, rows):
+        table = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(table, str(indir / name))
+
+    # b1: user 7 opens a session at 10:00 (timeout target 10:30).
+    # b2: user 1 at 12:00 → wm commits to 11:50 > 10:30.
+    # b3: user 1 at 12:05 → batch runs with wm 11:50; user 7's timer
+    #     FIRES (no data for 7 in this batch) → session closes.
+    # b4: user 7 again at 12:10 → session #2 opens; final emission for
+    #     user 7 must show n_sessions = 2.
+    write_file("f1.parquet", [(7, "2024-01-01 10:00:00")])
+    time.sleep(1.1)
+    write_file("f2.parquet", [(1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)
+    write_file("f3.parquet", [(1, "2024-01-01 12:05:00")])
+    time.sleep(1.1)
+    write_file("f4.parquet", [(7, "2024-01-01 12:10:00")])
+    base = os.path.getmtime(indir / "f4.parquet")
+    for i, f in enumerate(["f1.parquet", "f2.parquet", "f3.parquet"]):
+        os.utime(indir / f, (base - 30 + i * 10,) * 2)
+
+    gap_us = S17_GAP_MIN * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("open", T.BooleanType()),
+            T.StructField("timed_out_calls", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_closed", T.LongType()),
+            T.StructField("open_start", T.LongType()),
+            T.StructField("open_last", T.LongType()),
+            T.StructField("n_timeouts", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n_closed, o_start, o_last, n_to = (
+            state.get if state.exists else (0, -1, -1, 0)
+        )
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(
+                pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64").tolist()
+            )
+        if state.hasTimedOut and not ts_all and o_start >= 0:
+            n_closed += 1
+            o_start, o_last = -1, -1
+            n_to += 1
+        for t in sorted(ts_all):
+            if o_start < 0:
+                o_start, o_last = t, t
+            elif t - o_last > gap_us:
+                n_closed += 1
+                o_start, o_last = t, t
+            else:
+                o_last = t
+        state.update((n_closed, o_start, o_last, n_to))
+        if o_last >= 0:
+            desired = o_last // 1000 + S17_GAP_MIN * 60 * 1000
+            state.setTimeoutTimestamp(max(desired, state.getCurrentWatermarkMs() + 1000))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_closed + (1 if o_start >= 0 else 0)],
+                "open": [o_start >= 0],
+                "timed_out_calls": [n_to],
+            }
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(indir))
+    )
+    result = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = "sto_" + uuid.uuid4().hex[:8]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [r for r in spark.table(name).collect() if r["user_id"] == 7]
+    assert out, spark.table(name).collect()
+    final = max(out, key=lambda r: (r["n_sessions"], r["timed_out_calls"]))
+    assert final["timed_out_calls"] >= 1, out  # the timer actually fired
+    assert final["n_sessions"] == 2, out  # closed session + reopened one
