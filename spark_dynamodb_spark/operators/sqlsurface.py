@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_dynamodb_spark.functions.exact import sql_dsum
 from spark_dynamodb_spark.registry import query
 from spark_dynamodb_spark.tables import load_table
 
@@ -184,4 +185,133 @@ def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_customers"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B96–B98 — Spark 4 SQL-language surface (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b96_sql_udf",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS net_revenue,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+             AS charged_revenue
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B96: SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`) — reusable business logic that stays INSIDE Catalyst: the
+    function body inlines into the plan, so unlike Python UDFs it
+    costs nothing (whole-stage codegen, pushdown through it). The
+    pricing formulas here are defined once as SQL UDFs and used in an
+    aggregate; the oracle spells the bodies out inline — equality
+    proves the inlining is semantically transparent.
+
+    Scale shape: identical to writing the expressions by hand —
+    that's the point.
+    """
+    from spark_dynamodb_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "lineitem").createOrReplaceTempView("b96_lineitem_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION b96_net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION b96_charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN b96_net(p, d) * (1 + t)"  # UDF calling a UDF
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(b96_net(l_extendedprice, l_discount)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS net_revenue,
+               CAST(SUM(CAST(b96_charged(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS charged_revenue
+        FROM b96_lineitem_v
+        WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "b97_parameterized_sql",
+    f"""
+    SELECT p_brand, count(*) AS n,
+           {sql_dsum('p_retailprice')} AS total_price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30 AND p_type = 'PROMO'
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B97: named-parameter SQL (`spark.sql(..., args={...})`) — the
+    injection-safe spelling for user-supplied values: parameters bind
+    as typed literals in the parser, never string-spliced, and
+    Catalyst constant-folds them like any literal (so pushdown still
+    fires). The oracle inlines the same constants.
+
+    Scale shape: identical plan to hand-inlined literals — the filter
+    reaches the parquet scan.
+    """
+    from spark_dynamodb_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "part").createOrReplaceTempView("b97_part_v")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_price
+        FROM b97_part_v
+        WHERE p_size BETWEEN :lo AND :hi AND p_type = :ptype
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+        args={"lo": 10, "hi": 30, "ptype": "PROMO"},
+    )
+
+
+@query(
+    "b98_pipe_syntax",
+    f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B98: SQL pipe syntax (Spark 4's `|>` operators, the
+    GoogleSQL-style linear form) — each stage reads top-to-bottom
+    like a DataFrame chain but stays pure SQL. Parses to the same
+    Catalyst plan as the nested spelling the oracle uses; a green
+    row proves the two surfaces are one engine.
+    """
+    from spark_dynamodb_spark.tables import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("b98_orders_v")
+    return spark.sql(
+        """
+        FROM b98_orders_v
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                       AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
     )

@@ -219,6 +219,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b93_observe_metrics",
         "b94_compaction",
         "b95_cbo_stats_join",
+        "b96_sql_udf",
+        "b97_parameterized_sql",
+        "b98_pipe_syntax",
         "c46_map_in_arrow",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
