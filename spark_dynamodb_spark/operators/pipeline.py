@@ -1152,3 +1152,95 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C47 — temperature-based language resampling (round 4, parked)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c47_temperature_resampling",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n,
+             sqrt(n) / (SELECT sum(sqrt(n)) FROM counts) AS p_temp,
+             n / (SELECT sum(n) FROM counts) AS p_raw
+      FROM counts
+    ),
+    scored AS (
+      SELECT d.lang,
+             (CAST(('0x' || substr(md5('c47:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 1000000) / 1000000.0 AS u,
+             r.p_temp / r.p_raw
+               / (SELECT max(p_temp / p_raw) FROM rates) AS keep_rate
+      FROM documents d JOIN rates r ON d.lang = r.lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN u < keep_rate THEN 1 END) AS BIGINT) AS n_kept,
+           round(max(keep_rate), 6) AS keep_rate
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: temperature-based language rebalancing — the mC4/XLM-R
+    recipe: sample languages ∝ n^α instead of ∝ n so low-resource
+    languages aren't drowned (α = 0.5 here). Per-doc keep probability
+    ∝ p_temp(lang)/p_raw(lang), normalized so the most-boosted
+    language keeps everything; the coin flip is the md5-fraction
+    discipline (no RAND()).
+
+    α is 0.5 SPECIFICALLY because sqrt is IEEE-correctly-rounded in
+    both engines while pow(x, 0.7) is not — a general-α version would
+    need the temperature table precomputed and broadcast as literals
+    (which is also what a production pipeline does).
+
+    Scale shape: the rate table is |langs| rows (broadcast join onto
+    the corpus scan); the keep decision is a narrow per-row hash
+    compare; one rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n")).alias("sum_sqrt"), F.sum("n").alias("sum_n")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))  # 1-row totals — bounded
+        .select(
+            "lang",
+            (F.sqrt("n") / F.col("sum_sqrt")).alias("p_temp"),
+            (F.col("n") / F.col("sum_n")).alias("p_raw"),
+        )
+        .withColumn("boost", F.col("p_temp") / F.col("p_raw"))
+    )
+    max_boost = rates.agg(F.max("boost").alias("max_boost"))
+    rates = rates.crossJoin(F.broadcast(max_boost)).select(
+        "lang", (F.col("boost") / F.col("max_boost")).alias("keep_rate")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("c47:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    ) / 1000000.0
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", u.alias("u"), "keep_rate")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("u") < F.col("keep_rate"), 1))
+            .cast("long")
+            .alias("n_kept"),
+            F.round(F.max("keep_rate"), 6).alias("keep_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -1260,3 +1260,78 @@ def _finalize_c45_oracle() -> None:
 
 
 _finalize_c45_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C48 — hard-negative mining (round 4, parked for round-5)
+# ---------------------------------------------------------------------------
+
+HN_K = 5
+
+
+@query(
+    "c48_hard_negative_mining",
+    f"""
+    WITH v AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec
+          FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.qlabel, v.vec_id AS negative_id, v.label AS neg_label,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(v.vec, v.vec))) AS cos
+      FROM q CROSS JOIN v
+      WHERE v.label <> q.qlabel
+    )
+    SELECT query_id, negative_id, neg_label, rnk, round(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, negative_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {HN_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48: hard-negative mining — for each anchor, the most similar
+    vectors with a DIFFERENT label: the negatives that actually teach
+    a contrastive model (random negatives are trivially separable;
+    hard ones near the boundary carry the gradient signal). c03's
+    bounded shape with a label-disagreement predicate.
+
+    Scale shape: anchors broadcast, corpus streamed once, top-k via
+    WindowGroupLimit. In production the corpus side is the
+    LSH/IVF-bucketed candidate set (c03's scale path) — the mining
+    predicate composes with any candidate generator.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            cosine_similarity("qvec", "vec").alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "negative_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HN_K)
+        .select(
+            "query_id", "negative_id", "neg_label", "rnk",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -223,6 +223,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b97_parameterized_sql",
         "b98_pipe_syntax",
         "c46_map_in_arrow",
+        "c47_temperature_resampling",
+        "c48_hard_negative_mining",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
