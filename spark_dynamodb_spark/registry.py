@@ -228,6 +228,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
+        "s18_dynamo_stream_read",
     }
 )
 

@@ -351,3 +351,64 @@ def dynamo_conditional_put(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_dynamo(staged, name, putIfAbsent=True)
     return read_dynamo(spark, name).orderBy("n_nationkey")
+
+
+@query(
+    "s18_dynamo_stream_read",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dynamo_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s18: STREAMING read from the dynamo source — the DynamoDB
+    Streams analog the reference never shipped (SURVEY §1.1 "no
+    streams"). DynamoSimpleStreamReader exposes the keyed store's
+    segment files as a change feed: one segment per micro-batch,
+    offsets {{files_done: n}} in Spark's offset log (exactly-once on
+    recovery via readBetweenOffsets replay). Downstream is an
+    ordinary stateful aggregate — per-type counts and exact-decimal
+    value sums accumulated across ALL micro-batches must equal the
+    batch rollup of the same table (the oracle). (count DISTINCT is
+    unsupported on streams — the approx_count_distinct path is s-side
+    standard; the exact-decimal sum proves cross-batch accumulation
+    instead.)
+
+    Scale shape: in production the offsets are real shard iterators
+    and segments arrive forever; here the feed exhausts after 8
+    segments and processAllAvailable() drains it.
+    """
+    from spark_dynamodb_spark.sources.dynamo import register
+
+    table = _ensure_events_kv(spark, sf_dir)
+    register(spark)
+    stream = (
+        spark.readStream.format("dynamo")
+        .option("tableName", table)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    import uuid as _uuid
+
+    name = "s18_" + _uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains all 8 segments
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")
