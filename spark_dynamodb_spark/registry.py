@@ -229,6 +229,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
         "s18_dynamo_stream_read",
+        "s19_dynamo_stream_sink",
     }
 )
 

@@ -49,6 +49,7 @@ from typing import TYPE_CHECKING, Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     SimpleDataSourceStreamReader,
     EqualTo,
@@ -796,6 +797,9 @@ class DynamoDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "DynamoSimpleStreamReader":
         return DynamoSimpleStreamReader(schema, self.options)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DynamoStreamWriter":
+        return DynamoStreamWriter(schema, self.options, overwrite)
+
 
 def _ship_package(spark) -> None:
     """Make the package importable by executor Python workers.
@@ -896,3 +900,32 @@ class DynamoSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up — segments are immutable
+
+
+class DynamoStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK (``writeStream.format("dynamo")``) — every
+    micro-batch runs the same staged-write + atomic-merge protocol as
+    the batch writer (put replaces whole items, ``update``/``delete``
+    options select the other merge modes). Idempotent under batch
+    retries for put/update: re-merging the same keyed items is a
+    no-op, which is the property a KV sink needs for effectively-once
+    output from an at-least-once engine. s05's foreachBatch upsert is
+    the user-space spelling; this is the first-class sink.
+    """
+
+    def __init__(self, schema: StructType, options, overwrite: bool) -> None:
+        self.schema_ = schema
+        self.options = options
+        self.overwrite = overwrite
+
+    def _delegate(self) -> DynamoWriter:
+        return DynamoWriter(self.schema_, self.options, self.overwrite)
+
+    def write(self, iterator) -> "StagedFile":
+        return self._delegate().write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        self._delegate().commit(list(messages))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate().abort(list(messages))

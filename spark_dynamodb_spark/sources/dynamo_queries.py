@@ -412,3 +412,84 @@ def dynamo_stream_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("event_type")
+
+
+@query(
+    "s19_dynamo_stream_sink",
+    f"""
+    WITH e AS (SELECT user_id, value, {EVENTS_TS_US_SQL} AS t, event_id
+               FROM events),
+    latest AS (
+      SELECT user_id, value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY t DESC, event_id DESC) AS rn
+            FROM e)
+      WHERE rn = 1
+    ),
+    counts AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
+    SELECT user_id, n_events, last_value
+    FROM counts JOIN latest USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def dynamo_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s19: streaming SINK on the dynamo source — a per-user running
+    aggregate written with ``writeStream.format("dynamo")`` in
+    complete mode: each micro-batch's state upserts into the keyed store
+    through the same atomic staged-merge as the batch writer (retried
+    batches re-merge idempotently). The oracle reads the final store
+    content back: one item per user carrying the event count and the
+    LAST event's value (max_by over the full history) — the
+    materialized-view-in-a-KV-table pattern the reference's users
+    build with BatchWriteItem by hand.
+
+    Scale shape: the stateful agg shuffles once per batch by user;
+    the sink writes only that batch's updated keys.
+    """
+    import uuid as _uuid
+
+    from spark_dynamodb_spark.sources.dynamo import register
+    from spark_dynamodb_spark.streaming.stream_queries import events_stream
+
+    register(spark)
+    sink_table = f"events_sink_{_sf_tag(sf_dir)}"
+    # fresh sink store each run (the oracle describes the final state)
+    src = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        F.lit(0).cast("long").alias("n_events"),
+        F.lit(0.0).alias("last_value"),
+    )
+    keyed_store.create_table(
+        spark, src.limit(0), sink_table, hash_key="user_id", n_segments=2
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("last_value"),
+        )
+    )
+    import tempfile, os, hashlib, shutil
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        "s19_ckpt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        agg.writeStream.format("dynamo")
+        .option("tableName", sink_table)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")  # Python DS sinks take append/complete;
+        # complete + put-replace is the idempotent upsert spelling
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_dynamo(spark, sink_table)
+        .select("user_id", "n_events", "last_value")
+        .orderBy("user_id")
+    )
