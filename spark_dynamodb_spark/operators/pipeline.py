@@ -1166,9 +1166,15 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang
     ),
     rates AS (
+      -- sqrt values ride the decimal detour before summing: a 5-row
+      -- double sum is STILL order-dependent across engines (the c45
+      -- lesson), and rates feed a hash-compared keep decision
       SELECT lang, n,
-             sqrt(n) / (SELECT sum(sqrt(n)) FROM counts) AS p_temp,
-             n / (SELECT sum(n) FROM counts) AS p_raw
+             CAST(CAST(sqrt(n) AS DECIMAL(28,6)) AS DOUBLE)
+               / (SELECT CAST(SUM(CAST(sqrt(n) AS DECIMAL(28,6))) AS DOUBLE)
+                  FROM counts) AS p_temp,
+             n / (SELECT CAST(SUM(CAST(n AS DECIMAL(28,6))) AS DOUBLE)
+                  FROM counts) AS p_raw
       FROM counts
     ),
     scored AS (
@@ -1199,7 +1205,11 @@ def temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     α is 0.5 SPECIFICALLY because sqrt is IEEE-correctly-rounded in
     both engines while pow(x, 0.7) is not — a general-α version would
     need the temperature table precomputed and broadcast as literals
-    (which is also what a production pipeline does).
+    (which is also what a production pipeline does). The per-lang
+    sqrt values additionally ride the decimal detour before the
+    normalizing sums: even a |langs|-row double sum is accumulation-
+    order-dependent across engines, and the resulting rates feed a
+    hash-compared per-doc keep decision.
 
     Scale shape: the rate table is |langs| rows (broadcast join onto
     the corpus scan); the keep decision is a narrow per-row hash
@@ -1207,14 +1217,16 @@ def temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    sq = F.sqrt("n").cast("decimal(28,6)")
     tot = counts.agg(
-        F.sum(F.sqrt("n")).alias("sum_sqrt"), F.sum("n").alias("sum_n")
+        F.sum(sq).cast("double").alias("sum_sqrt"),
+        F.sum(F.col("n").cast("decimal(28,6)")).cast("double").alias("sum_n"),
     )
     rates = (
         counts.crossJoin(F.broadcast(tot))  # 1-row totals — bounded
         .select(
             "lang",
-            (F.sqrt("n") / F.col("sum_sqrt")).alias("p_temp"),
+            (sq.cast("double") / F.col("sum_sqrt")).alias("p_temp"),
             (F.col("n") / F.col("sum_n")).alias("p_raw"),
         )
         .withColumn("boost", F.col("p_temp") / F.col("p_raw"))
