@@ -834,8 +834,29 @@ def _ship_package(spark) -> None:
 
 
 def register(spark) -> None:
-    """Idempotently register the 'dynamo' source on a session."""
+    """Idempotently register the 'dynamo' source on a session.
+
+    Two shipping mechanisms, because Spark runs our pickled classes in
+    two different kinds of Python process:
+    - executor workers (batch read/write tasks): addPyFile zip
+      (_ship_package) puts the package on their sys.path;
+    - the STREAMING source/sink runners (driver-side helper processes
+      for simpleStreamReader/streamWriter planning): these do NOT see
+      pyFiles, so the class graph must be self-contained —
+      register_pickle_by_value makes cloudpickle serialize our
+      modules by value instead of by import reference (found by the
+      out-of-repo driver simulation: ModuleNotFoundError inside
+      PythonStreamingSourceRunner).
+    """
     _ship_package(spark)
+    from pyspark import cloudpickle
+
+    import spark_dynamodb_spark.sources.dynamo as _self
+    import spark_dynamodb_spark.sources.keyed_store as _ks
+    import spark_dynamodb_spark.sources.rate_limiter as _rl
+
+    for m in (_self, _ks, _rl):
+        cloudpickle.register_pickle_by_value(m)
     spark.dataSource.register(DynamoDataSource)
 
 
