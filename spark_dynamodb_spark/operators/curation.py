@@ -395,3 +395,151 @@ def _sparkify(exprs: list[str]) -> list[str]:
         e.replace("list_filter", "filter").replace("len(", "size(")
         for e in exprs
     ]
+
+
+# ---------------------------------------------------------------------------
+# C49 — lexical retrieval + token-budget context assembly (round 4)
+# ---------------------------------------------------------------------------
+#
+# The RAG serving primitive, end to end: score chunks against a query
+# by lexical overlap (posting-list join — BM25's candidate step), rank
+# per query, then assemble the context window greedily under a token
+# budget. Every quantity is an integer (overlap counts, token counts,
+# running sums) — no float discipline needed anywhere.
+
+RAG_QUERIES = (
+    (1, "key table scan"),
+    (2, "merge batch window"),
+    (3, "stream sort value"),
+)
+RAG_CHUNK_W = 32  # tokens per chunk (c19's RAG-unit shape)
+RAG_BUDGET = 96  # max context tokens per query (3 chunks)
+
+
+def _sql_rag_chunks() -> str:
+    return f"""
+      SELECT doc_id, chunk_idx, toks[(chunk_idx * {RAG_CHUNK_W} + 1)
+                                     :(chunk_idx * {RAG_CHUNK_W} + {RAG_CHUNK_W})]
+               AS ctoks
+      FROM (SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents),
+           LATERAL (SELECT unnest(range(0, CAST(ceil(len(toks) / {RAG_CHUNK_W}.0)
+                                          AS BIGINT))) AS chunk_idx)
+    """
+
+
+@query(
+    "c49_rag_context_assembly",
+    f"""
+    WITH chunks AS ({_sql_rag_chunks()}),
+    qtok AS (
+      SELECT q.query_id, t.tok
+      FROM (VALUES {', '.join(f"({qid}, '{qs}')" for qid, qs in RAG_QUERIES)})
+             AS q(query_id, qtext),
+           LATERAL (SELECT unnest(string_split(qtext, ' ')) AS tok) t
+    ),
+    scored AS (
+      SELECT query_id, doc_id, chunk_idx,
+             count(*) AS overlap,
+             any_value(n_chunk_toks) AS n_chunk_toks
+      FROM (
+        SELECT c.doc_id, c.chunk_idx, len(c.ctoks) AS n_chunk_toks, u.tok
+        FROM chunks c, LATERAL (SELECT unnest(list_distinct(c.ctoks)) AS tok) u
+      ) posting
+      JOIN qtok USING (tok)
+      GROUP BY query_id, doc_id, chunk_idx
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY overlap DESC, doc_id, chunk_idx)
+                  AS rnk,
+             sum(n_chunk_toks) OVER (PARTITION BY query_id
+                                     ORDER BY overlap DESC, doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS cum_toks
+      FROM scored
+    )
+    SELECT query_id, rnk, doc_id, chunk_idx,
+           CAST(overlap AS BIGINT) AS overlap,
+           CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM ranked
+    WHERE cum_toks <= {RAG_BUDGET}
+    ORDER BY query_id, rnk
+    """,
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: RAG retrieval + context assembly, end to end — chunk the
+    corpus into {RAG_CHUNK_W}-token units, score each against a fixed
+    query set by DISTINCT-token overlap via a posting-list equi-join
+    (the candidate step under BM25; no similarity scan touches
+    non-matching chunks), rank per query, and greedily keep chunks in
+    rank order while the running token total fits the
+    {RAG_BUDGET}-token context budget — exactly what a serving
+    pipeline hands the model.
+
+    Determinism: overlap/token/cumulative counts are all integers;
+    rank ties break (doc_id, chunk_idx).
+
+    Scale shape: chunks emit (token, chunk) postings (hash-joinable
+    against any query load); the per-query rank + budget cut shares
+    ONE window partitioning; queries are a broadcast-sized VALUES
+    relation. The 100 TB analog swaps the VALUES for the day's query
+    log and nothing else changes.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", simple_tokens("text").alias("toks")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("toks") / float(RAG_CHUNK_W)).cast("long") - 1,
+            )
+        ).alias("chunk_idx"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            "toks", F.col("chunk_idx") * RAG_CHUNK_W + 1, RAG_CHUNK_W
+        ).alias("ctoks"),
+    )
+    qtok = spark.createDataFrame(
+        [(qid, tok) for qid, qs in RAG_QUERIES for tok in qs.split(" ")],
+        "query_id int, tok string",
+    )
+    posting = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ctoks").alias("n_chunk_toks"),
+        F.explode(F.array_distinct("ctoks")).alias("tok"),
+    )
+    scored = (
+        posting.join(F.broadcast(qtok), "tok")
+        .groupBy("query_id", "doc_id", "chunk_idx")
+        .agg(
+            F.count("*").alias("overlap"),
+            F.any_value("n_chunk_toks").alias("n_chunk_toks"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), "doc_id", "chunk_idx"
+    )
+    ranked = scored.select(
+        "query_id",
+        "doc_id",
+        "chunk_idx",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.row_number().over(wq).alias("rnk"),
+        F.sum("n_chunk_toks")
+        .over(wq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum_toks"),
+    )
+    return (
+        ranked.filter(F.col("cum_toks") <= RAG_BUDGET)
+        .select("query_id", "rnk", "doc_id", "chunk_idx", "overlap", "cum_toks")
+        .orderBy("query_id", "rnk")
+    )

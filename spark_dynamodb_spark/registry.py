@@ -225,6 +225,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c46_map_in_arrow",
         "c47_temperature_resampling",
         "c48_hard_negative_mining",
+        "c49_rag_context_assembly",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
