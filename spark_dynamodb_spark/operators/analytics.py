@@ -1391,3 +1391,178 @@ def per_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "b100_tpch_q21_sole_late_supplier",
+    """
+    WITH l1 AS (
+      SELECT DISTINCT l.l_suppkey, l.l_orderkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l.l_orderkey
+            AND l2.l_suppkey <> l.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l.l_orderkey
+            AND l3.l_suppkey <> l.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        )
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B100: TPC-H Q21 (suppliers who kept orders waiting) adapted to
+    the fixture schema — the fixtures carry no l_receiptdate/
+    l_commitdate, so "late" is l_shipdate > o_orderdate + 90 days
+    (order-level deadline; same correlation structure as the original:
+    an EXISTS over other suppliers of the order plus a NOT EXISTS over
+    other LATE suppliers of the order).
+
+    The oracle keeps the textbook correlated-subquery spelling; the
+    Spark plan is the hand-decorrelated aggregation form (Spark rejects
+    the non-equality correlated predicate in the NOT EXISTS): per
+    order, count the distinct suppliers and the distinct LATE
+    suppliers in ONE pass over lineitem, then keep late rows of
+    multi-supplier orders whose late-supplier count is exactly 1.
+
+    Scale shape: one lineitem scan joined to the filtered orders dim
+    (status pushed to parquet; AQE broadcasts it when small), one
+    combinable per-order rollup, and a broadcast of the tiny supplier
+    dim at the end — no correlated re-scan, no cartesian.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).cast(
+            "int"
+        ),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_sup"
+        ),
+    )
+    late = joined.filter(F.col("is_late") == 1).select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    sole = late.join(
+        per_order.filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1)),
+        "l_orderkey",
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(sup, sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+# b101: interval half-width — each event claims [t, t + value seconds).
+@query(
+    "b101_interval_merge",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             {EVENTS_TS_US_SQL} AS s,
+             {EVENTS_TS_US_SQL} + CAST(floor(value * 1000000) AS BIGINT) AS f
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, s, f,
+             max(f) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_f
+      FROM e
+    ),
+    isl AS (
+      SELECT user_id, s, f,
+             CAST(SUM(CASE WHEN prev_max_f IS NULL OR s > prev_max_f
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM m
+    )
+    SELECT user_id, island,
+           min(s) AS start_us, max(f) AS end_us,
+           COUNT(*) AS n_events
+    FROM isl
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+    """,
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B101: merge overlapping intervals per key — the classic
+    coalescing pass behind meeting-room/billing/uptime analytics and
+    span-level dedup. Each event claims [ts, ts + value seconds); the
+    result is the per-user set of disjoint merged spans.
+
+    Algorithm (the only shuffle-bounded one): sort each user's
+    intervals by start, flag a new island when the start exceeds the
+    running max of all previous ends (a prefix max — overlap with ANY
+    earlier interval, not just the immediate predecessor), prefix-sum
+    the flags into island ids, then roll islands up. All on the
+    integer microsecond axis — no float, no timezone.
+
+    Scale shape: one exchange on user_id feeds both stacked window
+    passes (same spec → one sort), and the island rollup re-uses the
+    user axis; state per task is one user's intervals. The interval
+    end (floor(value * 1e6) → BIGINT) is IEEE-identical in both
+    engines — the explicit floor matters: a bare double→BIGINT cast
+    truncates in Spark but ROUNDS in DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * F.lit(1000000.0)).cast("long")
+        ).alias("f"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "event_id")
+    m = e.withColumn(
+        "prev_max_f", F.max("f").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            (
+                F.col("prev_max_f").isNull() | (F.col("s") > F.col("prev_max_f"))
+            ).cast("int")
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_us"),
+            F.max("f").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )

@@ -543,3 +543,151 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "doc_id", "chunk_idx", "overlap", "cum_toks")
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "c50_pareto_doc_cut",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_chars,
+             SUM(n_chars) OVER (PARTITION BY source) AS total_chars,
+             COUNT(*) OVER (PARTITION BY source) AS total_docs
+      FROM documents
+    )
+    SELECT source,
+           CAST(total_docs AS BIGINT) AS total_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST(COUNT(*) FILTER (WHERE 2 * (cum_chars - n_chars) < total_chars)
+                AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(n_chars)
+                  FILTER (WHERE 2 * (cum_chars - n_chars) < total_chars), 0)
+                AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY source, total_docs, total_chars
+    ORDER BY source
+    """,
+)
+def pareto_doc_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50: Pareto document cut — per source, the smallest set of
+    largest documents covering >= half the source's characters (the
+    budget question behind corpus pruning: "how head-heavy is each
+    source?"). A source where 5% of docs hold half the mass needs
+    length-stratified sampling; a flat one doesn't.
+
+    Keep rule on the integer axis: a doc is kept while the cumulative
+    chars BEFORE it are under half the total, i.e. 2*(cum - own) <
+    total — the crossing document is included, everything after is
+    not. All-BIGINT arithmetic: no float threshold to drift.
+
+    Scale shape: one exchange on source feeds both window passes (the
+    per-source total is a frameless window on the same key — no second
+    shuffle, no join back), then the rollup reuses the source axis.
+    Per-task state is one source's doc-length list; at 100 TB the
+    lengths column is the only thing shuffled, never text.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum_chars"),
+        F.sum("n_chars").over(W.partitionBy("source")).alias("total_chars"),
+        F.count("*").over(W.partitionBy("source")).alias("total_docs"),
+    )
+    keep = 2 * (F.col("cum_chars") - F.col("n_chars")) < F.col("total_chars")
+    return (
+        ranked.groupBy("source", "total_docs", "total_chars")
+        .agg(
+            F.count(F.when(keep, 1)).alias("docs_kept"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("chars_kept"),
+        )
+        .select(
+            "source",
+            F.col("total_docs").cast("long").alias("total_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "docs_kept",
+            "chars_kept",
+        )
+        .orderBy("source")
+    )
+
+
+# c51: skip-gram window size (offsets 1..C51_WINDOW on each side count
+# as co-occurrence; only forward pairs are emitted, so (a,b) at +k and
+# (b,a) at -k are the same directed pair counted once).
+C51_WINDOW = 2
+
+
+@query(
+    "c51_skipgram_cooccurrence",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(
+               list_concat(
+                 list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                i -> toks[i] || chr(9) || toks[i + 1]),
+                 list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                i -> toks[i] || chr(9) || toks[i + 2])
+               )) AS pair
+      FROM t
+    )
+    SELECT string_split(pair, chr(9))[1] AS center,
+           string_split(pair, chr(9))[2] AS context,
+           COUNT(*) AS pair_count
+    FROM pairs
+    GROUP BY center, context
+    ORDER BY center, context
+    """,
+)
+def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51: skip-gram co-occurrence counts (word2vec/GloVe input) —
+    directed (center, context) pair frequencies within a +/-2 token
+    window across the corpus.
+
+    The naive spelling is posexplode + a per-doc self-join on position
+    distance — a shuffle whose input is every token twice and whose
+    join explodes on repeated tokens. This plan builds the pair list
+    NARROWLY per row instead: one zip_with pass per offset (array-level
+    shift-and-concat, same trick as functions/text.shingles), one
+    explode, and a single combinable groupBy — the only shuffle
+    carries (pair, partial count), nothing positional.
+
+    Scale shape: shuffle volume is bounded by the distinct-pair count
+    per partition (map-side combine), not the token count; there is no
+    join anywhere in the plan (plan-gated).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = simple_tokens("text")
+    n = F.size(toks)
+    pair_arrays = []
+    for off in range(1, C51_WINDOW + 1):
+        shifted = F.slice(toks, 1 + off, F.greatest(n - off, F.lit(0)))
+        paired = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - off, F.lit(0))),
+            shifted,
+            lambda a, b: F.concat_ws("\t", a, b),
+        )
+        pair_arrays.append(paired)
+    pairs = docs.select(
+        F.explode(F.concat(*pair_arrays)).alias("pair")
+    )
+    split = F.split(F.col("pair"), "\t")
+    return (
+        pairs.groupBy(
+            split.getItem(0).alias("center"), split.getItem(1).alias("context")
+        )
+        .agg(F.count("*").alias("pair_count"))
+        .orderBy("center", "context")
+    )

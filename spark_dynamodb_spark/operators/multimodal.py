@@ -429,3 +429,190 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "text").mapInPandas(resample, out_schema).orderBy("doc_id")
     )
+
+
+PATCH = 8  # ViT-style square patch edge, in pixels
+
+
+@query(
+    "c54_image_patches",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             octet_length(CAST(text AS BLOB)) AS len,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / {BMP_WIDTH * 3}.0) AS BIGINT) AS h
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+    )
+    SELECT doc_id,
+           r AS patch_row,
+           c AS patch_col,
+           CAST(least({PATCH}, h - r * {PATCH}) AS BIGINT) AS n_px_rows,
+           CAST(list_aggregate(list_transform(range(0, {PATCH * PATCH * 3}), k ->
+             CASE WHEN r * {PATCH} + k // {PATCH * 3} < h
+                    AND (r * {PATCH} + k // {PATCH * 3}) * {BMP_WIDTH * 3}
+                        + c * {PATCH * 3} + (k % {PATCH * 3}) + 1 <= len
+                  THEN ascii(substr(text,
+                         CAST((r * {PATCH} + k // {PATCH * 3}) * {BMP_WIDTH * 3}
+                              + c * {PATCH * 3} + (k % {PATCH * 3}) + 1 AS INT), 1))
+                  ELSE 0 END), 'sum') AS BIGINT) AS patch_sum
+    FROM d,
+         unnest(range(0, CAST(ceil(h / {PATCH}.0) AS BIGINT))) AS rr(r),
+         unnest(range(0, {BMP_WIDTH // PATCH})) AS cc(c)
+    ORDER BY doc_id, patch_row, patch_col
+    """,
+)
+def image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5g: ViT-style image patchify — decode each document's REAL BMP
+    payload and cut the pixel grid into 8x8 patches (the tokenization
+    step of every vision transformer), emitting one row per patch with
+    its byte-sum signature. A decoder that misreads stride, row order,
+    or the padded tail produces wrong patch sums — the oracle
+    recomputes every patch from the BMP layout formulas on the raw
+    payload bytes.
+
+    Scale shape: mapInPandas streams Arrow batches; the patchify is
+    one numpy reshape + axis-sum per image (vectorized, no per-pixel
+    Python); output is patch-table-sized (rows = images x patches),
+    the exact shape a downstream embedding trainer consumes. No
+    shuffle anywhere — narrow decode + explode.
+    """
+    import numpy as np
+
+    docs = with_bmp_columns(
+        load_table(spark, sf_dir, "documents").filter(
+            F.octet_length("text") == F.length("text")
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("patch_row", T.LongType()),
+            T.StructField("patch_col", T.LongType()),
+            T.StructField("n_px_rows", T.LongType()),
+            T.StructField("patch_sum", T.LongType()),
+        ]
+    )
+
+    row_bytes = BMP_WIDTH * 3
+    cols = BMP_WIDTH // PATCH
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                h = img["height"]
+                arr = np.frombuffer(
+                    img["pixel_data"][: h * row_bytes], dtype=np.uint8
+                ).reshape(h, row_bytes)
+                rb = -(-h // PATCH)
+                padded = np.zeros((rb * PATCH, row_bytes), dtype=np.int64)
+                padded[:h] = arr
+                sums = padded.reshape(rb, PATCH, cols, PATCH * 3).sum(axis=(1, 3))
+                for r in range(rb):
+                    for c in range(cols):
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(r)
+                        out["patch_col"].append(c)
+                        out["n_px_rows"].append(min(PATCH, h - r * PATCH))
+                        out["patch_sum"].append(int(sums[r, c]))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "payload")
+        .mapInPandas(patchify, out_schema)
+        .orderBy("doc_id", "patch_row", "patch_col")
+    )
+
+
+VAD_FRAME = 160  # 20 ms at the 8 kHz fixture rate
+VAD_AVG_THRESHOLD = 1600  # mean |sample| above this counts as voiced
+
+
+@query(
+    "c55_audio_vad",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+    )
+    SELECT doc_id,
+           f AS frame_idx,
+           CAST(least({VAD_FRAME}, len - f * {VAD_FRAME}) AS BIGINT) AS frame_len,
+           CAST(16 * list_aggregate(list_transform(range(0, {VAD_FRAME}), k ->
+             CASE WHEN f * {VAD_FRAME} + k + 1 <= len
+                  THEN ascii(substr(text, CAST(f * {VAD_FRAME} + k + 1 AS INT), 1))
+                  ELSE 0 END), 'sum') AS BIGINT) AS energy,
+           16 * list_aggregate(list_transform(range(0, {VAD_FRAME}), k ->
+             CASE WHEN f * {VAD_FRAME} + k + 1 <= len
+                  THEN ascii(substr(text, CAST(f * {VAD_FRAME} + k + 1 AS INT), 1))
+                  ELSE 0 END), 'sum')
+             > {VAD_AVG_THRESHOLD} * least({VAD_FRAME}, len - f * {VAD_FRAME}) AS voiced
+    FROM d,
+         unnest(range(0, CAST(ceil(len / {VAD_FRAME}.0) AS BIGINT))) AS ff(f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5h: voice-activity detection — decode each document's REAL
+    PCM16 WAV payload, cut it into 20 ms frames (160 samples at 8 kHz)
+    and flag frames whose mean absolute sample amplitude clears a
+    threshold. The silence-trimming pass every speech-data pipeline
+    runs before transcription/feature extraction.
+
+    All-integer energies (samples are byte<<4 by construction, summed
+    as int64) so the frame decisions are bit-identical across engines;
+    the oracle recomputes every frame energy from the payload byte
+    formulas. Partial last frames compare against a prorated
+    threshold (mean, not absolute sum).
+
+    Scale shape: narrow mapInPandas decode + numpy frame reduction —
+    no shuffle; rows out = total audio seconds / 0.02.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("frame_len", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("voiced", T.BooleanType()),
+        ]
+    )
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
+                samples = np.abs(
+                    np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
+                )
+                n = len(samples)
+                nf = -(-n // VAD_FRAME)
+                padded = np.zeros(nf * VAD_FRAME, dtype=np.int64)
+                padded[:n] = samples
+                energies = padded.reshape(nf, VAD_FRAME).sum(axis=1)
+                for f in range(nf):
+                    flen = min(VAD_FRAME, n - f * VAD_FRAME)
+                    e = int(energies[f])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["frame_len"].append(flen)
+                    out["energy"].append(e)
+                    out["voiced"].append(e > VAD_AVG_THRESHOLD * flen)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(vad, out_schema)
+        .orderBy("doc_id", "frame_idx")
+    )

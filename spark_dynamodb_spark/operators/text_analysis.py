@@ -753,3 +753,201 @@ def _winnow_fps_from_khashes(kh_col) -> "F.Column":
             lambda j: F.array_min(F.slice(kh_col, j, WINNOW_W)),
         )
     )
+
+
+@query(
+    "c52_bigram_logprob",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                                   i -> toks[i] || chr(9) || toks[i + 1])) AS pr
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id,
+             string_split(pr, chr(9))[1] AS w1,
+             string_split(pr, chr(9))[2] AS w2
+      FROM big
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY w1, w2),
+    cw AS (SELECT w1, SUM(nb) AS nh FROM cb GROUP BY w1),
+    tok AS (SELECT unnest(toks) AS w FROM t),
+    cu AS (SELECT w, COUNT(*) AS nu FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS tt FROM tok),
+    scored AS (
+      SELECT bg.doc_id,
+             ln(0.5 * (cb.nb * 1.0 / cw.nh) + 0.5 * (cu.nu * 1.0 / tot.tt)) AS lp
+      FROM bg
+      JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+      JOIN cw ON bg.w1 = cw.w1
+      JOIN cu ON bg.w2 = cu.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52: interpolated bigram language-model scoring — the step up
+    from c13's unigram proxy: each document is scored by the average
+    ln(0.5*p(w2|w1) + 0.5*p(w2)) of its bigrams under the corpus's own
+    counts (Jelinek-Mercer interpolation, lambda=0.5, so unseen-context
+    smoothing needs no extra machinery — every bigram in the corpus is
+    in the model by construction).
+
+    Scale shape: bigrams are built NARROWLY per row (the zip_with
+    shift-concat, no posexplode self-join); the model tables are three
+    combinable rollups (bigram, bigram-head, unigram); scoring re-joins
+    the bigram relation on its two token keys (AQE broadcasts the count
+    tables when they fit); the per-doc reduce is one more combinable
+    agg. Per-bigram ln rides the exact-decimal detour before the
+    per-doc sum, the same cross-engine discipline as c13.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    heads = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(heads, tails, lambda a, b: F.concat_ws("\t", a, b))
+    bg = docs.select("doc_id", F.explode(pairs).alias("pr")).select(
+        "doc_id",
+        F.split("pr", "\t").getItem(0).alias("w1"),
+        F.split("pr", "\t").getItem(1).alias("w2"),
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    cw = cb.groupBy("w1").agg(F.sum("nb").alias("nh"))
+    tok = docs.select(F.explode(toks).alias("w"))
+    cu = tok.groupBy("w").agg(F.count("*").alias("nu")).withColumnRenamed("w", "w2")
+    tot = tok.agg(F.count("*").alias("tt"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(cu, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                0.5 * (F.col("nb") * 1.0 / F.col("nh"))
+                + 0.5 * (F.col("nu") * 1.0 / F.col("tt"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lp").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# c53: top-N output rows (the merge itself touches every word; the cap
+# only bounds the emitted sample).
+C53_TOP = 100
+
+
+@query(
+    "c53_bpe_merge_step",
+    f"""
+    WITH w AS (
+      SELECT unnest({sql_simple_tokens('text')}) AS word FROM documents
+    ),
+    vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+    sp AS (
+      SELECT word, freq,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS spaced
+      FROM vocab
+    ),
+    pairs AS (
+      SELECT p.pair, SUM(sp.freq) AS cnt
+      FROM sp,
+           unnest(list_transform(
+             generate_series(1, greatest(len(string_split(spaced, ' ')) - 1, 0)),
+             i -> string_split(spaced, ' ')[i] || ' ' || string_split(spaced, ' ')[i + 1]
+           )) AS p(pair)
+      GROUP BY p.pair
+    ),
+    best AS (SELECT pair FROM pairs ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT word, freq, best.pair AS merge_pair,
+           CAST(len(string_split(spaced, ' ')) AS BIGINT) AS n_syms_before,
+           CAST(len(string_split(replace(spaced, best.pair, replace(best.pair, ' ', '')), ' '))
+                AS BIGINT) AS n_syms_after
+    FROM sp CROSS JOIN best
+    ORDER BY freq DESC, word
+    LIMIT {C53_TOP}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53: one BPE training step — count adjacent symbol pairs over
+    the word-frequency-weighted vocabulary, pick the most frequent
+    pair (lexicographic tie-break), and apply the merge to every word.
+    This is the inner loop of tokenizer training (Sennrich et al.'s
+    algorithm); c04_text_token_bpe counts with a FIXED tokenizer —
+    this op LEARNS the next merge.
+
+    Exactness: the merge is `replace(spaced, 'x y', 'xy')` on the
+    space-separated symbol string. Both engines replace left-to-right
+    non-overlapping, which IS greedy BPE application (for 'a a a' with
+    pair 'a a': first two merge, the third survives — in both).
+
+    Scale shape: everything runs on the DISTINCT-word vocabulary, not
+    the corpus: one combinable word-count rollup collapses 100 TB of
+    text to a vocab-sized table; pair counting, the argmax, and the
+    merge are all vocab-sized, and the argmax is a 1-row broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(simple_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    sp = vocab.withColumn(
+        "spaced", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    )
+    syms = F.split("spaced", " ")
+    m = F.size(syms)
+    pair_arr = F.zip_with(
+        F.slice(syms, 1, F.greatest(m - 1, F.lit(0))),
+        F.slice(syms, 2, F.greatest(m - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    pairs = (
+        sp.select("freq", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    best = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).select("pair")
+    merged = sp.crossJoin(F.broadcast(best)).select(
+        "word",
+        "freq",
+        F.col("pair").alias("merge_pair"),
+        F.size(F.split("spaced", " ")).cast("long").alias("n_syms_before"),
+        F.size(
+            F.split(
+                F.replace(
+                    F.col("spaced"),
+                    F.col("pair"),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                ),
+                F.lit(" "),
+            )
+        )
+        .cast("long")
+        .alias("n_syms_after"),
+    )
+    return merged.orderBy(F.col("freq").desc(), "word").limit(C53_TOP)

@@ -429,3 +429,147 @@ def distinct_over_window_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("n_users_5min_approx"),
     ).orderBy("event_id")
+
+
+@query(
+    "b99_running_distinct_count",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {EVENTS_TS_SQL} AS ts FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id
+                  ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM e
+    )
+    SELECT event_id, user_id, first_seen,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS distinct_so_far
+    FROM f
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def running_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B99: running COUNT(DISTINCT) per key — the number of distinct
+    event types each user has produced *so far* at every event.
+
+    Neither Spark nor DuckDB allows DISTINCT inside a window frame, and
+    the naive collect_set-over-frame is the exact O(frame) memory bomb
+    b56 documents. The scalable spelling is the standard two-step:
+    (1) a first-seen flag (row_number()==1 over (user, type)), then
+    (2) a running SUM of the flag over (user). Both windows are keyed
+    on the user axis, so state per partition is bounded by one user's
+    history, and each step is one exchange + sort — no per-row set
+    materializes anywhere.
+
+    Scale shape: two exchanges ((user,type) then (user)); at 100 TB
+    both keys are high-cardinality so partitions stay small. The flag
+    is 1 bit per row — the shuffle carries no payload beyond the keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.row_number().over(w_first) == 1).cast("int").alias("first_seen"),
+    )
+    return (
+        flagged.select(
+            "event_id",
+            "user_id",
+            "first_seen",
+            F.sum("first_seen").over(w_run).cast("long").alias("distinct_so_far"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )
+
+
+# b102 EWMA: dyadic weights 2^(H-1-k) for lag k, horizon H=8. Integer
+# weights keep the weighted sum exact in decimal; the single final
+# double division is IEEE-identical across engines.
+B102_HORIZON = 8
+
+
+@query(
+    "b102_ewma_trailing",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, value, {EVENTS_TS_SQL} AS ts FROM events
+    ),
+    lagged AS (
+      SELECT event_id, user_id, ts,
+             {", ".join(
+                 f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v{k}"
+                 for k in range(8)
+             )}
+      FROM e
+    )
+    SELECT event_id, user_id,
+           round(CAST(
+             {" + ".join(
+                 f"COALESCE(CAST(v{k} AS DECIMAL(28,6)) * {1 << (7 - k)}, 0)"
+                 for k in range(8)
+             )}
+           AS DOUBLE) / (
+             {" + ".join(
+                 f"CASE WHEN v{k} IS NULL THEN 0 ELSE {1 << (7 - k)} END"
+                 for k in range(8)
+             )}
+           ), 6) AS ewma
+    FROM lagged
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B102: trailing exponentially-weighted moving average per user —
+    the smoothing pass behind rate/latency dashboards and per-source
+    quality trend tracking.
+
+    True EWMA is an unbounded recursion (y_t = a*x_t + (1-a)*y_{t-1}),
+    which no engine's window frame expresses and whose float error
+    depends on history length. This is the bounded-horizon spelling
+    every production system actually ships: 8 trailing terms with
+    dyadic weights 2^(7-k) (= alpha 0.5 truncated at 8 taps,
+    renormalized over the terms present). Integer weights x exact
+    decimal values make the weighted sum bit-reproducible under any
+    partitioning; the one final double division is a single IEEE op.
+
+    Scale shape: ONE exchange on user_id + one sort; all 8 lags share
+    the same window spec so Spark evaluates them in a single Window
+    operator pass; everything downstream is narrow codegen arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w).alias(f"v{k}") for k in range(B102_HORIZON)]
+    lagged = ev.select("event_id", "user_id", "ts", *lags)
+    num = None
+    den = None
+    for k in range(B102_HORIZON):
+        wgt = 1 << (B102_HORIZON - 1 - k)
+        v = F.col(f"v{k}")
+        term = F.coalesce(v.cast("decimal(28,6)") * wgt, F.lit(0))
+        dterm = F.when(v.isNull(), 0).otherwise(wgt)
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return (
+        lagged.select(
+            "event_id",
+            "user_id",
+            F.round(num.cast("double") / den, 6).alias("ewma"),
+            "ts",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .drop("ts")
+    )

@@ -206,6 +206,7 @@ ROTATED_GREEN_R1 = frozenset(
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "a18_dynamo_ttl_scan",
+        "a22_dynamo_json_export",
         "a19_dynamo_conditional_put",
         "b87_tpch_q12_shipping_modes",
         "b88_grouped_exact_median",
@@ -226,6 +227,16 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c47_temperature_resampling",
         "c48_hard_negative_mining",
         "c49_rag_context_assembly",
+        "b99_running_distinct_count",
+        "b100_tpch_q21_sole_late_supplier",
+        "b101_interval_merge",
+        "b102_ewma_trailing",
+        "c50_pareto_doc_cut",
+        "c51_skipgram_cooccurrence",
+        "c52_bigram_logprob",
+        "c53_bpe_merge_step",
+        "c54_image_patches",
+        "c55_audio_vad",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",

@@ -493,3 +493,75 @@ def dynamo_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "last_value")
         .orderBy("user_id")
     )
+
+
+@query(
+    "a22_dynamo_json_export",
+    """
+    SELECT c_custkey,
+           c_name,
+           c_nationkey,
+           c_acctbal,
+           c_mktsegment,
+           '{"c_custkey":{"N":"' || CAST(c_custkey AS VARCHAR)
+             || '"},"c_name":{"S":"' || c_name
+             || '"},"c_nationkey":{"N":"' || CAST(c_nationkey AS VARCHAR)
+             || '"},"c_acctbal":{"N":"' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+             || '"},"c_mktsegment":{"S":"' || c_mktsegment || '"}}'
+             AS item_json
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def dynamo_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: DynamoDB-JSON item marshalling round trip — serialize each
+    row to the AWS wire format (attribute-value descriptors: {"S":},
+    {"N": } with numbers as strings) via a REAL JSON writer
+    (to_json over a typed descriptor struct), then UNMARSHAL it back
+    with from_json + the descriptor schema and emit the recovered
+    typed columns next to the JSON text. This is the item<->row
+    conversion surface at the core of the reference connector
+    (SURVEY §1.2 TypeConversion — DynamoDB items ARE this JSON), here
+    as an export/import format usable with `aws dynamodb batch-write-
+    item`.
+
+    Exactness: N-values are formatted from DECIMAL(18,2), not double —
+    decimal-to-string is identical in both engines while shortest-
+    round-trip double printing is not guaranteed to be. The oracle
+    builds the same wire text by concatenation (the fixture strings
+    are JSON-clean; Jackson would escape, concat wouldn't, so the
+    clean-string invariant is what makes the two spellings equal).
+
+    Scale shape: fully narrow — marshal, parse, and project run
+    row-local inside codegen + one Jackson pass; no shuffle, no UDF.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    item = F.struct(
+        F.struct(F.col("c_custkey").cast("string").alias("N")).alias("c_custkey"),
+        F.struct(F.col("c_name").alias("S")).alias("c_name"),
+        F.struct(F.col("c_nationkey").cast("string").alias("N")).alias("c_nationkey"),
+        F.struct(
+            F.col("c_acctbal").cast("decimal(18,2)").cast("string").alias("N")
+        ).alias("c_acctbal"),
+        F.struct(F.col("c_mktsegment").alias("S")).alias("c_mktsegment"),
+    )
+    marshalled = cust.select(F.to_json(item).alias("item_json"))
+    ddb_schema = (
+        "struct<"
+        "c_custkey:struct<N:string>,"
+        "c_name:struct<S:string>,"
+        "c_nationkey:struct<N:string>,"
+        "c_acctbal:struct<N:string>,"
+        "c_mktsegment:struct<S:string>>"
+    )
+    parsed = marshalled.select(
+        F.from_json("item_json", ddb_schema).alias("it"), "item_json"
+    )
+    return parsed.select(
+        F.col("it.c_custkey.N").cast("bigint").alias("c_custkey"),
+        F.col("it.c_name.S").alias("c_name"),
+        F.col("it.c_nationkey.N").cast("int").alias("c_nationkey"),
+        F.col("it.c_acctbal.N").cast("double").alias("c_acctbal"),
+        F.col("it.c_mktsegment.S").alias("c_mktsegment"),
+        "item_json",
+    ).orderBy("c_custkey")

@@ -752,3 +752,47 @@ def test_cbo_stats_reach_optimizer(spark, sf_dir):
         df._jdf.queryExecution(), "cost"
     )
     assert "rowCount=" in cost, cost
+
+
+def test_skipgram_has_no_join(spark, sf_dir):
+    """c51: pairs are built narrowly per row (zip_with shift-concat);
+    the only shuffle is the combinable pair-count aggregation — the
+    posexplode-self-join spelling must never creep back in."""
+    from spark_dynamodb_spark.operators import curation as cu
+
+    plan = physical_plan(cu.skipgram_cooccurrence(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_interval_merge_single_user_sort(spark, sf_dir):
+    """b101: both window passes and the island rollup ride one
+    user_id exchange; the prefix-max and prefix-sum share one sort."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.interval_merge(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_running_distinct_no_set_materialization(spark, sf_dir):
+    """b99: the running distinct count is flag+prefix-sum — no
+    collect_set/collect_list frame may appear (that is the O(frame)
+    memory bomb this spelling exists to avoid)."""
+    from spark_dynamodb_spark.operators import windows as wi
+
+    plan = physical_plan(wi.running_distinct_count(spark, sf_dir))
+    assert "collect_set" not in plan and "collect_list" not in plan, plan
+
+
+def test_tpch_q21_no_cartesian_single_fact_join_tree(spark, sf_dir):
+    """b100: the hand-decorrelated Q21 joins lineitem to orders once
+    and rolls up — no correlated re-scan blowing into a cartesian."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.tpch_q21(spark, sf_dir)
+    assert_no_cartesian(df)
