@@ -55,6 +55,10 @@ EXTRA = [
     "b72_tpch_q8_market_share",
     "b84_peak_concurrency",
     "c38_boilerplate_ngrams",
+    # round-5-parked representatives: joinless corpus pair counting,
+    # single-sort nearest as-of over the event stream
+    "c51_skipgram_cooccurrence",
+    "b104_asof_nearest_join",
 ]
 
 

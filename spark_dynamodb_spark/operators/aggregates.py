@@ -567,3 +567,115 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- b103: exact interpolated percentiles ----------------------------------
+# Quarter-point fractions keep the interpolation weight an exact
+# DECIMAL(3,2); o_totalprice is 2-dp money, so lower/upper are exact
+# DECIMAL(18,2) and the interpolated value is exact DECIMAL arithmetic
+# end-to-end (cast to double only for the output column).
+B103_PS = (25, 50, 75)  # percent points
+
+
+@query(
+    "b103_percentile_cont_exact",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    pts AS (
+      SELECT * FROM (VALUES {', '.join(f'({p})' for p in B103_PS)}) t(p)
+    ),
+    marks AS (
+      SELECT o_orderpriority, p, n,
+             ((n - 1) * p) // 100 + 1 AS lo_rn,
+             (n - 1) * p % 100 AS pfrac
+      FROM (SELECT DISTINCT o_orderpriority, n FROM ranked) g CROSS JOIN pts
+    )
+    SELECT m.o_orderpriority, m.p AS pct,
+           CAST(lo.vc * 100
+                + (COALESCE(hi.vc, lo.vc) - lo.vc) * m.pfrac AS BIGINT)
+             AS percentile_micro
+    FROM marks m
+    JOIN ranked lo ON lo.o_orderpriority = m.o_orderpriority AND lo.rn = m.lo_rn
+    LEFT JOIN ranked hi ON hi.o_orderpriority = m.o_orderpriority
+                       AND hi.rn = m.lo_rn + 1
+    ORDER BY m.o_orderpriority, pct
+    """,
+)
+def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B103: interpolated percentiles (PERCENTILE_CONT semantics: value
+    at virtual position (n-1)*p, linearly interpolated between the two
+    bracketing order statistics) — exact, via rank selection instead
+    of the native aggregate. Native percentile() interpolates in
+    binary double where the last ulp is engine-private; here the
+    bracketing values are DECIMAL(18,2) money and the quarter-point
+    weight is DECIMAL(3,2), so the interpolation is exact decimal
+    arithmetic, bit-identical everywhere (b88's rank-selection
+    discipline generalized from the median to any p).
+
+    Scale shape: one window pass partitioned by the group key (rank +
+    group size share one sort), a tiny per-group mark table, and two
+    rank-equi joins that AQE broadcasts. At 100 TB swap in
+    percentile_approx for the same plan shape with sketch merges —
+    this op is the exactness anchor.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    pts = spark.range(0, len(B103_PS)).select(
+        F.element_at(F.array(*[F.lit(p) for p in B103_PS]), (F.col("id") + 1).cast("int")).alias("p")
+    )
+    groups = ranked.select("o_orderpriority", "n").distinct()
+    marks = groups.crossJoin(F.broadcast(pts)).select(
+        "o_orderpriority",
+        "p",
+        ((F.col("n") - 1) * F.col("p")).cast("long").alias("tgt"),
+    ).select(
+        "o_orderpriority",
+        "p",
+        (F.expr("tgt div 100") + 1).cast("long").alias("lo_rn"),
+        (F.col("tgt") % 100).alias("pfrac"),
+    )
+    lo = ranked.select(
+        F.col("o_orderpriority").alias("gp"), F.col("rn").alias("lo_rn"), F.col("vc").alias("lo_v")
+    )
+    hi = ranked.select(
+        F.col("o_orderpriority").alias("gp2"), F.col("rn").alias("hi_rn"), F.col("vc").alias("hi_v")
+    )
+    out = (
+        marks.join(
+            lo, (marks.o_orderpriority == lo.gp) & (marks.lo_rn == lo.lo_rn)
+        )
+        .join(
+            hi,
+            (marks.o_orderpriority == hi.gp2) & (marks.lo_rn + 1 == hi.hi_rn),
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            F.col("p").alias("pct"),
+            (
+                F.col("lo_v") * 100
+                + (F.coalesce(F.col("hi_v"), F.col("lo_v")) - F.col("lo_v"))
+                * F.col("pfrac")
+            )
+            .cast("long")
+            .alias("percentile_micro"),
+        )
+    )
+    return out.orderBy("o_orderpriority", "pct")

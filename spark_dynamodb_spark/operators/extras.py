@@ -786,3 +786,57 @@ def cbo_stats_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "b106_schema_evolution_read",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_chars,
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END), 0)
+                AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B106: schema evolution on read — a corpus written over months
+    drifts schema (new columns appear in newer batches); the reader
+    must union old and new files without rewriting history. Batch 1
+    (even doc_ids) is written WITHOUT n_chars; batch 2 (odd) WITH it;
+    the mergeSchema read reconciles to the union schema, nulls filling
+    the old files — proven by per-lang counts of present/absent cells
+    against the fixture-derived oracle.
+
+    Scale shape: mergeSchema=true footer reconciliation is a driver-
+    side planning cost (at 100 TB pin the merged schema explicitly or
+    via a table catalog once known — same read path); the aggregation
+    itself is one combinable rollup. Directory layout is the
+    append-only batch pattern (one subdir per ingestion batch).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = hashlib.md5(f"schemaevo:{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"schema_evo_{tag}")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(os.path.join(root, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(root, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("n_chars").cast("long").alias("n_with_chars"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.exact import dsum, sql_dsum
 from spark_dynamodb_spark.registry import query
-from spark_dynamodb_spark.tables import EVENTS_TS_SQL, load_table
+from spark_dynamodb_spark.tables import EVENTS_TS_SQL, EVENTS_TS_US_SQL, load_table
 
 
 @query(
@@ -647,3 +647,87 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     write + read round-trips values exactly.
     """
     return bucketed_join_frame(spark, sf_dir)
+
+
+B104_TOL_US = 3_600_000_000  # 1 hour nearest-match tolerance
+
+
+@query(
+    "b104_asof_nearest_join",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, {EVENTS_TS_US_SQL} AS t
+      FROM events WHERE event_type IN ('error', 'purchase')
+    ),
+    err AS (SELECT * FROM e WHERE event_type = 'error')
+    SELECT err.event_id, err.user_id, m.mid AS matched_event_id, m.dt AS dt_us
+    FROM err LEFT JOIN LATERAL (
+      SELECT p.event_id AS mid, p.t - err.t AS dt
+      FROM e p
+      WHERE p.user_id = err.user_id AND p.event_type = 'purchase'
+        AND abs(p.t - err.t) <= {B104_TOL_US}
+      ORDER BY abs(p.t - err.t),
+               CASE WHEN (p.t, p.event_id) < (err.t, err.event_id)
+                    THEN 0 ELSE 1 END,
+               CASE WHEN (p.t, p.event_id) < (err.t, err.event_id)
+                    THEN -p.event_id ELSE p.event_id END
+      LIMIT 1
+    ) m ON TRUE
+    ORDER BY err.user_id, err.event_id
+    """,
+)
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B104: NEAREST-neighbor as-of join — match each error event to
+    its closest purchase by the SAME user within 1 hour, in either
+    direction (b33 is the classic backward-only as-of; monitoring and
+    attribution pipelines usually want nearest-either-side).
+
+    The scalable spelling is the b33 union-sort trick extended with a
+    forward pass: interleave both event sets on ONE (user, time) sort,
+    take the last preceding purchase (running last_value ignorenulls)
+    AND the first following purchase (the mirrored frame), then pick
+    whichever is closer (ties prefer the earlier/preceding match,
+    deterministically down to event_id). One shuffle, one sort, zero
+    joins — per-task state is two structs.
+
+    The oracle is the quadratic LATERAL nearest-1 spelling — a
+    different algorithm entirely, which is what makes the hash match
+    meaningful.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    e = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    pstruct = F.when(
+        F.col("event_type") == "purchase", F.struct("t", "event_id")
+    )
+    prev = F.last(pstruct, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    nxt = F.first(pstruct, ignorenulls=True).over(
+        w.rowsBetween(1, W.unboundedFollowing)
+    )
+    cand = e.select(
+        "event_id", "user_id", "event_type", "t",
+        prev.alias("prev"), nxt.alias("nxt"),
+    ).filter(F.col("event_type") == "error")
+    dt_prev = F.col("prev.t") - F.col("t")  # <= 0
+    dt_next = F.col("nxt.t") - F.col("t")  # >= 0
+    prev_ok = F.col("prev").isNotNull() & (-dt_prev <= B104_TOL_US)
+    next_ok = F.col("nxt").isNotNull() & (dt_next <= B104_TOL_US)
+    use_prev = prev_ok & (~next_ok | (-dt_prev <= dt_next))
+    matched_id = F.when(use_prev, F.col("prev.event_id")).otherwise(
+        F.when(next_ok, F.col("nxt.event_id"))
+    )
+    dt = F.when(use_prev, dt_prev).otherwise(F.when(next_ok, dt_next))
+    return cand.select(
+        "event_id",
+        "user_id",
+        matched_id.alias("matched_event_id"),
+        dt.alias("dt_us"),
+    ).orderBy("user_id", "event_id")

@@ -1256,3 +1256,191 @@ def temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- c58: weighted sampling without replacement ----------------------------
+C58_K = 5  # docs kept per source
+# md5-derived uniform in (0,1): 60-bit hash scaled by 2^60.
+_C58_EXPR = "'wrs' || CAST(doc_id AS VARCHAR)"
+_C58_U = f"(({sql_md5_64(_C58_EXPR)} + 1) / 1152921504606846976.0)"
+
+
+@query(
+    "c58_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln({_C58_U}) / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT source, rnk, doc_id, CAST(n_chars AS BIGINT) AS weight
+    FROM ranked
+    WHERE rnk <= {C58_K}
+    ORDER BY source, rnk
+    """,
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58: weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-Res): each item draws a deterministic uniform u from md5 and is
+    ranked by ln(u)/w (equivalent to the textbook u^(1/w) key — the
+    monotone form that avoids pow's cross-engine wobble); the top-k
+    per source is an exact weighted sample, here length-weighted so
+    big documents are proportionally favored — the sampling mode
+    quality-audit pipelines want (chars-coverage, not doc-count).
+
+    Determinism: no RAND() anywhere (the governance rule every split/
+    sample op in this repo follows) — same sample on any cluster, any
+    partitioning, any run.
+
+    Scale shape: the key is a narrow per-row expression; the top-k is
+    a WindowGroupLimit per source (rank never materializes beyond k
+    per partition after the group-limit pushdown).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = (md5_64(F.concat(F.lit("wrs"), F.col("doc_id").cast("string"))) + 1) / F.lit(
+        1152921504606846976.0
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= C58_K)
+        .select("source", "rnk", "doc_id", F.col("n_chars").cast("long").alias("weight"))
+        .orderBy("source", "rnk")
+    )
+
+
+# --- c59: differentially-private noisy counts ------------------------------
+# Laplace scale b = sensitivity/epsilon = 1/1.0.
+_C59_U = f"(({sql_md5_64('lang || chr(31) || source')} + 1) / 1152921504606846976.0 - 0.5)"
+
+
+@query(
+    "c59_dp_noisy_counts",
+    f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS true_count,
+             {_C59_U} AS u
+      FROM documents
+      GROUP BY lang, source
+    )
+    SELECT lang, source, true_count,
+           round(true_count
+                 - CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END
+                   * ln(1 - 2 * abs(u)), 6) AS noisy_count
+    FROM g
+    ORDER BY lang, source
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59: differentially-private release of group counts — Laplace
+    mechanism (b = 1/epsilon, epsilon = 1) over the (lang, source)
+    contingency table, the standard dataset-card privacy guard when
+    slice counts could identify contributors.
+
+    The Laplace draw inverts the CDF on a uniform derived from md5 of
+    the GROUP KEY — deterministic for the parity harness (a real
+    release uses a secret seed; the mechanism, sensitivity accounting,
+    and inverse-CDF shape are exactly what production does). true_count
+    rides along here only because this is a test harness — a real
+    release emits the noisy column alone.
+
+    Scale shape: one combinable rollup; the noise is a narrow
+    expression on the aggregated (tiny) relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("true_count"))
+    u = (
+        md5_64(F.concat(F.col("lang"), F.lit("\x1f"), F.col("source"))) + 1
+    ) / F.lit(1152921504606846976.0) - 0.5
+    noise = F.when(u < 0, -1.0).otherwise(1.0) * F.log(1 - 2 * F.abs(u))
+    return g.select(
+        "lang",
+        "source",
+        "true_count",
+        F.round(F.col("true_count") - noise, 6).alias("noisy_count"),
+    ).orderBy("lang", "source")
+
+
+# --- c60: size-balanced shard assignment -----------------------------------
+C60_SHARDS = 8
+
+
+@query(
+    "c60_balanced_shards",
+    f"""
+    WITH per_len AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    offs AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS off
+      FROM per_len
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(o.off, 0)
+               + row_number() OVER (PARTITION BY d.n_chars ORDER BY d.doc_id)
+               AS rnk
+      FROM documents d JOIN offs o ON d.n_chars = o.n_chars
+    )
+    SELECT CAST((rnk - 1) % {C60_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C60: size-balanced output sharding — assign documents to 8
+    shards round-robin in descending size order (the LPT greedy
+    approximation: consecutive sizes land on different shards, so
+    shard byte totals stay within one max-document of each other).
+    This is how a 100 TB corpus writes balanced output files without a
+    bin-packing loop.
+
+    The global size rank would naively be a single-partition window
+    (the scale-killer c18 documents); instead it is the same two-phase
+    spelling c18 uses: per-size-value ranks (partitioned window over
+    doc_id) plus broadcast prefix offsets of the tiny distinct-size
+    rollup — ordering by (n_chars DESC, doc_id) exactly, with no
+    SinglePartition window over the corpus.
+
+    Scale shape: one combinable size rollup (bounded by distinct
+    sizes), one tiny running-sum window over it, one broadcast join
+    back, one combinable shard rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_len = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    wo = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_len.select(
+        "n_chars", F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off")
+    )
+    wr = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = (
+        docs.join(F.broadcast(offs), "n_chars")
+        .withColumn("rnk", F.col("off") + F.row_number().over(wr))
+    )
+    return (
+        ranked.groupBy(((F.col("rnk") - 1) % C60_SHARDS).cast("long").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

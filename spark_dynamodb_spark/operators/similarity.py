@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from spark_dynamodb_spark.functions.text import md5_64
 from spark_dynamodb_spark.functions.vector import cosine_similarity, dot
 from spark_dynamodb_spark.registry import query
 from spark_dynamodb_spark.tables import load_table
@@ -1334,4 +1335,281 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+# --- C56: product quantization ---------------------------------------------
+PQ_M = 2  # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4  # codewords per subspace
+PQ_ITERS = 2  # Lloyd iterations per sub-quantizer
+
+
+def _sql_sqdist_sub() -> str:
+    return _SQL_SQDIST.format(a="{a}", b="{b}", dim=PQ_SUBDIM)
+
+
+def _pq_sql() -> str:
+    """DuckDB mirror of product_quantization — the c03_ann_ivf
+    unrolling discipline applied per subspace: md5-seeded codes,
+    PQ_ITERS exact-decimal Lloyd iterations over each (m, cell), then
+    code assignment + exact reconstruction error."""
+    sq = _SQL_SQDIST.format(a="s.svec", b="c.cvec", dim=PQ_SUBDIM)
+    sq_err = _SQL_SQDIST.format(a="a.svec", b="c.cvec", dim=PQ_SUBDIM)
+    seed = (
+        "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||"
+        f" CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) % {PQ_K} AS INT)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec"
+        " FROM embeddings)",
+        f"ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)",
+        f"""s AS (
+      SELECT vec_id, m,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            i -> vec[m * {PQ_SUBDIM} + i]) AS svec
+      FROM v CROSS JOIN ms
+    )""",
+        f"a0 AS (SELECT vec_id, m, svec, {seed} AS cell FROM s)",
+    ]
+    for k in range(PQ_ITERS):
+        ctes.append(
+            f"""cents{k} AS (
+      SELECT m, cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT m, cell, pos,
+               CAST(SUM(CAST(svec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(svec[pos]) AS mn
+        FROM a{k} CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS pos) g
+        GROUP BY m, cell, pos
+      ) GROUP BY m, cell
+    )"""
+        )
+        ctes.append(
+            f"""a{k + 1} AS (
+      SELECT vec_id, m, svec, cell FROM (
+        SELECT s.vec_id, s.m, s.svec, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {sq} ASC, c.cell ASC) AS rn
+        FROM s JOIN cents{k} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+        )
+    last = f"a{PQ_ITERS}"
+    ctes.append(
+        f"""centsF AS (
+      SELECT m, cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT m, cell, pos,
+               CAST(SUM(CAST(svec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(svec[pos]) AS mn
+        FROM {last} CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS pos) g
+        GROUP BY m, cell, pos
+      ) GROUP BY m, cell
+    )"""
+    )
+    ctes.append(
+        f"""err AS (
+      SELECT a.vec_id, a.m, a.cell, {sq_err} AS e
+      FROM {last} a JOIN centsF c ON c.m = a.m AND c.cell = a.cell
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cell END) AS INT) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN cell END) AS INT) AS code1,
+           round(MAX(CASE WHEN m = 0 THEN e END)
+                 + MAX(CASE WHEN m = 1 THEN e END), 6) AS quant_err
+    FROM err
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+    )
+
+
+def _pq_centroids(assigned: DataFrame) -> DataFrame:
+    from spark_dynamodb_spark.functions.exact import davg
+
+    return (
+        assigned.select("m", "cell", F.posexplode("svec").alias("pos", "v"))
+        .groupBy("m", "cell", "pos")
+        .agg(davg("v", "mn"))
+        .groupBy("m", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                lambda s: s["mn"],
+            ).alias("cvec")
+        )
+    )
+
+
+@query("c56_product_quantization", _pq_sql())
+def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56: product quantization (the PQ of IVF-PQ, Jégou et al.) —
+    split each 64-dim embedding into 2 sub-vectors, train an
+    independent K=4 codebook per subspace (the c03_ann_ivf
+    deterministic Lloyd recipe: md5-seeded codes, exact-decimal
+    centroid means, broadcast argmin reassignment), and emit each
+    vector's code tuple plus its exact reconstruction error. Codes
+    compress 64 doubles to 2 small ints — the memory trick that lets
+    a billion-vector index fit in RAM; the error column is the
+    quantization-quality audit every PQ deployment monitors.
+
+    Scale shape: training aggregates are combinable (shuffle carries
+    M x K x SUBDIM partial sums); reassignment is a broadcast of the
+    tiny codebook; nothing iterates on the driver. The oracle unrolls
+    the identical fixed-depth iteration as chained CTEs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    subs = None
+    for m in range(PQ_M):
+        s = emb.select(
+            "vec_id",
+            F.lit(m).alias("m"),
+            F.slice("vec", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("svec"),
+        )
+        subs = s if subs is None else subs.unionAll(s)
+    assigned = subs.withColumn(
+        "cell",
+        (
+            md5_64(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    F.col("m").cast("string"),
+                )
+            )
+            % PQ_K
+        ).cast("int"),
+    )
+    for _ in range(PQ_ITERS):
+        cents = _pq_centroids(assigned)
+        w_assign = W.partitionBy("vec_id", "m").orderBy(
+            _sq_dist(F.col("svec"), F.col("cvec")).asc(), F.col("cell").asc()
+        )
+        assigned = (
+            subs.join(F.broadcast(cents), "m")
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "svec", "cell")
+        )
+    cents = _pq_centroids(assigned)
+    err = assigned.join(F.broadcast(cents), ["m", "cell"]).select(
+        "vec_id", "m", "cell", _sq_dist(F.col("svec"), F.col("cvec")).alias("e")
+    )
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("m") == 0, F.col("cell"))).cast("int").alias("code0"),
+            F.max(F.when(F.col("m") == 1, F.col("cell"))).cast("int").alias("code1"),
+            F.round(
+                F.max(F.when(F.col("m") == 0, F.col("e")))
+                + F.max(F.when(F.col("m") == 1, F.col("e"))),
+                6,
+            ).alias("quant_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- C63: matryoshka truncation evaluation ---------------------------------
+MRL_DIM = 16  # truncated prefix length
+MRL_TOP = 3
+
+
+@query(
+    "c63_matryoshka_truncation_eval",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    vt AS (SELECT vec_id, vec,
+                  list_transform(generate_series(1, {MRL_DIM}), i -> vec[i]) AS tvec
+           FROM v),
+    q AS (SELECT vec_id AS query_id, vec AS qvec, tvec AS qtvec
+          FROM vt WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, vt.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, vt.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(vt.vec, vt.vec))) AS cf,
+             list_dot_product(q.qtvec, vt.tvec)
+               / (sqrt(list_dot_product(q.qtvec, q.qtvec))
+                  * sqrt(list_dot_product(vt.tvec, vt.tvec))) AS ct
+      FROM q CROSS JOIN vt
+      WHERE vt.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cf DESC, neighbor_id)
+               AS rf,
+             row_number() OVER (PARTITION BY query_id ORDER BY ct DESC, neighbor_id)
+               AS rt
+      FROM scored
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rf <= {MRL_TOP} AND rt <= {MRL_TOP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           MAX(CASE WHEN rf = 1 THEN neighbor_id END) AS top1_full,
+           MAX(CASE WHEN rt = 1 THEN neighbor_id END) AS top1_trunc
+    FROM ranked
+    GROUP BY query_id
+    ORDER BY query_id
+    """,
+)
+def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C63: matryoshka-truncation retrieval evaluation — compare
+    top-3 cosine neighbors under the FULL 64-dim embedding vs its
+    16-dim prefix (the MRL deployment question: how much recall does
+    4x cheaper storage/compute cost?). Emits per-query top-3 overlap
+    and both top-1 ids; the aggregate overlap is the recall@3 of the
+    truncated index.
+
+    Scale shape: one corpus scan scores both representations (the
+    truncated dot is a prefix of the full fold, so the second score is
+    nearly free); the query set broadcasts; the double ranking is two
+    windows over the same query-partitioned shuffle. The exactness
+    twin of a production two-stage retrieve-with-prefix / rerank-with-
+    full pipeline.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    vt = emb.withColumn("tvec", F.slice("vec", 1, MRL_DIM))
+    q = vt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("tvec").alias("qtvec"),
+    )
+    scored = (
+        vt.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qvec", "vec").alias("cf"),
+            cosine_similarity("qtvec", "tvec").alias("ct"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.col("cf").desc(), F.col("neighbor_id"))
+    wt = W.partitionBy("query_id").orderBy(F.col("ct").desc(), F.col("neighbor_id"))
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum(
+                ((F.col("rf") <= MRL_TOP) & (F.col("rt") <= MRL_TOP)).cast("int")
+            )
+            .cast("long")
+            .alias("n_overlap"),
+            F.max(F.when(F.col("rf") == 1, F.col("neighbor_id"))).alias("top1_full"),
+            F.max(F.when(F.col("rt") == 1, F.col("neighbor_id"))).alias("top1_trunc"),
+        )
+        .orderBy("query_id")
     )

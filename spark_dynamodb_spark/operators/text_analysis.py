@@ -951,3 +951,227 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_syms_after"),
     )
     return merged.orderBy(F.col("freq").desc(), "word").limit(C53_TOP)
+
+
+ZIPF_TOP = 50  # vocabulary ranks fitted per source
+
+
+@query(
+    "c57_zipf_slope",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({sql_tokens('text')}) AS term FROM documents
+    ),
+    vocab AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY source, term),
+    ranked AS (
+      SELECT source,
+             ln(row_number() OVER (PARTITION BY source ORDER BY n DESC, term)) AS x,
+             ln(n) AS y,
+             row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rnk
+      FROM vocab
+    ),
+    pts AS (SELECT source, x, y FROM ranked WHERE rnk <= {ZIPF_TOP}),
+    mom AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY source
+    )
+    SELECT source, n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS zipf_intercept
+    FROM mom
+    ORDER BY source
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57: Zipf law fit per source — least-squares slope of
+    ln(frequency) against ln(rank) over each source's top-50
+    vocabulary. Natural language sits near slope -1; word-salad, spam,
+    and template boilerplate deviate hard, making the slope a cheap
+    corpus-health audit statistic (and the fixture's synthetic
+    uniform-ish vocabulary shows exactly that deviation).
+
+    Exactness: per-point ln products are single IEEE ops; the four
+    moment sums ride the decimal detour (b47's closed-form regression
+    discipline); the slope/intercept are fixed-order double
+    expressions from those exact moments.
+
+    Scale shape: one combinable (source, term) rollup collapses the
+    corpus; the ranking window runs over vocab-sized data partitioned
+    by source; the regression is one more combinable agg per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    vocab = tok.groupBy("source", "term").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("source").orderBy(F.col("n").desc(), "term")
+    pts = (
+        vocab.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "source",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    mom = pts.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return mom.select(
+        "source",
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    ).orderBy("source")
+
+
+@query(
+    "c61_char_ngram_entropy",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_normalize_text('text')} AS norm FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(length(norm) - 1, 1)),
+                                   i -> substr(norm, CAST(i AS INT), 2))) AS gram
+      FROM t
+    ),
+    cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(ln(SUM(c))
+                 - CAST(SUM(CAST(c * ln(c) AS DECIMAL(28,6))) AS DOUBLE) / SUM(c),
+                 6) AS entropy_nats
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61: character-bigram entropy per document — the randomness
+    detector quality pipelines run to catch base64 blobs, minified
+    code, and key-mash spam (too-high entropy) or repeated-template
+    boilerplate (too-low). H = ln(n) - sum(c*ln(c))/n over the per-doc
+    bigram counts — the algebraic form whose only reductions are sums
+    of integers and of decimal-cast per-term doubles (c13's ln
+    discipline; no per-row division, so no error accumulation).
+
+    Scale shape: one narrow per-row gram build (no join), one
+    combinable (doc, gram) rollup, one combinable per-doc rollup —
+    both shuffles carry counts keyed by doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(norm) - 1, 1)),"
+        " i -> substring(norm, i, 2))"
+    )
+    g = docs.select("doc_id", norm.alias("norm")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    cnt = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum((F.col("c") * F.log("c")).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# c62: content-defined chunking — a boundary fires where the 60-bit
+# md5 of the 8-char window is 0 mod 2^6 (expected chunk ~64 chars).
+CDC_W = 8
+CDC_MASK = 64
+
+
+@query(
+    "c62_content_defined_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {sql_normalize_text('text')} AS norm FROM documents
+    ),
+    b AS (
+      SELECT doc_id, length(norm) AS n,
+             list_filter(
+               list_transform(generate_series(1, greatest(length(norm) - {CDC_W - 1}, 1)),
+                              i -> CASE WHEN {sql_md5_64(f"substr(norm, CAST(i AS INT), {CDC_W})")}
+                                        % {CDC_MASK} = 0 THEN i ELSE NULL END),
+               x -> x IS NOT NULL) AS cuts
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(cuts) + 1 AS BIGINT) AS n_chunks,
+           CAST(COALESCE(cuts[1], 0) AS BIGINT) AS first_cut,
+           CAST(COALESCE(cuts[len(cuts)], 0) AS BIGINT) AS last_cut,
+           {sql_md5_64("COALESCE(array_to_string(cuts, ','), '')")} AS cuts_hash
+    FROM b
+    ORDER BY doc_id
+    """,
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62: content-defined chunk boundaries (the rolling-hash cut
+    rule behind rsync/FastCDC-style dedup): a boundary fires wherever
+    the hash of the local 8-char window hits 0 mod 64, so chunk
+    boundaries survive insertions/deletions elsewhere in the document
+    — the property that makes chunk-level dedup (c12) robust to edits,
+    unlike fixed-width chunking. Emits per-doc boundary statistics and
+    a hash of the exact cut list (so any drift in any boundary
+    position fails the oracle).
+
+    Scale shape: fully narrow — per-row higher-order transform/filter,
+    no explode, no shuffle (the hash rides md5 for engine portability;
+    a Spark-only deployment would use xxhash64 here, same plan).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    md5_sql = (
+        f"conv(substring(md5(substring(norm, i, {CDC_W})), 1, 15), 16, 10)"
+    )
+    cuts = F.expr(
+        f"filter(transform(sequence(1, greatest(length(norm) - {CDC_W - 1}, 1)),"
+        f" i -> CASE WHEN CAST({md5_sql} AS BIGINT) % {CDC_MASK} = 0"
+        f" THEN i ELSE NULL END), x -> x IS NOT NULL)"
+    )
+    b = docs.select(
+        "doc_id", F.length(norm).alias("n"), norm.alias("norm")
+    ).select("doc_id", "n", cuts.alias("cuts"))
+    return b.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        (F.size("cuts") + 1).cast("long").alias("n_chunks"),
+        F.coalesce(F.try_element_at("cuts", F.lit(1)), F.lit(0))
+        .cast("long")
+        .alias("first_cut"),
+        F.coalesce(F.try_element_at("cuts", F.lit(-1)), F.lit(0))
+        .cast("long")
+        .alias("last_cut"),
+        md5_64(F.array_join("cuts", ",")).alias("cuts_hash"),
+    ).orderBy("doc_id")

@@ -573,3 +573,94 @@ def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .drop("ts")
     )
+
+
+# b105: rolling OLS over a trailing 16-event frame. Time axis is
+# integer seconds since the fixture epoch so squared sums stay inside
+# BIGINT; value sums ride the decimal detour.
+B105_FRAME = 16
+B105_EPOCH_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+
+
+@query(
+    "b105_rolling_regression",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             {EVENTS_TS_US_SQL} // 1000000 - {B105_EPOCH_S} AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx,
+             SUM(CAST(y AS DECIMAL(28,6))) OVER w AS sy,
+             SUM(CAST(x * y AS DECIMAL(28,6))) OVER w AS sxy,
+             SUM(x * x) OVER w AS sxx
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+                   ROWS BETWEEN {B105_FRAME - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(n * sxx - sx * sx, 0), 6) + 0 AS slope
+    FROM m
+    ORDER BY user_id, event_id
+    """,
+)
+def rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B105: rolling least-squares trend — the OLS slope of value
+    against time over each user's trailing 16 events (the drift
+    detector behind rate/latency alerting and data-quality trend
+    monitors).
+
+    Exactness: the time axis is integer SECONDS from the fixture epoch
+    (micros would overflow the squared sums), so sx/sxx are exact
+    BIGINTs; sy/sxy ride the decimal detour; the closed-form slope is
+    a fixed-order double expression from exact moments (the b47
+    regression discipline inside a window frame). Degenerate frames
+    (one event, or all in the same second) yield NULL via the zero
+    denominator.
+
+    Scale shape: ONE exchange on user_id + one sort; all five moment
+    sums share the same frame so Spark computes them in a single
+    Window operator; everything else is narrow arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        (F.expr("unix_micros(ts) div 1000000") - B105_EPOCH_S).alias("x"),
+        F.col("value").alias("y"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("x", "event_id")
+        .rowsBetween(-(B105_FRAME - 1), W.currentRow)
+    )
+    m = e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,6)")).over(w).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return m.select(
+        "event_id",
+        "user_id",
+        n.cast("long").alias("n_points"),
+        # `+ 0` collapses IEEE -0.0 to +0.0 (a flat frame can yield a
+        # signed zero in one engine and not the other)
+        (
+            F.round(
+                (n * sxy - sx * sy).cast("double")
+                / F.nullif(n * sxx - sx * sx, F.lit(0)),
+                6,
+            )
+            + 0
+        ).alias("slope"),
+    ).orderBy("user_id", "event_id")

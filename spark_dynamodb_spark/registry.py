@@ -207,6 +207,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "a18_dynamo_ttl_scan",
         "a22_dynamo_json_export",
+        "a23_dynamo_versioned_update",
         "a19_dynamo_conditional_put",
         "b87_tpch_q12_shipping_modes",
         "b88_grouped_exact_median",
@@ -231,12 +232,24 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b100_tpch_q21_sole_late_supplier",
         "b101_interval_merge",
         "b102_ewma_trailing",
+        "b103_percentile_cont_exact",
+        "b104_asof_nearest_join",
+        "b105_rolling_regression",
+        "b106_schema_evolution_read",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",
         "c53_bpe_merge_step",
         "c54_image_patches",
+        "c57_zipf_slope",
+        "c58_weighted_sample",
+        "c59_dp_noisy_counts",
+        "c60_balanced_shards",
+        "c61_char_ngram_entropy",
+        "c62_content_defined_chunking",
+        "c63_matryoshka_truncation_eval",
         "c55_audio_vad",
+        "c56_product_quantization",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",

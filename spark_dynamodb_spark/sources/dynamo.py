@@ -35,6 +35,7 @@ Read options (reference names preserved, SURVEY §2 Part A):
   on-demand default), columns (projection: comma-separated),
   region/roleArn (no-op shims).
 Write options: writeBatchSize (25), targetCapacity, update, delete, putIfAbsent,
+versionedUpdate (+versionColumn),
   throughput, bytesPerWCU (1000).
 """
 
@@ -488,6 +489,8 @@ class DynamoWriter(DataSourceWriter):
         self.mode = (
             "delete"
             if _bool_opt(options, "delete", False)
+            else "versioned_update"
+            if _bool_opt(options, "versionedUpdate", False)
             else "update"
             if _bool_opt(options, "update", False)
             else "put_if_absent"
@@ -578,6 +581,10 @@ class DynamoWriter(DataSourceWriter):
             merged = self._merge_delete(base, staged, key_cols)
         elif self.mode == "update":
             merged = self._merge_update(base, staged, key_cols)
+        elif self.mode == "versioned_update":
+            merged = self._merge_versioned_update(
+                base, staged, key_cols, _opt(self.options, "versionColumn", "version")
+            )
         elif self.mode == "put_if_absent":
             merged = self._merge_put_if_absent(base, staged, key_cols)
         else:
@@ -697,6 +704,29 @@ class DynamoWriter(DataSourceWriter):
         # combine_first aligns on the union of index values: existing
         # rows keep non-overridden attrs, new keys insert with nulls.
         return updated.reset_index()
+
+    @classmethod
+    def _merge_versioned_update(cls, base, staged, key_cols, vcol):
+        """Optimistic-locking UpdateItem (A23): each staged row carries
+        the version it EXPECTS the item to have (DynamoDB spelling:
+        ConditionExpression ``#v = :expected`` with ``SET #v =
+        :expected + 1``). Staged rows whose expectation is stale — or
+        whose key does not exist — are skipped (the per-item
+        ConditionalCheckFailedException, batch semantics skip-on-
+        conflict like A19); winners apply SET semantics and bump the
+        version. Lost-update protection without read-locks."""
+        if base.empty or staged.empty or vcol not in staged.columns:
+            return base
+        cur = base[key_cols + [vcol]].rename(columns={vcol: "_cur_version"})
+        joined = staged.merge(cur, on=key_cols, how="inner")
+        valid = joined[joined[vcol] == joined["_cur_version"]].drop(
+            columns=["_cur_version"]
+        )
+        if valid.empty:
+            return base
+        valid = valid.copy()
+        valid[vcol] = valid[vcol] + 1
+        return cls._merge_update(base, valid, key_cols)
 
     @staticmethod
     def _merge_delete(base, staged, key_cols):

@@ -565,3 +565,48 @@ def dynamo_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.c_mktsegment.S").alias("c_mktsegment"),
         "item_json",
     ).orderBy("c_custkey")
+
+
+@query(
+    "a23_dynamo_versioned_update",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'V2_' || n_name ELSE n_name END
+             AS n_name,
+           n_regionkey,
+           CASE WHEN n_nationkey % 2 = 0 THEN 2 ELSE 1 END AS version
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def dynamo_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: optimistic-locking update — every item carries a version
+    attribute; an update names the version it expects and only applies
+    (bumping the version) when the store still holds that version
+    (DynamoDB: UpdateItem with ConditionExpression ``version =
+    :expected``). The batch here stages a VALID update for every even
+    key (expected=1, renames) and a STALE update for every odd key
+    (expected=9): the read-back must show even keys at version 2 with
+    the new name and untouched n_regionkey (partial update keeps
+    unmentioned attrs), odd keys byte-identical at version 1 — the
+    lost-update protection a concurrent CDC/backfill writer needs.
+    """
+    base = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit(1).cast("int").alias("version")
+    )
+    name = f"nation_verupd_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(spark, base, name, hash_key="n_nationkey", n_segments=2)
+    valid = base.filter(F.col("n_nationkey") % 2 == 0).select(
+        "n_nationkey",
+        F.concat(F.lit("V2_"), F.col("n_name")).alias("n_name"),
+        F.lit(1).cast("int").alias("version"),  # expected (current) version
+    )
+    stale = base.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey",
+        F.lit("STALE").alias("n_name"),
+        F.lit(9).cast("int").alias("version"),  # nobody is at version 9
+    )
+    write_dynamo(valid.unionAll(stale), name, versionedUpdate=True)
+    return read_dynamo(spark, name).select(
+        "n_nationkey", "n_name", "n_regionkey", "version"
+    ).orderBy("n_nationkey")

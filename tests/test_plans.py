@@ -796,3 +796,52 @@ def test_tpch_q21_no_cartesian_single_fact_join_tree(spark, sf_dir):
 
     df = an.tpch_q21(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_balanced_shards_no_single_partition_window(spark, sf_dir):
+    """c60: the global size rank must come from the two-phase bucketed
+    spelling — no SinglePartition window over the corpus."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.balanced_shards(spark, sf_dir))
+    import re
+
+    for m in re.finditer(r"Window .*", plan):
+        assert "SinglePartition" not in m.group(0), m.group(0)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rolling_regression_single_window_pass(spark, sf_dir):
+    """b105: all five moment sums share one frame — exactly one
+    Window operator, one user_id exchange, no join."""
+    from spark_dynamodb_spark.operators import windows as wi
+
+    plan = physical_plan(wi.rolling_regression(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_asof_nearest_no_join_single_sort(spark, sf_dir):
+    """b104: nearest-either-side as-of rides ONE union sort — no join
+    in the plan (the LATERAL quadratic spelling lives only in the
+    oracle)."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    plan = physical_plan(jo.asof_nearest_join(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_cdc_chunking_is_narrow(spark, sf_dir):
+    """c62: content-defined chunk stats are per-row higher-order
+    functions — no exchange at all before the output sort."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.content_defined_chunking(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan

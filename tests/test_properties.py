@@ -330,3 +330,106 @@ def test_ann_recall_eval_bounds_and_ground_truth_size(spark, sf_dir):
         assert r["n_exact"] == TOP_K
         assert 0.0 <= r["recall"] <= 1.0
     assert sum(r["recall"] for r in rows) > 0
+
+
+# --- round-4 additions: versioned update + new operator invariants ---------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 3), st.integers(0, 50)),
+        unique_by=lambda r: r[0],
+        max_size=8,
+    ),
+    staged=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 4), st.integers(51, 99)),
+        unique_by=lambda r: r[0],
+        max_size=8,
+    ),
+)
+def test_merge_versioned_update_optimistic_locking(base, staged):
+    """a23 invariants: a staged row applies iff its expected version
+    equals the store's; winners bump the version by one; stale rows
+    and absent keys change nothing."""
+    b = pd.DataFrame(base, columns=["pk", "version", "val"]).astype("int64")
+    s = pd.DataFrame(staged, columns=["pk", "version", "val"]).astype("int64")
+    merged = DynamoWriter._merge_versioned_update(b, s, ["pk"], "version")
+    cur = {pk: (v, val) for pk, v, val in base}
+    for pk, expected, val in staged:
+        if pk in cur and cur[pk][0] == expected:
+            cur[pk] = (expected + 1, val)
+    got = {int(r.pk): (int(r.version), int(r.val)) for r in merged.itertuples()}
+    assert got == cur
+
+
+def test_interval_merge_islands_disjoint(spark, sf_dir):
+    """b101: merged spans per user must be disjoint AND ordered — the
+    defining property of interval coalescing."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    pdf = an.interval_merge(spark, sf_dir).toPandas()
+    for _, g in pdf.groupby("user_id"):
+        g = g.sort_values("island")
+        prev_end = None
+        for r in g.itertuples():
+            assert r.start_us <= r.end_us
+            if prev_end is not None:
+                assert r.start_us > prev_end  # disjoint, strictly after
+            prev_end = r.end_us
+
+
+def test_running_distinct_monotone_and_bounded(spark, sf_dir):
+    """b99: per user the running distinct count is non-decreasing,
+    steps by at most 1, and ends at the true distinct count."""
+    from spark_dynamodb_spark.operators import windows as wi
+    from spark_dynamodb_spark.tables import load_table
+
+    pdf = wi.running_distinct_count(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    truth = ev.groupby("user_id")["event_type"].nunique()
+    for uid, g in pdf.groupby("user_id"):
+        vals = g["distinct_so_far"].tolist()  # already (ts, event_id)-ordered
+        assert vals[0] == 1
+        assert all(0 <= b - a <= 1 for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == truth[uid]
+
+
+def test_pq_error_nonnegative_and_codes_in_range(spark, sf_dir):
+    """c56: reconstruction error >= 0 and codes within [0, K)."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    pdf = sim.product_quantization(spark, sf_dir).toPandas()
+    assert (pdf["quant_err"] >= 0).all()
+    assert pdf["code0"].between(0, sim.PQ_K - 1).all()
+    assert pdf["code1"].between(0, sim.PQ_K - 1).all()
+    assert len(pdf) == pdf["vec_id"].nunique()
+
+
+def test_balanced_shards_spread_bounded(spark, sf_dir):
+    """c60: LPT round-robin guarantee — shard char totals differ by at
+    most the largest document; every doc lands somewhere."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+    from spark_dynamodb_spark.tables import load_table
+
+    pdf = pl.balanced_shards(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    assert pdf["n_docs"].sum() == len(docs)
+    assert pdf["total_chars"].sum() == docs["n_chars"].sum()
+    spread = pdf["total_chars"].max() - pdf["total_chars"].min()
+    assert spread <= docs["n_chars"].max()
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    """c58: the length-weighted sample's mean doc length must beat the
+    corpus mean (the point of weighting), and each source yields
+    exactly K rows (or all docs if fewer)."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+    from spark_dynamodb_spark.tables import load_table
+
+    pdf = pl.weighted_sample(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    per_source = docs.groupby("source").size()
+    for src, g in pdf.groupby("source"):
+        assert len(g) == min(pl.C58_K, per_source[src])
+    assert pdf["weight"].mean() > docs["n_chars"].mean()
