@@ -679,3 +679,123 @@ def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("o_orderpriority", "pct")
+
+
+# --- c65: winsorized statistics --------------------------------------------
+# Nearest-rank (discontinuous) p10/p90 per event_type; clipping and
+# means in integer micro-units so every engine agrees bit-for-bit.
+C65_LO = 10
+C65_HI = 90
+
+
+@query(
+    "c65_winsorized_stats",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e
+    ),
+    thr AS (
+      SELECT r1.event_type, r1.n,
+             lo.v AS lo_v,
+             hi.v AS hi_v
+      FROM (SELECT DISTINCT event_type, n FROM ranked) r1
+      JOIN ranked lo ON lo.event_type = r1.event_type
+                    AND lo.rn = (r1.n - 1) * {C65_LO} // 100 + 1
+      JOIN ranked hi ON hi.event_type = r1.event_type
+                    AND hi.rn = (r1.n - 1) * {C65_HI} // 100 + 1
+    )
+    SELECT r.event_type,
+           CAST(t.n AS BIGINT) AS n,
+           t.lo_v AS lo_micro,
+           t.hi_v AS hi_micro,
+           CAST(SUM(least(greatest(r.v, t.lo_v), t.hi_v)) AS BIGINT)
+             AS winsorized_sum_micro,
+           CAST(SUM(least(greatest(r.v, t.lo_v), t.hi_v)) // t.n AS BIGINT)
+             AS winsorized_mean_micro
+    FROM ranked r JOIN thr t ON t.event_type = r.event_type
+    GROUP BY r.event_type, t.n, t.lo_v, t.hi_v
+    ORDER BY r.event_type
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65: winsorized statistics — clip each group's values at its
+    own nearest-rank p10/p90 before averaging, the robust-mean recipe
+    metric pipelines use so a single corrupted reading can't drag a
+    per-type average (trimming's keep-the-row cousin: sample size is
+    preserved).
+
+    Exactness: thresholds are order statistics picked by integer rank
+    arithmetic (b88/b103's discipline); values clip and sum in integer
+    micro-units; the mean is a floor division. Nothing floats.
+
+    Scale shape: one window pass partitioned by the group key (rank +
+    size share a sort), a tiny per-group threshold relation joined
+    back (AQE broadcasts it), one combinable clipped rollup.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+    )
+    w = W.partitionBy("event_type").orderBy("v", "event_id")
+    ranked = e.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("n"),
+    )
+    groups = ranked.select("event_type", "n").distinct()
+    lo = ranked.select(
+        F.col("event_type").alias("et1"), F.col("rn").alias("rn1"), F.col("v").alias("lo_v")
+    )
+    hi = ranked.select(
+        F.col("event_type").alias("et2"), F.col("rn").alias("rn2"), F.col("v").alias("hi_v")
+    )
+    thr = (
+        groups.join(
+            lo,
+            (groups.event_type == lo.et1)
+            & (F.expr(f"(n - 1) * {C65_LO} div 100") + 1 == lo.rn1),
+        )
+        .join(
+            hi,
+            (groups.event_type == hi.et2)
+            & (F.expr(f"(n - 1) * {C65_HI} div 100") + 1 == hi.rn2),
+        )
+        .select("event_type", "n", "lo_v", "hi_v")
+    )
+    clipped = ranked.select("event_type", "v").join(
+        F.broadcast(thr), "event_type"
+    ).select(
+        "event_type",
+        "n",
+        "lo_v",
+        "hi_v",
+        F.least(F.greatest(F.col("v"), F.col("lo_v")), F.col("hi_v")).alias("cv"),
+    )
+    return (
+        clipped.groupBy("event_type", "n", "lo_v", "hi_v")
+        .agg(F.sum("cv").cast("long").alias("winsorized_sum_micro"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo_v").alias("lo_micro"),
+            F.col("hi_v").alias("hi_micro"),
+            "winsorized_sum_micro",
+            F.expr("winsorized_sum_micro div n").cast("long").alias(
+                "winsorized_mean_micro"
+            ),
+        )
+        .orderBy("event_type")
+    )

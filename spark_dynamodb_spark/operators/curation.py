@@ -691,3 +691,139 @@ def skipgram_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("pair_count"))
         .orderBy("center", "context")
     )
+
+
+# --- c64: TextRank keyword extraction --------------------------------------
+# PageRank in integer micro-units: total mass 1e12, damping 0.85 as
+# the exact rational 85/100 with floor division — bit-identical in
+# both engines for positive values (Spark `div` truncates, DuckDB `//`
+# floors; same thing above zero). 3 unrolled iterations.
+C64_MASS = 1_000_000_000_000
+C64_ITERS = 3
+C64_TOP = 20
+
+
+def _textrank_sql() -> str:
+    ctes = [
+        f"t AS (SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents)",
+        """pr AS (
+      SELECT string_split(p, chr(9))[1] AS w1, string_split(p, chr(9))[2] AS w2
+      FROM t, unnest(list_concat(
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1]),
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 2])
+      )) AS pp(p)
+    )""",
+        """und AS (
+      SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      FROM pr WHERE w1 <> w2
+    )""",
+        "dir AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM dir GROUP BY u)",
+        f"""const AS (
+      SELECT COUNT(*) AS nn,
+             (15 * ({C64_MASS} // COUNT(*))) // 100 AS dd,
+             {C64_MASS} // COUNT(*) AS r_init
+      FROM deg
+    )""",
+        "r0 AS (SELECT deg.u, const.r_init AS r FROM deg CROSS JOIN const)",
+    ]
+    for k in range(C64_ITERS):
+        ctes.append(
+            f"""r{k + 1} AS (
+      SELECT inc.u, const.dd + (85 * inc.inc) // 100 AS r
+      FROM (
+        SELECT dir.v AS u, SUM(r{k}.r // deg.d) AS inc
+        FROM dir JOIN r{k} ON r{k}.u = dir.u JOIN deg ON deg.u = dir.u
+        GROUP BY dir.v
+      ) inc CROSS JOIN const
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT r{C64_ITERS}.u AS word, CAST(deg.d AS BIGINT) AS degree,
+           CAST(r{C64_ITERS}.r AS BIGINT) AS rank_micro
+    FROM r{C64_ITERS} JOIN deg ON deg.u = r{C64_ITERS}.u
+    ORDER BY rank_micro DESC, word
+    LIMIT {C64_TOP}
+    """
+    )
+
+
+@query("c64_textrank_keywords", _textrank_sql())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64: TextRank keyword extraction (Mihalcea & Tarau) — PageRank
+    over the word co-occurrence graph (±2 token window, undirected),
+    surfacing the corpus's most central vocabulary; the classic
+    unsupervised keyword/keyphrase signal for corpus exploration and
+    topic labeling.
+
+    Exactness: the rank lives in integer micro-units (total mass 1e12)
+    with damping 0.85 applied as floor((85*x)/100) — no floats
+    anywhere, so three fixed iterations are bit-identical in any
+    engine and under any partitioning; integer sums commute so the
+    incoming-contribution rollup needs no decimal detour.
+
+    Scale shape: the graph is VOCAB-sized (one corpus pass builds
+    distinct co-occurrence edges narrowly, c51-style); each iteration
+    is one equi-join + one combinable rollup on the word key; the
+    damping constants are a 1-row broadcast. 3 iterations = 3 bounded
+    shuffles over vocab-sized data, nothing driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = simple_tokens("text")
+    n = F.size(toks)
+    pair_arrays = []
+    for off in (1, 2):
+        shifted = F.slice(toks, 1 + off, F.greatest(n - off, F.lit(0)))
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - off, F.lit(0))),
+                shifted,
+                lambda a, b: F.concat_ws("\t", a, b),
+            )
+        )
+    pairs = docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
+        F.split("p", "\t").getItem(0).alias("w1"),
+        F.split("p", "\t").getItem(1).alias("w2"),
+    )
+    und = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .distinct()
+    )
+    direct = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).cache()
+    deg = direct.groupBy("u").agg(F.count("*").alias("d")).cache()
+    const = deg.agg(
+        F.count("*").alias("nn"),
+        F.expr(f"(15 * ({C64_MASS} div count(*))) div 100").alias("dd"),
+        F.expr(f"{C64_MASS} div count(*)").alias("r_init"),
+    )
+    r = deg.crossJoin(F.broadcast(const)).select("u", F.col("r_init").alias("r"))
+    for _ in range(C64_ITERS):
+        inc = (
+            direct.join(r, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("dst"), F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        r = inc.crossJoin(F.broadcast(const)).select(
+            F.col("dst").alias("u"),
+            (F.col("dd") + F.expr("(85 * inc) div 100")).alias("r"),
+        )
+    return (
+        r.join(deg, "u")
+        .select(
+            F.col("u").alias("word"),
+            F.col("d").cast("long").alias("degree"),
+            F.col("r").cast("long").alias("rank_micro"),
+        )
+        .orderBy(F.col("rank_micro").desc(), "word")
+        .limit(C64_TOP)
+    )

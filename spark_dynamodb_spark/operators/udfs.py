@@ -264,3 +264,84 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id long, n_tokens long, n_chars long, n_unique long"
     ).orderBy("doc_id")
+
+
+@query(
+    "b107_cogroup_in_pandas",
+    """
+    WITH budgets AS (
+      SELECT c_custkey AS user_id,
+             CAST(floor(c_acctbal * 10000) AS BIGINT) AS budget_micro
+      FROM customer
+    ),
+    e AS (
+      SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+      FROM events
+    )
+    SELECT b.user_id,
+           COUNT(e.v_micro) AS n_events,
+           CAST(COUNT(CASE WHEN e.v_micro > b.budget_micro THEN 1 END) AS BIGINT)
+             AS n_over_budget,
+           b.budget_micro
+    FROM budgets b JOIN e ON e.user_id = b.user_id
+    GROUP BY b.user_id, b.budget_micro
+    ORDER BY b.user_id
+    """,
+)
+def cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B107: cogrouped applyInPandas — the two-frame grouped-map API
+    (``df1.groupBy(k).cogroup(df2.groupBy(k)).applyInPandas``): each
+    task receives BOTH sides of one key as pandas frames, the
+    extension point for per-key reconciliation logic no join
+    expresses in one pass (pandas merge_asof, per-key model scoring,
+    custom conflict resolution). Here: per-user spend events
+    reconciled against the matching customer's budget (over-budget
+    event counting), only keys present on both sides emitted — the
+    semantics the SQL-join oracle mirrors.
+
+    Exactness: both sides compare in integer micro-units (floor —
+    Spark truncates a bare double->BIGINT cast where DuckDB rounds).
+
+    Scale shape: cogroup shuffles each side ONCE on the key (two
+    exchanges total, same as the equivalent join) and streams each
+    key's pair of Arrow batches; per-task memory is one key's rows on
+    both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 1000000).cast("long").alias("v_micro")
+    )
+    budgets = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.floor(F.col("c_acctbal") * 10000).cast("long").alias("budget_micro"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_over_budget", T.LongType()),
+            T.StructField("budget_micro", T.LongType()),
+        ]
+    )
+
+    def reconcile(events: pd.DataFrame, budget: pd.DataFrame) -> pd.DataFrame:
+        if budget.empty or events.empty:
+            return pd.DataFrame(
+                {k: pd.Series(dtype="int64") for k in schema.fieldNames()}
+            )
+        bm = int(budget["budget_micro"].iloc[0])
+        uid = int(budget["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_events": [len(events)],
+                "n_over_budget": [int((events["v_micro"] > bm).sum())],
+                "budget_micro": [bm],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(budgets.groupBy("user_id"))
+        .applyInPandas(reconcile, schema)
+        .orderBy("user_id")
+    )

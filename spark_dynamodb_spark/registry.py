@@ -208,6 +208,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "a18_dynamo_ttl_scan",
         "a22_dynamo_json_export",
         "a23_dynamo_versioned_update",
+        "a24_dynamo_transact_write",
         "a19_dynamo_conditional_put",
         "b87_tpch_q12_shipping_modes",
         "b88_grouped_exact_median",
@@ -236,6 +237,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b104_asof_nearest_join",
         "b105_rolling_regression",
         "b106_schema_evolution_read",
+        "b107_cogroup_in_pandas",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",
@@ -248,6 +250,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c61_char_ngram_entropy",
         "c62_content_defined_chunking",
         "c63_matryoshka_truncation_eval",
+        "c64_textrank_keywords",
+        "c65_winsorized_stats",
         "c55_audio_vad",
         "c56_product_quantization",
         "s15_stream_dedup_within_watermark",
@@ -255,6 +259,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "s17_stream_session_timeout",
         "s18_dynamo_stream_read",
         "s19_dynamo_stream_sink",
+        "s20_stream_static_anti_join",
     }
 )
 

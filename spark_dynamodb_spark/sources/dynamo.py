@@ -35,7 +35,7 @@ Read options (reference names preserved, SURVEY §2 Part A):
   on-demand default), columns (projection: comma-separated),
   region/roleArn (no-op shims).
 Write options: writeBatchSize (25), targetCapacity, update, delete, putIfAbsent,
-versionedUpdate (+versionColumn),
+versionedUpdate (+versionColumn), transactPutIfAbsent (all-or-nothing),
   throughput, bytesPerWCU (1000).
 """
 
@@ -462,6 +462,11 @@ def _coerce(v, dt):
 # Writer (A10/A11/A12/A13)
 # ---------------------------------------------------------------------------
 
+class TransactionCanceledException(RuntimeError):
+    """All-or-nothing transactional batch rejected (A24) — mirrors
+    DynamoDB's TransactionCanceledException."""
+
+
 @dataclass
 class StagedFile(WriterCommitMessage):
     path: str
@@ -493,6 +498,8 @@ class DynamoWriter(DataSourceWriter):
             if _bool_opt(options, "versionedUpdate", False)
             else "update"
             if _bool_opt(options, "update", False)
+            else "transact_put_if_absent"
+            if _bool_opt(options, "transactPutIfAbsent", False)
             else "put_if_absent"
             if _bool_opt(options, "putIfAbsent", False)
             else "put"
@@ -587,6 +594,8 @@ class DynamoWriter(DataSourceWriter):
             )
         elif self.mode == "put_if_absent":
             merged = self._merge_put_if_absent(base, staged, key_cols)
+        elif self.mode == "transact_put_if_absent":
+            merged = self._merge_transact_put_if_absent(base, staged, key_cols)
         else:
             merged = self._merge_put(base, staged, key_cols)
         # The rewrite schema must come from the MERGED frame, not the
@@ -660,6 +669,24 @@ class DynamoWriter(DataSourceWriter):
         if merged.empty:
             return merged
         return merged.drop_duplicates(subset=key_cols, keep="first")
+
+    @classmethod
+    def _merge_transact_put_if_absent(cls, base, staged, key_cols):
+        """TransactWriteItems all-or-nothing conditional put (A24):
+        every staged item carries attribute_not_exists(pk); if ANY key
+        already exists the WHOLE batch is rejected — DynamoDB raises
+        TransactionCanceledException and no item applies. (Contrast
+        A19's per-item skip-on-conflict.) Raised before any rewrite,
+        so the store is untouched on cancellation."""
+        if base.empty or staged.empty:
+            return cls._merge_put(base, staged, key_cols)
+        collisions = staged[key_cols].merge(base[key_cols], on=key_cols)
+        if not collisions.empty:
+            raise TransactionCanceledException(
+                f"{len(collisions)} staged key(s) already exist "
+                f"(ConditionalCheckFailed inside a transaction): batch rejected"
+            )
+        return cls._merge_put(base, staged, key_cols)
 
     @staticmethod
     def _merge_update(base, staged, key_cols):

@@ -610,3 +610,54 @@ def dynamo_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_dynamo(spark, name).select(
         "n_nationkey", "n_name", "n_regionkey", "version"
     ).orderBy("n_nationkey")
+
+
+@query(
+    "a24_dynamo_transact_write",
+    """
+    SELECT r_regionkey, r_name
+    FROM region
+    UNION ALL
+    SELECT r_regionkey + 100 AS r_regionkey, 'TXN_' || r_name AS r_name
+    FROM region
+    ORDER BY r_regionkey
+    """,
+)
+def dynamo_transact_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: TransactWriteItems all-or-nothing batch — every item in
+    the batch carries attribute_not_exists(pk); one conflict cancels
+    the ENTIRE transaction (DynamoDB TransactionCanceledException),
+    unlike A19's per-item skip. Proven both ways: a conflicting batch
+    (fresh keys + one existing key) must raise and leave the store
+    byte-identical; a clean all-new batch must apply atomically. The
+    oracle is base + the clean batch only.
+    """
+    from spark_dynamodb_spark.sources.dynamo import TransactionCanceledException
+
+    base = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    name = f"region_txn_{_sf_tag(sf_dir)}"
+    keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=2)
+    dirty = base.select(
+        (F.col("r_regionkey") + 100).alias("r_regionkey"),
+        F.concat(F.lit("TXN_"), F.col("r_name")).alias("r_name"),
+    ).unionAll(
+        base.limit(1).select(  # one colliding key cancels everything
+            "r_regionkey", F.lit("GARBAGE").alias("r_name")
+        )
+    )
+    try:
+        write_dynamo(dirty, name, transactPutIfAbsent=True)
+        raise AssertionError("conflicting transactional batch must cancel")
+    except Exception as exc:  # Py4J wraps the driver-side raise
+        if "TransactionCanceled" not in str(exc) and not isinstance(
+            exc, TransactionCanceledException
+        ):
+            raise
+    clean = base.select(
+        (F.col("r_regionkey") + 100).alias("r_regionkey"),
+        F.concat(F.lit("TXN_"), F.col("r_name")).alias("r_name"),
+    )
+    write_dynamo(clean, name, transactPutIfAbsent=True)
+    return read_dynamo(spark, name).select("r_regionkey", "r_name").orderBy(
+        "r_regionkey"
+    )

@@ -1127,3 +1127,46 @@ def session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_sessions", "n_events", "longest_session_us")
         .orderBy("user_id")
     )
+
+
+@query(
+    "s20_stream_static_anti_join",
+    f"""
+    WITH e AS (SELECT user_id, event_type, value FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM e
+    WHERE user_id IS NULL OR user_id % 7 <> 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s20: stream-static LEFT ANTI join — the streaming
+    decontamination gate: incoming events are dropped when their key
+    appears in a static blocklist (here: users with id % 7 = 0,
+    derived from the fixture — in production a benchmark-contamination
+    index or an opt-out registry re-read per micro-batch). s08 is the
+    enrichment (inner) shape; anti is the filter shape, and unlike a
+    stream-stream join it needs NO watermark state — the static side
+    broadcasts into every micro-batch.
+
+    Rows with NULL keys survive an anti join (no match is possible) —
+    mirrored explicitly in the oracle.
+    """
+    from spark_dynamodb_spark.tables import load_table
+
+    ev = events_stream(spark, sf_dir)
+    block = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 7 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    kept = ev.join(block, "user_id", "left_anti")
+    agg = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value", "total_value")
+    )
+    out = run_to_table(spark, agg, "complete")
+    return out.select("event_type", "n_events", "total_value").orderBy("event_type")

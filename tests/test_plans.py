@@ -845,3 +845,30 @@ def test_cdc_chunking_is_narrow(spark, sf_dir):
     plan = physical_plan(ta.content_defined_chunking(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_textrank_no_cartesian_vocab_sized_iterations(spark, sf_dir):
+    """c64: three PageRank iterations are equi-joins on the word key
+    over the vocab-sized graph — no cartesian beyond the 1-row
+    damping-constant broadcasts."""
+    from spark_dynamodb_spark.operators import curation as cu
+
+    df = cu.textrank_keywords(spark, sf_dir)
+    plan = physical_plan(df)
+    # the only nested-loop joins allowed are the 1-row const broadcasts
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin.*", plan):
+        pass  # presence is fine — they are 1-row constants
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_winsorize_threshold_join_broadcasts(spark, sf_dir):
+    """c65: the per-group threshold relation is tiny and must
+    broadcast back into the fact — no shuffle join on the clip."""
+    from spark_dynamodb_spark.operators import aggregates as ag
+
+    plan = physical_plan(ag.winsorized_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
