@@ -840,3 +840,64 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "b108_incremental_agg_maintenance",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B108: incremental aggregate maintenance — the materialized-view
+    refresh pattern that makes 100 TB dashboards feasible: keep the
+    aggregate's PARTIAL STATE (count + exact decimal sum per group) as
+    a stored table, and on new data merge agg(delta) into it instead
+    of rescanning history. Here: the "historical" 2/3 of orders is
+    pre-aggregated and written out; the arriving 1/3 is aggregated
+    alone; the answer merges the two partial states — and must equal
+    the full recompute (the oracle) EXACTLY, which is precisely what
+    the decimal detour buys (double partials would drift under
+    re-associating the merge).
+
+    Scale shape: the stored state is group-cardinality-sized; the
+    refresh touches only the delta + the state — history is never
+    re-read. Counts and decimal sums are the canonical commutative
+    merge pair (AVG rebuilt as sum/count at read time).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_orderkey") % 3 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 3 == 0)
+    tag = hashlib.md5(f"ivm:{sf_dir}".encode()).hexdigest()[:10]
+    state_path = os.path.join(tempfile.gettempdir(), f"agg_state_{tag}")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("sum_price"),
+        )
+
+    partial(hist).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+    merged = (
+        state.unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_price").alias("sum_price"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("total_price"),
+    ).orderBy("o_orderpriority")

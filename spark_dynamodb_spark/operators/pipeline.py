@@ -1444,3 +1444,97 @@ def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- c66: padding-waste audit ----------------------------------------------
+C66_BATCH = 32
+
+
+@query(
+    "c66_padding_waste",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len({sql_simple_tokens('text')}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    arrival AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY doc_id) - 1) // {C66_BATCH} AS batch
+      FROM d
+    ),
+    srt AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // {C66_BATCH} AS batch
+      FROM d
+    ),
+    a_b AS (SELECT batch, COUNT(*) AS bs, MAX(n_toks) AS mx, SUM(n_toks) AS real
+            FROM arrival GROUP BY batch),
+    s_b AS (SELECT batch, COUNT(*) AS bs, MAX(n_toks) AS mx, SUM(n_toks) AS real
+            FROM srt GROUP BY batch)
+    SELECT 'arrival' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real) AS BIGINT) AS real_tokens,
+           CAST(SUM(bs * mx) AS BIGINT) AS padded_tokens,
+           CAST((SUM(bs * mx) - SUM(real)) * 1000000 // SUM(bs * mx) AS BIGINT)
+             AS waste_ppm
+    FROM a_b
+    UNION ALL
+    SELECT 'sorted' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(real) AS BIGINT) AS real_tokens,
+           CAST(SUM(bs * mx) AS BIGINT) AS padded_tokens,
+           CAST((SUM(bs * mx) - SUM(real)) * 1000000 // SUM(bs * mx) AS BIGINT)
+             AS waste_ppm
+    FROM s_b
+    ORDER BY strategy
+    """,
+)
+def padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66: padding-waste audit — batch inference/training pads every
+    sequence in a batch to the batch max, so batch composition decides
+    how much compute is burned on pad tokens. Compare arrival-order
+    batching against length-sorted batching (the bucketing trick) on
+    the fixture corpus: waste in ppm of padded volume, all-integer.
+
+    NOTE on the ranking windows: this op is an offline audit over a
+    corpus SAMPLE, so the oracle-mirrored spelling uses plain
+    row_number() for clarity; at 100 TB the same rank comes from the
+    c18/c60 two-phase bucketed spelling (per-length ranks + broadcast
+    prefix offsets) with an identical result — c60 is the plan-gated
+    template.
+
+    Scale shape: one narrow token-count pass, two rank windows, two
+    tiny per-batch rollups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(simple_tokens("text")).cast("long").alias("n_toks")
+    )
+    out = []
+    for strategy in ("arrival", "sorted"):
+        b = d.select(
+            "n_toks",
+            F.expr(f"(row_number() over (order by {'doc_id' if strategy == 'arrival' else 'n_toks, doc_id'}) - 1) div {C66_BATCH}").alias("batch"),
+        )
+        bb = b.groupBy("batch").agg(
+            F.count("*").alias("bs"),
+            F.max("n_toks").alias("mx"),
+            F.sum("n_toks").alias("real"),
+        )
+        out.append(
+            bb.agg(
+                F.count("*").cast("long").alias("n_batches"),
+                F.sum("real").cast("long").alias("real_tokens"),
+                F.sum(F.col("bs") * F.col("mx")).cast("long").alias("padded_tokens"),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                "n_batches",
+                "real_tokens",
+                "padded_tokens",
+                F.expr(
+                    "(padded_tokens - real_tokens) * 1000000 div padded_tokens"
+                ).cast("long").alias("waste_ppm"),
+            )
+        )
+    return out[0].unionAll(out[1]).orderBy("strategy")

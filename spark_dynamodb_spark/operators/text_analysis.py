@@ -1175,3 +1175,127 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_cut"),
         md5_64(F.array_join("cuts", ",")).alias("cuts_hash"),
     ).orderBy("doc_id")
+
+
+# c67: span corruption — a span of SPAN_LEN tokens is masked wherever
+# the position hash fires (1-in-10); overlapping spans merge.
+C67_SPAN = 3
+
+
+def _c67_sql() -> str:
+    trig = (
+        "list_transform(generate_series(1, len(toks)), p -> "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT) % 10 = 0)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {sql_simple_tokens('text')} AS toks FROM documents
+    ),
+    a AS (
+      SELECT doc_id, toks, {trig} AS trig FROM t
+    ),
+    b AS (
+      SELECT doc_id, toks,
+             list_transform(generate_series(1, len(toks)), p ->
+               trig[p] OR (CASE WHEN p > 1 THEN trig[p - 1] ELSE false END)
+                       OR (CASE WHEN p > 2 THEN trig[p - 2] ELSE false END)) AS msk
+      FROM a
+    ),
+    c AS (
+      SELECT doc_id, toks, msk,
+             list_transform(generate_series(1, len(toks)), p ->
+               msk[p] AND NOT (CASE WHEN p > 1 THEN msk[p - 1] ELSE false END)) AS st
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(msk, x -> x)) AS BIGINT) AS n_masked,
+           CAST(len(list_filter(st, x -> x)) AS BIGINT) AS n_spans,
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(generate_series(1, len(toks)), p ->
+                 CASE WHEN NOT msk[p] THEN toks[p]
+                      WHEN st[p] THEN '<X>' END),
+               x -> x IS NOT NULL), ' '), '') AS corrupted,
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(generate_series(1, len(toks)), p ->
+                 CASE WHEN msk[p] THEN toks[p] END),
+               x -> x IS NOT NULL), ' '), '') AS targets
+    FROM c
+    ORDER BY doc_id
+    """
+
+
+@query("c67_span_corruption", _c67_sql())
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67: span-corruption objective construction (T5/UL2) — mask
+    deterministic 3-token spans (a position hash fires 1-in-10;
+    overlapping spans merge), emit the corrupted input with one
+    sentinel per span plus the target sequence of masked tokens. This
+    is the pretraining-data transformation an infilling objective
+    needs, as a pure narrow plan (a real pipeline numbers the
+    sentinels <extra_id_0..n>; the numbering is a per-doc prefix count
+    — same plan, one more transform).
+
+    Exactness: the mask derives from md5 of (doc_id, position) —
+    engine-portable and reproducible; all list accesses are
+    index-guarded with lazy CASE branches ON BOTH SIDES: Spark's ANSI
+    element_at — and even try_element_at — reject index 0, while
+    DuckDB's bracket indexing WRAPS negative indices to the list tail
+    (trig[-1] is the last element), which silently masks position 1
+    whenever the final position triggers.
+
+    Scale shape: fully narrow — per-row higher-order transforms, no
+    explode, no shuffle; pipelines with the scan at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", simple_tokens("text").alias("toks")
+    ).withColumn(
+        "trig",
+        F.expr(
+            "transform(sequence(1, size(toks)), p -> "
+            "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(p AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10 = 0)"
+        ),
+    )
+    b = a.withColumn(
+        "msk",
+        F.expr(
+            "transform(sequence(1, size(toks)), p -> "
+            "element_at(trig, p)"
+            " OR (CASE WHEN p > 1 THEN element_at(trig, p - 1) ELSE false END)"
+            " OR (CASE WHEN p > 2 THEN element_at(trig, p - 2) ELSE false END))"
+        ),
+    )
+    c = b.withColumn(
+        "st",
+        F.expr(
+            "transform(sequence(1, size(toks)), p -> "
+            "element_at(msk, p) AND NOT "
+            "(CASE WHEN p > 1 THEN element_at(msk, p - 1) ELSE false END))"
+        ),
+    )
+    return c.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.expr("filter(msk, x -> x)")).cast("long").alias("n_masked"),
+        F.size(F.expr("filter(st, x -> x)")).cast("long").alias("n_spans"),
+        F.array_join(
+            F.expr(
+                "filter(transform(sequence(1, size(toks)), p -> "
+                "CASE WHEN NOT element_at(msk, p) THEN element_at(toks, p) "
+                "WHEN element_at(st, p) THEN '<X>' END), x -> x IS NOT NULL)"
+            ),
+            " ",
+        ).alias("corrupted"),
+        F.array_join(
+            F.expr(
+                "filter(transform(sequence(1, size(toks)), p -> "
+                "CASE WHEN element_at(msk, p) THEN element_at(toks, p) END), "
+                "x -> x IS NOT NULL)"
+            ),
+            " ",
+        ).alias("targets"),
+    ).orderBy("doc_id")

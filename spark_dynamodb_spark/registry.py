@@ -238,6 +238,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b105_rolling_regression",
         "b106_schema_evolution_read",
         "b107_cogroup_in_pandas",
+        "b108_incremental_agg_maintenance",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",
@@ -252,6 +253,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c63_matryoshka_truncation_eval",
         "c64_textrank_keywords",
         "c65_winsorized_stats",
+        "c66_padding_waste",
+        "c67_span_corruption",
         "c55_audio_vad",
         "c56_product_quantization",
         "s15_stream_dedup_within_watermark",
