@@ -731,3 +731,223 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched_id.alias("matched_event_id"),
         dt.alias("dt_us"),
     ).orderBy("user_id", "event_id")
+
+
+# --- b111: fuzzy (approximate-string) join ---------------------------------
+# Deletion-1 neighborhood blocking: two strings within edit distance 1
+# share at least one common member of their delete-at-most-one-char
+# neighborhoods, so the equi-join on neighborhood variants finds every
+# candidate pair without any quadratic name-cross; levenshtein verifies.
+@query(
+    "b111_fuzzy_join",
+    """
+    WITH corrupted AS (
+      SELECT c_custkey + 1000000 AS r_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+                       || substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)
+                  ELSE c_name END AS r_name
+      FROM customer
+    ),
+    lv AS (
+      SELECT c_custkey, c_name,
+             unnest(list_prepend(c_name,
+               list_transform(generate_series(1, length(c_name)),
+                 i -> substr(c_name, 1, CAST(i - 1 AS INT))
+                      || substr(c_name, CAST(i + 1 AS INT))))) AS variant
+      FROM customer
+    ),
+    rv AS (
+      SELECT r_id, r_name,
+             unnest(list_prepend(r_name,
+               list_transform(generate_series(1, length(r_name)),
+                 i -> substr(r_name, 1, CAST(i - 1 AS INT))
+                      || substr(r_name, CAST(i + 1 AS INT))))) AS variant
+      FROM corrupted
+    )
+    SELECT DISTINCT lv.c_custkey, rv.r_id, lv.c_name, rv.r_name,
+           CAST(levenshtein(lv.c_name, rv.r_name) AS INT) AS lev
+    FROM lv JOIN rv ON lv.variant = rv.variant
+    WHERE levenshtein(lv.c_name, rv.r_name) <= 1
+    ORDER BY c_custkey, r_id
+    """,
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B111: fuzzy join (entity resolution) — match records whose join
+    keys differ by up to one edit, the dedup/linkage primitive for
+    dirty real-world keys. The right side is a deterministically
+    corrupted copy of customer names (every third name loses one
+    character).
+
+    The scalable algorithm is DELETION-NEIGHBORHOOD BLOCKING (the
+    FastSS idea): each side expands to its <=1-deletion variants
+    (length+1 strings per row — linear, not quadratic), candidates
+    meet on a variant equi-join, and exact levenshtein verifies. No
+    name-cross ever happens; the classic trigram blocking would
+    collapse here (every name shares the 'Customer#' prefix grams —
+    one giant block), which is exactly why neighborhood blocking is
+    the right 100 TB shape for short keys.
+
+    Scale shape: variant generation is narrow; one equi-join on the
+    variant hash; DISTINCT collapses multi-variant hits before output.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cut = (F.col("c_custkey") % F.length("c_name")).cast("int")
+    corrupted = cust.select(
+        (F.col("c_custkey") + 1000000).alias("r_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
+                F.expr("substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("r_name"),
+    )
+
+    def variants(df, name_col):
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"array_prepend(transform(sequence(1, length({name_col})), "
+                    f"i -> concat(substr({name_col}, 1, i - 1), "
+                    f"substr({name_col}, i + 1))), {name_col})"
+                )
+            ).alias("variant"),
+        )
+
+    lv = variants(cust, "c_name")
+    rv = variants(corrupted, "r_name")
+    return (
+        lv.join(rv, "variant")
+        .filter(F.levenshtein("c_name", "r_name") <= 1)
+        .select(
+            "c_custkey",
+            "r_id",
+            "c_name",
+            "r_name",
+            F.levenshtein("c_name", "r_name").cast("int").alias("lev"),
+        )
+        .distinct()
+        .orderBy("c_custkey", "r_id")
+    )
+
+
+# --- b112: geo radius join -------------------------------------------------
+# Deterministic coordinates from md5; 1-degree grid cells with a 3x3
+# neighborhood probe; degree-space L2 verify (multiplications only —
+# trig would not be bit-stable across engines).
+B112_RADIUS_DEG = 0.5
+
+
+@query(
+    "b112_geo_radius_join",
+    f"""
+    WITH c AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5('cl' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 160000000 / 1000000.0 - 80 AS lat,
+             CAST(('0x' || substr(md5('cn' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 360000000 / 1000000.0 - 180 AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             CAST(('0x' || substr(md5('sl' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 160000000 / 1000000.0 - 80 AS lat,
+             CAST(('0x' || substr(md5('sn' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % 360000000 / 1000000.0 - 180 AS lon
+      FROM supplier
+    ),
+    hits AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.lat - s.lat) * (c.lat - s.lat)
+               + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+      FROM c CROSS JOIN s
+      WHERE (c.lat - s.lat) * (c.lat - s.lat)
+              + (c.lon - s.lon) * (c.lon - s.lon)
+            <= {B112_RADIUS_DEG * B112_RADIUS_DEG}
+    )
+    , ranked AS (
+      SELECT c_custkey, s_suppkey,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, s_suppkey) AS rn
+      FROM hits
+    )
+    SELECT c_custkey,
+           COUNT(*) AS n_within,
+           MAX(CASE WHEN rn = 1 THEN s_suppkey END) AS nearest_suppkey
+    FROM ranked
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B112: geospatial radius join — for every customer location,
+    count the supplier sites within a radius and identify the nearest
+    (the store-locator / coverage-analysis query). Coordinates derive
+    deterministically from md5 (the fixture has no geo columns).
+
+    The scalable algorithm is GRID BUCKETING: snap points to a
+    1-degree cell, probe each customer's 3x3 cell neighborhood via an
+    equi-join on the cell key (radius 0.5 deg cannot escape the
+    neighborhood), then verify exact distance. The oracle is the
+    naive cross join — a different algorithm, so the hash match
+    proves the grid probe loses nothing. Distance is degree-space L2
+    (multiplications only): spherical trig is deliberately avoided —
+    sin/cos are not bit-identical across engines' libm.
+
+    Scale shape: the only join is an equi-join on (cell_lat,
+    cell_lon); each customer meets ~9 cells' suppliers, not all of
+    them; the rollup is combinable. Swap in a finer grid (geohash
+    precision) to tune selectivity at 100 TB.
+    """
+    from spark_dynamodb_spark.functions.text import md5_64
+
+    def coords(df, key, salt_lat, salt_lon):
+        k = F.col(key).cast("string")
+        lat = (md5_64(F.concat(F.lit(salt_lat), k)) % 160000000) / 1000000.0 - 80
+        lon = (md5_64(F.concat(F.lit(salt_lon), k)) % 360000000) / 1000000.0 - 180
+        return df.select(key, lat.alias("lat"), lon.alias("lon"))
+
+    cust = coords(
+        load_table(spark, sf_dir, "customer"), "c_custkey", "cl", "cn"
+    )
+    sup = coords(
+        load_table(spark, sf_dir, "supplier"), "s_suppkey", "sl", "sn"
+    )
+    sup_cells = sup.select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        F.floor("lat").alias("cell_lat"),
+        F.floor("lon").alias("cell_lon"),
+    )
+    offsets = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 AS dy, i % 3 - 1 AS dx)))"
+    )
+    probes = cust.select(
+        "c_custkey", "lat", "lon", offsets.alias("o")
+    ).select(
+        "c_custkey",
+        "lat",
+        "lon",
+        (F.floor("lat") + F.col("o.dy")).alias("cell_lat"),
+        (F.floor("lon") + F.col("o.dx")).alias("cell_lon"),
+    )
+    d2 = (F.col("lat") - F.col("s_lat")) * (F.col("lat") - F.col("s_lat")) + (
+        F.col("lon") - F.col("s_lon")
+    ) * (F.col("lon") - F.col("s_lon"))
+    hits = (
+        probes.join(sup_cells, ["cell_lat", "cell_lon"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= B112_RADIUS_DEG * B112_RADIUS_DEG)
+    )
+    return (
+        hits.groupBy("c_custkey")
+        .agg(
+            F.count("s_suppkey").alias("n_within"),
+            F.expr("min_by(s_suppkey, struct(d2, s_suppkey))").alias(
+                "nearest_suppkey"
+            ),
+        )
+        .orderBy("c_custkey")
+    )

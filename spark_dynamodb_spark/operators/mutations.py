@@ -181,3 +181,173 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "version")
     )
+
+
+# --- b109: snapshot diff (changelog generation) ----------------------------
+# v2 derivation rules (deterministic, mirrored in the oracle):
+#   delete where key % 11 = 0; update price +50.00 where key % 5 = 0
+#   (and not deleted); insert key+10M copies where key % 13 = 0.
+@query(
+    "b109_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+      FROM orders
+    ),
+    diffs AS (
+      SELECT k, 'D' AS change_type, price_c AS old_price_cents,
+             CAST(NULL AS BIGINT) AS new_price_cents
+      FROM v1 WHERE k % 11 = 0
+      UNION ALL
+      SELECT k, 'U', price_c, price_c + 5000
+      FROM v1 WHERE k % 11 <> 0 AND k % 5 = 0
+      UNION ALL
+      SELECT k + 10000000, 'I', CAST(NULL AS BIGINT), price_c
+      FROM v1 WHERE k % 13 = 0
+    )
+    SELECT k AS o_orderkey, change_type, old_price_cents, new_price_cents
+    FROM diffs
+    ORDER BY o_orderkey, change_type
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B109: snapshot diff — generate the change feed (insert / update
+    / delete rows) between two table versions by FULL OUTER joining on
+    the key and comparing row contents. This is the REVERSE of b58's
+    MERGE: where MERGE applies a changelog, diff derives one from
+    snapshots — how CDC is bootstrapped when the source system has no
+    change feed of its own.
+
+    The v2 snapshot is derived in-query by deterministic rules, and
+    the oracle computes the expected changelog directly FROM THE RULES
+    — so the diff machinery (join + row comparison + classification)
+    is what's actually under test. Prices compare in integer cents.
+
+    Scale shape: one full-outer equi-join on the key (both sides
+    hash-partition once); the row comparison is narrow; unchanged rows
+    (the overwhelming majority at 100 TB) are filtered before any
+    downstream work.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    v2 = (
+        v1.filter(F.col("k") % 11 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 5 == 0, F.col("price_c") + 5000)
+            .otherwise(F.col("price_c"))
+            .alias("price_c"),
+        )
+        .unionAll(
+            v1.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "price_c"
+            )
+        )
+    )
+    a = v1.select(F.col("k").alias("k1"), F.col("price_c").alias("p1"))
+    b = v2.select(F.col("k").alias("k2"), F.col("price_c").alias("p2"))
+    joined = a.join(b, a.k1 == b.k2, "full_outer")
+    change = (
+        F.when(F.col("k2").isNull(), "D")
+        .when(F.col("k1").isNull(), "I")
+        .when(F.col("p1") != F.col("p2"), "U")
+        .otherwise("N")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type") != "N")
+        .select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            "change_type",
+            F.when(F.col("change_type") != "I", F.col("p1")).alias(
+                "old_price_cents"
+            ),
+            F.when(F.col("change_type") != "D", F.col("p2")).alias(
+                "new_price_cents"
+            ),
+        )
+        .orderBy("o_orderkey", "change_type")
+    )
+
+
+# --- b110: point-in-time (temporal) join against the SCD2 dimension --------
+@query(
+    "b110_temporal_scd2_join",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             lag(o_orderpriority) OVER w AS prev
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    chg AS (SELECT * FROM h WHERE prev IS NULL OR prev <> o_orderpriority),
+    iv AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS eff_from,
+             coalesce(lead(o_orderdate) OVER w2,
+                      TIMESTAMP '2099-12-31 00:00:00') AS eff_to,
+             CAST(row_number() OVER w2 AS INT) AS version
+      FROM chg
+      WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    probe AS (
+      SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.o_custkey AS custkey,
+           iv.priority AS pit_priority, iv.version AS pit_version
+    FROM probe p
+    LEFT JOIN iv ON iv.custkey = p.o_custkey
+                AND iv.eff_from <= p.l_shipdate AND p.l_shipdate < iv.eff_to
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B110: point-in-time join — each lineitem is joined to the SCD2
+    dimension version (b59's validity intervals) that was in effect AT
+    ITS SHIP DATE. This is the feature-store correctness primitive:
+    training examples must see dimension attributes as they were at
+    event time, never "current" values (that is label leakage).
+
+    The join is an equi-join on the customer key with the interval
+    containment as a residual range predicate — intervals are disjoint
+    by construction, so at most one version matches and the plan never
+    degenerates toward a cartesian (gated). Ship dates before a
+    customer's first interval yield NULL (LEFT semantics, also the
+    leak-proof default).
+
+    Scale shape: the SCD2 side is change-cardinality-sized (far
+    smaller than the fact); AQE broadcasts it. One fact pass.
+    """
+    from spark_dynamodb_spark.operators.mutations import scd2_intervals
+
+    iv = scd2_intervals(spark, sf_dir).select(
+        "custkey", "priority", "eff_from", "eff_to", "version"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "l_shipdate"
+    )
+    joined = probe.join(
+        iv,
+        (probe.o_custkey == iv.custkey)
+        & (iv.eff_from <= probe.l_shipdate)
+        & (probe.l_shipdate < iv.eff_to),
+        "left",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        F.col("priority").alias("pit_priority"),
+        F.col("version").alias("pit_version"),
+    ).orderBy("l_orderkey", "l_linenumber")

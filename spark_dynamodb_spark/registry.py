@@ -239,6 +239,10 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b106_schema_evolution_read",
         "b107_cogroup_in_pandas",
         "b108_incremental_agg_maintenance",
+        "b109_snapshot_diff",
+        "b110_temporal_scd2_join",
+        "b111_fuzzy_join",
+        "b112_geo_radius_join",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",

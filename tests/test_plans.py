@@ -872,3 +872,35 @@ def test_winsorize_threshold_join_broadcasts(spark, sf_dir):
     plan = physical_plan(ag.winsorized_stats(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_temporal_join_equi_key_no_cartesian(spark, sf_dir):
+    """b110: the point-in-time join rides the customer equi-key with
+    the interval containment as residual — never a cartesian."""
+    from spark_dynamodb_spark.operators import mutations as mu
+
+    df = mu.temporal_scd2_join(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_fuzzy_join_blocks_on_variants(spark, sf_dir):
+    """b111: the only join is the variant equi-join (deletion
+    neighborhood blocking) — no name-cross, no cartesian."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    df = jo.fuzzy_join(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "variant" in plan, plan
+
+
+def test_geo_radius_join_equi_on_cells(spark, sf_dir):
+    """b112: the probe is an equi-join on the (cell_lat, cell_lon)
+    grid key — the oracle's cross join must NOT appear in the Spark
+    plan."""
+    from spark_dynamodb_spark.operators import joins as jo
+
+    df = jo.geo_radius_join(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "cell_lat" in plan and "cell_lon" in plan, plan
