@@ -1566,3 +1566,203 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island")
     )
+
+
+@query(
+    "b113_triangle_count",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    pr AS (
+      SELECT string_split(p, chr(9))[1] AS w1, string_split(p, chr(9))[2] AS w2
+      FROM t, unnest(list_concat(
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1]),
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 2])
+      )) AS pp(p)
+    ),
+    und AS (
+      SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      FROM pr WHERE w1 <> w2
+    ),
+    deg AS (
+      SELECT u, COUNT(*) AS d FROM (
+        SELECT a AS u FROM und UNION ALL SELECT b AS u FROM und
+      ) GROUP BY u
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B113: triangle counting over the word co-occurrence graph — the
+    canonical multi-way self-join benchmark and the numerator of the
+    global clustering coefficient (3*triangles / wedges), a one-number
+    graph-health statistic for any relationship dataset.
+
+    The Spark plan uses DEGREE ORIENTATION (the standard distributed
+    trick): edges point from the lower-(degree, name) endpoint to the
+    higher, wedges enumerate pairs of out-edges per source, and the
+    closing edge check is one more equi-join. Orienting by degree
+    bounds every vertex's out-degree by O(sqrt(edges)), so the wedge
+    intermediate — the term that explodes on skewed hubs with naive
+    a<b ordering — stays linearithmic at 100 TB. The oracle uses the
+    naive lexicographic three-way join: a different enumeration of the
+    same count.
+
+    Scale shape: two equi-joins on vertex keys + combinable rollups;
+    the degree-rank relation is vocab-sized and broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    n = F.size(toks)
+    pair_arrays = []
+    for off in (1, 2):
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - off, F.lit(0))),
+                F.slice(toks, 1 + off, F.greatest(n - off, F.lit(0))),
+                lambda a, b: F.concat_ws("\t", a, b),
+            )
+        )
+    pairs = docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
+        F.split("p", "\t").getItem(0).alias("w1"),
+        F.split("p", "\t").getItem(1).alias("w2"),
+    )
+    und = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionAll(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .cache()
+    )
+    # degree orientation: src = lower (d, u); rank makes it one int compare
+    from pyspark.sql import Window as W
+
+    rk = deg.select(
+        "u", F.row_number().over(W.orderBy("d", "u")).alias("r")
+    )
+    # vocab-sized global rank window: acceptable here because the rank
+    # relation IS the vocabulary (see c60 for the corpus-scale spelling)
+    e = (
+        und.join(rk.withColumnRenamed("u", "a").withColumnRenamed("r", "ra"), "a")
+        .join(rk.withColumnRenamed("u", "b").withColumnRenamed("r", "rb"), "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("ra") < F.col("rb"), F.col("rb")).otherwise(F.col("ra")).alias("rdst"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .cache()
+    )
+    w1 = e.select(F.col("src").alias("s"), F.col("dst").alias("v"), F.col("rdst").alias("rv"))
+    w2 = e.select(F.col("src").alias("s"), F.col("dst").alias("w"), F.col("rdst").alias("rw"))
+    wedges = w1.join(w2, "s").filter(F.col("rv") < F.col("rw")).select("v", "w")
+    closing = e.select(F.col("src").alias("v"), F.col("dst").alias("w")).unionAll(
+        e.select(F.col("dst").alias("v"), F.col("src").alias("w"))
+    )
+    tri = wedges.join(closing, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    ne = und.agg(F.count("*").alias("n_edges"))
+    nw = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return (
+        nn.crossJoin(ne).crossJoin(nw).crossJoin(tri)
+    )
+
+
+@query(
+    "b114_corr_matrix",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sq,
+             {sql_dsum('l_extendedprice')} AS sp,
+             {sql_dsum('l_discount')} AS sd,
+             {sql_dsum('l_quantity * l_quantity')} AS sqq,
+             {sql_dsum('l_extendedprice * l_extendedprice')} AS spp,
+             {sql_dsum('l_discount * l_discount')} AS sdd,
+             {sql_dsum('l_quantity * l_extendedprice')} AS sqp,
+             {sql_dsum('l_quantity * l_discount')} AS sqd,
+             {sql_dsum('l_extendedprice * l_discount')} AS spd
+      FROM lineitem
+    )
+    SELECT n,
+           round((n * sqp - sq * sp)
+                 / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)), 6)
+             AS corr_qty_price,
+           round((n * sqd - sq * sd)
+                 / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)), 6)
+             AS corr_qty_disc,
+           round((n * spd - sp * sd)
+                 / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)), 6)
+             AS corr_price_disc
+    FROM m
+    """,
+)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B114: pairwise correlation matrix in ONE pass — all three
+    column-pair correlations of (quantity, price, discount) from a
+    single aggregation computing the 9 shared moments, instead of
+    three separate corr() scans. The profiling pass a feature-
+    engineering pipeline runs before pruning redundant columns; at
+    100 TB the single-scan form is the only affordable one (moments
+    grow linearly with columns, scans don't).
+
+    Exactness: b47's discipline — per-row products are single IEEE
+    ops, every reduction rides the decimal detour, and the closed-form
+    corr is a fixed-order double expression from exact moments.
+
+    Scale shape: one combinable aggregation, a 1-row result; the
+    correlation arithmetic happens on the driver-bound single row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    m = li.agg(
+        F.count("*").alias("n"),
+        dsum(q, "sq"),
+        dsum(p, "sp"),
+        dsum(d, "sd"),
+        dsum(q * q, "sqq"),
+        dsum(p * p, "spp"),
+        dsum(d * d, "sdd"),
+        dsum(q * p, "sqp"),
+        dsum(q * d, "sqd"),
+        dsum(p * d, "spd"),
+    )
+    n = F.col("n")
+    sq, sp, sd = F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    sqp, sqd, spd = F.col("sqp"), F.col("sqd"), F.col("spd")
+
+    def corr(sxy, sx, sy, sxx, syy):
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    return m.select(
+        "n",
+        corr(sqp, sq, sp, sqq, spp).alias("corr_qty_price"),
+        corr(sqd, sq, sd, sqq, sdd).alias("corr_qty_disc"),
+        corr(spd, sp, sd, spp, sdd).alias("corr_price_disc"),
+    )

@@ -243,6 +243,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b110_temporal_scd2_join",
         "b111_fuzzy_join",
         "b112_geo_radius_join",
+        "b113_triangle_count",
+        "b114_corr_matrix",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",

@@ -904,3 +904,22 @@ def test_geo_radius_join_equi_on_cells(spark, sf_dir):
     assert_no_cartesian(df)
     plan = physical_plan(df)
     assert "cell_lat" in plan and "cell_lon" in plan, plan
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """b113: wedge enumeration and the closing-edge check are
+    equi-joins; the only nested-loop joins are 1-row stat assembly."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_corr_matrix_single_aggregation(spark, sf_dir):
+    """b114: all nine moments come from ONE scan — a single pair of
+    partial/final HashAggregates, no join, no reuse of the scan."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.corr_matrix(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
