@@ -301,11 +301,12 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     )
     SELECT p.l_orderkey, p.l_linenumber, p.o_custkey AS custkey,
+           p.l_shipdate AS ship_ts,
            iv.priority AS pit_priority, iv.version AS pit_version
     FROM probe p
     LEFT JOIN iv ON iv.custkey = p.o_custkey
                 AND iv.eff_from <= p.l_shipdate AND p.l_shipdate < iv.eff_to
-    ORDER BY l_orderkey, l_linenumber
+    ORDER BY l_orderkey, l_linenumber, ship_ts
     """,
 )
 def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +349,7 @@ def temporal_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship_ts"),
         F.col("priority").alias("pit_priority"),
         F.col("version").alias("pit_version"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    ).orderBy("l_orderkey", "l_linenumber", "ship_ts")

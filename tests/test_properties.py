@@ -433,3 +433,44 @@ def test_weighted_sample_favors_long_docs(spark, sf_dir):
     for src, g in pdf.groupby("source"):
         assert len(g) == min(pl.C58_K, per_source[src])
     assert pdf["weight"].mean() > docs["n_chars"].mean()
+
+
+def test_fuzzy_join_full_recall_on_corrupted_names(spark, sf_dir):
+    """b111: every corrupted name (custkey % 3 == 0) must match back
+    to its source customer — deletion-neighborhood blocking has full
+    recall at edit distance 1 by construction."""
+    from spark_dynamodb_spark.operators import joins as jo
+    from spark_dynamodb_spark.tables import load_table
+
+    pdf = jo.fuzzy_join(spark, sf_dir).toPandas()
+    cust = load_table(spark, sf_dir, "customer").toPandas()
+    expected_pairs = set(cust["c_custkey"] + 0)  # every key matches itself
+    got = set(zip(pdf["c_custkey"], pdf["r_id"]))
+    for k in cust["c_custkey"]:
+        assert (k, k + 1000000) in got, f"lost pair for custkey {k}"
+
+
+def test_triangle_clustering_coefficient_bounds(spark, sf_dir):
+    """b113: 0 <= 3*triangles <= wedges (every triangle closes three
+    wedges; a wedge closes at most one triangle)."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    row = an.triangle_count(spark, sf_dir).collect()[0]
+    assert row.n_triangles >= 0
+    assert 3 * row.n_triangles <= row.n_wedges
+    assert row.n_wedges >= row.n_edges - row.n_nodes  # connected-ish graph
+
+
+def test_temporal_join_never_leaks_future_versions(spark, sf_dir):
+    """b110: the matched version's validity interval must CONTAIN the
+    ship date — no future or past dimension state leaks through."""
+    from spark_dynamodb_spark.operators import mutations as mu
+
+    iv = mu.scd2_intervals(spark, sf_dir).toPandas()
+    out = mu.temporal_scd2_join(spark, sf_dir).toPandas()
+    matched = out[out["pit_version"].notna()]
+    key = iv.set_index(["custkey", "version"])
+    sample = matched.sample(n=min(500, len(matched)), random_state=7)
+    for r in sample.itertuples():
+        rec = key.loc[(r.custkey, int(r.pit_version))]
+        assert rec["eff_from"] <= r.ship_ts < rec["eff_to"]
