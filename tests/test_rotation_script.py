@@ -1,0 +1,66 @@
+"""Round-start rotation helper (scripts/rotate_window.py): the window
+swap is mechanical and mistake-prone — these tests pin its rules on a
+synthetic correctness file + registry source so round-5 can run it
+blind."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "rotate_window",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "rotate_window.py",
+    ),
+)
+rw = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(rw)
+
+
+def test_green_names_rules():
+    correctness = {
+        "a01_ok": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "b02_red": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        "c03_err": {"rows_match": False, "hash_match": True, "err": "boom"},
+        "d04_rows_only": {"rows_match": True, "hash_match": None, "err": None},
+        "x_e05_prefixed": {"rows_match": True, "hash_match": True, "err": None},
+    }
+    greens = rw.green_names(correctness)
+    assert greens == {"a01_ok", "d04_rows_only", "e05_prefixed"}
+
+
+def test_rewrite_roundtrip_preserves_structure():
+    src = open(rw.REGISTRY, encoding="utf-8").read()
+    rotated = rw._parse_set(rw._ROTATED_RE.search(src).group(2))
+    pending = rw._parse_set(rw._PENDING_RE.search(src).group(2))
+    out = rw.rewrite(src, rotated, pending)
+    # identical sets → identical (sorted) literals parse back equal
+    assert rw._parse_set(rw._ROTATED_RE.search(out).group(2)) == rotated
+    assert rw._parse_set(rw._PENDING_RE.search(out).group(2)) == pending
+    # and the rewritten file still compiles
+    compile(out, "registry.py", "exec")
+
+
+def test_plan_rotation_moves_greens_and_unparks():
+    src = open(rw.REGISTRY, encoding="utf-8").read()
+    import sys
+
+    sys.path.insert(0, rw.REPO)
+    from spark_dynamodb_spark.registry import load_all
+
+    specs = load_all().specs()
+    window = sorted(n for n in specs if not n.startswith(("x_", "z_")))
+    # pretend the driver proved every window entry green
+    greens = set(window)
+    rotated, pending, info = rw.plan_rotation(src, greens, 50)
+    assert info["window_red_staying"] == []
+    assert set(info["window_green_rotating"]) == greens
+    assert len(info["unparking"]) == min(50, info["still_parked"] + len(info["unparking"]))
+    # unparked names left the pending set and joined neither-set limbo
+    for n in info["unparking"]:
+        assert n not in pending and n not in rotated
+    # every green is now in the rotated set
+    assert greens <= rotated
