@@ -1766,3 +1766,164 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr(sqd, sq, sd, sqq, sdd).alias("corr_qty_disc"),
         corr(spd, sp, sd, spp, sdd).alias("corr_price_disc"),
     )
+
+
+B115_TOP = 20
+B115_MIN_SUPPORT = 2
+
+
+@query(
+    "b115_association_rules",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    cnt AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS co
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING COUNT(*) >= {B115_MIN_SUPPORT}
+    )
+    SELECT pa, pb, co AS support,
+           CAST(co * 1000000 // ca.c AS BIGINT) AS confidence_ppm,
+           CAST(co * n.n_baskets * 1000000 // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN cnt ca ON ca.l_partkey = pa
+    JOIN cnt cb ON cb.l_partkey = pb
+    CROSS JOIN n
+    ORDER BY support DESC, pa, pb
+    LIMIT {B115_TOP}
+    """,
+)
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B115: market-basket association rules — co-purchased part pairs
+    with support, confidence and lift (the Apriori first stage /
+    "customers also bought" primitive). All-integer scoring in ppm so
+    the ranking is bit-stable.
+
+    Scale shape: the pair join is a SELF-JOIN ON THE BASKET KEY, so
+    the blow-up is bounded by basket size squared (TPC-H orders hold a
+    handful of parts), never corpus-squared; pair counting and item
+    counts are combinable rollups; the basket total is a 1-row
+    broadcast. At 100 TB add a frequent-item pre-filter (drop items
+    under min-support before pairing) — same plan with one extra
+    semi-join.
+    """
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = items.select(F.countDistinct("l_orderkey").alias("n_baskets"))
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= B115_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("co").alias("support"),
+            F.expr("co * 1000000 div ca").cast("long").alias("confidence_ppm"),
+            F.expr("co * n_baskets * 1000000 div (ca * cb)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "pa", "pb")
+        .limit(B115_TOP)
+    )
+
+
+@query(
+    "b116_last_touch_attribution",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, value, {EVENTS_TS_US_SQL} AS t
+      FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    purchases AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    attributed AS (
+      SELECT p.event_id, p.value,
+             COALESCE(m.touch_type, 'direct') AS channel
+      FROM purchases p LEFT JOIN LATERAL (
+        SELECT tch.event_type AS touch_type
+        FROM e tch
+        WHERE tch.user_id = p.user_id
+          AND tch.event_type IN ('click', 'view')
+          AND (tch.t, tch.event_id) < (p.t, p.event_id)
+        ORDER BY tch.t DESC, tch.event_id DESC
+        LIMIT 1
+      ) m ON TRUE
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS attributed_value
+    FROM attributed
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B116: last-touch revenue attribution — every purchase's value
+    is credited to the user's most recent preceding marketing touch
+    (click or view; none → 'direct'), then rolled up per channel. The
+    marketing-analytics staple, and the third member of the as-of
+    family (b33 backward value join, b104 nearest): backward join with
+    a DEFAULT for the no-match case.
+
+    Scale shape: ONE union sort on (user, time) — the running
+    last-touch is a window carry-forward (last_value ignorenulls over
+    the interleaved event sequence), so no join touches the fact; the
+    oracle is the quadratic LATERAL spelling, a different algorithm.
+    The channel rollup rides the decimal detour.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.unix_micros("ts").alias("t"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        e.withColumn("touch_type", touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "value",
+            F.coalesce("touch_type", F.lit("direct")).alias("channel"),
+        )
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value", "attributed_value"),
+        )
+        .orderBy("channel")
+    )

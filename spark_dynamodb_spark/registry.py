@@ -245,6 +245,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b112_geo_radius_join",
         "b113_triangle_count",
         "b114_corr_matrix",
+        "b115_association_rules",
+        "b116_last_touch_attribution",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",

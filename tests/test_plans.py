@@ -923,3 +923,24 @@ def test_corr_matrix_single_aggregation(spark, sf_dir):
     plan = physical_plan(an.corr_matrix(spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_attribution_joinless_single_user_sort(spark, sf_dir):
+    """b116: the last-touch carry is a window over ONE (user, time)
+    sort — the LATERAL spelling exists only in the oracle."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.last_touch_attribution(spark, sf_dir))
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_association_rules_basket_key_join(spark, sf_dir):
+    """b115: the pair join rides the basket (order) equi-key — no
+    cartesian, and the basket-count relation broadcasts."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    df = an.association_rules(spark, sf_dir)
+    assert_no_cartesian(df)
