@@ -446,3 +446,56 @@ def test_stream_reader_consumes_one_segment_per_batch(spark, sf_dir):
     streamed_n = spark.table(name).collect()[0]["n"]
     batch_n = read_dynamo(spark, table).count()
     assert streamed_n == batch_n
+
+
+def test_transact_cancel_leaves_store_untouched(spark, sf_dir):
+    """a24: a cancelled transactional batch must leave the store
+    byte-identical AND clean up its staged files — a half-applied
+    transaction or leaked staging would corrupt the next write."""
+    import glob
+    import hashlib
+
+    name = "t_txn_cancel"
+    base = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=2)
+    store_dir = os.path.join(keyed_store.DEFAULT_STORE_DIR, name)
+
+    def store_digest() -> str:
+        h = hashlib.md5()
+        for p in sorted(glob.glob(os.path.join(store_dir, "**", "*.parquet"), recursive=True)):
+            h.update(p.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+        return h.hexdigest()
+
+    before = store_digest()
+    dirty = base.limit(2).select(
+        "r_regionkey", F.lit("GARBAGE").alias("r_name")
+    )
+    with pytest.raises(Exception, match="TransactionCanceled|batch rejected"):
+        write_dynamo(dirty, name, transactPutIfAbsent=True)
+    assert store_digest() == before, "cancelled transaction mutated the store"
+    staged = glob.glob(os.path.join(store_dir, ".staged", "*"))
+    assert staged == [], f"staged residue survived the cancel: {staged}"
+
+
+def test_versioned_update_is_idempotent_per_expectation(spark, sf_dir):
+    """a23: replaying the SAME versioned batch is a no-op the second
+    time (the expectation no longer matches after the bump) — the
+    retry-safety property optimistic locking exists to provide."""
+    name = "t_verupd_idem"
+    base = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", F.lit(1).cast("int").alias("version")
+    )
+    keyed_store.create_table(spark, base, name, hash_key="r_regionkey", n_segments=2)
+    upd = base.select(
+        "r_regionkey",
+        F.concat(F.lit("V2_"), F.col("r_name")).alias("r_name"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    write_dynamo(upd, name, versionedUpdate=True)
+    first = read_dynamo(spark, name).orderBy("r_regionkey").collect()
+    write_dynamo(upd, name, versionedUpdate=True)  # replay: all stale now
+    second = read_dynamo(spark, name).orderBy("r_regionkey").collect()
+    assert first == second
+    assert all(r.version == 2 and r.r_name.startswith("V2_") for r in second)
