@@ -42,12 +42,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 window (unprefixed): the five round-3 parked names (first
 # driver rows) plus this round's 45 new operators — TPC-H suite
 # completion, event analytics, write layouts, curation, streaming.
-# Historical round-3 note: the 34 previously x_-parked names
-# (ROTATION_PENDING is now empty — every one gets its first driver row
-# this round), the 5 streaming rows red in r2 from the fixture ts
-# drift (s01/s02/s03/s06/s07 — fixed, must re-prove green), the 2 ANN
-# rows that were `err: no_oracle` in r2 (now carrying real oracles),
-# and this round's new operators.
+# Everything added after the window filled is parked in
+# ROTATION_PENDING below; `scripts/rotate_window.py` performs the
+# round-start swap mechanically from the previous CORRECTNESS json.
 ROTATED_GREEN_R1 = frozenset(
     {
         "a04_dynamo_scan",
