@@ -1538,3 +1538,85 @@ def padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionAll(out[1]).orderBy("strategy")
+
+
+# --- c68: population-stability-index drift detection -----------------------
+C68_BUCKET_W = 100  # n_chars bucket width
+C68_NBUCKETS = 10  # last bucket is open-ended
+
+
+@query(
+    "c68_psi_drift",
+    f"""
+    WITH halves AS (
+      SELECT least(n_chars // {C68_BUCKET_W}, {C68_NBUCKETS - 1}) AS bucket,
+             doc_id % 2 = 0 AS in_a
+      FROM documents
+    ),
+    b AS (
+      SELECT g.bucket,
+             1 + COALESCE(SUM(CASE WHEN in_a THEN 1 END), 0) AS n_a,
+             1 + COALESCE(SUM(CASE WHEN NOT in_a THEN 1 END), 0) AS n_b
+      FROM (SELECT unnest(generate_series(0, {C68_NBUCKETS - 1})) AS bucket) g
+      LEFT JOIN halves h ON h.bucket = g.bucket
+      GROUP BY g.bucket
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM b)
+    SELECT bucket,
+           CAST(n_a - 1 AS BIGINT) AS count_a,
+           CAST(n_b - 1 AS BIGINT) AS count_b,
+           round((n_a * 1.0 / ta - n_b * 1.0 / tb)
+                 * ln((n_a * 1.0 / ta) / (n_b * 1.0 / tb)), 6) AS psi_term
+    FROM b CROSS JOIN tot
+    ORDER BY bucket
+    """,
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68: population stability index — the drift monitor every
+    production data pipeline runs between a reference corpus slice and
+    a new batch (here: even vs odd doc_ids over document-length
+    buckets). PSI = sum over buckets of (p-q)*ln(p/q); terms above
+    ~0.1 flag a shifted bucket, a total above ~0.25 blocks the batch.
+    Add-one smoothing keeps empty buckets finite, and the bucket spine
+    is generated so both engines emit all 10 rows even when a bucket
+    is empty on both sides.
+
+    Exactness: counts are integers; each psi term is one fixed-order
+    double expression from integer ratios (the per-term output avoids
+    a cross-engine float SUM — callers total the column, or wrap it in
+    the decimal detour as c13 does).
+
+    Scale shape: one combinable bucket rollup; the 10-row spine joins
+    broadcast; everything after the rollup is constant-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    halves = docs.select(
+        F.least(
+            F.expr(f"n_chars div {C68_BUCKET_W}"), F.lit(C68_NBUCKETS - 1)
+        ).alias("bucket"),
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+    )
+    spine = spark.range(0, C68_NBUCKETS).select(F.col("id").alias("bucket"))
+    b = (
+        spine.join(halves, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            (1 + F.coalesce(F.sum(F.when(F.col("in_a"), 1)), F.lit(0))).alias("n_a"),
+            (
+                1 + F.coalesce(F.sum(F.when(~F.col("in_a"), 1)), F.lit(0))
+            ).alias("n_b"),
+        )
+    )
+    tot = b.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    pa = F.col("n_a") * 1.0 / F.col("ta")
+    pb = F.col("n_b") * 1.0 / F.col("tb")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("n_a") - 1).cast("long").alias("count_a"),
+            (F.col("n_b") - 1).cast("long").alias("count_b"),
+            F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
