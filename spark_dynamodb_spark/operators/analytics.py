@@ -1927,3 +1927,220 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+B117_MULT = 3  # anomaly threshold: value > MULT x same-hour median
+
+
+@query(
+    "b117_seasonal_anomaly",
+    f"""
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS v,
+             ({EVENTS_TS_US_SQL} // 3600000000) % 24 AS hod
+      FROM events
+    ),
+    ranked AS (
+      SELECT hod, v,
+             row_number() OVER (PARTITION BY hod ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY hod) AS n
+      FROM e
+    ),
+    med AS (
+      SELECT r.hod,
+             (lo.v + hi.v) // 2 AS med_v
+      FROM (SELECT DISTINCT hod, n FROM ranked) r
+      JOIN ranked lo ON lo.hod = r.hod AND lo.rn = (r.n + 1) // 2
+      JOIN ranked hi ON hi.hod = r.hod AND hi.rn = r.n // 2 + 1
+    )
+    SELECT e.event_id, e.hod, e.v AS value_micro, med.med_v AS median_micro,
+           e.v > {B117_MULT} * med.med_v AS is_anomaly
+    FROM e JOIN med ON med.hod = e.hod
+    ORDER BY e.event_id
+    """,
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B117: seasonality-aware anomaly detection — each event compares
+    against the exact median of ITS OWN hour-of-day, not a global
+    baseline (3 AM traffic is not 3 PM traffic; a global threshold
+    either drowns in daytime noise or never fires at night). Flags
+    values above 3x the same-hour median.
+
+    Exactness: b88's rank-selected median per hour bucket, averaged
+    between the two middle order statistics with integer floor — all
+    micro-unit BIGINTs, so the flag is bit-identical everywhere.
+
+    Scale shape: one window pass partitioned by the 24-value hour key
+    (rank + size share the sort), a 24-row median relation broadcast
+    back into the fact, narrow comparison. Hour-of-day is deliberately
+    LOW cardinality — at 100 TB switch the partition key to (hod,
+    salt) and merge salted medians via the b57 two-stage trick if the
+    per-hour sort ever skews a task.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 1000000).cast("long").alias("v"),
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hod"),
+    )
+    w = W.partitionBy("hod").orderBy("v", "event_id")
+    ranked = e.select(
+        "hod",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("hod")).alias("n"),
+    )
+    groups = ranked.select("hod", "n").distinct()
+    lo = ranked.select(F.col("hod").alias("h1"), "rn", F.col("v").alias("lo_v"))
+    hi = ranked.select(F.col("hod").alias("h2"), F.col("rn").alias("rn2"), F.col("v").alias("hi_v"))
+    med = (
+        groups.join(
+            lo, (groups.hod == lo.h1) & (F.expr("(n + 1) div 2") == lo.rn)
+        )
+        .join(hi, (groups.hod == hi.h2) & (F.expr("n div 2 + 1") == hi.rn2))
+        .select("hod", F.expr("(lo_v + hi_v) div 2").alias("med_v"))
+    )
+    return (
+        e.join(F.broadcast(med), "hod")
+        .select(
+            "event_id",
+            "hod",
+            F.col("v").alias("value_micro"),
+            F.col("med_v").alias("median_micro"),
+            (F.col("v") > B117_MULT * F.col("med_v")).alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# b118: k-core peeling, k=2, fixed unroll depth (identical in both
+# engines with no convergence loop; converged rounds are no-ops).
+B118_K = 2
+B118_ROUNDS = 6
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    )""",
+        """pr AS (
+      SELECT string_split(p, chr(9))[1] AS w1, string_split(p, chr(9))[2] AS w2
+      FROM t, unnest(list_concat(
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 1]),
+        list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> toks[i] || chr(9) || toks[i + 2])
+      )) AS pp(p)
+    )""",
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+      FROM pr WHERE w1 <> w2
+    )""",
+    ]
+    # MATERIALIZED is load-bearing: each round references the previous
+    # edge set three times, and un-materialized CTEs would re-derive
+    # the whole chain per reference (3^rounds document scans — fd
+    # exhaustion in practice).
+    for i in range(B118_ROUNDS):
+        ctes.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT a AS u FROM e{i} UNION ALL SELECT b AS u FROM e{i}
+      ) GROUP BY u HAVING COUNT(*) >= {B118_K}
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{i} e
+      JOIN v{i} va ON va.u = e.a
+      JOIN v{i} vb ON vb.u = e.b
+    )"""
+        )
+    last = f"e{B118_ROUNDS}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT (SELECT COUNT(DISTINCT u) FROM
+              (SELECT a AS u FROM e0 UNION SELECT b FROM e0)) AS n_nodes_before,
+           (SELECT COUNT(*) FROM e0) AS n_edges_before,
+           (SELECT COUNT(DISTINCT u) FROM
+              (SELECT a AS u FROM {last} UNION SELECT b FROM {last})) AS n_nodes_core,
+           (SELECT COUNT(*) FROM {last}) AS n_edges_core
+    """
+    )
+
+
+@query("b118_kcore_peel", _kcore_sql())
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B118: k-core decomposition (k=2) — repeatedly peel vertices
+    with degree below k until the dense core remains; the graph-
+    cleanup pass before community detection or influence analysis
+    (degree-1 tendrils are noise in almost every relationship graph).
+
+    The peel runs a FIXED 6 rounds instead of loop-until-fixpoint:
+    converged rounds are no-ops, both engines unroll identically, and
+    no driver-side convergence check is needed (the c02 components
+    loop shows the data-dependent alternative; fixed depth is the
+    right call when a small bound is known — each round strictly
+    shrinks the graph or everything after it is free).
+
+    Scale shape: each round is one combinable degree rollup + two
+    semi-join-shaped edge filters on the vertex key, all vocab-sized;
+    Spark caches the edge set per round so round i+1 reads round i's
+    result, not the lineage.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    n = F.size(toks)
+    pair_arrays = []
+    for off in (1, 2):
+        pair_arrays.append(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(n - off, F.lit(0))),
+                F.slice(toks, 1 + off, F.greatest(n - off, F.lit(0))),
+                lambda a, b: F.concat_ws("\t", a, b),
+            )
+        )
+    pairs = docs.select(F.explode(F.concat(*pair_arrays)).alias("p")).select(
+        F.split("p", "\t").getItem(0).alias("w1"),
+        F.split("p", "\t").getItem(1).alias("w2"),
+    )
+    e = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b"))
+        .distinct()
+        .cache()
+    )
+    e0_nodes = (
+        e.select(F.col("a").alias("u")).union(e.select(F.col("b").alias("u"))).distinct().count()
+    )
+    e0_edges = e.count()
+    cur = e
+    for _ in range(B118_ROUNDS):
+        deg = (
+            cur.select(F.col("a").alias("u"))
+            .unionAll(cur.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= B118_K)
+            .select("u")
+        )
+        cur = (
+            cur.join(deg.withColumnRenamed("u", "a"), "a", "left_semi")
+            .join(deg.withColumnRenamed("u", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    core_nodes = (
+        cur.select(F.col("a").alias("u")).union(cur.select(F.col("b").alias("u"))).distinct().count()
+    )
+    core_edges = cur.count()
+    return spark.createDataFrame(
+        [(e0_nodes, e0_edges, core_nodes, core_edges)],
+        "n_nodes_before bigint, n_edges_before bigint, n_nodes_core bigint, n_edges_core bigint",
+    )

@@ -244,6 +244,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b114_corr_matrix",
         "b115_association_rules",
         "b116_last_touch_attribution",
+        "b117_seasonal_anomaly",
+        "b118_kcore_peel",
         "c50_pareto_doc_cut",
         "c51_skipgram_cooccurrence",
         "c52_bigram_logprob",
