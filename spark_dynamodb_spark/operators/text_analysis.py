@@ -1299,3 +1299,65 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("targets"),
     ).orderBy("doc_id")
+
+
+@query(
+    "c69_tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(n_bpe) * 1000000 // SUM(n_words) AS BIGINT)
+             AS fertility_ppm
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C69: tokenizer fertility per language — BPE-ish tokens emitted
+    per whitespace word (the c04f pre-tokenizer over the c04j word
+    splitter). Fertility is THE multilingual-fairness statistic for a
+    tokenizer: a language whose fertility runs 2x English pays twice
+    the context length and twice the inference cost for the same text,
+    which is why tokenizer audits report it per language before
+    training. Integer ppm so the ranking is bit-stable.
+
+    Scale shape: one narrow token-count pass, one combinable per-lang
+    rollup — audit-priced at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+    bpe = F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]', 0)")
+    t = docs.select(
+        "lang",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(bpe).cast("long").alias("n_bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_bpe_tokens",
+            F.expr("total_bpe_tokens * 1000000 div total_words")
+            .cast("long")
+            .alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )

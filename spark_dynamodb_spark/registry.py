@@ -263,6 +263,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c66_padding_waste",
         "c67_span_corruption",
         "c68_psi_drift",
+        "c69_tokenizer_fertility",
         "c55_audio_vad",
         "c56_product_quantization",
         "s15_stream_dedup_within_watermark",
