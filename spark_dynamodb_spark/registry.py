@@ -52,6 +52,7 @@ ROTATED_GREEN_R1 = frozenset(
         "a05_dynamo_gsi",
         "a06_dynamo_projection",
         "a07_dynamo_pushdown",
+        "a09_dynamo_binary_key",
         "a11_dynamo_write_put",
         "a12_dynamo_write_update",
         "a13_dynamo_write_delete",
@@ -71,11 +72,11 @@ ROTATED_GREEN_R1 = frozenset(
         "b11_agg_flagship_q1",
         "b12_agg_count_distinct",
         "b12_agg_stats",
+        "b13_agg_approx_distinct",
         "b14_agg_cube",
         "b14_agg_min_max",
         "b14_agg_rollup",
         "b14_grouping_sets_sql",
-        "b13_agg_approx_distinct",
         "b14_pivot",
         "b15_window_rank",
         "b16_window_analytic",
@@ -87,18 +88,16 @@ ROTATED_GREEN_R1 = frozenset(
         "b19_except_all",
         "b19_intersect",
         "b19_union",
+        "b20_strings",
         "b21_datetime",
+        "b22_math",
         "b23_arrays",
         "b23_explode",
+        "b23_maps",
         "b24_from_json_struct",
         "b24_json",
         "b25_conditional",
         "b26_apply_in_pandas",
-        # --- driver-green in CORRECTNESS_r02.json (round-2 window) ---
-        "a09_dynamo_binary_key",
-        "b20_strings",
-        "b22_math",
-        "b23_maps",
         "b26_grouped_agg_udaf",
         "b26_pandas_udf_scalar",
         "b26_python_udf_scalar",
@@ -108,37 +107,6 @@ ROTATED_GREEN_R1 = frozenset(
         "b34_cdc_latest_per_key",
         "b35_approx_quantile",
         "b36_unpivot",
-        "c01_dedup_exact",
-        "c02_dedup_components",
-        "c02_dedup_minhash_lsh",
-        "c02_dedup_ngram_jaccard_baseline",
-        "c02_dedup_simhash",
-        "c02_embedding_neardup",
-        "c03_ann_cosine_topk",
-        "c03_embedding_normalize",
-        "c03_label_centroids",
-        "c04_text_fingerprint",
-        "c04_text_langid",
-        "c04_text_ngram_freq",
-        "c04_text_pmi",
-        "c04_text_quality",
-        "c04_text_tfidf",
-        "c04_text_token_bpe",
-        "c04_text_token_stats",
-        "c05_audio_resample",
-        "c05_multimodal_features",
-        "c05_multimodal_frames",
-        "c05_multimodal_resize",
-        "c05_multimodal_roundtrip",
-        "c05_multimodal_wav",
-        "c06_group_quantiles",
-        "c06_stratified_sample",
-        "c06_train_split",
-        "c06_vocab_topk",
-        "c07_corpus_prep",
-        "s04_stream_dedup_watermark",
-        "s05_stream_foreachbatch_upsert",
-        # --- driver-green in CORRECTNESS_r03.json (round-3 window) ---
         "b37_recursive_cte",
         "b38_exists_subquery",
         "b39_scalar_subquery",
@@ -159,10 +127,68 @@ ROTATED_GREEN_R1 = frozenset(
         "b54_time_range_window",
         "b55_try_arithmetic",
         "b56_distinct_over_window",
+        "b57_salted_agg",
+        "b58_merge_upsert",
+        "b59_scd2_intervals",
+        "b60_bloom_join_prune",
+        "b61_range_write_layout",
+        "b62_tpch_q3_shipping_priority",
+        "b63_tpch_q5_local_supplier_volume",
+        "b64_tpch_q10_returned_items",
+        "b65_null_aware_anti_join",
+        "b66_partitioned_write_prune",
+        "b67_bucketed_join",
+        "b68_mom_revenue_delta",
+        "b69_tpch_q4_order_priority",
+        "b70_tpch_q6_forecast_revenue",
+        "b71_tpch_q7_volume_shipping",
+        "b72_tpch_q8_market_share",
+        "b73_tpch_q9_product_profit",
+        "b74_tpch_q13_customer_distribution",
+        "b75_tpch_q14_promo_effect",
+        "b76_tpch_q15_top_supplier",
+        "b77_tpch_q17_small_quantity",
+        "b78_tpch_q18_large_volume",
+        "b79_tpch_q19_discounted_revenue",
+        "b80_tpch_q22_idle_customers",
+        "b81_funnel_conversion",
+        "b82_retention_cohorts",
+        "b83_activity_streaks",
+        "b84_peak_concurrency",
+        "b85_event_transitions",
+        "b86_morton_write_layout",
+        "c01_dedup_exact",
+        "c02_dedup_components",
+        "c02_dedup_minhash_lsh",
+        "c02_dedup_ngram_jaccard_baseline",
+        "c02_dedup_simhash",
+        "c02_embedding_neardup",
+        "c03_ann_cosine_topk",
         "c03_ann_ivf",
         "c03_ann_lsh_bucketed",
+        "c03_embedding_normalize",
+        "c03_label_centroids",
+        "c04_text_fingerprint",
+        "c04_text_langid",
+        "c04_text_ngram_freq",
         "c04_text_normalize",
+        "c04_text_pmi",
+        "c04_text_quality",
         "c04_text_repetition",
+        "c04_text_tfidf",
+        "c04_text_token_bpe",
+        "c04_text_token_stats",
+        "c05_audio_resample",
+        "c05_multimodal_features",
+        "c05_multimodal_frames",
+        "c05_multimodal_resize",
+        "c05_multimodal_roundtrip",
+        "c05_multimodal_wav",
+        "c06_group_quantiles",
+        "c06_stratified_sample",
+        "c06_train_split",
+        "c06_vocab_topk",
+        "c07_corpus_prep",
         "c08_sessionization",
         "c09_sequence_packing",
         "c10_decontamination",
@@ -183,12 +209,33 @@ ROTATED_GREEN_R1 = frozenset(
         "c25_ngram_novelty",
         "c26_quality_percentile_filter",
         "c27_dataset_card",
+        "c28_containment_pairs",
+        "c29_prefix_duplicates",
+        "c30_length_outliers",
+        "c31_semantic_dedup",
+        "c32_contamination_matrix",
+        "c33_cluster_purity",
+        "c34_component_best_keeper",
+        "c35_incremental_dedup",
+        "c36_bitext_mining",
+        "c37_pii_redaction",
+        "c38_boilerplate_ngrams",
+        "c39_mips_topk",
+        "c40_knn_label_vote",
+        "c41_quality_classifier",
         "s01_stream_tumbling_window",
         "s02_stream_sliding_window",
         "s03_stream_session_window",
+        "s04_stream_dedup_watermark",
+        "s05_stream_foreachbatch_upsert",
         "s06_stream_stateful_custom",
         "s07_stream_stream_join",
         "s08_stream_static_enrich",
+        "s09_stream_outer_join",
+        "s11_stream_windowed_topk",
+        "s12_stream_append_windows",
+        "s13_stream_file_sink_exactly_once",
+        "s14_stream_cascaded_windows",
     }
 )
 
@@ -202,55 +249,8 @@ ROTATED_GREEN_R1 = frozenset(
 # (all locally oracle-green):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
-        "a18_dynamo_ttl_scan",
-        "a22_dynamo_json_export",
-        "a23_dynamo_versioned_update",
-        "a24_dynamo_transact_write",
-        "a19_dynamo_conditional_put",
-        "b87_tpch_q12_shipping_modes",
-        "b88_grouped_exact_median",
-        "b89_per_user_modal_event",
-        "c42_ann_recall_eval",
-        "c43_neardup_eval",
-        "c44_feature_hash_embedding",
-        "c45_mmr_rerank",
-        "b91_variant_json",
-        "b92_higher_order_functions",
-        "b93_observe_metrics",
-        "b94_compaction",
-        "b95_cbo_stats_join",
-        "b96_sql_udf",
-        "b97_parameterized_sql",
-        "b98_pipe_syntax",
-        "c46_map_in_arrow",
-        "c47_temperature_resampling",
-        "c48_hard_negative_mining",
-        "c49_rag_context_assembly",
-        "b99_running_distinct_count",
-        "b100_tpch_q21_sole_late_supplier",
-        "b101_interval_merge",
-        "b102_ewma_trailing",
-        "b103_percentile_cont_exact",
-        "b104_asof_nearest_join",
-        "b105_rolling_regression",
-        "b106_schema_evolution_read",
-        "b107_cogroup_in_pandas",
-        "b108_incremental_agg_maintenance",
-        "b109_snapshot_diff",
-        "b110_temporal_scd2_join",
-        "b111_fuzzy_join",
-        "b112_geo_radius_join",
-        "b113_triangle_count",
-        "b114_corr_matrix",
-        "b115_association_rules",
-        "b116_last_touch_attribution",
-        "b117_seasonal_anomaly",
-        "b118_kcore_peel",
-        "c50_pareto_doc_cut",
-        "c51_skipgram_cooccurrence",
-        "c52_bigram_logprob",
-        "c53_bpe_merge_step",
-        "c54_image_patches",
+        "c55_audio_vad",
+        "c56_product_quantization",
         "c57_zipf_slope",
         "c58_weighted_sample",
         "c59_dp_noisy_counts",
@@ -264,8 +264,6 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c67_span_corruption",
         "c68_psi_drift",
         "c69_tokenizer_fertility",
-        "c55_audio_vad",
-        "c56_product_quantization",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
