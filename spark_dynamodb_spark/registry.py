@@ -249,6 +249,7 @@ ROTATED_GREEN_R1 = frozenset(
 # (all locally oracle-green):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
+        "a06_auto_prune",
         "c55_audio_vad",
         "c56_product_quantization",
         "c57_zipf_slope",

@@ -145,6 +145,44 @@ def dynamo_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a06_auto_prune",
+    """
+    SELECT c_mktsegment, count(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+    FROM customer
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    """,
+)
+def dynamo_auto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 companion (VERDICT r4 ask #4): automatic column pruning with
+    NO manual ``columns`` option — ``with_pruned_scans`` derives the
+    scan's required columns from the analyzed plan (exprId-exact) and
+    re-reads with the derived projection, recovering the reference's
+    automatic ``ProjectionExpression`` behavior (reconstructed
+    ``DynamoScanBuilder``; SURVEY §4.1).  The Arrow scan reads
+    (c_custkey, c_acctbal, c_mktsegment), not the 5-column table —
+    asserted by tests/test_dynamo_source.py::test_auto_prune."""
+    from spark_dynamodb_spark.functions.exact import dsum
+    from spark_dynamodb_spark.sources.pruning import with_pruned_scans
+
+    table = _ensure_customer_kv(spark, sf_dir)
+
+    def build(read):
+        return (
+            read(table)
+            .filter(F.col("c_acctbal") > 0)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_cust"),
+                dsum("c_acctbal", "sum_bal"),
+            )
+        )
+
+    return with_pruned_scans(spark, build)
+
+
+@query(
     "a05_dynamo_gsi",
     f"""
     WITH e AS (SELECT event_id, user_id, event_type, value,

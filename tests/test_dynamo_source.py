@@ -499,3 +499,72 @@ def test_versioned_update_is_idempotent_per_expectation(spark, sf_dir):
     second = read_dynamo(spark, name).orderBy("r_regionkey").collect()
     assert first == second
     assert all(r.version == 2 and r.r_name.startswith("V2_") for r in second)
+
+
+def test_auto_prune_reads_only_required_columns(spark, sf_dir, customer_kv, monkeypatch, tmp_path):
+    """A6 closure (VERDICT r4 #4): with_pruned_scans derives the scan
+    projection from the analyzed plan — NO manual columns option — and
+    the Arrow read sees only (key + referenced) columns."""
+    import spark_dynamodb_spark.sources.dynamo as dyn
+    from spark_dynamodb_spark.sources.pruning import with_pruned_scans
+
+    probe = tmp_path / "cols_seen.txt"
+    orig = dyn.DynamoReader.read
+
+    def spy(self, partition):
+        with open(probe, "a") as f:
+            f.write(",".join(f2.name for f2 in self.schema_.fields) + "\n")
+        return orig(self, partition)
+
+    monkeypatch.setattr(dyn.DynamoReader, "read", spy)
+
+    def build(read):
+        return (
+            read(customer_kv)
+            .filter(F.col("c_acctbal") > 0)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+
+    out = with_pruned_scans(spark, build)
+    rows = {r.c_mktsegment: r.n for r in out.collect()}
+
+    seen = {tuple(l.split(",")) for l in probe.read_text().splitlines()}
+    assert seen == {("c_custkey", "c_acctbal", "c_mktsegment")}, seen
+
+    monkeypatch.setattr(dyn.DynamoReader, "read", orig)
+    base = build(lambda t, **o: read_dynamo(spark, t, **o))
+    assert rows == {r.c_mktsegment: r.n for r in base.collect()}
+
+
+def test_auto_prune_self_join_falls_back_to_full_schema(spark, customer_kv):
+    """Two scans of the same table keep distinct exprIds (two loads →
+    two relations), so a self-join prunes EACH side independently and
+    results match the unpruned plan."""
+    from spark_dynamodb_spark.sources.pruning import with_pruned_scans
+
+    def build(read):
+        a = read(customer_kv).select("c_custkey", "c_nationkey")
+        b = read(customer_kv).select(
+            F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+        )
+        return a.join(b, a.c_custkey == b.k).groupBy("c_nationkey").agg(
+            F.count("*").alias("n")
+        )
+
+    pruned = with_pruned_scans(spark, build)
+    base = build(lambda t, **o: read_dynamo(spark, t, **o))
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_auto_prune_respects_explicit_columns_option(spark, customer_kv):
+    """An explicit columns option wins — with_pruned_scans must not
+    second-guess a user projection (A6 manual path stays intact)."""
+    from spark_dynamodb_spark.sources.pruning import with_pruned_scans
+
+    def build(read):
+        return read(customer_kv, columns="c_custkey,c_name").select("c_name")
+
+    out = with_pruned_scans(spark, build)
+    assert out.columns == ["c_name"]
+    assert out.count() == read_dynamo(spark, customer_kv).count()
