@@ -202,3 +202,89 @@ def test_sequence_packing_invariants(spark, sf_dir):
         # pack ids monotone non-decreasing in doc order
         ids = [r["pack_id"] for r in rs]
         assert ids == sorted(ids)
+
+
+def test_star_components_converges_past_min_label_cap(spark):
+    """VERDICT r4 ask #6: a path graph longer than MAX_CC_ITERATIONS
+    converges under star contraction (O(log n) rounds) while min-label
+    raises by design (rounds = diameter)."""
+    from spark_dynamodb_spark.operators.dedup import (
+        MAX_CC_ITERATIONS,
+        min_label_components,
+        star_components,
+    )
+
+    n = MAX_CC_ITERATIONS * 3
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a: long, b: long")
+    with pytest.raises(RuntimeError, match="not converged"):
+        min_label_components(verts, pairs)
+    out = star_components(verts, pairs).collect()
+    assert len(out) == n
+    assert all(r.component_id == 0 for r in out)
+
+
+def test_star_components_matches_union_find(spark):
+    """Seeded random graph (forest-ish, long diameter): star contraction
+    must agree with a pure-Python union-find oracle, including isolated
+    vertices and self loops."""
+    import random
+
+    from spark_dynamodb_spark.operators.dedup import star_components
+
+    random.seed(7)
+    n = 200
+    edges = [(random.randrange(n), random.randrange(n)) for _ in range(150)]
+    edges.append((5, 5))  # self loop
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    pairs = spark.createDataFrame(edges, "a: long, b: long")
+    got = dict(map(tuple, star_components(verts, pairs).collect()))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    members: dict[int, list[int]] = {}
+    for i in range(n):
+        members.setdefault(find(i), []).append(i)
+    expected = {i: min(g) for g in members.values() for i in g}
+    assert got == expected
+
+
+def test_components_reliable_checkpoint(spark, tmp_path):
+    """VERDICT r4 ask #5: checkpoint='reliable' writes RDD checkpoints
+    to the configured dir (fault-tolerant lineage cut) and produces the
+    same labels as the local-checkpoint default."""
+    from spark_dynamodb_spark.operators.dedup import (
+        min_label_components,
+        star_components,
+    )
+
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id: long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(4)], "a: long, b: long")
+
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        # no checkpoint dir configured yet -> fail fast, not mid-loop
+        min_label_components(verts, pairs, checkpoint="reliable")
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    base = sorted(map(tuple, min_label_components(verts, pairs).collect()))
+    rel = sorted(
+        map(tuple, min_label_components(verts, pairs, checkpoint="reliable").collect())
+    )
+    star_rel = sorted(
+        map(tuple, star_components(verts, pairs, checkpoint="reliable").collect())
+    )
+    assert rel == base == star_rel
+    import glob as _glob
+
+    assert _glob.glob(ckpt + "/*/rdd-*"), "no reliable checkpoint written"
+    with pytest.raises(ValueError, match="unknown checkpoint mode"):
+        min_label_components(verts, pairs, checkpoint="bogus")
