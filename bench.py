@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -100,30 +101,36 @@ def main() -> None:
     _ensure_events_kv(spark, sf_dir)
     _ensure_lineitem_kv(spark, sf_dir)
 
-    # Three measured runs per query, min taken: this box shows 30-50%
-    # run-to-run noise (shared-host effects — e.g. c02 measured 2.1 s
-    # and 3.4 s in back-to-back bench invocations of identical code);
-    # min-of-3 measures the query, not the neighbors. Labeled in the
-    # JSON for transparency.
-    RUNS = 3
+    # Five measured runs per query (VERDICT r4 #7): this box shows
+    # 30-50% run-to-run noise (shared-host effects — e.g. c02 measured
+    # 2.1 s and 3.4 s in back-to-back bench invocations of identical
+    # code). "value" stays min-based for round-over-round
+    # comparability with BENCH_r01–r04; the median totals are the
+    # dispersion line that separates real deltas from host noise.
+    RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    def measure(names: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
+    def measure(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+        mins: dict[str, float] = {}
+        medians: dict[str, float] = {}
         for name in names:
             fn = specs[name].fn
-            best = None
-            for r in range(RUNS):
+            samples = []
+            for _ in range(RUNS):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        return timings
+                samples.append(time.perf_counter() - t0)
+            mins[name] = round(min(samples), 3)
+            medians[name] = round(statistics.median(samples), 3)
+            print(
+                f"# {name}: min {mins[name]:.3f}s median {medians[name]:.3f}s"
+                f" ({n} rows)",
+                file=sys.stderr,
+            )
+        return mins, medians
 
-    timings = measure(HEADLINE)
-    extra = measure(EXTRA)
+    timings, med = measure(HEADLINE)
+    extra, extra_med = measure(EXTRA)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -132,7 +139,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {**timings, **extra},
+                "queries_median": {**med, **extra_med},
+                "median_value": round(sum(med.values()), 3),
                 "extra_total": round(sum(extra.values()), 3),
+                "extra_median_total": round(sum(extra_med.values()), 3),
                 "extra_queries": EXTRA,
                 "sf": sf_dir,
                 "cpus": cpus,

@@ -315,3 +315,58 @@ def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@query(
+    "b119_udtf_variant_pipe",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INT) % 5 + 1 AS reps
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    x AS (SELECT event_type, unnest(generate_series(1, reps)) AS i FROM e)
+    SELECT event_type,
+           count(*) AS n_rows,
+           CAST(SUM(i) AS BIGINT) AS sum_i
+    FROM x
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def udtf_variant_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B119 (VERDICT r4 ask #8): composed showcase — the three Spark-4
+    surfaces b26 (Python UDTF), b91 (VARIANT), and b98 (pipe syntax)
+    interacting in ONE query. VARIANT extraction feeds a lateral UDTF
+    fan-out whose rows are aggregated by a pipe-syntax tail; green
+    means the surfaces compose, not just work in isolation.
+
+    Scale shape: the UDTF fan-out is bounded (<=5 rows per event) and
+    runs inside the scan stage; the only exchange is the final
+    aggregate's, identical to the oracle's generate_series plan.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i: int")
+    class SeqRows:
+        def eval(self, n):
+            for i in range(1, (n or 0) + 1):
+                yield (i,)
+
+    spark.udtf.register("b119_seq_rows", SeqRows)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type",
+        (F.variant_get(v, "$.k", "int") % 5 + 1).alias("reps"),
+    ).createOrReplaceTempView("b119_ev_v")
+    return spark.sql(
+        """
+        FROM b119_ev_v, LATERAL b119_seq_rows(reps) s
+        |> AGGREGATE count(*) AS n_rows,
+                     CAST(SUM(s.i) AS BIGINT) AS sum_i
+           GROUP BY event_type
+        |> ORDER BY event_type
+        """
+    )

@@ -265,6 +265,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c67_span_corruption",
         "c68_psi_drift",
         "c69_tokenizer_fertility",
+        "b119_udtf_variant_pipe",
         "c70_star_components",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
