@@ -2144,3 +2144,149 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(e0_nodes, e0_edges, core_nodes, core_edges)],
         "n_nodes_before bigint, n_edges_before bigint, n_nodes_core bigint, n_edges_core bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# B120 — quantile normalization (per-group values mapped onto the
+# global distribution), global rank via the c18 bucketed two-phase
+# pattern so no SinglePartition window touches the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b120_quantile_normalization",
+    """
+    WITH g AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS grank,
+             COUNT(*) OVER () AS n
+      FROM customer
+    ),
+    s AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS srank,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS m
+      FROM g
+    ),
+    idx AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CASE WHEN m > 1
+                  THEN ((srank - 1) * (n - 1)) // (m - 1) + 1
+                  ELSE (n + 1) // 2 END AS target
+      FROM s
+    )
+    SELECT idx.c_custkey, idx.c_mktsegment, idx.c_acctbal,
+           g.c_acctbal AS normalized_bal
+    FROM idx JOIN g ON g.grank = idx.target
+    ORDER BY idx.c_custkey
+    """,
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B120: quantile normalization — each group's value distribution
+    is mapped onto the GLOBAL distribution (row at the same relative
+    rank), the classic bias-removal transform for features whose
+    per-segment scales drift (and the batch-effect correction used in
+    omics / feature-store pipelines).
+
+    Exactness: relative rank mapping is pure integer math —
+    target = (srank−1)·(N−1) div (m−1) + 1 — over total orders with
+    doc-key tiebreaks; the normalized value is an existing value, not
+    an interpolation, so nothing floats.
+
+    Scale shape: the per-segment rank is an ordinary partitioned
+    window; the GLOBAL rank uses the c18 two-phase bucketed pattern
+    (range-bucket on the value, rank within bucket, prefix-sum the
+    bucket-count table, broadcast offsets back) — the oracle's naive
+    `row_number() OVER (ORDER BY ...)` would collapse 100 TB into one
+    task, the bucketed plan never does (no SinglePartition window on
+    the fact, plan-gated in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    B = 16
+    rng = cust.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+    b = cust.crossJoin(F.broadcast(rng)).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.least(
+            F.floor(
+                (F.col("c_acctbal") - F.col("lo"))
+                * B
+                / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+            ),
+            F.lit(B - 1),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket")
+    ranked = b.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "bucket",
+        F.row_number()
+        .over(wb.orderBy("c_acctbal", "c_custkey"))
+        .alias("local_rank"),
+        F.count("*").over(wb).alias("bucket_n"),
+    )
+    offsets = (
+        ranked.groupBy("bucket")
+        .agg(F.max("bucket_n").alias("bn"))
+        .select(
+            "bucket",
+            (
+                F.sum("bn").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("offset"),
+        )
+        .fillna(0, subset=["offset"])
+    )
+    g = ranked.join(F.broadcast(offsets), "bucket").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.col("local_rank") + F.col("offset")).alias("grank"),
+    )
+    n_tot = cust.agg(F.count("*").alias("n"))
+    ws = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    s = (
+        cust.crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            "n",
+            F.row_number().over(ws).alias("srank"),
+            F.count("*")
+            .over(Window.partitionBy("c_mktsegment"))
+            .alias("m"),
+        )
+    )
+    idx = s.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.when(
+            F.col("m") > 1,
+            F.expr("((srank - 1) * (n - 1)) div (m - 1) + 1"),
+        )
+        .otherwise(F.expr("(n + 1) div 2"))
+        .alias("target"),
+    )
+    return (
+        idx.join(
+            g.select(F.col("grank").alias("target"), F.col("c_acctbal").alias("normalized_bal")),
+            "target",
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "normalized_bal")
+        .orderBy("c_custkey")
+    )

@@ -827,3 +827,205 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "word")
         .limit(C64_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# C71 — Gopher-style rule filter with reject-reason attribution
+# ---------------------------------------------------------------------------
+#
+# c04_text_quality computes the score shape; what a production corpus
+# pipeline additionally needs is ATTRIBUTION — for every dropped doc,
+# WHICH rule fired first (Gopher §A1.1 reports exactly this breakdown,
+# and it is how threshold regressions get debugged). Rules are checked
+# in a fixed order and the first failure wins.
+#
+# Exactness: every rule is an integer comparison (ratio thresholds are
+# cross-multiplied: mean_len < 3.9 becomes 10*chars < 39*toks), so
+# there is no float anywhere and both engines agree bitwise.
+
+_C71_STOPS = ("the", "a", "of", "and")
+
+
+@query(
+    "c71_gopher_reject_reasons",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {sql_simple_tokens('text')} AS toks
+      FROM documents
+    ),
+    x AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS c FROM x GROUP BY doc_id, tk),
+    mx AS (SELECT doc_id, MAX(c) AS max_tf FROM tf GROUP BY doc_id),
+    feats AS (
+      SELECT t.doc_id, t.source,
+             len(toks) AS n_toks,
+             len(array_to_string(toks, '')) AS n_chars,
+             len(list_filter(toks, x -> x IN ({', '.join(repr(s) for s in _C71_STOPS)}))) AS n_stop,
+             mx.max_tf
+      FROM t JOIN mx ON mx.doc_id = t.doc_id
+    ),
+    labeled AS (
+      SELECT source,
+             CASE
+               WHEN n_toks < 20 THEN 'too_short'
+               WHEN 10 * n_chars < 39 * n_toks THEN 'word_length'
+               WHEN 5 * max_tf > n_toks THEN 'repetition'
+               WHEN n_stop < 1 THEN 'no_stopwords'
+               ELSE 'keep'
+             END AS reason
+      FROM feats
+    )
+    SELECT source, reason, COUNT(*) AS n_docs
+    FROM labeled
+    GROUP BY source, reason
+    ORDER BY source, reason
+    """,
+)
+def gopher_reject_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71: Gopher-rule document filter with reject-reason attribution
+    (Rae et al. 2021 §A1.1) — every document is labeled with the FIRST
+    rule it fails (too_short → word_length → repetition →
+    no_stopwords) or 'keep', rolled up per source. The breakdown is
+    the artifact pipeline owners actually read when a threshold change
+    shifts yield.
+
+    Exactness: all four rules are integer comparisons (ratio
+    thresholds cross-multiplied), so the label is engine-exact.
+
+    Scale shape: the max-token-frequency feature is two combinable
+    aggs keyed by (doc_id, token) then doc_id — the same corpus-sized
+    shuffle c01 runs; every other feature is narrow per-row array
+    math fused into the scan; the final rollup is source×reason
+    (tiny). Nothing quadratic, nothing driver-side.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", simple_tokens("text").alias("toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+    )
+    mx = tf.groupBy("doc_id").agg(F.max("c").alias("max_tf"))
+    stops = ", ".join(repr(s) for s in _C71_STOPS)
+    feats = docs.join(mx, "doc_id").select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.length(F.array_join("toks", "")).alias("n_chars"),
+        F.size(F.expr(f"filter(toks, x -> x IN ({stops}))")).alias("n_stop"),
+        "max_tf",
+    )
+    reason = (
+        F.when(F.col("n_toks") < 20, "too_short")
+        .when(10 * F.col("n_chars") < 39 * F.col("n_toks"), "word_length")
+        .when(5 * F.col("max_tf") > F.col("n_toks"), "repetition")
+        .when(F.col("n_stop") < 1, "no_stopwords")
+        .otherwise("keep")
+    )
+    return (
+        feats.select("source", reason.alias("reason"))
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "reason")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C72 — CCNet perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c72_perplexity_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_simple_tokens('text')}) AS term FROM documents
+    ),
+    vocab AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+    total AS (SELECT COUNT(*) AS t FROM tok),
+    scored AS (
+      SELECT tok.doc_id, ln(vocab.n * 1.0 / total.t) AS lp
+      FROM tok JOIN vocab USING (term) CROSS JOIN total
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(lp AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, p.avg_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.avg_logprob DESC, p.doc_id) AS tercile
+      FROM perdoc p JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           COUNT(*) AS n_docs,
+           round(MIN(avg_logprob), 6) AS lp_min,
+           round(MAX(avg_logprob), 6) AS lp_max
+    FROM bucketed
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72: CCNet-style perplexity bucketing (Wenzek et al. 2020) —
+    split each language's documents into head/middle/tail terciles by
+    LM score (here the c13 unigram-logprob proxy; a real KenLM score
+    would drop in as the same column). Pretraining pipelines keep
+    head+middle and downsample tail; the per-bucket score bounds are
+    the cut points to publish with the dataset card.
+
+    Exactness: the per-doc score is c13's decimal-detour logprob
+    rounded to 6 dp (proven engine-exact by c13's driver row), and the
+    tercile is ntile over the TOTAL order (score DESC, doc_id) — no
+    ties left to engine choice.
+
+    Scale shape: vocab rollup + broadcast total + per-doc combinable
+    agg (all c13-shaped, corpus-sized), then a per-language window
+    (languages are many and balanced at scale — no SinglePartition)
+    and a tiny lang×bucket rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("n"))
+    total = tok.agg(F.count("*").alias("t"))
+    perdoc = (
+        tok.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") * 1.0 / F.col("t")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("lp").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    bucketed = (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", "avg_logprob", F.ntile(3).over(w).alias("tercile"))
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        bucketed.select("lang", bucket.alias("bucket"), "avg_logprob")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("lp_min"),
+            F.round(F.max("avg_logprob"), 6).alias("lp_max"),
+        )
+        .orderBy("lang", "bucket")
+    )

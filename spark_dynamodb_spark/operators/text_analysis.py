@@ -1361,3 +1361,72 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# C73 — term burstiness (variance-to-mean ratio of per-doc counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c73_term_burstiness",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({sql_simple_tokens('text')}) AS term FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS nd FROM documents),
+    tf AS (SELECT term, doc_id, COUNT(*) AS c FROM tok GROUP BY term, doc_id),
+    stats AS (
+      SELECT term,
+             COUNT(*) AS n_docs,
+             SUM(c) AS total,
+             SUM(c * c) AS sumsq
+      FROM tf GROUP BY term
+    )
+    SELECT term, n_docs, total,
+           (1000000 * (n.nd * sumsq - total * total)) // (n.nd * total)
+             AS vmr_micro
+    FROM stats CROSS JOIN n
+    ORDER BY total DESC, term
+    LIMIT 20
+    """,
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C73: term burstiness — the variance-to-mean ratio (Fano factor)
+    of each term's per-document count, zeros included. VMR ≈ 1 means
+    Poisson-like background vocabulary; VMR >> 1 means the term
+    clusters in few documents (topical/boilerplate burst) — the
+    dispersion statistic that separates function words from content
+    and template terms, complementing c38's raw frequent-ngram count.
+
+    Exactness: with zeros included, var/mean reduces to
+    (N·Σc² − (Σc)²) / (N·Σc) — all integers; scaled to micro-units
+    with floor division, so no float ever forms.
+
+    Scale shape: one (term, doc) combinable rollup then one term
+    rollup (both corpus-shaped, map-side combinable), a 1-row
+    broadcast for N, and a top-20 TakeOrdered. No window, no join
+    back to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    stats = tf.groupBy("term").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            "n_docs",
+            "total",
+            F.expr(
+                "(1000000 * (nd * sumsq - total * total)) div (nd * total)"
+            ).alias("vmr_micro"),
+        )
+        .orderBy(F.col("total").desc(), "term")
+        .limit(20)
+    )

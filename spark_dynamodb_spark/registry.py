@@ -266,7 +266,11 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c68_psi_drift",
         "c69_tokenizer_fertility",
         "b119_udtf_variant_pipe",
+        "b120_quantile_normalization",
         "c70_star_components",
+        "c71_gopher_reject_reasons",
+        "c72_perplexity_buckets",
+        "c73_term_burstiness",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
