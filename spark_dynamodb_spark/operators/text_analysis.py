@@ -1379,13 +1379,13 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT term,
              COUNT(*) AS n_docs,
-             SUM(c) AS total,
-             SUM(c * c) AS sumsq
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sumsq
       FROM tf GROUP BY term
     )
     SELECT term, n_docs, total,
-           (1000000 * (n.nd * sumsq - total * total)) // (n.nd * total)
-             AS vmr_micro
+           CAST((1000000 * (n.nd * sumsq - total * total)) // (n.nd * total)
+                AS BIGINT) AS vmr_micro
     FROM stats CROSS JOIN n
     ORDER BY total DESC, term
     LIMIT 20

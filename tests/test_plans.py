@@ -944,3 +944,26 @@ def test_association_rules_basket_key_join(spark, sf_dir):
 
     df = an.association_rules(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_quantile_normalization_global_rank_is_bucketed(spark, sf_dir):
+    """b120: the global rank must be the c18 bucketed two-phase shape —
+    row_number partitioned by bucket, never a SinglePartition window
+    over the customer relation (the oracle's naive spelling)."""
+    from spark_dynamodb_spark.operators import analytics as an
+
+    plan = physical_plan(an.quantile_normalization(spark, sf_dir))
+    assert "row_number() windowspecdefinition(bucket" in plan, plan
+    # the only windows over SinglePartition allowed are on the 16-row
+    # offsets table; the fact-sized ranks are bucket/segment-keyed
+    assert "row_number() windowspecdefinition(c_acctbal" not in plan, plan
+
+
+def test_burstiness_has_no_window_or_join_back(spark, sf_dir):
+    """c73: two combinable rollups + broadcast total + TakeOrdered —
+    no window function and no join back to the corpus."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.term_burstiness(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
