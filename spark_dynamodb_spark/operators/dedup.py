@@ -1444,3 +1444,107 @@ def _finalize_c43_oracle() -> None:
 
 
 _finalize_c43_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C75 — span-level decontamination (where the overlap is, not just that
+# it exists — the c10 doc-level flag's surgical sibling)
+# ---------------------------------------------------------------------------
+
+C75_K = 6  # exact-match n-gram length (distinct from dedup's SHINGLE_K=3)
+C75_MIN_SHARED = 2
+
+
+@query(
+    "c75_contamination_spans",
+    f"""
+    WITH tt AS (
+      SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    tr AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - {C75_K - 1}, 0)),
+               i -> struct_pack(pos := i,
+                      h := {sql_md5_64("concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(C75_K)) + ")")})))
+               AS s
+      FROM tt WHERE source != '{BENCH_SOURCE}'
+    ),
+    be AS (
+      SELECT DISTINCT doc_id AS bench_doc,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - {C75_K - 1}, 0)),
+               i -> {sql_md5_64("concat_ws(' ', " + ", ".join(f"toks[i+{j}]" for j in range(C75_K)) + ")")})))
+               AS h
+      FROM tt WHERE source = '{BENCH_SOURCE}'
+    )
+    SELECT tr.doc_id AS train_doc, be.bench_doc,
+           COUNT(*) AS n_shared_grams,
+           MIN(tr.s.pos) AS span_start,
+           MAX(tr.s.pos) + {C75_K - 1} AS span_end
+    FROM tr JOIN be ON be.h = tr.s.h
+    GROUP BY train_doc, be.bench_doc
+    HAVING COUNT(*) >= {C75_MIN_SHARED}
+    ORDER BY train_doc, bench_doc
+    """,
+)
+def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75: span-level benchmark decontamination (the GPT-3/PaLM
+    n-gram approach, position-resolved) — for every (train doc, bench
+    doc) pair sharing >= 2 exact 6-grams, report HOW MANY grams match
+    and the token span [span_start, span_end] they occupy in the
+    train doc. c10 answers "is this doc contaminated"; this answers
+    "which tokens do I cut" — modern pipelines excise the span and
+    keep the document.
+
+    Scale shape: train grams derive narrowly (one transform over the
+    token array, positions included — no posexplode shuffle until the
+    equi-join); the join carries 64-bit gram HASHES, never text;
+    bench side is distinct-deduped per doc before the join; the
+    rollup is combinable count/min/max keyed by the pair. Nothing
+    quadratic: candidate pairs exist only where a hash matches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", tokens("text").alias("toks")
+    )
+    n = F.size("toks")
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (C75_K - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_64(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("toks"), i + j) for j in range(C75_K)],
+                )
+            ).alias("h"),
+        ),
+    )
+    train = (
+        toked.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", F.explode(gram_structs).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    bench = (
+        toked.filter(F.col("source") == BENCH_SOURCE)
+        .select(
+            F.col("doc_id").alias("bench_doc"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(gram_structs, lambda s: s["h"])
+                )
+            ).alias("h"),
+        )
+    )
+    return (
+        train.join(bench, "h")
+        .groupBy(F.col("doc_id").alias("train_doc"), "bench_doc")
+        .agg(
+            F.count("*").alias("n_shared_grams"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (C75_K - 1)).alias("span_end"),
+        )
+        .filter(F.col("n_shared_grams") >= C75_MIN_SHARED)
+        .orderBy("train_doc", "bench_doc")
+    )

@@ -1620,3 +1620,112 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "c74_embedding_whitening",
+    """
+    WITH dims AS (
+      SELECT vec_id, label, i.dim,
+             CAST(embedding[i.dim] AS DOUBLE) AS x
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS dim) i
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt(
+               CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+             ) AS sd
+      FROM dims GROUP BY dim
+    )
+    SELECT d.vec_id, d.label,
+           CAST(SUM(CAST(floor((d.x - s.mu) / s.sd * 1000 + 0.5) AS BIGINT))
+                AS BIGINT) AS z_milli_sum,
+           CAST(COUNT(CASE WHEN abs((d.x - s.mu) / s.sd) > 2 THEN 1 END)
+                AS BIGINT) AS n_extreme
+    FROM dims d JOIN stats s USING (dim)
+    GROUP BY d.vec_id, d.label
+    ORDER BY d.vec_id
+    """,
+)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C74: per-dimension embedding standardization (diagonal
+    whitening) — subtract the corpus mean and divide by the corpus
+    std per dimension, the preprocessing step before PCA/matryoshka
+    truncation and the drift guard feature stores apply to embedding
+    columns. Checked output is the per-vector standardized checksum
+    (milli-units, floor(x+0.5) portable rounding) and the count of
+    |z| > 2 outlier dimensions (array outputs cannot be
+    oracle-hashed).
+
+    Exactness: per-dim mean/std route their sums through the decimal
+    detour, then every per-element z is a fixed chain of IEEE double
+    ops — engine-identical; the checksum is a sum of exact integers.
+
+    Scale shape: ONE posexplode shuffle builds the 64-row stats table
+    (combinable decimal aggs keyed by dim); the stats come back as a
+    single broadcast array row, and the scoring pass is a narrow
+    higher-order transform over the original array column — the
+    corpus is never exploded a second time and nothing fact-sized
+    shuffles for scoring (the oracle's join-on-dim spelling would
+    shuffle corpus×64 rows; the broadcast plan is the 100-TB shape).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select("dim0", F.col("xf").cast("double").alias("x"))
+    stats = (
+        dims.groupBy("dim0")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("mu"),
+            F.sqrt(
+                F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+                - (
+                    F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                    / F.count("*")
+                )
+                ** 2
+            ).alias("sd"),
+        )
+    )
+    stats_arr = stats.agg(
+        F.array_sort(F.collect_list(F.struct("dim0", "mu", "sd"))).alias("st")
+    )
+    z = F.transform(
+        "embedding",
+        lambda x, i: F.floor(
+            (x.cast("double") - F.element_at(F.col("st"), i + 1)["mu"])
+            / F.element_at(F.col("st"), i + 1)["sd"]
+            * 1000
+            + 0.5
+        ).cast("long"),
+    )
+    extreme = F.filter(
+        "embedding",
+        lambda x, i: F.abs(
+            (x.cast("double") - F.element_at(F.col("st"), i + 1)["mu"])
+            / F.element_at(F.col("st"), i + 1)["sd"]
+        )
+        > 2,
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats_arr))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(z, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "z_milli_sum"
+            ),
+            F.size(extreme).cast("long").alias("n_extreme"),
+        )
+        .orderBy("vec_id")
+    )

@@ -271,6 +271,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c71_gopher_reject_reasons",
         "c72_perplexity_buckets",
         "c73_term_burstiness",
+        "c74_embedding_whitening",
+        "c75_contamination_spans",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",

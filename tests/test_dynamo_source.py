@@ -568,3 +568,64 @@ def test_auto_prune_respects_explicit_columns_option(spark, customer_kv):
     out = with_pruned_scans(spark, build)
     assert out.columns == ["c_name"]
     assert out.count() == read_dynamo(spark, customer_kv).count()
+
+
+def test_auto_prune_random_query_shapes_preserve_results(
+    spark, customer_kv, monkeypatch, tmp_path
+):
+    """Property: for a seeded family of random projection/filter/agg
+    shapes, with_pruned_scans returns exactly the unpruned result and
+    never widens the scan (pruned schema ⊆ full schema, keys always
+    kept). The scan columns are recorded from the reader's read()
+    (file-based: the reader runs in a separate pickled-by-value
+    process, so in-memory spies never fire here)."""
+    import random
+
+    import spark_dynamodb_spark.sources.dynamo as dyn
+    from spark_dynamodb_spark.sources.pruning import with_pruned_scans
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    rng = random.Random(42)
+    probe = tmp_path / "cols_seen.txt"
+    orig = dyn.DynamoReader.read
+
+    def spy(self, partition):
+        with open(probe, "a") as f:
+            f.write(",".join(f2.name for f2 in self.schema_.fields) + "\n")
+        return orig(self, partition)
+
+    def make_build(proj, filt_col, agg_col):
+        def build(read):
+            df = read(customer_kv)
+            if filt_col is not None:
+                df = df.filter(F.col(filt_col).isNotNull())
+            if agg_col is not None:
+                return df.groupBy(proj[0]).agg(F.count(agg_col).alias("n"))
+            return df.select(*proj)
+
+        return build
+
+    for _ in range(8):
+        proj = rng.sample(cols, rng.randint(1, 4))
+        filt_col = rng.choice(cols + [None])
+        agg_col = rng.choice([c for c in cols if c not in proj] + [None])
+        build = make_build(proj, filt_col, agg_col)
+
+        monkeypatch.setattr(dyn.DynamoReader, "read", spy)
+        probe.write_text("")
+        try:
+            pruned = sorted(map(tuple, with_pruned_scans(spark, build).collect()))
+            seen = {
+                tuple(line.split(","))
+                for line in probe.read_text().splitlines()
+            }
+        finally:
+            monkeypatch.setattr(dyn.DynamoReader, "read", orig)
+        base = sorted(
+            map(tuple, build(lambda t, **o: read_dynamo(spark, t, **o)).collect())
+        )
+        assert pruned == base, (proj, filt_col, agg_col)
+        used = {proj[0], agg_col} if agg_col else set(proj)
+        needed = used | {c for c in (filt_col,) if c} | {"c_custkey"}
+        for got in seen:
+            assert needed <= set(got) <= set(cols), (got, proj, filt_col, agg_col)
