@@ -43,6 +43,24 @@ BMP_WIDTH = 32  # 32 px * 3 B = 96 B/row, already 4-byte aligned
 WAV_RATE = 8000
 
 
+def _ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship the package zip to executor Python workers.
+
+    The mapInPandas closures below reference module globals
+    (decode_bmp/decode_wav), which cloudpickle serializes BY REFERENCE
+    to ``spark_dynamodb_spark.functions.codecs``. When the driver
+    imported this repo by file path (the spark-graft driver does),
+    workers have no sys.path entry for it — the dynamo source ships a
+    zip via addPyFile for exactly this reason. Calling the same
+    shipper here makes the multimodal family self-sufficient instead
+    of depending on a dynamo query having run first in the session
+    (observed: c76 failed with ModuleNotFoundError in a fresh
+    out-of-repo session until an a* query had executed)."""
+    from spark_dynamodb_spark.sources.dynamo import _ship_package
+
+    _ship_package(spark)
+
+
 def with_media_columns(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload: binary, meta: struct). The binary
     payload is the UTF-8 encoding of text (deterministic stand-in for
@@ -67,6 +85,8 @@ def with_bmp_columns(docs: DataFrame) -> DataFrame:
     size, like a media table's content-length metadata column.
     """
     from pyspark.sql.functions import pandas_udf
+
+    _ensure_worker_imports(docs.sparkSession)
 
     @pandas_udf(T.BinaryType())
     def to_bmp(texts: pd.Series) -> pd.Series:
@@ -109,6 +129,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered payload — a decoder that misreads stride, row order, or
     header offsets fails the hash.
     """
+    _ensure_worker_imports(spark)
     # ASCII-only guard (mirrored in the oracle): the oracle reads byte
     # values with character-indexed substr/ascii, which only equals the
     # UTF-8 byte stream when octet_length == char length. The fixture
@@ -171,6 +192,7 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     RIFF/WAVE (one sample per byte), re-parsed by chunk walking; the
     oracle recomputes sample counts/duration from the PCM formulas and
     md5s the recovered payload."""
+    _ensure_worker_imports(spark)
     from spark_dynamodb_spark.functions.codecs import wav_payload_bytes
 
     # Same ASCII-only guard as c05_multimodal_resize (see comment there).
@@ -232,6 +254,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5b: frame sampling — chunk the payload into fixed-size frames,
     keep every 2nd frame, one output row per sampled frame (the
     video-frame-extraction shape: 1 input row → N frame rows)."""
+    _ensure_worker_imports(spark)
     docs = with_media_columns(load_table(spark, sf_dir, "documents"))
 
     out_schema = T.StructType(
@@ -330,6 +353,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum. The oracle recomputes every sampled byte position from
     the BMP layout formulas — an off-by-one in stride or row order
     shows up as a checksum mismatch."""
+    _ensure_worker_imports(spark)
     docs = with_bmp_columns(load_table(spark, sf_dir, "documents"))
 
     out_schema = T.StructType(
@@ -396,6 +420,7 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     again; report re-parsed rate/sample-count/duration plus the
     recovered-payload checksum (oracle: bytes at odd 1-indexed
     positions of the original text)."""
+    _ensure_worker_imports(spark)
     from spark_dynamodb_spark.functions.codecs import wav_payload_bytes
 
     docs = load_table(spark, sf_dir, "documents")
@@ -477,6 +502,7 @@ def image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact shape a downstream embedding trainer consumes. No
     shuffle anywhere — narrow decode + explode.
     """
+    _ensure_worker_imports(spark)
     import numpy as np
 
     docs = with_bmp_columns(
@@ -572,6 +598,7 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: narrow mapInPandas decode + numpy frame reduction —
     no shuffle; rows out = total audio seconds / 0.02.
     """
+    _ensure_worker_imports(spark)
     import numpy as np
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -615,4 +642,172 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text")
         .mapInPandas(vad, out_schema)
         .orderBy("doc_id", "frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C76 — perceptual image near-dedup (average-hash + banded matching)
+# ---------------------------------------------------------------------------
+
+AHASH_BLOCKS = 64
+AHASH_BANDS = 8  # 8 bands × 8 bits
+AHASH_MAX_HAMMING = 12
+
+# The aHash signature as SQL (shared by the oracle's CTE): bit b is the
+# integer cross-multiplication block_sum·n > total·block_len — no float
+# means anywhere, so the 64-char bitstring is engine-exact.
+_AHASH_SQL = f"""
+    t AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+    ),
+    tot AS (
+      SELECT doc_id, n,
+             list_aggregate(list_transform(generate_series(1, n),
+                                           i -> ascii(text[i])), 'sum') AS total,
+             text
+      FROM t
+    ),
+    blocks AS (
+      SELECT doc_id, b.b AS b, n, total,
+             coalesce(list_aggregate(list_transform(
+               generate_series(((b.b - 1) * n) // {AHASH_BLOCKS} + 1,
+                               (b.b * n) // {AHASH_BLOCKS}),
+               i -> ascii(text[i])), 'sum'), 0) AS bsum,
+             (b.b * n) // {AHASH_BLOCKS} - ((b.b - 1) * n) // {AHASH_BLOCKS}
+               AS blen
+      FROM tot, (SELECT unnest(generate_series(1, {AHASH_BLOCKS})) AS b) b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN bsum * n > total * blen THEN '1' ELSE '0' END,
+                        '' ORDER BY b) AS h
+      FROM blocks GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "c76_image_ahash_neardup",
+    f"""
+    WITH {_AHASH_SQL},
+    bands AS (
+      SELECT doc_id, bi.bi AS band_idx, substr(h, (bi.bi - 1) * 8 + 1, 8) AS band
+      FROM sigs, (SELECT unnest(generate_series(1, {AHASH_BANDS})) AS bi) bi
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band = b.band
+       AND a.doc_id < b.doc_id
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           CAST(len(list_filter(generate_series(1, {AHASH_BLOCKS}),
+                                i -> sa.h[i] != sb.h[i])) AS BIGINT) AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    WHERE len(list_filter(generate_series(1, {AHASH_BLOCKS}),
+                          i -> sa.h[i] != sb.h[i])) <= {AHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76: perceptual image near-dedup — decode each BMP (REAL spec
+    parse, same path as c05), compute a 64-bit average-hash (bit b =
+    block mean > global mean over the pixel stream), then find
+    near-duplicate images by banded signature matching: 8 bands × 8
+    bits, candidates = any exact band match, verified at Hamming ≤ 12.
+    The pixel-space sibling of c02_dedup_minhash_lsh: banding bounds
+    the pair search (never all-pairs), and the oracle mirrors the SAME
+    banded algorithm — banding here is the declared semantics, not an
+    approximation of an all-pairs truth (same discipline as
+    c03_ann_lsh_bucketed).
+
+    Exactness: each bit is the integer cross-multiplication
+    bsum·n > total·blen; the Hamming verify compares bitstring chars —
+    no float forms anywhere on either engine.
+
+    Scale shape: decode + hash run executor-side in one Arrow-batched
+    mapInPandas pass (numpy cumsum per payload, no per-pixel Python
+    loop); the band join is an equi-join on (band_idx, 8-bit band) —
+    the same bucketed shape as LSH banding, shuffling 64-char
+    signatures, never pixels; the verify join touches only candidate
+    pairs.
+    """
+    _ensure_worker_imports(spark)
+    docs = with_bmp_columns(
+        load_table(spark, sf_dir, "documents").filter(
+            F.octet_length("text") == F.length("text")
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("h", T.StringType()),
+        ]
+    )
+
+    def ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        B = AHASH_BLOCKS
+        for pdf in batches:
+            out = {"doc_id": [], "h": []}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_bmp(bytes(payload))
+                data = img["pixel_data"][: meta["content_length"]]
+                arr = np.frombuffer(data, np.uint8).astype(np.int64)
+                n = arr.size
+                cs = np.concatenate([[0], np.cumsum(arr)])
+                b = np.arange(1, B + 1)
+                lo = (b - 1) * n // B
+                hi = b * n // B
+                bits = np.where(
+                    (cs[hi] - cs[lo]) * n > int(cs[-1]) * (hi - lo), "1", "0"
+                )
+                out["doc_id"].append(doc_id)
+                out["h"].append("".join(bits))
+            yield pd.DataFrame(out)
+
+    sigs = docs.mapInPandas(ahash, out_schema)
+    bands = sigs.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(AHASH_BANDS)),
+                lambda bi: F.struct(
+                    bi.alias("band_idx"),
+                    F.substring(F.col("h"), (bi - 1) * 8 + 1, 8).alias("band"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "h", F.col("s.band_idx").alias("band_idx"), F.col("s.band").alias("band"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"), "band_idx", "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"), "band_idx", "band"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(AHASH_BLOCKS)),
+            lambda i: F.substring(F.col("ha"), i, 1)
+            != F.substring(F.col("hb"), i, 1),
+        )
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= AHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
     )

@@ -273,6 +273,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c73_term_burstiness",
         "c74_embedding_whitening",
         "c75_contamination_spans",
+        "c76_image_ahash_neardup",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
