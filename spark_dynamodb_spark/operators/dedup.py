@@ -1548,3 +1548,136 @@ def contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_grams") >= C75_MIN_SHARED)
         .orderBy("train_doc", "bench_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# C77 — MinHash estimator calibration (estimated vs exact Jaccard)
+# ---------------------------------------------------------------------------
+#
+# c02's production path uses xxhash64 signatures (JVM intrinsic — fast,
+# deliberately NOT portable because signatures never leave the plan).
+# This calibration op re-derives signatures with the portable md5-based
+# hash family so the ORACLE can mirror them bit-for-bit, then reports
+# per-pair estimate error against exact Jaccard — the measurement that
+# justifies c02's (n_hashes, bands) choice and the number a pipeline
+# owner re-checks before trusting MinHash on a new corpus shape.
+
+C77_HASHES = 16
+C77_MIN_J = 0.3  # calibrate across a spread, not just the ≥0.8 keepers
+
+
+def _c77_sig_cols() -> str:
+    cols = []
+    for i in range(C77_HASHES):
+        h = sql_md5_64(f"concat({i}, '|', shingle)")
+        cols.append(f"MIN({h}) AS h{i}")
+    return ",\n             ".join(cols)
+
+
+@query(
+    "c77_minhash_estimate_error",
+    f"""
+    WITH sh AS ({SQL_SHINGLES}),
+    n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb
+      FROM common
+      JOIN n na ON na.doc_id = doc_a
+      JOIN n nb ON nb.doc_id = doc_b
+      WHERE c * 1.0 / (na.n + nb.n - c) >= {C77_MIN_J}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {_c77_sig_cols()}
+      FROM sh GROUP BY doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({' + '.join(f'(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)' for i in range(C77_HASHES))}
+                AS BIGINT) AS n_matches,
+           CAST(({' + '.join(f'(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)' for i in range(C77_HASHES))})
+                * 1000000 // {C77_HASHES} AS BIGINT) AS est_ppm,
+           CAST(p.c * 1000000 // (p.na + p.nb - p.c) AS BIGINT) AS exact_ppm,
+           CAST(abs(({' + '.join(f'(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)' for i in range(C77_HASHES))})
+                    * 1000000 // {C77_HASHES}
+                    - p.c * 1000000 // (p.na + p.nb - p.c)) AS BIGINT) AS err_ppm
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C77: MinHash estimator calibration — for every pair with exact
+    Jaccard ≥ 0.3, the 16-hash MinHash estimate (portable md5 hash
+    family, oracle-mirrored bit-for-bit), the exact value, and the
+    absolute error, all in integer ppm. The eval row behind c02's
+    parameter choice: E[err] ~ sqrt(J(1-J)/k) ≈ 10-12% at k=16, and a
+    corpus whose observed errors blow past that band has a shingle
+    distribution MinHash assumptions don't fit.
+
+    Scale shape: signatures derive narrowly per doc (transform +
+    array_min over the shingle array — no explode, no shuffle); the
+    exact side is the same shingle equi-join c02's verifier uses,
+    restricted to candidate pairs; the signature join touches pairs
+    only. An eval op: runs on a sampled corpus at 100 TB, like
+    c42/c43.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = _shingle_arrays(docs).cache()
+    # NB: the seed must be bound via a 1-arg closure factory — a
+    # `lambda s, _i=i` would declare TWO parameters and PySpark's
+    # transform() would pass the ELEMENT INDEX as the second argument,
+    # silently overriding the seed (every column becomes seed 0).
+    def _seeded(i: int):
+        return lambda s: md5_64(F.concat_ws("|", F.lit(i), s))
+
+    sig = base.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("sharr", _seeded(i))).alias(f"h{i}")
+            for i in range(C77_HASHES)
+        ],
+    )
+    sh = base.select("doc_id", F.explode("sharr").alias("shingle"))
+    counts = base.select("doc_id", F.size("sharr").alias("n"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        common.join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= C77_MIN_J)
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(C77_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(C77_HASHES)])
+    matches = None
+    for i in range(C77_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est_ppm = F.expr(f"CAST(nm * 1000000 div {C77_HASHES} AS BIGINT)")
+    exact_ppm = F.expr("CAST(c * 1000000 div (na + nb - c) AS BIGINT)")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("nm", matches)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("nm").cast("long").alias("n_matches"),
+            est_ppm.alias("est_ppm"),
+            exact_ppm.alias("exact_ppm"),
+            F.abs(est_ppm - exact_ppm).alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -901,3 +901,75 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("sum_price").cast("double").alias("total_price"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "b121_delta_join_maintenance",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def delta_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B121: incremental JOIN-view maintenance — b108's sibling for a
+    joined materialized view. The algebra: with inserts ΔA into A and
+    ΔB into B,  A'⋈B' = (A⋈B) ∪ (ΔA⋈B') ∪ (A⋈ΔB);  aggregate each
+    term to partial states and merge. History (A⋈B) is read from the
+    stored state, never re-joined — the property that keeps a 100 TB
+    joined dashboard refreshable in delta-sized time.
+
+    Exactness: partial states carry count + exact decimal sum, the
+    commutative merge pair, so the merged result equals the oracle's
+    full recompute bitwise regardless of which term a row arrived in.
+
+    Scale shape: the stored state is group-cardinality-sized; the
+    refresh joins only delta-sized inputs against the current other
+    side (broadcast when small); history cost is ZERO at refresh
+    time.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a_old = orders.filter(F.col("o_orderkey") % 4 != 0)
+    da = orders.filter(F.col("o_orderkey") % 4 == 0)
+    b_old = cust.filter(F.col("c_custkey") % 5 != 0)
+    db = cust.filter(F.col("c_custkey") % 5 == 0)
+
+    def partial(o: DataFrame, c: DataFrame) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                    "sum_price"
+                ),
+            )
+        )
+
+    tag = hashlib.md5(f"djm:{sf_dir}".encode()).hexdigest()[:10]
+    state_path = os.path.join(tempfile.gettempdir(), f"join_state_{tag}")
+    partial(a_old, b_old).write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+
+    refreshed = (
+        state.unionByName(partial(da, cust))  # ΔA ⋈ B'
+        .unionByName(partial(a_old, db))  # A ⋈ ΔB
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_price").alias("sum_price"),
+        )
+    )
+    return refreshed.select(
+        "c_mktsegment",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("total_price"),
+    ).orderBy("c_mktsegment")

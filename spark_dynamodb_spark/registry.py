@@ -267,6 +267,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c69_tokenizer_fertility",
         "b119_udtf_variant_pipe",
         "b120_quantile_normalization",
+        "b121_delta_join_maintenance",
         "c70_star_components",
         "c71_gopher_reject_reasons",
         "c72_perplexity_buckets",
@@ -274,6 +275,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c74_embedding_whitening",
         "c75_contamination_spans",
         "c76_image_ahash_neardup",
+        "c77_minhash_estimate_error",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
