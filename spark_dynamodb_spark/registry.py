@@ -282,6 +282,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "s18_dynamo_stream_read",
         "s19_dynamo_stream_sink",
         "s20_stream_static_anti_join",
+        "s21_dynamo_stream_enrich",
     }
 )
 

@@ -699,3 +699,68 @@ def dynamo_transact_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_dynamo(spark, name).select("r_regionkey", "r_name").orderBy(
         "r_regionkey"
     )
+
+
+@query(
+    "s21_dynamo_stream_enrich",
+    """
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS tier,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY tier
+    ORDER BY tier
+    """,
+)
+def dynamo_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s21: the dynamo change feed COMPOSED with the relational
+    surface — s18's streaming source left-joined to a static customer
+    dimension per micro-batch (s08's enrichment shape), proving the
+    Python DS streaming reader is a first-class stream input, not an
+    isolated demo. The static side is re-read per batch (dim updates
+    surface mid-stream) and broadcast by AQE; the streamed side never
+    re-shuffles for the join; the stateful rollup accumulates across
+    all 8 segment micro-batches and must equal the batch LEFT JOIN
+    (the oracle).
+
+    Scale shape: change-feed partitions map to shards; the join is
+    stream-side-narrow + broadcast dim; state is group-sized
+    (tier cardinality).
+    """
+    from spark_dynamodb_spark.sources.dynamo import register
+    from spark_dynamodb_spark.tables import load_table
+
+    table = _ensure_events_kv(spark, sf_dir)
+    register(spark)
+    stream = (
+        spark.readStream.format("dynamo")
+        .option("tableName", table)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .load()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(cust, stream.user_id == cust.c_custkey, "left")
+    agg = enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("tier")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    import uuid as _uuid
+
+    name = "s21_" + _uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("tier")
