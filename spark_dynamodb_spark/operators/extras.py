@@ -973,3 +973,88 @@ def delta_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("sum_price").cast("double").alias("total_price"),
     ).orderBy("c_mktsegment")
+
+
+@query(
+    "b122_write_audit_publish",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS audits_passed
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B122: write-audit-publish (WAP) — the production pattern for
+    mutating a 100 TB table safely: write the new snapshot to a STAGED
+    location, run audits against the staged files (never the live
+    table), and only then flip an atomic pointer so readers see v_new
+    all-or-nothing. A failed audit leaves the live table untouched.
+
+    Audits here: staged row count equals the source's group count, no
+    NULL group keys, and the staged counts re-total to the source row
+    count — the standard volume/nullability/reconciliation trio.
+
+    The publish is a single atomic rename of a pointer file (the
+    filesystem stand-in for a catalog swap / Iceberg snapshot commit);
+    the returned result is read through the PUBLISHED pointer, so a
+    green row proves the flip happened and exposed exactly the audited
+    data. Oracle = the same aggregate computed directly on the source.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("sum_price"),
+    )
+    tag = hashlib.md5(f"wap:{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"wap_{tag}")
+    staged_dir = os.path.join(root, "snapshot_v2")
+    snap.write.mode("overwrite").parquet(staged_dir)
+
+    # --- audit phase: staged files only, live pointer untouched ---
+    staged = spark.read.parquet(staged_dir)
+    expected_groups = orders.select("o_orderpriority").distinct().count()
+    total_src = orders.count()
+    n_rows = staged.count()
+    n_null_keys = staged.filter(F.col("o_orderpriority").isNull()).count()
+    # reconciliation expressed as a zero-violations check — a scalar
+    # decision via count(), the same driver-side shape as the c02
+    # convergence test (no row data crosses to the driver)
+    n_bad_total = (
+        staged.agg(F.sum("n_orders").alias("t"))
+        .filter(F.col("t") != total_src)
+        .count()
+    )
+    audits_passed = (
+        n_rows == expected_groups and n_null_keys == 0 and n_bad_total == 0
+    )
+    if not audits_passed:
+        raise RuntimeError(
+            f"WAP audit failed — snapshot NOT published "
+            f"(rows={n_rows}/{expected_groups}, nulls={n_null_keys}, "
+            f"total_mismatch={n_bad_total})"
+        )
+
+    # --- publish phase: atomic pointer flip ---
+    tmp_ptr = os.path.join(root, "_CURRENT.tmp")
+    with open(tmp_ptr, "w") as f:
+        f.write("snapshot_v2")
+    os.replace(tmp_ptr, os.path.join(root, "_CURRENT"))
+
+    # --- read through the published pointer ---
+    with open(os.path.join(root, "_CURRENT")) as f:
+        current = f.read().strip()
+    published = spark.read.parquet(os.path.join(root, current))
+    return published.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("total_price"),
+        F.lit(True).alias("audits_passed"),
+    ).orderBy("o_orderpriority")

@@ -268,6 +268,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b119_udtf_variant_pipe",
         "b120_quantile_normalization",
         "b121_delta_join_maintenance",
+        "b122_write_audit_publish",
         "c70_star_components",
         "c71_gopher_reject_reasons",
         "c72_perplexity_buckets",
