@@ -241,12 +241,13 @@ ROTATED_GREEN_R1 = frozenset(
 
 
 # Entries awaiting their first driver window slot, parked under ``x_``
-# (sorts after the window, before the z_ greens). Round-4 start: all
-# five round-3 parked names (b57/c28/c29/c30/s09) were unparked into
-# the window after CORRECTNESS_r03 came back 50/50 green; new round-4
-# operators joined them unprefixed until the window filled at exactly
-# 50. These later round-4 additions are parked for the round-5 window
-# (all locally oracle-green):
+# (sorts after the window, before the z_ greens). Round-5 state: the
+# rotation script unparked the first 50 round-4 names into the window
+# after CORRECTNESS_r04 came back green; the 21 that did not fit carry
+# here together with the round-5 additions (a06_auto_prune, b119–b122,
+# c70–c77, s21) for the round-6 window. Every parked entry is locally
+# oracle-green at sf0.001 AND the driver's sf0.01 (out-of-repo
+# driver-sim, this session):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
         "a06_auto_prune",
