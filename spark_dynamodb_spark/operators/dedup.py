@@ -1681,3 +1681,49 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "c78_soft_dedup_weights",
+    f"""
+    WITH base AS ({SQL_COMPONENTS})
+    SELECT doc_id, component_id, group_size,
+           CAST(1000000 // group_size AS BIGINT) AS weight_ppm
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78: soft deduplication — instead of DROPPING near-duplicates
+    (c02's keep-list), every document survives with a sampling weight
+    of 1/cluster_size (integer ppm), so a duplicate cluster
+    contributes one document's worth of probability mass to training.
+    The SoftDeDup/down-weighting alternative pipelines use when hard
+    removal loses rare-domain coverage; downstream samplers consume
+    weight_ppm directly (c58's weighted sampler is the companion).
+
+    Exactness: weight = 1000000 div group_size — floor division on
+    positive integers, identical in both engines.
+
+    Scale shape: identical to c02_dedup_components (LSH pairs → CC →
+    group-size rollup) plus one narrow integer column; no new
+    shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "component_id")
+    sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
+    return (
+        comp.join(sized, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "group_size",
+            F.expr("CAST(1000000 div group_size AS BIGINT)").alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )

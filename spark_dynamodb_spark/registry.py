@@ -278,6 +278,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c75_contamination_spans",
         "c76_image_ahash_neardup",
         "c77_minhash_estimate_error",
+        "c78_soft_dedup_weights",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
@@ -285,6 +286,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "s19_dynamo_stream_sink",
         "s20_stream_static_anti_join",
         "s21_dynamo_stream_enrich",
+        "s22_dynamo_cdc_replication",
     }
 )
 

@@ -764,3 +764,86 @@ def dynamo_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("tier")
+
+
+@query(
+    "s22_dynamo_cdc_replication",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def dynamo_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s22: end-to-end CDC replication — the s18 streaming SOURCE piped
+    straight into the s19 streaming SINK: the change feed of one keyed
+    table is replayed micro-batch by micro-batch into a second keyed
+    table (append mode, one segment ≙ one GetRecords page per batch),
+    and the REPLICA is then read back and aggregated. Green means the
+    copy is lossless: per-type counts and exact-decimal value sums
+    over the replica equal the batch rollup of the SOURCE table (the
+    oracle never looks at the replica). The cross-region-replication /
+    table-migration pattern DynamoDB users build with Streams+Lambda.
+
+    The replica is keyed by event_id (globally unique) so the put-
+    merge is collision-free; retried batches re-put the same items —
+    effectively-once, same as s19.
+
+    Scale shape: each micro-batch moves one shard-page of rows; the
+    sink stages and atomically merges only that batch's keys; nothing
+    accumulates driver-side and no state store is needed at all
+    (stateless passthrough query).
+    """
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from spark_dynamodb_spark.sources.dynamo import register
+
+    source_table = _ensure_events_kv(spark, sf_dir)
+    register(spark)
+    replica = f"events_replica_{_sf_tag(sf_dir)}"
+    src_schema = load_table(spark, sf_dir, "events")
+    keyed_store.create_table(
+        spark, src_schema.limit(0), replica, hash_key="event_id", n_segments=2
+    )
+    stream = (
+        spark.readStream.format("dynamo")
+        .option("tableName", source_table)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .load()
+    )
+    ckpt = _os.path.join(
+        _tempfile.gettempdir(),
+        "s22_ckpt_" + _hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    _shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        stream.writeStream.format("dynamo")
+        .option("tableName", replica)
+        .option("storeDir", keyed_store.DEFAULT_STORE_DIR)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # drain all 8 source segments (availableNow stops after the
+        # simple reader's FIRST prefetched span — s18 discipline)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        read_dynamo(spark, replica)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
