@@ -1613,3 +1613,113 @@ def matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C79 — hybrid retrieval fusion (reciprocal rank fusion of two rankers)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_TOP = 10
+
+
+@query(
+    "c79_rrf_hybrid_fusion",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(q.qvec, v.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(v.vec, v.vec)))
+               AS cos,
+             list_dot_product(q.qvec, v.vec) AS dp
+      FROM q CROSS JOIN v
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank_cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY dp  DESC, neighbor_id) AS rank_dot
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, rank_cos, rank_dot,
+             CAST(1000000 // ({RRF_K} + rank_cos)
+                  + 1000000 // ({RRF_K} + rank_dot) AS BIGINT) AS rrf_micro
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id, rank_cos, rank_dot, rrf_micro,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {RRF_TOP}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79: reciprocal rank fusion — the standard hybrid-retrieval
+    merge (Cormack et al. 2009; the dense+sparse fusion every RAG
+    stack ships): two rankers score the corpus per query (here cosine
+    and raw inner product, which order differently when norms vary),
+    each neighbor gets Σ 1/(60+rank_i) across rankers, and the fused
+    top-10 is returned with both source ranks for attribution.
+
+    Exactness: both ranks come from total orders (engine-identical
+    double scores + neighbor tiebreak, the c03 discipline); the RRF
+    score is integer micro-units via floor division — no float
+    fusion arithmetic.
+
+    Scale shape: ONE corpus pass scores both rankers (queries
+    broadcast); the two rank windows and the fusion window all
+    partition by query_id, so a single exchange feeds all three; the
+    fused top-k is a row_number filter (WindowGroupLimit-eligible).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qvec", "vec").alias("cos"),
+            dot("qvec", "vec").alias("dp"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.col("cos").desc(), "neighbor_id"))
+        .alias("rank_cos"),
+        F.row_number()
+        .over(wq.orderBy(F.col("dp").desc(), "neighbor_id"))
+        .alias("rank_dot"),
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        "rank_cos",
+        "rank_dot",
+        F.expr(
+            f"CAST(1000000 div ({RRF_K} + rank_cos)"
+            f" + 1000000 div ({RRF_K} + rank_dot) AS BIGINT)"
+        ).alias("rrf_micro"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(
+                wq.orderBy(F.col("rrf_micro").desc(), "neighbor_id")
+            ),
+        )
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .orderBy("query_id", "fused_rank")
+    )

@@ -279,6 +279,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c76_image_ahash_neardup",
         "c77_minhash_estimate_error",
         "c78_soft_dedup_weights",
+        "c79_rrf_hybrid_fusion",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
