@@ -629,3 +629,14 @@ def test_auto_prune_random_query_shapes_preserve_results(
         needed = used | {c for c in (filt_col,) if c} | {"c_custkey"}
         for got in seen:
             assert needed <= set(got) <= set(cols), (got, proj, filt_col, agg_col)
+
+
+def test_cdc_replication_rerun_is_idempotent(spark, sf_dir):
+    """s22: replaying the whole change feed into the same replica (a
+    fresh checkpoint forces full re-delivery) must leave the replica
+    unchanged — the retry-safety property of event_id-keyed puts."""
+    from spark_dynamodb_spark.sources.dynamo_queries import dynamo_cdc_replication
+
+    first = sorted(map(tuple, dynamo_cdc_replication(spark, sf_dir).collect()))
+    second = sorted(map(tuple, dynamo_cdc_replication(spark, sf_dir).collect()))
+    assert first == second

@@ -288,3 +288,22 @@ def test_components_reliable_checkpoint(spark, tmp_path):
     assert _glob.glob(ckpt + "/*/rdd-*"), "no reliable checkpoint written"
     with pytest.raises(ValueError, match="unknown checkpoint mode"):
         min_label_components(verts, pairs, checkpoint="bogus")
+
+
+def test_soft_dedup_weights_partition_unity(spark, sf_dir):
+    """c78: weights are 1e6 div group_size, every member of a cluster
+    carries the same weight, and each cluster's total mass is within
+    integer-floor slack of 1e6 (unity per cluster)."""
+    from spark_dynamodb_spark.operators.dedup import soft_dedup_weights
+
+    rows = soft_dedup_weights(spark, sf_dir).collect()
+    assert rows, "empty corpus?"
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        assert r.weight_ppm == 1_000_000 // r.group_size
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        sizes = {m.group_size for m in members}
+        assert sizes == {len(members)}, (comp, sizes, len(members))
+        mass = sum(m.weight_ppm for m in members)
+        assert 1_000_000 - len(members) < mass <= 1_000_000
