@@ -1430,3 +1430,105 @@ def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total").desc(), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# C80 — Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c80_heaps_law_curve",
+    f"""
+    WITH rng AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi, COUNT(*) AS nd
+      FROM documents
+    ),
+    d AS (SELECT unnest(generate_series(1, 10)) AS decile),
+    cuts AS (
+      SELECT d.decile, rng.lo + ((rng.hi - rng.lo + 1) * d.decile) // 10 AS cut
+      FROM d CROSS JOIN rng
+    ),
+    toks AS (
+      SELECT doc_id, unnest({sql_simple_tokens('text')}) AS term FROM documents
+    ),
+    first_seen AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY term),
+    doc_tokens AS (SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id)
+    SELECT c.decile,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id < c.cut) AS BIGINT)
+             AS n_docs,
+           CAST(coalesce((SELECT SUM(n_toks) FROM doc_tokens WHERE doc_id < c.cut), 0)
+                AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM first_seen WHERE first_doc < c.cut) AS BIGINT)
+             AS n_distinct_terms
+    FROM cuts c
+    ORDER BY c.decile
+    """,
+)
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C80: Heaps'-law vocabulary growth — cumulative distinct terms
+    vs cumulative tokens at ten corpus prefixes (value-based doc_id
+    deciles). THE scaling diagnostic for a 100 TB ingest decision:
+    fit V ≈ K·nᵝ to the curve and you know how much new vocabulary
+    (≙ new information) the next 10× of data buys. Complements c21
+    (OOV against a FIXED vocab) and c25 (per-doc novelty) with the
+    corpus-level growth trajectory.
+
+    Exactness: cut points are integer arithmetic on broadcast min/max
+    ids; every curve point is a count of integers — nothing floats.
+
+    Scale shape: one (term → min doc_id) combinable rollup + one
+    (doc → token count) combinable rollup, then each tiny relation is
+    bucketed against the BROADCAST 10-row cut table and rolled up —
+    no global window, no sort, no per-prefix rescan of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rng = docs.agg(
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    )
+    cuts = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "decile",
+            F.expr("lo + ((hi - lo + 1) * decile) div 10").alias("cut"),
+        )
+    )
+    toks = docs.select("doc_id", F.explode(simple_tokens("text")).alias("term"))
+    first_seen = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    doc_tokens = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+
+    bcuts = F.broadcast(cuts)
+    n_docs = (
+        docs.select("doc_id")
+        .join(bcuts, F.col("doc_id") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    n_tokens = (
+        doc_tokens.join(bcuts, F.col("doc_id") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.sum("n_toks").cast("long").alias("n_tokens"))
+    )
+    n_terms = (
+        first_seen.join(bcuts, F.col("first_doc") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_distinct_terms"))
+    )
+    return (
+        cuts.select("decile")
+        .join(n_docs, "decile", "left")
+        .join(n_tokens, "decile", "left")
+        .join(n_terms, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_distinct_terms", F.lit(0))
+            .cast("long")
+            .alias("n_distinct_terms"),
+        )
+        .orderBy("decile")
+    )

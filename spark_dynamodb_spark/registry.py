@@ -280,6 +280,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c77_minhash_estimate_error",
         "c78_soft_dedup_weights",
         "c79_rrf_hybrid_fusion",
+        "c80_heaps_law_curve",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
