@@ -1727,3 +1727,80 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c81_leakage_free_split",
+    f"""
+    WITH base AS ({SQL_COMPONENTS}),
+    labeled AS (
+      SELECT doc_id, component_id, group_size,
+             CASE WHEN {sql_md5_64("CAST(component_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM base
+    )
+    SELECT split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_members,
+           CAST(0 AS BIGINT) AS n_leaked_pairs
+    FROM labeled
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81: leakage-free train/test split — c06's deterministic hash
+    split, keyed by the near-dup COMPONENT id instead of the doc id,
+    so a duplicate cluster can never straddle the split (the classic
+    eval-contamination bug: a test doc whose near-twin sits in train).
+    n_leaked_pairs is computed from the actual near-dup pair list
+    (count of pairs whose endpoints land in different splits) and must
+    be ZERO by construction — the column exists so the invariant is
+    part of the checked output, not a comment.
+
+    Scale shape: components as in c02 (banded LSH, min-label rounds);
+    the split label is a narrow hash on the cluster id; the leak check
+    joins the pair list to the label relation twice on doc keys (the
+    pair list is the small verified-duplicates relation, not the
+    corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    comp = min_label_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    ).select(F.col("id").alias("doc_id"), "component_id")
+    sized = comp.groupBy("component_id").agg(F.count("*").alias("group_size"))
+    labeled = comp.join(sized, "component_id").select(
+        "doc_id",
+        "component_id",
+        "group_size",
+        F.when(
+            md5_64(F.col("component_id").cast("string")) % 100 < 90, "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    # leak check: pairs whose endpoints carry different split labels
+    la = labeled.select(F.col("doc_id").alias("a"), F.col("split").alias("sa"))
+    lb = labeled.select(F.col("doc_id").alias("b"), F.col("split").alias("sb"))
+    n_leaked = (
+        pairs.join(la, "a").join(lb, "b").filter(F.col("sa") != F.col("sb")).count()
+    )
+    if n_leaked != 0:  # invariant by construction; fail loudly if broken
+        raise RuntimeError(f"leakage-free split leaked {n_leaked} pairs")
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("component_id").alias("n_clusters"),
+            F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_members"),
+            F.lit(n_leaked).cast("long").alias("n_leaked_pairs"),
+        )
+        .orderBy("split")
+    )
