@@ -2290,3 +2290,69 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", "c_acctbal", "normalized_bal")
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# B123 — join-key skew diagnostics (the pre-join audit behind b32)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b123_join_key_skew_audit",
+    """
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key
+    )
+    SELECT p.user_id, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(p.cnt * 1000000 // t.n_rows AS BIGINT) AS share_ppm,
+           CAST(p.cnt * t.n_keys * 1000000 // t.n_rows AS BIGINT)
+             AS vs_avg_ppm,
+           t.n_rows, t.n_keys
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY cnt DESC, user_id
+    LIMIT 10
+    """,
+)
+def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B123: join-key skew diagnostics — the audit a pipeline runs on
+    a key column BEFORE a big join: the top heavy hitters with their
+    absolute share (ppm of all rows) and their multiple of the mean
+    per-key load (vs_avg_ppm; 1e6 = exactly average). This is the
+    number that decides between a plain shuffle join, AQE skew
+    splitting, and b32's explicit salting: a key at 50× the mean
+    makes one reducer the straggler regardless of cluster size.
+
+    Exactness: shares and ratios are integer floor-division ppm over
+    exact counts — nothing floats.
+
+    Scale shape: one combinable per-key rollup, a 1-row broadcast of
+    the totals, and a top-10 TakeOrdered. The corpus is scanned once;
+    nothing key-cardinality-sized leaves the executors except the 10
+    reported rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("CAST(cnt * 1000000 div n_rows AS BIGINT)").alias("share_ppm"),
+            F.expr("CAST(cnt * n_keys * 1000000 div n_rows AS BIGINT)").alias(
+                "vs_avg_ppm"
+            ),
+            "n_rows",
+            "n_keys",
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(10)
+    )

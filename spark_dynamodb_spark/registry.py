@@ -270,6 +270,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b120_quantile_normalization",
         "b121_delta_join_maintenance",
         "b122_write_audit_publish",
+        "b123_join_key_skew_audit",
         "c70_star_components",
         "c71_gopher_reject_reasons",
         "c72_perplexity_buckets",
