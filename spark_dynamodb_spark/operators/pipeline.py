@@ -1729,3 +1729,70 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "c82_mixture_token_budget",
+    f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(SUM(len({sql_simple_tokens('text')})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM per_source
+    )
+    SELECT p.source, p.n_tokens,
+           CAST(t.budget // t.n_sources AS BIGINT) AS alloc_tokens,
+           CAST((t.budget // t.n_sources) * 1000000 // p.n_tokens AS BIGINT)
+             AS epochs_ppm,
+           CAST(CASE WHEN (t.budget // t.n_sources) > p.n_tokens
+                     THEN (t.budget // t.n_sources) - p.n_tokens ELSE 0 END
+                AS BIGINT) AS oversample_tokens
+    FROM per_source p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82: mixture token budgeting — given a total training budget
+    (here: the corpus's own token count) and a target mixture (here:
+    uniform across sources), compute each source's token allocation,
+    its epoch count in ppm (alloc/available — above 1e6 means the
+    source must REPEAT to fill its share), and the oversampled-token
+    excess. The planning table behind every "we trained on X tokens
+    with source S seen 3.2 epochs" dataset card; c11/c47 decide which
+    docs survive, this decides how many times they are seen.
+
+    Exactness: all quantities are integer floor division over exact
+    token counts.
+
+    Scale shape: one combinable per-source token rollup (size() is
+    narrow — tokens are counted, never exploded), a 1-row broadcast
+    total, and a |sources|-row output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(simple_tokens("text"))).cast("long").alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("budget"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("CAST(budget div n_sources AS BIGINT)").alias("alloc_tokens"),
+            F.expr(
+                "CAST((budget div n_sources) * 1000000 div n_tokens AS BIGINT)"
+            ).alias("epochs_ppm"),
+            F.expr(
+                "CAST(CASE WHEN (budget div n_sources) > n_tokens"
+                " THEN (budget div n_sources) - n_tokens ELSE 0 END AS BIGINT)"
+            ).alias("oversample_tokens"),
+        )
+        .orderBy("source")
+    )

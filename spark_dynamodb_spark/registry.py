@@ -283,6 +283,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c79_rrf_hybrid_fusion",
         "c80_heaps_law_curve",
         "c81_leakage_free_split",
+        "c82_mixture_token_budget",
         "s15_stream_dedup_within_watermark",
         "s16_stream_union_merge",
         "s17_stream_session_timeout",
