@@ -967,3 +967,48 @@ def test_burstiness_has_no_window_or_join_back(spark, sf_dir):
     plan = physical_plan(ta.term_burstiness(spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_whitening_single_explode_broadcast_stats(spark, sf_dir):
+    """c74: the corpus is posexploded ONCE (stats derivation); the
+    scoring pass is a narrow transform fed by a BroadcastExchange of
+    the 1-row stats array — no second Generate, no join-on-dim
+    shuffle of corpus×64 rows."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.embedding_whitening(spark, sf_dir))
+    assert plan.count("Generate") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_image_ahash_band_join_is_equi(spark, sf_dir):
+    """c76: candidate pairs come from an equi-join on (band_idx, band)
+    — never a cartesian; signatures (64-char strings) shuffle, the
+    binary payload column never appears past the hash stage."""
+    from spark_dynamodb_spark.operators import multimodal as mm
+
+    plan = physical_plan(mm.image_ahash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "band" in plan, plan
+
+
+def test_rrf_single_query_exchange(spark, sf_dir):
+    """c79: both rank windows and the fusion window partition by
+    query_id — exactly one hashpartitioning exchange on query_id
+    feeds all three (plus the presentation sort's range exchange)."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    plan = physical_plan(sim.rrf_hybrid_fusion(spark, sf_dir))
+    assert plan.count("hashpartitioning(query_id") == 1, plan
+
+
+def test_heaps_curve_no_window_no_rescan(spark, sf_dir):
+    """c80: no window function anywhere and the documents relation is
+    scanned once per rollup branch, never once per decile (the cut
+    table joins via BroadcastExchange / BroadcastNestedLoop on the
+    tiny side)."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    plan = physical_plan(ta.heaps_law_curve(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
