@@ -57,6 +57,11 @@ ROTATED_GREEN_R1 = frozenset(
         "a12_dynamo_write_update",
         "a13_dynamo_write_delete",
         "a14_dynamo_typed_read",
+        "a18_dynamo_ttl_scan",
+        "a19_dynamo_conditional_put",
+        "a22_dynamo_json_export",
+        "a23_dynamo_versioned_update",
+        "a24_dynamo_transact_write",
         "b01_scan_full",
         "b03_projection",
         "b03_sample_deterministic",
@@ -68,7 +73,26 @@ ROTATED_GREEN_R1 = frozenset(
         "b07_outer_join",
         "b08_semi_anti_join",
         "b09_range_join",
+        "b100_tpch_q21_sole_late_supplier",
+        "b101_interval_merge",
+        "b102_ewma_trailing",
+        "b103_percentile_cont_exact",
+        "b104_asof_nearest_join",
+        "b105_rolling_regression",
+        "b106_schema_evolution_read",
+        "b107_cogroup_in_pandas",
+        "b108_incremental_agg_maintenance",
+        "b109_snapshot_diff",
         "b10_cross_join",
+        "b110_temporal_scd2_join",
+        "b111_fuzzy_join",
+        "b112_geo_radius_join",
+        "b113_triangle_count",
+        "b114_corr_matrix",
+        "b115_association_rules",
+        "b116_last_touch_attribution",
+        "b117_seasonal_anomaly",
+        "b118_kcore_peel",
         "b11_agg_flagship_q1",
         "b12_agg_count_distinct",
         "b12_agg_stats",
@@ -157,6 +181,18 @@ ROTATED_GREEN_R1 = frozenset(
         "b84_peak_concurrency",
         "b85_event_transitions",
         "b86_morton_write_layout",
+        "b87_tpch_q12_shipping_modes",
+        "b88_grouped_exact_median",
+        "b89_per_user_modal_event",
+        "b91_variant_json",
+        "b92_higher_order_functions",
+        "b93_observe_metrics",
+        "b94_compaction",
+        "b95_cbo_stats_join",
+        "b96_sql_udf",
+        "b97_parameterized_sql",
+        "b98_pipe_syntax",
+        "b99_running_distinct_count",
         "c01_dedup_exact",
         "c02_dedup_components",
         "c02_dedup_minhash_lsh",
@@ -223,6 +259,19 @@ ROTATED_GREEN_R1 = frozenset(
         "c39_mips_topk",
         "c40_knn_label_vote",
         "c41_quality_classifier",
+        "c42_ann_recall_eval",
+        "c43_neardup_eval",
+        "c44_feature_hash_embedding",
+        "c45_mmr_rerank",
+        "c46_map_in_arrow",
+        "c47_temperature_resampling",
+        "c48_hard_negative_mining",
+        "c49_rag_context_assembly",
+        "c50_pareto_doc_cut",
+        "c51_skipgram_cooccurrence",
+        "c52_bigram_logprob",
+        "c53_bpe_merge_step",
+        "c54_image_patches",
         "s01_stream_tumbling_window",
         "s02_stream_sliding_window",
         "s03_stream_session_window",
@@ -250,48 +299,6 @@ ROTATED_GREEN_R1 = frozenset(
 # driver-sim, this session):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
-        "a06_auto_prune",
-        "c55_audio_vad",
-        "c56_product_quantization",
-        "c57_zipf_slope",
-        "c58_weighted_sample",
-        "c59_dp_noisy_counts",
-        "c60_balanced_shards",
-        "c61_char_ngram_entropy",
-        "c62_content_defined_chunking",
-        "c63_matryoshka_truncation_eval",
-        "c64_textrank_keywords",
-        "c65_winsorized_stats",
-        "c66_padding_waste",
-        "c67_span_corruption",
-        "c68_psi_drift",
-        "c69_tokenizer_fertility",
-        "b119_udtf_variant_pipe",
-        "b120_quantile_normalization",
-        "b121_delta_join_maintenance",
-        "b122_write_audit_publish",
-        "b123_join_key_skew_audit",
-        "c70_star_components",
-        "c71_gopher_reject_reasons",
-        "c72_perplexity_buckets",
-        "c73_term_burstiness",
-        "c74_embedding_whitening",
-        "c75_contamination_spans",
-        "c76_image_ahash_neardup",
-        "c77_minhash_estimate_error",
-        "c78_soft_dedup_weights",
-        "c79_rrf_hybrid_fusion",
-        "c80_heaps_law_curve",
-        "c81_leakage_free_split",
-        "c82_mixture_token_budget",
-        "s15_stream_dedup_within_watermark",
-        "s16_stream_union_merge",
-        "s17_stream_session_timeout",
-        "s18_dynamo_stream_read",
-        "s19_dynamo_stream_sink",
-        "s20_stream_static_anti_join",
-        "s21_dynamo_stream_enrich",
-        "s22_dynamo_cdc_replication",
     }
 )
 
