@@ -60,6 +60,11 @@ EXTRA = [
     # single-sort nearest as-of over the event stream
     "c51_skipgram_cooccurrence",
     "b104_asof_nearest_join",
+    # round-6 representatives: sliding-gram substring dedup (widest
+    # shingling pass), hashed importance weights (explode + broadcast
+    # weight table)
+    "c83_substring_gram_dedup",
+    "c85_dsir_importance",
 ]
 
 

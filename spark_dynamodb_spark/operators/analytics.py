@@ -2356,3 +2356,523 @@ def join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# C87 — event-type affinity (bipartite co-occurrence projection, round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c87_event_type_affinity",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n_both,
+           ta.n_users AS n_users_a, tb.n_users AS n_users_b,
+           CAST((1000000 * n_both)
+                // (ta.n_users + tb.n_users - n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs
+    JOIN tot ta ON ta.event_type = type_a
+    JOIN tot tb ON tb.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C87: which event types co-occur in the same users — the
+    bipartite user-type graph projected onto types, with user-set
+    Jaccard in ppm (integer floor division, engine-exact). The
+    co-engagement / co-click affinity matrix behind "users who do A
+    also do B" routing.
+
+    Scale shape: the projection self-join is keyed on user_id, and
+    its per-user fan-out is bounded by the TYPE vocabulary (each user
+    contributes at most |types|^2/2 pairs regardless of event count),
+    so there is no heavy-hitter blow-up: distinct (user, type) first
+    (one combinable exchange), then the equi-join, then a combinable
+    rollup to the |types|^2-bounded matrix. The totals join after it
+    is broadcast-sized.
+    """
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    tot = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = tot.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_users_a")
+    )
+    tb = tot.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_users_b")
+    )
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_users_a",
+            "n_users_b",
+            F.expr(
+                "1000000 * n_both DIV (n_users_a + n_users_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B124 — zone-map data-skipping audit (round 6)
+# ---------------------------------------------------------------------------
+#
+# Quantifies what the b61 sort/range write layout buys: build per-file
+# min/max zone maps for the SAME rows under two layouts — files ranged
+# by doc_id (ingestion order) vs files ranged by n_chars (the query
+# column) — and count how many files a range probe can skip under
+# each. The audit a table-format optimizer runs before choosing a
+# clustering column for a 100 TB table.
+
+_ZM_FILES = 16
+_ZM_PROBES = 8
+
+
+@query(
+    "b124_zone_map_skipping_audit",
+    f"""
+    WITH rng AS (
+      SELECT MIN(doc_id) AS id_lo, MAX(doc_id) AS id_hi,
+             MIN(n_chars) AS nc_lo, MAX(n_chars) AS nc_hi
+      FROM documents),
+    f AS (
+      SELECT 'by_doc_id' AS layout,
+             LEAST(((doc_id - rng.id_lo) * {_ZM_FILES})
+                     // (rng.id_hi - rng.id_lo + 1), {_ZM_FILES - 1}) AS file_id,
+             n_chars
+      FROM documents, rng
+      UNION ALL
+      SELECT 'by_n_chars' AS layout,
+             LEAST(((n_chars - rng.nc_lo) * {_ZM_FILES})
+                     // (rng.nc_hi - rng.nc_lo + 1), {_ZM_FILES - 1}) AS file_id,
+             n_chars
+      FROM documents, rng),
+    zm AS (
+      SELECT layout, file_id, MIN(n_chars) AS zmin, MAX(n_chars) AS zmax,
+             COUNT(*) AS n_rows
+      FROM f GROUP BY layout, file_id),
+    probes AS (
+      SELECT i AS probe_id,
+             rng.nc_lo + (i * (rng.nc_hi - rng.nc_lo + 1)) // {_ZM_PROBES} AS lo,
+             rng.nc_lo + ((i + 1) * (rng.nc_hi - rng.nc_lo + 1)) // {_ZM_PROBES} - 1 AS hi
+      FROM unnest(generate_series(0, {_ZM_PROBES - 1})) t(i), rng)
+    SELECT p.probe_id, z.layout,
+           COUNT(*) AS files_total,
+           COUNT(*) FILTER (z.zmax < p.lo OR z.zmin > p.hi) AS files_skipped,
+           CAST(SUM(z.n_rows) FILTER (NOT (z.zmax < p.lo OR z.zmin > p.hi))
+                AS BIGINT) AS rows_scanned
+    FROM zm z CROSS JOIN probes p
+    GROUP BY p.probe_id, z.layout
+    ORDER BY probe_id, layout
+    """,
+)
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B124: zone-map skipping audit — per-file min/max maps for two
+    candidate file layouts (ranged by doc_id vs ranged by n_chars),
+    probed with 8 equal-width n_chars range predicates; emits files
+    skipped and the row-scan bound per (probe, layout). The n_chars
+    layout should skip ~15/16 files per probe; the doc_id layout
+    ~none — the measured argument for sort-before-write (b61).
+
+    Scale shape: one 1-row min/max agg broadcast to a single narrow
+    pass that assigns both layouts' file ids (a 2-way stack, no
+    second scan), one combinable rollup to the 2x16-row zone-map
+    table, and everything after runs on that bounded table crossed
+    with 8 probe rows. Nothing global ever materializes beyond 32
+    rows; works identically whether "file" means a parquet footer or
+    a manifest entry.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    rng = docs.agg(
+        F.min("doc_id").alias("id_lo"),
+        F.max("doc_id").alias("id_hi"),
+        F.min("n_chars").alias("nc_lo"),
+        F.max("n_chars").alias("nc_hi"),
+    )
+    fid_id = F.least(
+        F.expr(f"(doc_id - id_lo) * {_ZM_FILES} DIV (id_hi - id_lo + 1)"),
+        F.lit(_ZM_FILES - 1),
+    )
+    fid_nc = F.least(
+        F.expr(f"(n_chars - nc_lo) * {_ZM_FILES} DIV (nc_hi - nc_lo + 1)"),
+        F.lit(_ZM_FILES - 1),
+    )
+    stacked = (
+        docs.crossJoin(F.broadcast(rng))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("by_doc_id").alias("layout"),
+                        fid_id.alias("file_id"),
+                    ),
+                    F.struct(
+                        F.lit("by_n_chars").alias("layout"),
+                        fid_nc.alias("file_id"),
+                    ),
+                )
+            ).alias("lf"),
+            "n_chars",
+        )
+        .select("lf.layout", "lf.file_id", "n_chars")
+    )
+    zm = stacked.groupBy("layout", "file_id").agg(
+        F.min("n_chars").alias("zmin"),
+        F.max("n_chars").alias("zmax"),
+        F.count("*").alias("n_rows"),
+    )
+    probes = (
+        spark.range(_ZM_PROBES)
+        .select(F.col("id").cast("int").alias("probe_id"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "probe_id",
+            F.expr(
+                f"nc_lo + probe_id * (nc_hi - nc_lo + 1) DIV {_ZM_PROBES}"
+            ).alias("lo"),
+            F.expr(
+                f"nc_lo + (probe_id + 1) * (nc_hi - nc_lo + 1) DIV {_ZM_PROBES} - 1"
+            ).alias("hi"),
+        )
+    )
+    skipped = (F.col("zmax") < F.col("lo")) | (F.col("zmin") > F.col("hi"))
+    return (
+        zm.crossJoin(F.broadcast(probes))
+        .groupBy("probe_id", "layout")
+        .agg(
+            F.count("*").alias("files_total"),
+            F.sum(skipped.cast("long")).alias("files_skipped"),
+            F.sum(F.when(~skipped, F.col("n_rows"))).alias("rows_scanned"),
+        )
+        .orderBy("probe_id", "layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B125–B128 — TPC-H suite completion: Q2 / Q11 / Q16 / Q20 (round 6)
+# ---------------------------------------------------------------------------
+#
+# The fixture set has no partsupp table, so the four partsupp-based
+# queries derive the part-supplier relation from lineitem: a
+# (l_partkey, l_suppkey) pair is a "supply arrangement", its
+# supplycost proxy is the minimum observed extended price (exact
+# decimal MIN — order-independent), and its availqty proxy is the
+# total shipped quantity. The STRUCTURAL patterns under test are the
+# originals': correlated min-subquery (Q2), global-total HAVING
+# (Q11), NOT-IN + distinct count (Q16), nested semi-join with a
+# half-of-shipped threshold (Q20).
+
+
+@query(
+    "b125_tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(28,6))) AS ps_cost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_cost AS DOUBLE) AS supply_cost
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    JOIN supplier ON s_suppkey = ps_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+      AND ps_cost = (
+        SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(28,6)))
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE l2.l_partkey = ps_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B125: TPC-H Q2 (minimum-cost supplier), adapted — for each
+    SMALL size-15 part, the EUROPE suppliers offering it at the
+    region-wide minimum cost. The oracle spells the correlated
+    min-subquery; the Spark plan decorrelates it by hand: one rollup
+    to per-(part, supp) cost, a per-part min over the region-filtered
+    slice, and an equi-join on (part, cost) — the same shape
+    Catalyst's subquery decorrelation produces, with no per-row
+    re-scan of lineitem.
+
+    Scale shape: lineitem is touched once; part/supplier/nation/
+    region all broadcast; the per-part min and the final match join
+    share the partkey partitioning. The correlated subquery never
+    executes per row — it IS the min rollup.
+    """
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(28,6)")).alias(
+                "ps_cost"
+            )
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    eu_ps = ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_cost").alias("min_cost")
+    )
+    return (
+        eu_ps.join(min_cost, "ps_partkey")
+        .filter(F.col("ps_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "b126_tpch_q11_important_stock",
+    f"""
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1)
+    SELECT ps_partkey, value
+    FROM v
+    WHERE value > 2 * (SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                              / COUNT(*) FROM v)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B126: TPC-H Q11 (important stock identification), adapted —
+    parts whose NATION_7-supplied inventory value exceeds twice the
+    average per-part value (TPC-H's FRACTION scales 1/SF so a fixed
+    share empties at scale; relative-to-average is the scale-free
+    equivalent). The global-total HAVING pattern: the threshold is a
+    scalar over the SAME rollup the rows come from. The mean divides
+    an exact decimal sum by the count — one IEEE division, engine-
+    exact (functions/exact.py discipline).
+
+    Scale shape: nation filter reaches the supplier broadcast before
+    the fact join, one rollup to per-part value, and the grand total
+    rides a 1-row broadcast over that rollup — lineitem is scanned
+    once and the rollup computed once (ReuseExchange collapses the
+    two logical consumers).
+    """
+    supp7 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    v = (
+        li.join(F.broadcast(supp7), li.l_suppkey == supp7.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"
+            )
+        )
+    )
+    tot = v.agg(
+        (F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count("*"))
+        .alias("avg_value")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > 2 * F.col("avg_value"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "b127_tpch_q16_supplier_count",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B127: TPC-H Q16 (parts/supplier relationship), adapted — how
+    many suppliers (excluding the negative-balance "complaints" set)
+    can supply each qualifying (brand, type, size) bucket. The
+    NOT-IN anti-join + distinct-count pattern.
+
+    Scale shape: the complaints set is a broadcast anti-join (6 rows
+    — and NOT IN on a non-null key is exactly anti-join semantics);
+    part is a broadcast; the distinct pair derivation and the
+    distinct count share one partkey-side exchange. No subquery
+    re-execution, no all-pairs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        ps.join(
+            F.broadcast(complaints),
+            ps.ps_suppkey == complaints.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "b128_tpch_q20_potential_promotion",
+    f"""
+    WITH agg AS (
+      SELECT l_partkey, l_suppkey,
+             {sql_dsum('l_quantity')} AS total_qty,
+             {sql_dsum("CASE WHEN year(l_shipdate) = 1996 THEN l_quantity ELSE 0 END")}
+               AS qty_1996
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY 1, 2)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN agg ON l_suppkey = s_suppkey
+    WHERE n_name = 'NATION_3' AND total_qty > 2 * qty_1996
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B128: TPC-H Q20 (potential part promotion), adapted — NATION_3
+    suppliers holding excess stock of 'small%' parts: total shipped
+    quantity more than twice the 1996-shipped quantity (the
+    availqty > half-of-shipped test with lineitem-derived proxies).
+    The nested-semi-join pattern: part name filter → (part, supp)
+    rollup → supplier semi-join.
+
+    Scale shape: the part name filter broadcasts into the fact scan;
+    both quantity sums come out of ONE conditional rollup (no second
+    lineitem pass for the windowed sum); the supplier side is a
+    broadcast and the final DISTINCT is over a supplier-bounded set.
+    """
+    part_small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.join(
+            F.broadcast(part_small), li.l_partkey == part_small.p_partkey
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            dsum("l_quantity", "total_qty"),
+            dsum(
+                F.when(
+                    F.year("l_shipdate") == 1996, F.col("l_quantity")
+                ).otherwise(F.lit(0.0)),
+                "qty_1996",
+            ),
+        )
+        .filter(F.col("total_qty") > 2 * F.col("qty_1996"))
+    )
+    supp3 = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name") == "NATION_3")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp3.join(
+            agg, supp3.s_suppkey == agg.l_suppkey, "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )

@@ -1029,3 +1029,310 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# C84 — per-domain document cap (round 6)
+# ---------------------------------------------------------------------------
+#
+# Common-crawl pipelines cap how many documents any single domain may
+# contribute (over-crawled domains would otherwise dominate the
+# mixture). Semantics: keep the top-K documents per source by quality
+# key (n_chars DESC, doc_id ASC). The ORACLE is the naive
+# row_number-per-source; the Spark plan is the scale-safe two-phase
+# histogram refinement — rank only the boundary bucket, never the
+# whole domain.
+
+DOMAIN_CAP_K = 15
+_CAP_BW = 25  # histogram bucket width over n_chars
+
+
+@query(
+    "c84_domain_doc_cap",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source, n_chars,
+           CAST(rk <= {DOMAIN_CAP_K} AS BOOLEAN) AS kept
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C84: per-domain (source) document cap — keep the K best docs
+    per source by (n_chars DESC, doc_id ASC).
+
+    Scale shape: a naive window over PARTITION BY source collapses
+    each domain into one task — and crawl domains are exactly where
+    skew lives (one domain can be 10% of a 100 TB crawl). Instead:
+    (1) one combinable histogram rollup on (source, quality-bucket),
+    (2) a per-source prefix sum over the TINY histogram (bounded by
+    n_sources x n_buckets rows) finds each source's threshold bucket,
+    (3) docs strictly above the threshold bucket are kept with NO
+    ranking; only the boundary bucket's docs — a sliver of each
+    domain — are ranked, partitioned by source, to fill the remaining
+    slots. The only windows run over the histogram and the boundary
+    sliver, never a whole domain.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # Higher bucket = better quality; bucket count is bounded by
+    # max(n_chars)/_CAP_BW, independent of corpus size.
+    b = docs.withColumn(
+        "qb", (F.col("n_chars") / _CAP_BW).cast("int")
+    )
+    hist = b.groupBy("source", "qb").agg(F.count("*").alias("cnt"))
+    w_above = (
+        Window.partitionBy("source")
+        .orderBy(F.col("qb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hist.select(
+        "source",
+        "qb",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_above), F.lit(0)).alias("n_above"),
+    )
+    # Boundary bucket: first bucket (descending) where the running
+    # total crosses K. Everything above it is kept outright.
+    boundary = marked.filter(
+        (F.col("n_above") < DOMAIN_CAP_K)
+        & (F.col("n_above") + F.col("cnt") > DOMAIN_CAP_K)
+    ).select(
+        "source",
+        F.col("qb").alias("bqb"),
+        (F.lit(DOMAIN_CAP_K) - F.col("n_above")).alias("slots"),
+    )
+    thresh = marked.filter(F.col("n_above") + F.col("cnt") <= DOMAIN_CAP_K).groupBy(
+        "source"
+    ).agg(F.min("qb").alias("keep_above_qb"))
+    joined = (
+        b.join(F.broadcast(thresh), "source", "left")
+        .join(F.broadcast(boundary), "source", "left")
+    )
+    kept_outright = F.col("keep_above_qb").isNotNull() & (
+        F.col("qb") >= F.col("keep_above_qb")
+    )
+    in_boundary = F.col("bqb").isNotNull() & (F.col("qb") == F.col("bqb"))
+    # Rank ONLY the boundary sliver (<= bucket width docs per source).
+    w_b = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    bnd = (
+        joined.filter(in_boundary & ~kept_outright)
+        .select("doc_id", "source", "n_chars", "slots")
+        .withColumn("brk", F.row_number().over(w_b))
+        .select("doc_id", (F.col("brk") <= F.col("slots")).alias("bkeep"))
+    )
+    return (
+        joined.join(bnd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (kept_outright | F.coalesce(F.col("bkeep"), F.lit(False))).alias(
+                "kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C85 — DSIR-style hashed importance weights (round 6)
+# ---------------------------------------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., 2023) scores
+# raw documents by how target-like their hashed n-gram features are.
+# This is the integer-exact variant: feature weights are ppm-frequency
+# deltas (target minus raw) under floor division, so the score is a
+# BIGINT sum with identical values in any engine and any partitioning
+# — no log-ratio doubles, no cross-engine libm drift.
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+def _sql_dsir() -> str:
+    fh = f"({sql_md5_64('tok')} % {_DSIR_BUCKETS})"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {sql_simple_tokens('text')} AS toks
+               FROM documents),
+    e AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t),
+    f AS (SELECT doc_id, lang, {fh} AS fh FROM e),
+    doc_f AS (SELECT doc_id, fh, COUNT(*) AS c FROM f GROUP BY doc_id, fh),
+    tot AS (SELECT COUNT(*) AS n_raw,
+                   COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}') AS n_tgt
+            FROM f),
+    fw AS (
+      SELECT fh,
+             (1000000 * COUNT(*) FILTER (lang = '{_DSIR_TARGET_LANG}'))
+               // (SELECT n_tgt FROM tot)
+             - (1000000 * COUNT(*)) // (SELECT n_raw FROM tot) AS w
+      FROM f GROUP BY fh)
+    SELECT d.doc_id,
+           CAST(SUM(d.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.c * fw.w) AS BIGINT) AS dsir_score
+    FROM doc_f d JOIN fw USING (fh)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query("c85_dsir_importance", _sql_dsir())
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85: DSIR hashed importance weights — per-document sum of
+    (target-ppm minus raw-ppm) over hashed unigram features, the
+    importance-resampling score that up-weights documents whose
+    feature mix looks like the target slice (here: lang='en').
+
+    Scale shape: one explode pass feeds (1) the per-(doc, feature)
+    count rollup and (2) the feature-weight table — the weight table
+    is bounded by the hash-bucket count (1024 rows) regardless of
+    corpus size, so it broadcasts; the final per-doc rollup is
+    combinable. Two exchanges total, no window, no all-pairs, and the
+    shuffles carry (id, bucket, count) triples — never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "lang", F.explode(simple_tokens("text")).alias("tok")
+    ).select(
+        "doc_id", "lang", (md5_64("tok") % _DSIR_BUCKETS).alias("fh")
+    )
+    doc_f = feats.groupBy("doc_id", "fh").agg(F.count("*").alias("c"))
+    is_tgt = (F.col("lang") == _DSIR_TARGET_LANG).cast("long")
+    tot = feats.agg(
+        F.count("*").alias("n_raw"), F.sum(is_tgt).alias("n_tgt")
+    )
+    fw = (
+        feats.groupBy("fh")
+        .agg(F.count("*").alias("c_raw"), F.sum(is_tgt).alias("c_tgt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fh",
+            (
+                F.expr("1000000 * c_tgt DIV n_tgt")
+                - F.expr("1000000 * c_raw DIV n_raw")
+            ).alias("w"),
+        )
+    )
+    return (
+        doc_f.join(F.broadcast(fw), "fh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w")).alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C86 — language-ID confusion matrix (round 6)
+# ---------------------------------------------------------------------------
+#
+# The eval companion to c04_text_langid: score the marker-based
+# language detector against the labeled lang column and emit the full
+# confusion matrix with per-cell recall (share of the labeled
+# language) and precision (share of the predicted language) in ppm
+# integers — floor division, engine-exact.
+
+
+def _sql_langid_confusion() -> str:
+    from spark_dynamodb_spark.operators.text_analysis import LANG_MARKERS
+
+    from spark_dynamodb_spark.functions.text import sql_tokens
+
+    score_cols = []
+    for lang, words in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "CASE "
+    for lang in langs:
+        others = " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        best += f"WHEN {others} THEN '{lang}' "
+    best += "END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang AS labeled_lang, {sql_tokens('text')} AS toks
+               FROM documents),
+    scored AS (SELECT doc_id, labeled_lang, {', '.join(score_cols)} FROM t),
+    pred AS (SELECT labeled_lang, {best} AS predicted_lang FROM scored),
+    cell AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+             FROM pred GROUP BY labeled_lang, predicted_lang),
+    lt AS (SELECT labeled_lang, SUM(n) AS n_labeled FROM cell GROUP BY labeled_lang),
+    pt AS (SELECT predicted_lang, SUM(n) AS n_predicted FROM cell GROUP BY predicted_lang)
+    SELECT c.labeled_lang, c.predicted_lang, c.n,
+           CAST((1000000 * c.n) // lt.n_labeled AS BIGINT) AS recall_ppm,
+           CAST((1000000 * c.n) // pt.n_predicted AS BIGINT) AS precision_ppm
+    FROM cell c
+    JOIN lt USING (labeled_lang)
+    JOIN pt USING (predicted_lang)
+    ORDER BY labeled_lang, predicted_lang
+    """
+
+
+@query("c86_langid_confusion", _sql_langid_confusion())
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86: confusion matrix of the c04 marker language detector vs
+    the labeled lang column — per-cell count, recall ppm (share of
+    the labeled language) and precision ppm (share of the predicted
+    language). The go/no-go eval before trusting a detector to route
+    a 100 TB multilingual crawl.
+
+    Scale shape: one narrow scoring pass (no explode — array filter
+    counts inside the row), one combinable rollup to the
+    |langs| x |langs| cell table, then all remaining joins run over
+    that bounded matrix. One exchange over data, everything after is
+    broadcast-sized.
+    """
+    from spark_dynamodb_spark.operators.text_analysis import LANG_MARKERS
+
+    from spark_dynamodb_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        *[
+            F.size(F.filter(toks, lambda x: x.isin(*words))).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    chain = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{o}")
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, lang) if chain is None else chain.when(cond, lang)
+    cell = (
+        scored.select("labeled_lang", chain.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    lt = cell.groupBy("labeled_lang").agg(F.sum("n").alias("n_labeled"))
+    pt = cell.groupBy("predicted_lang").agg(F.sum("n").alias("n_predicted"))
+    return (
+        cell.join(F.broadcast(lt), "labeled_lang")
+        .join(F.broadcast(pt), "predicted_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.expr("1000000 * n DIV n_labeled").alias("recall_ppm"),
+            F.expr("1000000 * n DIV n_predicted").alias("precision_ppm"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

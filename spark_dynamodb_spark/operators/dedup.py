@@ -1804,3 +1804,87 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# C83 — sliding-gram substring dedup (round 6)
+# ---------------------------------------------------------------------------
+#
+# The distributed form of exact-substring training-data dedup
+# (suffix-array dedup a la "Deduplicating Training Data Makes
+# Language Models Better", Lee et al. 2022): a document is a
+# substring-duplicate if ANY sliding W-token window of it also occurs
+# in an earlier document (doc_id order = ingestion order). W-token
+# sliding windows approximate the suffix-array's arbitrary-offset
+# match at 1/W the index size; unlike c12's fixed non-overlapping
+# chunks, a shared span is caught at EVERY alignment.
+
+SUBSTR_W = 8
+
+
+def _sql_c83() -> str:
+    grams = ", ".join(f"toks[i+{j}]" for j in range(SUBSTR_W))
+    gram_rows = f"""
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - {SUBSTR_W - 1}, 1)),
+               i -> concat_ws(' ', {grams})))) AS gram
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    """
+    return f"""
+    WITH g AS ({gram_rows}),
+    h AS (SELECT doc_id, {sql_md5_64('gram')} AS gh FROM g),
+    own AS (SELECT gh, MIN(doc_id) AS owner FROM h GROUP BY gh)
+    SELECT h.doc_id,
+           COUNT(*) AS n_grams,
+           MIN(own.owner) FILTER (own.owner < h.doc_id) AS dup_of,
+           (MIN(own.owner) FILTER (own.owner < h.doc_id) IS NOT NULL)
+             AS is_dup
+    FROM h JOIN own USING (gh)
+    GROUP BY h.doc_id
+    ORDER BY h.doc_id
+    """
+
+
+@query("c83_substring_gram_dedup", _sql_c83())
+def substring_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83: sliding W-token-gram substring dedup — flag every document
+    that shares ANY 8-token window with an earlier document, and name
+    the earliest such owner. Short documents (< W tokens) contribute
+    one whole-text gram, so short exact duplicates are still caught.
+
+    Scale shape: per-doc DISTINCT gram hashes (narrow, inside the
+    row), one explode, one exchange on the 60-bit gram hash for the
+    min-owner rollup (combinable), then the ownership join reuses the
+    same hash partitioning and the per-doc verdict is a combinable
+    min/count rollup. Shuffles carry (doc_id, hash) pairs — the text
+    itself never moves. No all-pairs anywhere: a gram shared by k
+    documents costs k rows, not k^2.
+
+    Same engine-portable md5-derived 60-bit hash as the rest of the
+    dedup family (functions/text.py) so the oracle sees identical
+    collisions (none expected at 2^60).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles("text", SUBSTR_W))
+        ).alias("gram"),
+    ).select("doc_id", md5_64("gram").alias("gh"))
+    own = g.groupBy("gh").agg(F.min("doc_id").alias("owner"))
+    earlier = F.when(F.col("owner") < F.col("doc_id"), F.col("owner"))
+    return (
+        g.join(own, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.min(earlier).alias("dup_of"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -299,6 +299,12 @@ ROTATED_GREEN_R1 = frozenset(
 # driver-sim, this session):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
+        # Round-6 additions past the 50-name window (the 7 slots went
+        # to a25/b124/c83–c87): parked for the round-7 window.
+        "b125_tpch_q2_min_cost_supplier",
+        "b126_tpch_q11_important_stock",
+        "b127_tpch_q16_supplier_count",
+        "b128_tpch_q20_potential_promotion",
     }
 )
 

