@@ -2876,3 +2876,61 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# B129 — bounded multi-hop reach (round 6, second wave)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b129_multi_hop_reach",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    deg AS (SELECT supp, COUNT(*) AS n_cust FROM e GROUP BY supp)
+    SELECT e.cust AS c_custkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(deg.n_cust) - COUNT(*) AS BIGINT) AS n_two_hop_paths
+    FROM e JOIN deg USING (supp)
+    GROUP BY e.cust
+    ORDER BY c_custkey
+    """,
+)
+def multi_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B129: bounded 2-hop graph reach over the customer–supplier
+    bipartite graph (edges = distinct (customer, supplier) pairs from
+    their orders): per customer, the hop-1 distinct supplier count
+    and the hop-2 PATH count to other customers (sum of each
+    supplier's degree, minus the self-paths). Path counts — not
+    distinct endpoints — deliberately: counting DISTINCT 2-hop
+    neighbors requires materializing the per-supplier customer×
+    customer pairs, which goes quadratic on a hot supplier; path
+    counts need only the supplier degree table, which is combinable.
+    This is the frontier-expansion accounting a distributed BFS uses
+    to decide whether the next hop is safe to materialize.
+
+    Scale shape: one distinct-edge exchange, a combinable per-supplier
+    degree rollup, an equi-join back on supp (same partitioning), and
+    a combinable per-customer rollup. No pair explosion anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("supp").agg(F.count("*").alias("n_cust"))
+    return (
+        e.join(deg, "supp")
+        .groupBy(F.col("cust").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum("n_cust") - F.count("*")).alias("n_two_hop_paths"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1336,3 +1336,93 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# C88 — source keyness terms (round 6, second wave)
+# ---------------------------------------------------------------------------
+#
+# Corpus-comparison keyness: which terms are most over-represented in
+# each source relative to the rest of the corpus. The per-source
+# dataset-card table ("what is src7 actually full of?") and the
+# debugging view behind c11/c82 mixture decisions. Integer ppm deltas
+# (floor division) — engine-exact, no log-odds doubles.
+
+_KEYNESS_TOPK = 10
+
+
+@query(
+    "c88_source_keyness_terms",
+    f"""
+    WITH e AS (
+      SELECT source, unnest({sql_simple_tokens('text')}) AS term
+      FROM documents),
+    st AS (SELECT source, term, COUNT(*) AS c_src FROM e GROUP BY 1, 2),
+    tt AS (SELECT term, COUNT(*) AS c_tot FROM e GROUP BY 1),
+    stot AS (SELECT source, COUNT(*) AS tok_src FROM e GROUP BY 1),
+    gtot AS (SELECT COUNT(*) AS tok_tot FROM e),
+    scored AS (
+      SELECT st.source, st.term, st.c_src,
+             (1000000 * st.c_src) // stot.tok_src
+             - (1000000 * (tt.c_tot - st.c_src))
+               // (gtot.tok_tot - stot.tok_src) AS keyness_ppm
+      FROM st
+      JOIN tt USING (term)
+      JOIN stot USING (source)
+      CROSS JOIN gtot),
+    ranked AS (
+      SELECT source, term, c_src, keyness_ppm,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY keyness_ppm DESC, term) AS rnk
+      FROM scored)
+    SELECT source, rnk, term, c_src, keyness_ppm
+    FROM ranked WHERE rnk <= {_KEYNESS_TOPK}
+    ORDER BY source, rnk
+    """,
+)
+def source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88: top-10 keyness terms per source — the term's ppm rate in
+    the source minus its ppm rate in the REST of the corpus (floor
+    division, integers). Positive keyness = over-represented.
+
+    Scale shape: one explode pass feeds three combinable rollups
+    ((source, term), term, source); the term-totals join runs on the
+    vocabulary-sized relation keyed by term; source totals and the
+    grand total broadcast; the final top-10-per-source window gets
+    WindowGroupLimit pushdown (per-task 10-row heaps, never a full
+    per-source sort). Everything shuffled is (term, count) pairs.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(simple_tokens("text")).alias("term")
+    )
+    st = e.groupBy("source", "term").agg(F.count("*").alias("c_src"))
+    tt = e.groupBy("term").agg(F.count("*").alias("c_tot"))
+    stot = e.groupBy("source").agg(F.count("*").alias("tok_src"))
+    gtot = e.agg(F.count("*").alias("tok_tot"))
+    scored = (
+        st.join(tt, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "source",
+            "term",
+            "c_src",
+            (
+                F.expr("1000000 * c_src DIV tok_src")
+                - F.expr(
+                    "1000000 * (c_tot - c_src) DIV (tok_tot - tok_src)"
+                )
+            ).alias("keyness_ppm"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("keyness_ppm").desc(), "term"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _KEYNESS_TOPK)
+        .select("source", "rnk", "term", "c_src", "keyness_ppm")
+        .orderBy("source", "rnk")
+    )

@@ -1818,30 +1818,50 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sliding windows approximate the suffix-array's arbitrary-offset
 # match at 1/W the index size; unlike c12's fixed non-overlapping
 # chunks, a shared span is caught at EVERY alignment.
+#
+# Gram identity is computed WITHOUT materializing gram strings: one
+# md5 per TOKEN (reduced to 26 bits), then each window combines its 8
+# token hashes with an exact polynomial fold mod 2^52 — pure integer
+# arithmetic, identical in Spark and DuckDB. Building the 8-token
+# gram STRINGS and hashing those measured 2.3x slower at sf0.1 (the
+# k-1 zip_with passes copy O(k^2) chars per position); the polynomial
+# fold is one narrow pass. Collision space 2^52 on ~0.5M grams at
+# sf0.1 is vacuum-level; at a 10^12-gram corpus the same analysis as
+# the 60-bit md5 family applies (raise the modulus together with it).
 
 SUBSTR_W = 8
+_C83_TMOD = 1 << 26  # per-token hash width
+_C83_GMOD = 1 << 52  # gram hash space (fold stays under 2^63)
 
 
 def _sql_c83() -> str:
-    grams = ", ".join(f"toks[i+{j}]" for j in range(SUBSTR_W))
-    gram_rows = f"""
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               generate_series(1, greatest(len(toks) - {SUBSTR_W - 1}, 1)),
-               i -> concat_ws(' ', {grams})))) AS gram
-      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
-    """
+    # identical fold, spelled in DuckDB: th[i+j] out of range is NULL
+    # -> COALESCE 0, the padding that gives short docs (< W tokens)
+    # one whole-text gram (same rule as the shingle helpers).
+    h = f"COALESCE(th[i], 0)"
+    for j in range(1, SUBSTR_W):
+        h = f"(({h}) * 67 + COALESCE(th[i+{j}], 0)) % {_C83_GMOD}"
     return f"""
-    WITH g AS ({gram_rows}),
-    h AS (SELECT doc_id, {sql_md5_64('gram')} AS gh FROM g),
-    own AS (SELECT gh, MIN(doc_id) AS owner FROM h GROUP BY gh)
-    SELECT h.doc_id,
+    WITH t AS (
+      SELECT doc_id,
+             list_transform({sql_tokens('text')},
+                            tok -> {sql_md5_64('tok')} % {_C83_TMOD}) AS th
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(th) - {SUBSTR_W - 1}, 1)),
+               i -> {h}))) AS gh
+      FROM t),
+    own AS (SELECT gh, MIN(doc_id) AS owner FROM g GROUP BY gh)
+    SELECT g.doc_id,
            COUNT(*) AS n_grams,
-           MIN(own.owner) FILTER (own.owner < h.doc_id) AS dup_of,
-           (MIN(own.owner) FILTER (own.owner < h.doc_id) IS NOT NULL)
+           MIN(own.owner) FILTER (own.owner < g.doc_id) AS dup_of,
+           (MIN(own.owner) FILTER (own.owner < g.doc_id) IS NOT NULL)
              AS is_dup
-    FROM h JOIN own USING (gh)
-    GROUP BY h.doc_id
-    ORDER BY h.doc_id
+    FROM g JOIN own USING (gh)
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
     """
 
 
@@ -1850,27 +1870,42 @@ def substring_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C83: sliding W-token-gram substring dedup — flag every document
     that shares ANY 8-token window with an earlier document, and name
     the earliest such owner. Short documents (< W tokens) contribute
-    one whole-text gram, so short exact duplicates are still caught.
+    one zero-padded whole-text gram, so short exact duplicates are
+    still caught.
 
-    Scale shape: per-doc DISTINCT gram hashes (narrow, inside the
-    row), one explode, one exchange on the 60-bit gram hash for the
+    Scale shape: per-doc token hashes and the polynomial window fold
+    are narrow (no gram strings ever exist); per-doc DISTINCT gram
+    hashes, one explode, one exchange on the 52-bit gram hash for the
     min-owner rollup (combinable), then the ownership join reuses the
     same hash partitioning and the per-doc verdict is a combinable
     min/count rollup. Shuffles carry (doc_id, hash) pairs — the text
     itself never moves. No all-pairs anywhere: a gram shared by k
     documents costs k rows, not k^2.
-
-    Same engine-portable md5-derived 60-bit hash as the rest of the
-    dedup family (functions/text.py) so the oracle sees identical
-    collisions (none expected at 2^60).
     """
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles("text", SUBSTR_W))
-        ).alias("gram"),
-    ).select("doc_id", md5_64("gram").alias("gh"))
+    th = F.transform(tokens("text"), lambda t: md5_64(t) % _C83_TMOD)
+
+    def _gram(i: F.Column) -> F.Column:
+        h = F.coalesce(F.element_at(F.col("th"), i), F.lit(0))
+        for j in range(1, SUBSTR_W):
+            nxt = F.coalesce(
+                F.element_at(F.col("th"), i + F.lit(j)), F.lit(0)
+            )
+            h = (h * 67 + nxt) % _C83_GMOD
+        return h
+
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("th")) - (SUBSTR_W - 1), F.lit(1))
+    )
+    g = (
+        docs.select("doc_id", th.alias("th"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform(idx, _gram))
+            ).alias("gh"),
+        )
+    )
     own = g.groupBy("gh").agg(F.min("doc_id").alias("owner"))
     earlier = F.when(F.col("owner") < F.col("doc_id"), F.col("owner"))
     return (
@@ -1887,4 +1922,79 @@ def substring_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C92 — dedup-method agreement matrix (round 6, third wave)
+# ---------------------------------------------------------------------------
+#
+# The QA table a pipeline owner reads before choosing a dedup stack:
+# per document, does (a) whole-document exact dedup, (b) c12
+# chunk-level dedup, (c) c83 sliding-gram substring dedup flag it —
+# and how do the three methods overlap? Composes the REGISTERED c12
+# and c83 relations (same DataFrames, same oracles — the b119
+# composition discipline), so this row can never drift from the
+# operators it audits.
+
+
+def _sql_c92() -> str:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    c12 = REGISTRY.resolve("c12_chunk_dedup").oracle
+    c83 = REGISTRY.resolve("c83_substring_gram_dedup").oracle
+    return f"""
+    WITH chunk AS ({c12}),
+    substr AS ({c83}),
+    exact AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5({sql_normalize_text('text')})) < doc_id
+               AS exact_dup
+      FROM documents)
+    SELECT e.exact_dup,
+           (c.n_kept < c.n_chunks) AS chunk_dup,
+           s.is_dup AS substr_dup,
+           COUNT(*) AS n_docs
+    FROM exact e
+    JOIN chunk c USING (doc_id)
+    JOIN substr s USING (doc_id)
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+
+
+@query("c92_dedup_method_agreement", _sql_c92())
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92: agreement matrix of three dedup methods — whole-document
+    exact (first-owner rule), chunk-level (c12: any 10-token chunk
+    seen before, including intra-document repeats), and sliding-gram
+    substring (c83: any 8-token window owned by an earlier doc).
+    Emits the 8-cell (exact, chunk, substr) contingency table; the
+    "substr without exact" cells are precisely what substring dedup
+    buys over hashing whole documents.
+
+    Scale shape: reuses the c12 and c83 plans verbatim (their scale
+    notes apply); the exact flag is one combinable min-owner window
+    keyed by content hash; the three per-doc relations join
+    co-partitioned on doc_id, and the output rollup is 8 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wexact = Window.partitionBy(F.md5(normalize_text("text")))
+    exact = docs.select(
+        "doc_id",
+        (F.min("doc_id").over(wexact) < F.col("doc_id")).alias("exact_dup"),
+    )
+    chunk = chunk_dedup(spark, sf_dir).select(
+        "doc_id", (F.col("n_kept") < F.col("n_chunks")).alias("chunk_dup")
+    )
+    substr = substring_gram_dedup(spark, sf_dir).select(
+        "doc_id", F.col("is_dup").alias("substr_dup")
+    )
+    return (
+        exact.join(chunk, "doc_id")
+        .join(substr, "doc_id")
+        .groupBy("exact_dup", "chunk_dup", "substr_dup")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("exact_dup", "chunk_dup", "substr_dup")
     )

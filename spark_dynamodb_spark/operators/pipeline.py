@@ -1796,3 +1796,114 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C90 — curriculum interleave ordering (round 6, second wave)
+# ---------------------------------------------------------------------------
+#
+# Training-order assignment: documents sorted easy-to-hard (difficulty
+# = length bucket) with sources round-robin-interleaved inside the
+# curriculum, so no source ever dominates a contiguous training span.
+# position = per-source curriculum rank * n_sources + source index —
+# unique, monotone per source, interleaved across sources.
+
+_CUR_BUCKETS = 16  # two-phase rank buckets (per source)
+
+
+@query(
+    "c90_curriculum_interleave",
+    f"""
+    WITH s AS (
+      SELECT source,
+             row_number() OVER (ORDER BY source) - 1 AS src_idx,
+             COUNT(*) OVER () AS n_sources
+      FROM (SELECT DISTINCT source FROM documents)),
+    r AS (
+      SELECT doc_id, source,
+             n_chars // 100 AS difficulty,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars // 100,
+                        md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS crank
+      FROM documents)
+    SELECT r.doc_id, r.source, r.difficulty,
+           CAST(r.crank * s.n_sources + s.src_idx AS BIGINT) AS position
+    FROM r JOIN s USING (source)
+    ORDER BY r.doc_id
+    """,
+)
+def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90: curriculum + source-interleave training order — rank each
+    source's documents easy-to-hard (length-bucket difficulty, then a
+    reproducible md5 shuffle within a bucket), and interleave the
+    sources round-robin: position = crank * n_sources + src_idx.
+
+    Scale shape: the oracle's naive per-source row_number collapses a
+    whole domain into one task; here the per-source rank is TWO-PHASE
+    (c18/c84 discipline): rank within (source, hash-bucket) — 16-way
+    skew split — plus per-(source, bucket) counts, prefix-summed over
+    the tiny (sources x 16) table and broadcast back as offsets. The
+    source-index table is a second tiny broadcast. No window ever
+    sees more than a bucket's slice of one source.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("n_chars DIV 100").alias("difficulty"),
+        F.md5(F.col("doc_id").cast("string")).alias("hh"),
+    )
+    # order-preserving bucket of the (difficulty, hh) sort key: bucket
+    # by difficulty first, then the hash's first hex char (16-way)
+    b = docs.withColumn(
+        "bk",
+        F.col("difficulty") * 16
+        + F.conv(F.substring("hh", 1, 1), 16, 10).cast("int"),
+    )
+    wb = Window.partitionBy("source", "bk")
+    b2 = b.select(
+        "doc_id",
+        "source",
+        "difficulty",
+        "bk",
+        (F.row_number().over(wb.orderBy("hh", "doc_id")) - 1).alias("rk"),
+        F.count("*").over(wb).alias("cnt"),
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b2.select("source", "bk", "cnt")
+        .distinct()
+        .select(
+            "source",
+            "bk",
+            F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias(
+                "src_idx"
+            ),
+            F.count("*").over(Window.partitionBy()).alias("n_sources"),
+        )
+    )
+    return (
+        b2.join(F.broadcast(offsets), ["source", "bk"])
+        .join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            "difficulty",
+            ((F.col("off") + F.col("rk")) * F.col("n_sources") + F.col("src_idx"))
+            .cast("long")
+            .alias("position"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1723,3 +1723,370 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rank") <= RRF_TOP)
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# C89 — one k-means Lloyd step over the embedding corpus (round 6)
+# ---------------------------------------------------------------------------
+#
+# The building block of IVF index training and SemDeDup-style semantic
+# clustering: assign every vector to its nearest seed centroid and
+# recompute the centroids. One full iteration, end to end, as a pure
+# DataFrame plan — the driver loop that trains a real IVF index is K
+# repetitions of exactly this step.
+
+KMEANS_K = 4
+
+
+@query(
+    "c89_kmeans_lloyd_step",
+    f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    s AS (SELECT vec_id AS seed_id, vec AS svec FROM v
+          WHERE vec_id < {KMEANS_K}),
+    d AS (
+      SELECT v.vec_id, s.seed_id,
+             CAST(floor((list_dot_product(v.vec, v.vec)
+                         - 2 * list_dot_product(v.vec, s.svec)
+                         + list_dot_product(s.svec, s.svec)) * 1000000 + 0.5)
+                  AS BIGINT) AS dist_micro
+      FROM v CROSS JOIN s),
+    r AS (
+      SELECT vec_id, seed_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist_micro, seed_id) AS rnk
+      FROM d),
+    asg AS (SELECT vec_id, seed_id AS cluster_id FROM r WHERE rnk = 1),
+    dims AS (
+      SELECT vec_id, i.dim, CAST(embedding[i.dim] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS dim) i)
+    SELECT a.cluster_id, d.dim,
+           CAST(SUM(CAST(d.x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS centroid,
+           COUNT(*) AS n_members
+    FROM dims d JOIN asg a USING (vec_id)
+    GROUP BY a.cluster_id, d.dim
+    ORDER BY a.cluster_id, d.dim
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89: one Lloyd iteration of k-means over the embedding corpus
+    — K=4 deterministic seeds (lowest vec_ids), nearest-centroid
+    assignment by squared L2 (integer micro-distance with floor(x+.5)
+    portable rounding, seed_id tie-break), and the recomputed
+    per-(cluster, dimension) centroid means.
+
+    Exactness: every distance is a fixed chain of IEEE double ops
+    (identical in both engines — same discipline as the c03 cosine
+    family), compared as integers; centroid means route the dimension
+    sums through the decimal detour and end in one IEEE division.
+
+    Scale shape: the K-row seed table broadcasts into a K-way fan-out
+    join (a bounded constant, not a data-sized blowup); the argmin is
+    a combinable min-of-struct rollup, NOT a window; the centroid
+    rollup explodes dims once behind one exchange keyed by
+    (cluster, dim). The oracle spells the same thing with a per-vec
+    window — values identical, plan single-node.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    seeds = (
+        v.filter(F.col("vec_id") < KMEANS_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("vec").alias("svec"))
+    )
+    d2 = (
+        dot("vec", "vec")
+        - 2 * dot("vec", "svec")
+        + dot("svec", "svec")
+    )
+    dist_micro = F.floor(d2 * 1000000 + F.lit(0.5)).cast("long")
+    asg = (
+        v.join(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            F.struct(
+                dist_micro.alias("dm"), F.col("seed_id").alias("sid")
+            ).alias("ds"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("ds").alias("best"))
+        .select("vec_id", F.col("best.sid").alias("cluster_id"))
+    )
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return (
+        dims.join(asg, "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cluster_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C91 — BM25 ranked retrieval (round 6, third wave)
+# ---------------------------------------------------------------------------
+#
+# The canonical sparse-retrieval scorer (Robertson/Sparck Jones k1-b
+# form), run for a fixed query workload over the document corpus —
+# the lexical half of the c79 hybrid-fusion stack (c16 builds the
+# index; this ranks with it). Per-term contributions are rounded to
+# integer micro-units BEFORE the per-doc sum so the reduction is
+# exact integer addition — the ln/double chain is per-row fixed-order
+# (c13 logprob discipline), never a float reduction.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+_BM25_QUERIES = [
+    (0, ["hash", "join"]),
+    (1, ["scan", "filter", "column"]),
+    (2, ["stream", "window"]),
+]
+
+
+def _sql_bm25() -> str:
+    from spark_dynamodb_spark.functions.text import sql_simple_tokens
+
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    return f"""
+    WITH q(query_id, term) AS (VALUES {qrows}),
+    tok AS (
+      SELECT doc_id, unnest({sql_simple_tokens('text')}) AS term
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(dlen AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT q.query_id, tf.doc_id,
+             CAST(floor(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * ({BM25_K1} + 1))
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dlen / stats.avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS c_micro
+      FROM tf
+      JOIN q USING (term)
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(c_micro) AS BIGINT) AS score_micro
+      FROM contrib GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT query_id, rnk, doc_id, score_micro
+    FROM ranked WHERE rnk <= {BM25_TOP}
+    ORDER BY query_id, rnk
+    """
+
+
+@query("c91_bm25_topk", _sql_bm25())
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C91: BM25 top-10 per query (k1=1.2, b=0.75) for a fixed
+    3-query workload. idf = ln((N - df + 0.5)/(df + 0.5) + 1); each
+    (query, doc, term) contribution is floored to integer micro-units
+    so the per-doc score sum is exact.
+
+    Scale shape: the query-term list broadcasts into the token
+    explode so only matching postings ever aggregate (the tf rollup
+    is combinable and tiny: docs x |query vocab|); doc lengths roll
+    up combinably from the same explode; df and idf live on a
+    |vocab|-bounded relation; corpus stats ride a 1-row broadcast;
+    the final top-10 window gets WindowGroupLimit pushdown. The
+    corpus is scanned once and nothing fact-sized shuffles except
+    the (doc, term) postings that match the queries.
+    """
+    from spark_dynamodb_spark.functions.text import simple_tokens
+
+    qterms = [
+        (qid, t) for qid, terms in _BM25_QUERIES for t in terms
+    ]
+    q = F.broadcast(
+        spark.createDataFrame(qterms, ["query_id", "term"])
+    )
+    allq = sorted({t for _, t in qterms})
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(simple_tokens("text")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("dlen").cast("decimal(28,6)")).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*allq))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    c_micro = F.floor(
+        idf * (F.col("tf") * (BM25_K1 + 1)) / denom * 1000000 + F.lit(0.5)
+    ).cast("long")
+    contrib = (
+        tf.join(q, "term")
+        .join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", c_micro.alias("c_micro"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_micro").alias("score_micro")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOP)
+        .select("query_id", "rnk", "doc_id", "score_micro")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C93 — ANN rank-quality eval: nDCG@k of approx vs exact (round 6)
+# ---------------------------------------------------------------------------
+#
+# c42 measures set recall; this measures ORDER quality — an ANN index
+# that returns the right neighbors in the wrong order scores the same
+# recall but worse nDCG. Binary gain (in exact top-k or not),
+# discount 1/log2(pos+1) PRECOMPUTED as integer micro-weights (the
+# positions are the constants 1..k, so no runtime float exists at
+# all): dcg/idcg are exact integer sums, ndcg is integer ppm.
+
+_NDCG_W = {1: 1000000, 2: 630930, 3: 500000, 4: 430677, 5: 386853}
+
+
+def _ndcg_case(col: str) -> str:
+    whens = " ".join(f"WHEN {col} = {r} THEN {w}" for r, w in _NDCG_W.items())
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _sql_c93() -> str:
+    cum = {k: sum(_NDCG_W[i] for i in range(1, k + 1)) for k in _NDCG_W}
+    idcg = " ".join(f"WHEN n_exact >= {k} THEN {v}" for k, v in sorted(cum.items(), reverse=True))
+    return f"""
+    WITH exact AS ({{EXACT}}),
+    approx AS ({{APPROX}}),
+    rel AS (
+      SELECT a.query_id, a.rnk,
+             {_ndcg_case('a.rnk')} AS w
+      FROM approx a
+      JOIN exact e ON e.query_id = a.query_id
+                  AND e.neighbor_id = a.neighbor_id),
+    dcg AS (SELECT query_id, CAST(SUM(w) AS BIGINT) AS dcg_micro
+            FROM rel GROUP BY query_id),
+    base AS (
+      SELECT query_id, COUNT(*) AS n_exact,
+             CAST(CASE {idcg} ELSE 0 END AS BIGINT) AS idcg_micro
+      FROM exact GROUP BY query_id)
+    SELECT base.query_id, base.n_exact,
+           CAST(coalesce(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           base.idcg_micro,
+           CAST((1000000 * coalesce(dcg.dcg_micro, 0)) // base.idcg_micro
+                AS BIGINT) AS ndcg_ppm
+    FROM base LEFT JOIN dcg USING (query_id)
+    ORDER BY base.query_id
+    """
+
+
+@query("c93_ann_ndcg_eval", _sql_c93())
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93: nDCG@k of the bucketed-LSH ANN ranking against the exact
+    top-k (binary gain, integer micro-discounts — the 1/log2(pos+1)
+    table is precomputed for positions 1..k, so the whole metric is
+    exact integer arithmetic). Complements c42's recall: same hit
+    set, wrong order → same recall, lower nDCG. Both sides ARE the
+    registered c03 queries (c42 composition discipline).
+
+    Scale shape: both inputs are |queries|·k-row relations; every
+    join and rollup here is bounded by the query sample size.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        "rnk",
+    )
+    w = F.lit(0)
+    for r, wt in sorted(_NDCG_W.items()):
+        w = F.when(F.col("rnk") == r, wt).otherwise(w)
+    dcg = (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("aq"))
+            & (exact.neighbor_id == F.col("an")),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(w).alias("dcg_micro"))
+    )
+    cum = {k: sum(_NDCG_W[i] for i in range(1, k + 1)) for k in _NDCG_W}
+    idcg = F.lit(0)
+    for k, v in sorted(cum.items()):
+        idcg = F.when(F.col("n_exact") >= k, v).otherwise(idcg)
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact")).select(
+        "query_id", "n_exact", idcg.cast("long").alias("idcg_micro")
+    )
+    return (
+        base.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+            "idcg_micro",
+            F.expr(
+                "1000000 * coalesce(dcg_micro, 0) DIV idcg_micro"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _finalize_c93_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c93_ann_ndcg_eval")
+    spec.oracle = spec.oracle.replace(
+        "{EXACT}", _registered_oracle("c03_ann_cosine_topk")
+    ).replace("{APPROX}", _registered_oracle("c03_ann_lsh_bucketed"))
+
+
+_finalize_c93_oracle()

@@ -301,10 +301,18 @@ ROTATION_PENDING: frozenset[str] = frozenset(
     {
         # Round-6 additions past the 50-name window (the 7 slots went
         # to a25/b124/c83–c87): parked for the round-7 window.
+        "a26_dynamo_consistent_read",
         "b125_tpch_q2_min_cost_supplier",
         "b126_tpch_q11_important_stock",
         "b127_tpch_q16_supplier_count",
         "b128_tpch_q20_potential_promotion",
+        "b129_multi_hop_reach",
+        "c88_source_keyness_terms",
+        "c89_kmeans_lloyd_step",
+        "c90_curriculum_interleave",
+        "c91_bm25_topk",
+        "c92_dedup_method_agreement",
+        "c93_ann_ndcg_eval",
     }
 )
 

@@ -380,6 +380,17 @@ class DynamoReader(DataSourceReader):
         if not seg["files"]:
             return
         bytes_per_rcu = float(_opt(self.options, "bytesPerRCU", BYTES_PER_RCU))
+        # DynamoDB pricing: a strongly consistent read consumes twice
+        # the capacity of the default eventually consistent read (one
+        # RCU per 4 KB vs per 8 KB). Results are identical either way
+        # (the local store has no replication lag to observe) — only
+        # the token-bucket accounting changes, mirroring the
+        # reference's consistentRead throughput math.
+        self._rcu_factor = (
+            2.0
+            if _bool_opt(self.options, "stronglyConsistentReads", False)
+            else 1.0
+        )
         bucket = TokenBucket(seg["rate"])
         expr = None
         for f in self.pushed:
@@ -411,7 +422,7 @@ class DynamoReader(DataSourceReader):
             # DynamoDB, a server-side filter reduces transfer, not RCU —
             # we account the unfiltered batch size upstream of the filter
             # only approximately via nbytes of the returned batch.
-            bucket.acquire(batch.nbytes / bytes_per_rcu)
+            bucket.acquire(batch.nbytes * self._rcu_factor / bytes_per_rcu)
             yield batch
 
     def _read_jsonl(self, seg: dict) -> Iterator[tuple]:
@@ -424,7 +435,9 @@ class DynamoReader(DataSourceReader):
         for path in seg["files"]:
             with open(path) as fh:
                 for line in fh:
-                    bucket.acquire(len(line) / bytes_per_rcu)
+                    bucket.acquire(
+                        len(line) * self._rcu_factor / bytes_per_rcu
+                    )
                     doc = json.loads(line)
                     if self.pushed and not all(
                         _matches_doc(f, doc) for f in self.pushed

@@ -876,3 +876,22 @@ def dynamo_pushdown_toggle(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
         & F.col("c_name").startswith("Customer#")
     ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "a26_dynamo_consistent_read",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000.0",
+)
+def dynamo_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A16 companion: option('stronglyConsistentReads', 'true') —
+    results are identical to the default eventually consistent scan
+    (the local store has no replication lag to observe), but the
+    read-side token bucket accounts 2x RCU per byte, mirroring
+    DynamoDB's consistent-read capacity pricing (1 RCU per 4 KB vs
+    per 8 KB). The capacity doubling itself is pinned by a unit test
+    on the reader (tests/test_dynamo_source.py)."""
+    table = _ensure_customer_kv(spark, sf_dir)
+    df = read_dynamo(spark, table, stronglyConsistentReads="true")
+    return df.filter(F.col("c_acctbal") > 5000.0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )

@@ -640,3 +640,41 @@ def test_cdc_replication_rerun_is_idempotent(spark, sf_dir):
     first = sorted(map(tuple, dynamo_cdc_replication(spark, sf_dir).collect()))
     second = sorted(map(tuple, dynamo_cdc_replication(spark, sf_dir).collect()))
     assert first == second
+
+
+def test_consistent_read_doubles_rcu(spark, sf_dir):
+    """a26: stronglyConsistentReads=true consumes 2x capacity units
+    for the same bytes (DynamoDB consistent-read pricing); results
+    identical. Pinned at the reader level: same rate + bytesPerRCU,
+    the consistent scan must sleep ~2x longer."""
+    name = "t_consistent_kv"
+    keyed_store.create_table(
+        spark,
+        load_table(spark, sf_dir, "nation"),
+        name,
+        hash_key="n_nationkey",
+        n_segments=1,
+    )
+    # identical results
+    a = read_dynamo(spark, name).orderBy("n_nationkey").collect()
+    b = (
+        read_dynamo(spark, name, stronglyConsistentReads="true")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    assert a == b
+    # capacity accounting: eventual ~3.5 units vs consistent ~7 units
+    # at 1 unit/s (burst 1) → consistent sleeps ~2x longer.
+    t0 = time.monotonic()
+    read_dynamo(spark, name, throughput=1, bytesPerRCU=150).count()
+    eventual = time.monotonic() - t0
+    t0 = time.monotonic()
+    read_dynamo(
+        spark,
+        name,
+        throughput=1,
+        bytesPerRCU=150,
+        stronglyConsistentReads="true",
+    ).count()
+    consistent = time.monotonic() - t0
+    assert consistent > eventual + 1.0

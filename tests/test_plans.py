@@ -1116,3 +1116,75 @@ def test_tpch_q20_single_conditional_rollup(spark, sf_dir):
     plan = physical_plan(analytics.tpch_q20(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_multi_hop_reach_no_pair_explosion(spark, sf_dir):
+    """b129: the 2-hop accounting joins the degree table back on
+    supp — no customer-pair materialization, no cartesian."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.multi_hop_reach(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_keyness_topk_window_group_limit(spark, sf_dir):
+    """c88: the top-10-per-source cut gets WindowGroupLimit pushdown
+    (per-task heaps, never a full per-source sort); source totals
+    broadcast."""
+    from spark_dynamodb_spark.operators import curation
+
+    plan = physical_plan(curation.source_keyness_terms(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kmeans_argmin_is_rollup_not_window(spark, sf_dir):
+    """c89: the nearest-centroid argmin is a combinable min-of-struct
+    aggregate — no window over the corpus; seeds broadcast."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    plan = physical_plan(sim.kmeans_lloyd_step(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_curriculum_windows_are_bucketed(spark, sf_dir):
+    """c90: every window partitions by (source, bk) or runs over a
+    tiny distinct relation — no window partitioned by bare source
+    over the full docs scan (the two-phase rank discipline)."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.curriculum_interleave(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # the doc-level rank partitions by the 16-way bucket too
+    assert "hashpartitioning(source" in plan and "bk" in plan, plan
+
+
+def test_bm25_postings_filtered_early_topk_limited(spark, sf_dir):
+    """c91: only query-vocabulary postings aggregate (the isin filter
+    sits under the tf rollup); stats/df broadcast; the top-10 window
+    gets WindowGroupLimit."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    plan = physical_plan(sim.bm25_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_agreement_reuses_component_plans(spark, sf_dir):
+    """c92: composes the registered c12/c83 relations; the rollup is
+    8 rows; no cartesian anywhere in the composed plan."""
+    plan = physical_plan(dedup.dedup_method_agreement(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ndcg_eval_bounded(spark, sf_dir):
+    """c93: every join/rollup is bounded by |queries|*k; no cartesian
+    (the ANN sides keep their own gated plans)."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    plan = physical_plan(sim.ann_ndcg_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
