@@ -569,3 +569,93 @@ def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------------------
+# B131 — corrupt-record JSON ingestion (round 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b131_corrupt_json_handling",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN '{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}'
+                  ELSE '{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR)
+             END AS payload
+      FROM documents),
+    parsed AS (
+      SELECT doc_id,
+             CASE WHEN json_valid(payload)
+                  THEN json_extract_string(payload, '$.lang') END AS lang,
+             CASE WHEN json_valid(payload)
+                  THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n,
+             NOT json_valid(payload) AS corrupt
+      FROM raw)
+    SELECT coalesce(lang, '_corrupt') AS lang,
+           COUNT(*) AS n_records,
+           CAST(SUM(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(coalesce(n, 0)) AS BIGINT) AS sum_n
+    FROM parsed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B131: PERMISSIVE-mode semi-structured ingestion — a JSON
+    payload column where every third record is truncated (planted
+    deterministically: doc_id % 3 != 0 drops the closing brace).
+    from_json returns null for the corrupt rows instead of failing
+    the job — they roll up under a '_corrupt' key with their count,
+    exactly the quarantine-and-continue contract of PERMISSIVE /
+    badRecordsPath ingestion at 100 TB (one bad crawl record must
+    never kill a 6-hour job).
+
+    Scale shape: narrow parse (one Jackson pass in codegen), one
+    combinable rollup keyed by the recovered lang; no shuffle before
+    the rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    good = F.concat(
+        F.lit('{"lang":"'),
+        F.col("lang"),
+        F.lit('","n":'),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    bad = F.concat(
+        F.lit('{"lang":"'),
+        F.col("lang"),
+        F.lit('","n":'),
+        F.col("n_chars").cast("string"),
+    )
+    payload = F.when(F.col("doc_id") % 3 == 0, good).otherwise(bad)
+    parsed = docs.select(
+        "doc_id",
+        F.from_json(
+            payload, "lang STRING, n BIGINT"
+        ).alias("j"),
+        payload.alias("payload"),
+    ).select(
+        "doc_id",
+        F.col("j.lang").alias("lang"),
+        F.col("j.n").alias("n"),
+        # PERMISSIVE from_json yields a struct of nulls (not a null
+        # struct) for malformed input; the source lang is never null,
+        # so a null recovered lang IS the corruption signal.
+        F.col("j.lang").isNull().alias("corrupt"),
+    )
+    return (
+        parsed.groupBy(
+            F.coalesce("lang", F.lit("_corrupt")).alias("lang")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.col("corrupt").cast("long")).alias("n_corrupt"),
+            F.sum(F.coalesce("n", F.lit(0))).alias("sum_n"),
+        )
+        .orderBy("lang")
+    )

@@ -115,3 +115,52 @@ def distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select("c_mktsegment", "c_nationkey").distinct().orderBy(
         "c_mktsegment", "c_nationkey"
     )
+
+
+@query(
+    "b130_topk_with_ties",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             rank() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC)
+               AS rnk
+      FROM orders)
+    SELECT o_orderkey, o_custkey, CAST(price AS DOUBLE) AS o_totalprice, rnk
+    FROM r WHERE rnk <= 10
+    ORDER BY rnk, o_orderkey
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B130: top-k WITH TIES (ANSI FETCH FIRST 10 ROWS WITH TIES) —
+    rank() instead of row_number(), so every order tied with the
+    10th price survives; the result can exceed 10 rows and never
+    depends on an arbitrary tie-break. The price compares as
+    DECIMAL so ranking ties are exact, not float-adjacent.
+
+    Scale shape: a global rank <= k gets the same WindowGroupLimit
+    treatment as a row_number top-k — per-task rank()-aware heaps
+    feed one final merge; the full sort never happens. (Spark has no
+    WITH TIES parser surface; rank() IS its plan.)
+    """
+    from pyspark.sql.window import Window
+
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.orderBy(price.desc())
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            price.alias("price"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("price").cast("double").alias("o_totalprice"),
+            "rnk",
+        )
+        .orderBy("rnk", "o_orderkey")
+    )

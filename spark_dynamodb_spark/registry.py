@@ -310,6 +310,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c88_source_keyness_terms",
         "c89_kmeans_lloyd_step",
         "c90_curriculum_interleave",
+        "b130_topk_with_ties",
+        "b131_corrupt_json_handling",
         "c91_bm25_topk",
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",

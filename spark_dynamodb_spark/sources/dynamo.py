@@ -370,6 +370,20 @@ class DynamoReader(DataSourceReader):
             scan_segment(i, n, files[i::n], rate) for i in range(n)
         ]
 
+    @property
+    def _rcu_factor(self) -> float:
+        """DynamoDB pricing: a strongly consistent read consumes twice
+        the capacity of the default eventually consistent read (one
+        RCU per 4 KB vs per 8 KB). Results are identical either way
+        (the local store has no replication lag to observe) — only
+        the token-bucket accounting changes, mirroring the
+        reference's consistentRead throughput math (A8/A16)."""
+        return (
+            2.0
+            if _bool_opt(self.options, "stronglyConsistentReads", False)
+            else 1.0
+        )
+
     def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
         seg = partition.value
         if self.fmt == "jsonl":
@@ -380,17 +394,6 @@ class DynamoReader(DataSourceReader):
         if not seg["files"]:
             return
         bytes_per_rcu = float(_opt(self.options, "bytesPerRCU", BYTES_PER_RCU))
-        # DynamoDB pricing: a strongly consistent read consumes twice
-        # the capacity of the default eventually consistent read (one
-        # RCU per 4 KB vs per 8 KB). Results are identical either way
-        # (the local store has no replication lag to observe) — only
-        # the token-bucket accounting changes, mirroring the
-        # reference's consistentRead throughput math.
-        self._rcu_factor = (
-            2.0
-            if _bool_opt(self.options, "stronglyConsistentReads", False)
-            else 1.0
-        )
         bucket = TokenBucket(seg["rate"])
         expr = None
         for f in self.pushed:

@@ -1188,3 +1188,20 @@ def test_ndcg_eval_bounded(spark, sf_dir):
 
     plan = physical_plan(sim.ann_ndcg_eval(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_with_ties_group_limit(spark, sf_dir):
+    """b130: rank() <= k gets WindowGroupLimit pushdown like a
+    row_number top-k — no full global sort of orders."""
+    plan = physical_plan(setops.topk_with_ties(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_corrupt_json_narrow_parse(spark, sf_dir):
+    """b131: one Jackson parse in a narrow Project; the only
+    exchanges are the rollup and the presentation sort."""
+    from spark_dynamodb_spark.operators import scalars
+
+    plan = physical_plan(scalars.corrupt_json_handling(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
