@@ -1907,3 +1907,73 @@ def curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C94 — export manifest with order-independent checksums (round 6)
+# ---------------------------------------------------------------------------
+#
+# The reproducibility artifact published next to a dataset export:
+# per shard, the row count, id range, total bytes-ish payload, and an
+# ORDER-INDEPENDENT 60-bit checksum (bitwise XOR of per-row content
+# hashes — XOR is commutative/associative, so any partitioning, any
+# task order, any engine produces the same value; a re-export diffs
+# against this manifest shard-by-shard without re-reading rows).
+
+_MANIFEST_SHARDS = 8
+
+
+@query(
+    "c94_export_manifest",
+    f"""
+    WITH rows_h AS (
+      SELECT doc_id % {_MANIFEST_SHARDS} AS shard_id,
+             doc_id, n_chars,
+             {sql_md5_64("CAST(doc_id AS VARCHAR) || ':' || text")} AS rh
+      FROM documents)
+    SELECT shard_id,
+           COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(rh) AS xor_checksum
+    FROM rows_h
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C94: shard manifest for a reproducible export — per shard
+    (doc_id mod 8): row count, doc_id range, total chars, and the
+    bitwise-XOR of per-row md5-derived content hashes. XOR is
+    commutative and associative, so the checksum is identical under
+    ANY partitioning or task order — the property that makes it safe
+    to compute distributed and compare across engines, re-exports,
+    and re-shards (same rows ⇒ same manifest, one corrupted row ⇒
+    one differing shard line).
+
+    Scale shape: narrow per-row hash, one combinable rollup keyed by
+    shard — every aggregate here (count/min/max/sum/bit_xor) partial-
+    aggregates map-side; the manifest itself is shard-count rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rh = md5_64(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    return (
+        docs.select(
+            (F.col("doc_id") % _MANIFEST_SHARDS).alias("shard_id"),
+            "doc_id",
+            "n_chars",
+            rh.alias("rh"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+            F.bit_xor("rh").alias("xor_checksum"),
+        )
+        .orderBy("shard_id")
+    )

@@ -315,6 +315,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c91_bm25_topk",
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",
+        "c94_export_manifest",
     }
 )
 

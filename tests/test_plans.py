@@ -1205,3 +1205,14 @@ def test_corrupt_json_narrow_parse(spark, sf_dir):
     plan = physical_plan(scalars.corrupt_json_handling(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_export_manifest_combinable(spark, sf_dir):
+    """c94: one combinable rollup (partial aggregation present), no
+    window, no join — the manifest is computable map-side."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    plan = physical_plan(pl.export_manifest(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
