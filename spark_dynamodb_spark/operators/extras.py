@@ -1058,3 +1058,86 @@ def write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("total_price"),
         F.lit(True).alias("audits_passed"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "b132_time_travel_read",
+    f"""
+    SELECT 1 AS version, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    ORDER BY version
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B132: snapshot time travel — the read-side complement of b122's
+    write-audit-publish. Two committed snapshots (v1 = the half-loaded
+    earlier state, v2 = the full table) live under a version log (one
+    manifest line per commit, pointer-file discipline); a reader asks
+    for VERSION AS OF n and gets that snapshot's files, immutably,
+    regardless of later commits. The returned row set reads BOTH
+    versions through the log and proves isolation: v1's totals are
+    unchanged by v2's commit. Oracle recomputes both states from the
+    source directly.
+
+    Scale shape: snapshots are written once (combinable rollups);
+    version resolution reads a tiny manifest, never lists data files;
+    each AS-OF read scans only that snapshot's files — time travel
+    costs metadata, not data (the Iceberg/Delta snapshot-log
+    contract, filesystem stand-in).
+    """
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = hashlib.md5(f"tt:{sf_dir}".encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"tt_{tag}")
+    log_path = os.path.join(root, "_VERSIONS.json")
+
+    def _commit(version: int, df) -> None:
+        snap_dir = os.path.join(root, f"v{version}")
+        df.write.mode("overwrite").parquet(snap_dir)
+        log = []
+        if os.path.exists(log_path):
+            with open(log_path) as f:
+                log = json.load(f)
+        log = [e for e in log if e["version"] != version]
+        log.append({"version": version, "path": f"v{version}"})
+        tmp = log_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(log, key=lambda e: e["version"]), f)
+        os.replace(tmp, log_path)
+
+    def _as_of(version: int):
+        with open(log_path) as f:
+            log = json.load(f)
+        entry = max(
+            (e for e in log if e["version"] <= version),
+            key=lambda e: e["version"],
+        )
+        return spark.read.parquet(os.path.join(root, entry["path"]))
+
+    agg = lambda df: df.agg(  # noqa: E731
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("sp"),
+    )
+    _commit(1, agg(orders.filter(F.col("o_orderkey") % 2 == 0)))
+    _commit(2, agg(orders))
+
+    v1 = _as_of(1).select(
+        F.lit(1).alias("version"),
+        "n_orders",
+        F.col("sp").cast("double").alias("total_price"),
+    )
+    v2 = _as_of(2).select(
+        F.lit(2).alias("version"),
+        "n_orders",
+        F.col("sp").cast("double").alias("total_price"),
+    )
+    return v1.unionAll(v2).orderBy("version")

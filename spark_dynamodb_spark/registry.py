@@ -312,6 +312,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c90_curriculum_interleave",
         "b130_topk_with_ties",
         "b131_corrupt_json_handling",
+        "b132_time_travel_read",
         "c91_bm25_topk",
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",

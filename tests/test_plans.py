@@ -1216,3 +1216,13 @@ def test_export_manifest_combinable(spark, sf_dir):
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_time_travel_reads_are_metadata_bounded(spark, sf_dir):
+    """b132: each AS-OF read scans only its snapshot's parquet (tiny
+    rollup files), no join, no window — time travel costs metadata."""
+    from spark_dynamodb_spark.operators import extras
+
+    plan = physical_plan(extras.time_travel_read(spark, sf_dir))
+    assert "windowspecdefinition" not in plan, plan
+    assert "Join" not in plan, plan
