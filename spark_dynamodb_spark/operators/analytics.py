@@ -2934,3 +2934,128 @@ def multi_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# B133 — top-k behavioral trajectory similarity (round 6)
+# ---------------------------------------------------------------------------
+#
+# Trajectory similarity search (REPOSE, ICDE 2021 theme) adapted to
+# event streams: each user's trajectory is their time-ordered
+# event-type sequence; similarity is Jaccard over sequence 3-grams
+# (order-sensitive, unlike c87's set affinity); the workload is
+# "find the 5 users whose behavior most resembles user q" for a
+# fixed query panel. Gram blocking keeps it off the all-pairs cliff.
+
+_TRAJ_G = 3
+_TRAJ_QUERIES = 5  # users 0..4 are the query panel
+_TRAJ_TOP = 5
+
+
+@query(
+    "b133_trajectory_similarity_topk",
+    f"""
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(s) - {_TRAJ_G - 1}, 1)),
+               i -> concat_ws('>', s[i], s[i+1], s[i+2])))) AS gram
+      FROM seq),
+    n AS (SELECT user_id, COUNT(*) AS ng FROM g GROUP BY user_id),
+    q AS (SELECT user_id AS qid, gram FROM g WHERE user_id < {_TRAJ_QUERIES}),
+    common AS (
+      SELECT q.qid, g.user_id AS cand, COUNT(*) AS c
+      FROM q JOIN g USING (gram)
+      WHERE g.user_id <> q.qid
+      GROUP BY q.qid, cand),
+    scored AS (
+      SELECT common.qid, common.cand,
+             (1000000 * common.c) // (nq.ng + nc.ng - common.c)
+               AS jaccard_ppm
+      FROM common
+      JOIN n nq ON nq.user_id = common.qid
+      JOIN n nc ON nc.user_id = common.cand),
+    ranked AS (
+      SELECT qid, cand, jaccard_ppm,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY jaccard_ppm DESC, cand) AS rnk
+      FROM scored)
+    SELECT qid, rnk, cand, CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm
+    FROM ranked WHERE rnk <= {_TRAJ_TOP}
+    ORDER BY qid, rnk
+    """,
+)
+def trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B133: top-5 most behaviorally similar users per query user —
+    Jaccard (integer ppm) over distinct 3-grams of each user's
+    time-ordered event-type sequence. Order-sensitive by
+    construction: 'view>cart>buy' and 'buy>cart>view' share no gram.
+
+    Scale shape: sequences build from ONE combinable-ish groupBy
+    (sort within the user partition only); grams derive narrowly per
+    row; the candidate search is gram-blocked — a query gram only
+    meets users sharing that exact gram (equi-join on gram), never
+    an all-pairs cross; per-pair counts and the Jaccard join are
+    bounded by the query panel x matched candidates; top-5 per query
+    gets WindowGroupLimit. The gram-frequency skew cap story from
+    c02 applies if a gram becomes universal (here the event-type
+    vocabulary bounds gram fan-out).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda e: e["event_type"]
+            ).alias("s")
+        )
+    )
+    n_s = F.size("s")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_s - (_TRAJ_G - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            ">",
+            F.element_at(F.col("s"), i),
+            F.element_at(F.col("s"), i + 1),
+            F.element_at(F.col("s"), i + 2),
+        ),
+    )
+    g = seq.select(
+        "user_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    n = g.groupBy("user_id").agg(F.count("*").alias("ng"))
+    q = g.filter(F.col("user_id") < _TRAJ_QUERIES).select(
+        F.col("user_id").alias("qid"), "gram"
+    )
+    common = (
+        q.join(g, "gram")
+        .filter(F.col("user_id") != F.col("qid"))
+        .groupBy("qid", F.col("user_id").alias("cand"))
+        .agg(F.count("*").alias("c"))
+    )
+    nq = n.select(F.col("user_id").alias("qid"), F.col("ng").alias("ng_q"))
+    nc = n.select(F.col("user_id").alias("cand"), F.col("ng").alias("ng_c"))
+    scored = (
+        common.join(F.broadcast(nq), "qid")
+        .join(nc, "cand")
+        .select(
+            "qid",
+            "cand",
+            F.expr("1000000 * c DIV (ng_q + ng_c - c)").alias("jaccard_ppm"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("jaccard_ppm").desc(), "cand"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TRAJ_TOP)
+        .select("qid", "rnk", "cand", "jaccard_ppm")
+        .orderBy("qid", "rnk")
+    )

@@ -313,6 +313,8 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "b130_topk_with_ties",
         "b131_corrupt_json_handling",
         "b132_time_travel_read",
+        "b133_trajectory_similarity_topk",
+        "b134_incremental_topk_merge",
         "c91_bm25_topk",
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",

@@ -1226,3 +1226,20 @@ def test_time_travel_reads_are_metadata_bounded(spark, sf_dir):
     plan = physical_plan(extras.time_travel_read(spark, sf_dir))
     assert "windowspecdefinition" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_trajectory_similarity_gram_blocked(spark, sf_dir):
+    """b133: candidates come from the gram equi-join (no all-pairs
+    cross of users); top-5 per query is WindowGroupLimit'd."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.trajectory_similarity_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_incremental_topk_both_sides_take_ordered(spark, sf_dir):
+    """b134: each side plans TakeOrderedAndProject (per-partition
+    heaps) — no global sort of either side before the 2k-row merge."""
+    plan = physical_plan(setops.incremental_topk_merge(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
