@@ -2090,3 +2090,83 @@ def _finalize_c93_oracle() -> None:
 
 
 _finalize_c93_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C95 — ANN MRR eval (completes the retrieval-metric triad)
+# ---------------------------------------------------------------------------
+
+
+def _sql_c95() -> str:
+    return """
+    WITH exact AS ({EXACT}),
+    approx AS ({APPROX}),
+    hits AS (
+      SELECT a.query_id, MIN(a.rnk) AS first_rank
+      FROM approx a
+      JOIN exact e ON e.query_id = a.query_id
+                  AND e.neighbor_id = a.neighbor_id
+      GROUP BY a.query_id),
+    base AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT base.query_id, base.n_exact,
+           CAST(coalesce(hits.first_rank, 0) AS BIGINT) AS first_rank,
+           CAST(CASE WHEN hits.first_rank IS NULL THEN 0
+                     ELSE 1000000 // hits.first_rank END AS BIGINT)
+             AS rr_micro
+    FROM base LEFT JOIN hits USING (query_id)
+    ORDER BY base.query_id
+    """
+
+
+@query("c95_ann_mrr_eval", _sql_c95())
+def ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95: reciprocal rank of the first relevant neighbor per query
+    (relevant = in the exact top-k), in floored micro-units — with
+    c42 (recall) and c93 (nDCG) this completes the standard retrieval
+    eval triad, all three composing the same registered c03 queries.
+    first_rank = 0 / rr_micro = 0 marks a query whose approx list
+    contains NO exact neighbor (the index's hard misses).
+
+    Scale shape: bounded by |queries| x k throughout (c42/c93
+    discipline)."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_bucketed(spark, sf_dir).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        "rnk",
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("aq"))
+            & (exact.neighbor_id == F.col("an")),
+        )
+        .groupBy("query_id")
+        .agg(F.min("rnk").alias("first_rank"))
+    )
+    base = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("first_rank", F.lit(0)).cast("long").alias("first_rank"),
+            F.when(F.col("first_rank").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 DIV first_rank"))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _finalize_c95_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c95_ann_mrr_eval")
+    spec.oracle = spec.oracle.replace(
+        "{EXACT}", _registered_oracle("c03_ann_cosine_topk")
+    ).replace("{APPROX}", _registered_oracle("c03_ann_lsh_bucketed"))
+
+
+_finalize_c95_oracle()

@@ -319,6 +319,7 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",
         "c94_export_manifest",
+        "c95_ann_mrr_eval",
     }
 )
 

@@ -1243,3 +1243,11 @@ def test_incremental_topk_both_sides_take_ordered(spark, sf_dir):
     heaps) — no global sort of either side before the 2k-row merge."""
     plan = physical_plan(setops.incremental_topk_merge(spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_mrr_eval_bounded(spark, sf_dir):
+    """c95: bounded by |queries|*k like c42/c93; no cartesian."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    plan = physical_plan(sim.ann_mrr_eval(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
