@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.exact import dsum, sql_dsum
+from spark_dynamodb_spark.functions.text import md5_64, sql_md5_64
 from spark_dynamodb_spark.registry import query
 from spark_dynamodb_spark.tables import load_table
 
@@ -3059,3 +3060,347 @@ def trajectory_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rnk", "cand", "jaccard_ppm")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# B135 — single-pass column profile (the Deequ-style analyzer pass)
+# ---------------------------------------------------------------------------
+
+_B135_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _sql_b135() -> str:
+    per_col = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               (SELECT COUNT(*) FROM orders) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct
+        FROM orders"""
+        for c in _B135_COLS
+    )
+    return f"""
+    WITH tall AS ({per_col})
+    SELECT col_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(1000000 * n_nonnull // n_rows AS BIGINT) AS completeness_ppm,
+           CAST(CASE WHEN n_nonnull = 0 THEN 0
+                     ELSE 1000000 * n_distinct // n_nonnull END AS BIGINT)
+             AS distinctness_ppm
+    FROM tall
+    ORDER BY col_name
+    """
+
+
+@query("b135_column_profile", _sql_b135())
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B135: dataset profiling in ONE pass — per-column row count,
+    non-null count, exact distinct count, and the derived
+    completeness/distinctness ratios (integer ppm), emitted as a tall
+    (column, metrics) table. This is the Deequ/`ANALYZE TABLE` analyzer
+    pattern: the validation pass a training pipeline runs over every
+    ingested table before trusting it, and the stats a CBO feeds on.
+
+    Scale shape: all metrics come from a SINGLE scan of the table —
+    the multi-column COUNT(DISTINCT) set compiles to one Expand +
+    two-phase hash aggregate (each expanded row carries one column's
+    value, so the shuffle is bounded by per-column cardinality, never
+    row count x columns). The 1-row wide result is then unpivoted
+    driver-free with stack(); nothing is collected. The oracle scans
+    once per column instead — same answer, the plan the single-pass
+    version exists to avoid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _B135_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _B135_COLS)
+    tall = wide.selectExpr(
+        "n_rows",
+        f"stack({len(_B135_COLS)}, {stack_args})"
+        " AS (col_name, n_nonnull, n_distinct)",
+    )
+    return tall.select(
+        "col_name",
+        F.col("n_rows").cast("long"),
+        F.col("n_nonnull").cast("long"),
+        F.col("n_distinct").cast("long"),
+        F.expr("1000000 * n_nonnull DIV n_rows")
+        .cast("long")
+        .alias("completeness_ppm"),
+        F.expr(
+            "CASE WHEN n_nonnull = 0 THEN 0"
+            " ELSE 1000000 * n_distinct DIV n_nonnull END"
+        )
+        .cast("long")
+        .alias("distinctness_ppm"),
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# B136 — referential-integrity audit (FK + PK constraint suite)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b136_referential_integrity_audit",
+    """
+    WITH li AS (
+      SELECT COUNT(*) AS n_li,
+             COUNT(*) FILTER (o.o_orderkey IS NULL) AS v_ord,
+             COUNT(*) FILTER (p.p_partkey IS NULL) AS v_part,
+             COUNT(*) FILTER (s.s_suppkey IS NULL) AS v_supp
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+             ON l.l_partkey = p.p_partkey
+      LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+             ON l.l_suppkey = s.s_suppkey),
+    ord AS (
+      SELECT COUNT(*) AS n_ord,
+             COUNT(*) FILTER (c.c_custkey IS NULL) AS v_cust,
+             COUNT(DISTINCT o.o_orderkey) AS nd_ordkey
+      FROM orders o
+      LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey),
+    cust AS (
+      SELECT COUNT(*) AS n_cust,
+             COUNT(*) FILTER (n.n_nationkey IS NULL) AS v_nat,
+             COUNT(DISTINCT c.c_custkey) AS nd_custkey
+      FROM customer c
+      LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+             ON c.c_nationkey = n.n_nationkey),
+    m AS (SELECT * FROM li, ord, cust),
+    tall AS (
+      SELECT 'fk_lineitem_orderkey' AS constraint_name, n_li AS n_rows,
+             v_ord AS n_violations FROM m
+      UNION ALL SELECT 'fk_lineitem_partkey', n_li, v_part FROM m
+      UNION ALL SELECT 'fk_lineitem_suppkey', n_li, v_supp FROM m
+      UNION ALL SELECT 'fk_orders_custkey', n_ord, v_cust FROM m
+      UNION ALL SELECT 'fk_customer_nationkey', n_cust, v_nat FROM m
+      UNION ALL SELECT 'pk_orders_orderkey', n_ord, n_ord - nd_ordkey FROM m
+      UNION ALL SELECT 'pk_customer_custkey', n_cust, n_cust - nd_custkey
+                FROM m)
+    SELECT constraint_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(1000000 * n_violations // n_rows AS BIGINT)
+             AS violation_ppm
+    FROM tall
+    ORDER BY constraint_name
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B136: constraint-suite audit over the star schema — every FK
+    checked for orphans and every PK for duplicates, one tall row per
+    constraint with violation counts and ppm rate. This is the Deequ
+    Check / dbt-test layer: the gate a pipeline runs before publishing
+    a snapshot, and the complement of b135's per-column profile.
+
+    Scale shape: each fact table is scanned ONCE for all of its
+    constraints — lineitem's three FK probes are three left joins
+    chained on the same pass (key-only, deduplicated build sides),
+    collapsed by a single combinable aggregate; the PK-duplicate
+    checks ride the same aggregate as COUNT(DISTINCT key). Build
+    sides are NOT hard-broadcast (repo rule: AQE decides — `part` at
+    100 TB outgrows any broadcast threshold). The three 1-row audit
+    frames then cross-combine broadcast-wise and unpivot with
+    stack(); nothing touches the driver.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    ord_keys = (
+        load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    )
+    part_keys = load_table(spark, sf_dir, "part").select("p_partkey").distinct()
+    supp_keys = (
+        load_table(spark, sf_dir, "supplier").select("s_suppkey").distinct()
+    )
+    cust_keys = (
+        load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    )
+    nat_keys = (
+        load_table(spark, sf_dir, "nation").select("n_nationkey").distinct()
+    )
+    li_agg = (
+        li.join(ord_keys, li.l_orderkey == ord_keys.o_orderkey, "left")
+        .join(part_keys, li.l_partkey == part_keys.p_partkey, "left")
+        .join(supp_keys, li.l_suppkey == supp_keys.s_suppkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("v_ord"),
+            F.count(F.when(F.col("p_partkey").isNull(), 1)).alias("v_part"),
+            F.count(F.when(F.col("s_suppkey").isNull(), 1)).alias("v_supp"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ord_agg = o.join(
+        cust_keys, o.o_custkey == cust_keys.c_custkey, "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_ord"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("v_cust"),
+        F.count_distinct(F.col("o_orderkey")).alias("nd_ordkey"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust_agg = c.join(
+        nat_keys, c.c_nationkey == nat_keys.n_nationkey, "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.count(F.when(F.col("n_nationkey").isNull(), 1)).alias("v_nat"),
+        F.count_distinct(F.col("c_custkey")).alias("nd_custkey"),
+    )
+    m = li_agg.crossJoin(F.broadcast(ord_agg)).crossJoin(F.broadcast(cust_agg))
+    tall = m.selectExpr(
+        "stack(7,"
+        " 'fk_lineitem_orderkey', n_li, v_ord,"
+        " 'fk_lineitem_partkey', n_li, v_part,"
+        " 'fk_lineitem_suppkey', n_li, v_supp,"
+        " 'fk_orders_custkey', n_ord, v_cust,"
+        " 'fk_customer_nationkey', n_cust, v_nat,"
+        " 'pk_orders_orderkey', n_ord, n_ord - nd_ordkey,"
+        " 'pk_customer_custkey', n_cust, n_cust - nd_custkey)"
+        " AS (constraint_name, n_rows, n_violations)"
+    )
+    return tall.select(
+        "constraint_name",
+        F.col("n_rows").cast("long"),
+        F.col("n_violations").cast("long"),
+        F.expr("1000000 * n_violations DIV n_rows")
+        .cast("long")
+        .alias("violation_ppm"),
+    ).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# B137 — Poisson-bootstrap confidence interval (distributed resampling)
+# ---------------------------------------------------------------------------
+
+_B137_R = 32  # bootstrap replicates
+# Poisson(1) CDF in floored ppm: P(X<=k) for k=0..7; draws above the
+# last threshold cap at weight 8 (P ~ 1e-5 — never hit at fixture size).
+_B137_CDF = [367879, 735758, 919698, 981011, 996340, 999405, 999916, 999989]
+
+
+def _b137_weight_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_B137_CDF)
+    )
+    return f"CASE {branches} ELSE 8 END"
+
+
+_B137_KEY = (
+    "'boot:' || CAST(l_orderkey AS VARCHAR) || ':'"
+    " || CAST(l_linenumber AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)"
+)
+
+
+@query(
+    "b137_bootstrap_ci",
+    f"""
+    WITH rep AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+               AS x_cents,
+             r.replicate
+      FROM lineitem l
+      CROSS JOIN (SELECT unnest(range(1, {_B137_R} + 1)) AS replicate) r),
+    weighted AS (
+      SELECT replicate, x_cents,
+             {_b137_weight_sql(f"({sql_md5_64(_B137_KEY)}) % 1000000")} AS w
+      FROM rep),
+    agg AS (
+      SELECT replicate,
+             CAST(SUM(w) AS BIGINT) AS n_drawn,
+             CAST(SUM(w * x_cents) AS BIGINT) AS sum_cents
+      FROM weighted GROUP BY replicate)
+    SELECT replicate,
+           n_drawn,
+           CAST((sum_cents // n_drawn) * 10000
+                + ((sum_cents % n_drawn) * 10000) // n_drawn AS BIGINT)
+             AS mean_micro
+    FROM agg
+    ORDER BY replicate
+    """,
+)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B137: Poisson bootstrap — the distributed form of the bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"; the same per-row-weight trick behind bag-of-little-
+    bootstraps): instead of resampling n rows with replacement (which
+    needs global coordination), each row draws an independent
+    Poisson(1) multiplicity per replicate, giving 32 simultaneous
+    resampled means of l_extendedprice in ONE pass. The spread of the
+    replicate means IS the sampling distribution — a CI for the mean
+    at 100 TB without ever materializing a resample.
+
+    Determinism: weights come from md5-derived uniforms against fixed
+    floored-ppm Poisson CDF thresholds (module literals) — no RAND(),
+    identical draws in both engines, any partitioning.
+
+    Exactness: prices enter as integer cents (decimal-cast, the
+    functions/exact.py discipline); the replicate mean is emitted in
+    integer micro-units via quotient + scaled-remainder so no product
+    ever exceeds BIGINT at any realistic row count (sum_cents stays
+    under 2^63 past 10^11 rows; the remainder term is bounded by
+    n_drawn * 10^4).
+
+    Scale shape: the x{_B137_R} replicate fan-out happens map-side
+    (explode of a literal sequence, inside the scan stage) and is
+    collapsed by partial aggregation BEFORE the shuffle — the exchange
+    carries {_B137_R} rows per task, never {_B137_R}x the data. One
+    scan, one Generate, one two-phase aggregate (plan-gated).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)")
+        .alias("x_cents"),
+    )
+    rep = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "x_cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_B137_R))).alias("replicate"),
+    )
+    u = (
+        md5_64(
+            F.concat(
+                F.lit("boot:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+                F.lit(":"),
+                F.col("replicate").cast("string"),
+            )
+        )
+        % 1000000
+    )
+    weighted = rep.withColumn("u_ppm", u).select(
+        "replicate",
+        "x_cents",
+        F.expr(_b137_weight_sql("u_ppm")).alias("w"),
+    )
+    agg = weighted.groupBy("replicate").agg(
+        F.sum("w").cast("long").alias("n_drawn"),
+        F.sum(F.col("w") * F.col("x_cents")).cast("long").alias("sum_cents"),
+    )
+    return agg.select(
+        "replicate",
+        "n_drawn",
+        F.expr(
+            "CAST((sum_cents DIV n_drawn) * 10000"
+            " + ((sum_cents % n_drawn) * 10000) DIV n_drawn AS BIGINT)"
+        ).alias("mean_micro"),
+    ).orderBy("replicate")

@@ -320,6 +320,9 @@ ROTATION_PENDING: frozenset[str] = frozenset(
         "c93_ann_ndcg_eval",
         "c94_export_manifest",
         "c95_ann_mrr_eval",
+        "b135_column_profile",
+        "b136_referential_integrity_audit",
+        "b137_bootstrap_ci",
     }
 )
 

@@ -1251,3 +1251,42 @@ def test_mrr_eval_bounded(spark, sf_dir):
 
     plan = physical_plan(sim.ann_mrr_eval(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_column_profile_single_scan_expand(spark, sf_dir):
+    """b135: ALL per-column metrics from one scan — the multi-distinct
+    set compiles to one Expand, not one scan per column."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.column_profile(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_integrity_audit_shapes(spark, sf_dir):
+    """b136: lineitem scanned once for its three FK probes; the FK
+    build sides carry no hard broadcast hint (AQE picks — `part`
+    outgrows any threshold at 100 TB; the only F.broadcast marks in
+    this query are the bounded 1-row audit-frame combines, which the
+    repo rule allows)."""
+    from spark_dynamodb_spark.operators import analytics
+
+    df = analytics.referential_integrity_audit(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    # exactly the two 1-row combine hints, nothing on the FK probes
+    assert analyzed.count("ResolvedHint") <= 2, analyzed
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bootstrap_fanout_collapses_before_shuffle(spark, sf_dir):
+    """b137: the x32 replicate explode happens map-side and partial
+    aggregation collapses it BEFORE the exchange — one scan, one
+    Generate, a two-phase aggregate."""
+    from spark_dynamodb_spark.operators import analytics
+
+    plan = physical_plan(analytics.bootstrap_ci(spark, sf_dir))
+    assert "Generate" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial" in plan.lower(), plan
