@@ -3404,3 +3404,271 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + ((sum_cents % n_drawn) * 10000) DIV n_drawn AS BIGINT)"
         ).alias("mean_micro"),
     ).orderBy("replicate")
+
+
+# ---------------------------------------------------------------------------
+# B138 — PageRank (fixed-iteration graph centrality, integer micro-ranks)
+# ---------------------------------------------------------------------------
+
+_B138_ITERS = 3
+_B138_TOPK = 20
+
+
+def _sql_b138() -> str:
+    iter_cte = """
+    r{next} AS (
+      SELECT e.dst AS node,
+             150000 + SUM((85 * r.rank_micro) // (100 * e.deg)) AS rank_micro
+      FROM ed e JOIN r{cur} r ON e.src = r.node
+      GROUP BY e.dst)"""
+    iters = ",".join(
+        iter_cte.format(cur=i, next=i + 1) for i in range(_B138_ITERS)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS c,
+                      'S' || CAST(l.l_suppkey AS VARCHAR) AS s
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    sym AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    ed AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+    r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg),
+    {iters},
+    top AS (
+      SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r{_B138_ITERS}
+      ORDER BY rank_micro DESC, node LIMIT {_B138_TOPK})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rank_micro DESC, node) AS BIGINT)
+             AS rnk,
+           node, rank_micro
+    FROM top
+    ORDER BY rnk
+    """
+
+
+@query("b138_pagerank_centrality", _sql_b138())
+def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B138: PageRank centrality over the customer-supplier bipartite
+    graph (edges = distinct trading pairs from orders x lineitem,
+    symmetrized) — the classic iterative-on-Spark workload the
+    components/k-core/triangle family (b113/b118/c02) has not covered:
+    a damped random-walk fixpoint. Ranks are unnormalized PageRank x N
+    with damping 0.85, run for a FIXED {iters} iterations so the
+    computation is a finite relational expression both engines agree
+    on.
+
+    Determinism/exactness: ranks live in integer micro-units; each
+    edge contributes floor(0.85 * rank / deg) via integer division
+    (85 * r) DIV (100 * deg) — positive operands floor identically in
+    Spark and DuckDB, so every iteration is bit-reproducible under any
+    partitioning (float PageRank would drift with aggregation order).
+
+    Scale shape: the degree table and the degree-annotated edge
+    relation `ed` are MATERIALIZED once (the c02 component-loop
+    checkpoint helper — local blocks here, `checkpoint="reliable"`
+    for a real cluster), so the iterations' lineage is bounded and no
+    iteration re-derives the edge build: each round is one equi-join
+    of ranks against the materialized `ed` followed by a combinable
+    SUM by dst (the returned plan contains ZERO parquet scans —
+    plan-gated). Per-node state is one BIGINT — 10^9 nodes is ~16 GB
+    of rank state spread across the cluster. Hot (high-degree) nodes
+    fan IN through a partial-agg combine, so skew collapses map-side.
+    Top-k extraction is a TakeOrderedAndProject heap, never a global
+    sort; the {topk}-row result then gets rnk from a bounded window.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    sym = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    from spark_dynamodb_spark.operators.dedup import _materialize
+
+    deg = _materialize(
+        sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "local"
+    )
+    ed = _materialize(sym.join(deg, "src"), "local")
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank_micro")
+    )
+    for _ in range(_B138_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst"),
+            F.expr("(85 * rank_micro) DIV (100 * deg)").alias("c"),
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(150000) + F.sum("c")).cast("long").alias("rank_micro")
+        )
+    top = ranks.orderBy(F.desc("rank_micro"), "node").limit(_B138_TOPK)
+    w_rnk = W.orderBy(F.desc("rank_micro"), "node")
+    return top.select(
+        F.row_number().over(w_rnk).cast("long").alias("rnk"),
+        "node",
+        "rank_micro",
+    ).orderBy("rnk")
+
+
+pagerank_centrality.__doc__ = pagerank_centrality.__doc__.format(
+    iters=_B138_ITERS, topk=_B138_TOPK
+)
+
+
+# ---------------------------------------------------------------------------
+# B139 — CUSUM changepoint (offline mean-shift detection, two-phase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b139_cusum_changepoint",
+    f"""
+    WITH e AS (
+      SELECT event_type, event_id, {EVENTS_TS_US_SQL} AS t,
+             CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events),
+    d AS (
+      SELECT event_type, t,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY t, event_id) AS j,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY t, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS s_j,
+             SUM(x) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    m AS (
+      SELECT event_type, n, j, t, ABS(n * s_j - j * tot) AS d_abs
+      FROM d),
+    mx AS (SELECT event_type, MAX(d_abs) AS cusum_abs FROM m
+           GROUP BY event_type)
+    SELECT m.event_type,
+           CAST(MAX(m.n) AS BIGINT) AS n_rows,
+           CAST(MIN(m.j) AS BIGINT) AS cp_pos,
+           CAST(arg_min(m.t, m.j) AS BIGINT) AS cp_ts_us,
+           CAST(MAX(mx.cusum_abs) AS BIGINT) AS cusum_abs
+    FROM m JOIN mx ON m.event_type = mx.event_type
+                  AND m.d_abs = mx.cusum_abs
+    GROUP BY m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B139: offline changepoint detection per event_type — the CUSUM
+    / binary-segmentation first-split statistic: with prefix sums
+    S_j over the time-ordered value series, D_j = |N*S_j - j*T|
+    peaks exactly where the mean shifts (it is n_left*n_right*
+    |mean_left - mean_right| up to a constant). Reports, per series,
+    the split position, its timestamp, and the attained statistic —
+    the time-series complement of b117's point anomalies (a level
+    SHIFT is invisible to point detectors).
+
+    Exactness: values enter as integer cents (floor(value*100) — the
+    shared portable conversion); D_j is pure BIGINT products
+    (|N*S_j| <= N^2 * max_cents, inside BIGINT to ~10^7 rows/series
+    at fixture value ranges; past that the statistic would ride
+    DECIMAL(38)). Ties on D break to the earliest position via a
+    combinable MIN, never a ranking pass.
+
+    Scale shape: a per-type global ORDER BY prefix sum is the
+    SinglePartition-window killer when types are few, so this uses
+    the b84/c18 bucketed two-phase form: rows prefix-sum within
+    (event_type, day) buckets; per-bucket (count, sum) totals — a
+    bounded relation, MATERIALIZED once so its two consumers (carry +
+    per-type totals) don't re-derive it — get an exclusive cumulative
+    carry; in-bucket prefix + carry reconstructs the global (j, S_j)
+    exactly. The argmax is a single combinable MAX over a
+    (d_abs, -j, ...) struct — lexicographic struct max IS
+    argmax-with-earliest-tiebreak — so the fact is scanned exactly
+    once in the returned plan (plan-gated) and no ranking window ever
+    touches it.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+    )
+    e = e.withColumn("day", F.timestamp_micros("t").cast("date"))
+    w_in = (
+        W.partitionBy("event_type", "day")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_bucket = e.select(
+        "event_type",
+        "day",
+        "t",
+        F.row_number().over(
+            W.partitionBy("event_type", "day").orderBy("t", "event_id")
+        ).alias("j_in"),
+        F.sum("x").over(w_in).alias("s_in"),
+    )
+    from spark_dynamodb_spark.operators.dedup import _materialize
+
+    bucket_totals = _materialize(
+        e.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("b_cnt"), F.sum("x").alias("b_sum")
+        ),
+        "local",
+    )
+    w_days = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carries = bucket_totals.select(
+        "event_type",
+        "day",
+        (F.sum("b_cnt").over(w_days) - F.col("b_cnt")).alias("carry_cnt"),
+        (F.sum("b_sum").over(w_days) - F.col("b_sum")).alias("carry_sum"),
+    )
+    totals = bucket_totals.groupBy("event_type").agg(
+        F.sum("b_cnt").alias("n"), F.sum("b_sum").alias("tot")
+    )
+    m = (
+        in_bucket.join(F.broadcast(carries), ["event_type", "day"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "t",
+            (F.col("carry_cnt") + F.col("j_in")).alias("j"),
+            (F.col("carry_sum") + F.col("s_in")).alias("s_j"),
+            "tot",
+        )
+        .withColumn(
+            "d_abs", F.abs(F.col("n") * F.col("s_j") - F.col("j") * F.col("tot"))
+        )
+    )
+    best = m.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("d_abs"),
+                (-F.col("j")).alias("negj"),
+                F.col("t"),
+                F.col("n"),
+            )
+        ).alias("mx")
+    )
+    return best.select(
+        "event_type",
+        F.col("mx.n").cast("long").alias("n_rows"),
+        (-F.col("mx.negj")).cast("long").alias("cp_pos"),
+        F.col("mx.t").cast("long").alias("cp_ts_us"),
+        F.col("mx.d_abs").cast("long").alias("cusum_abs"),
+    ).orderBy("event_type")

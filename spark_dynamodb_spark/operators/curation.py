@@ -1426,3 +1426,94 @@ def source_keyness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rnk", "term", "c_src", "keyness_ppm")
         .orderBy("source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# C96 — k-anonymity audit over corpus metadata (release-gate governance)
+# ---------------------------------------------------------------------------
+
+_C96_KS = [2, 5, 10, 20]
+_C96_BUCKET = 128  # n_chars quasi-identifier bucket width
+
+
+@query(
+    "c96_k_anonymity_audit",
+    f"""
+    WITH qi AS (
+      SELECT source, lang, n_chars // {_C96_BUCKET} AS len_bucket
+      FROM documents),
+    grp AS (
+      SELECT source, lang, len_bucket, COUNT(*) AS g_n
+      FROM qi GROUP BY source, lang, len_bucket),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _C96_KS)}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (g_n < ks.k) AS BIGINT) AS violating_groups,
+           CAST(COALESCE(SUM(g_n) FILTER (g_n < ks.k), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(1000000 * COALESCE(SUM(g_n) FILTER (g_n < ks.k), 0)
+                // SUM(g_n) AS BIGINT) AS at_risk_ppm
+    FROM grp CROSS JOIN ks
+    GROUP BY ks.k
+    ORDER BY k
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C96: k-anonymity audit over the corpus's release metadata —
+    treating (source, lang, length-bucket) as the quasi-identifier
+    tuple, report for each candidate k how many QI equivalence
+    classes fall below k members and how many rows those classes
+    expose (the re-identification surface). This is the governance
+    gate a dataset release runs before publishing per-document
+    metadata: a document alone in its (source, lang, length) cell is
+    linkable even with the text withheld. Complements c37 (content
+    PII) and c59 (DP aggregate release) — this one audits the
+    METADATA side channel, and the k-level table is exactly the
+    suppression/generalization trade-off curve an editor reads.
+
+    Scale shape: one exchange builds the QI-class histogram, whose
+    size is bounded by |sources| x |langs| x |length buckets| — a
+    cardinality-bounded relation, never row count. The k-level sweep
+    is a broadcast cross of that bounded relation with a literal
+    4-row frame (the repo's bounded-crossJoin rule), collapsed by a
+    combinable FILTER aggregate. Nothing rescans the corpus per k.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.expr(f"n_chars DIV {_C96_BUCKET}").alias("len_bucket")
+    )
+    grp = docs.groupBy("source", "lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("g_n")
+    )
+    ks = spark.range(len(_C96_KS)).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _C96_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    swept = grp.crossJoin(F.broadcast(ks))
+    return (
+        swept.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.count(F.when(F.col("g_n") < F.col("k"), 1))
+            .cast("long")
+            .alias("violating_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("g_n") < F.col("k"), F.col("g_n"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "CAST(1000000 * COALESCE(SUM(CASE WHEN g_n < k THEN g_n END), 0)"
+                " DIV SUM(g_n) AS BIGINT)"
+            ).alias("at_risk_ppm"),
+        )
+        .select(
+            F.col("k").cast("long"),
+            "n_groups",
+            "violating_groups",
+            "rows_at_risk",
+            "at_risk_ppm",
+        )
+        .orderBy("k")
+    )

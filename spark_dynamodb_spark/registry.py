@@ -299,30 +299,31 @@ ROTATED_GREEN_R1 = frozenset(
 # driver-sim, this session):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
-        # Round-6 additions past the 50-name window (the 7 slots went
-        # to a25/b124/c83–c87): parked for the round-7 window.
         "a26_dynamo_consistent_read",
         "b125_tpch_q2_min_cost_supplier",
         "b126_tpch_q11_important_stock",
         "b127_tpch_q16_supplier_count",
         "b128_tpch_q20_potential_promotion",
         "b129_multi_hop_reach",
-        "c88_source_keyness_terms",
-        "c89_kmeans_lloyd_step",
-        "c90_curriculum_interleave",
         "b130_topk_with_ties",
         "b131_corrupt_json_handling",
         "b132_time_travel_read",
         "b133_trajectory_similarity_topk",
         "b134_incremental_topk_merge",
+        "b135_column_profile",
+        "b136_referential_integrity_audit",
+        "b137_bootstrap_ci",
+        "b138_pagerank_centrality",
+        "b139_cusum_changepoint",
+        "c88_source_keyness_terms",
+        "c89_kmeans_lloyd_step",
+        "c90_curriculum_interleave",
         "c91_bm25_topk",
         "c92_dedup_method_agreement",
         "c93_ann_ndcg_eval",
         "c94_export_manifest",
         "c95_ann_mrr_eval",
-        "b135_column_profile",
-        "b136_referential_integrity_audit",
-        "b137_bootstrap_ci",
+        "c96_k_anonymity_audit",
     }
 )
 

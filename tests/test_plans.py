@@ -1290,3 +1290,45 @@ def test_bootstrap_fanout_collapses_before_shuffle(spark, sf_dir):
     assert "Generate" in plan, plan
     assert plan.count("Scan parquet") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_pagerank_bounded_lineage(spark, sf_dir):
+    """b138: the iterations run over MATERIALIZED degree/edge
+    relations — the returned plan contains zero parquet scans (the
+    edge build ran once, in the checkpoint jobs), no cartesian, and
+    top-k is a heap."""
+    from spark_dynamodb_spark.operators import analytics
+
+    df = analytics.pagerank_centrality(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_cusum_no_global_ranking_window(spark, sf_dir):
+    """b139: the prefix sum is the bucketed two-phase form and the
+    argmax is one combinable struct-MAX — no per-type ranking window
+    over the fact; the bucket-totals build ran once in its
+    materialization job, so the returned plan scans the fact exactly
+    once."""
+    from spark_dynamodb_spark.operators import analytics
+
+    df = analytics.cusum_changepoint(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("events.parquet") == 1, plan
+    # two-phase argmax: a partial aggregate exists (combinable max)
+    assert "partial" in plan.lower(), plan
+
+
+def test_k_anonymity_sweep_on_bounded_relation(spark, sf_dir):
+    """c96: the corpus is scanned once; the k-level sweep crosses the
+    cardinality-bounded QI-class histogram with a 4-row literal frame
+    (broadcast), never rescanning rows per k."""
+    from spark_dynamodb_spark.operators import curation
+
+    df = curation.k_anonymity_audit(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
