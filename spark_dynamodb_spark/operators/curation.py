@@ -1517,3 +1517,298 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# C97 — classifier ranking quality (ROC-AUC via rank-sum)
+# ---------------------------------------------------------------------------
+#
+# The eval every learned quality filter needs before it gates a corpus:
+# does the model's SCORE actually rank good documents above bad ones?
+# AUC is the probability a random positive outranks a random negative —
+# threshold-free, computed exactly from the Mann-Whitney rank-sum. The
+# score is c41's fixed-weight linear classifier (quantized to integer
+# micros); the "gold" label is the independent Gopher-style rule gate
+# (length + mean-token-length), so the number measures how well the
+# cheap learned score reproduces the rule verdicts per source.
+
+_AUC_SCORED_DUCK = f"""
+    SELECT source,
+           CAST(floor(1000000 * (
+               1.2 * (CAST(n_uniq AS DOUBLE) / n_toks)
+               - 0.8 * (CAST(n_stop AS DOUBLE) / n_toks)
+               + 0.05 * (CAST(n_chars AS DOUBLE) / n_toks)
+               - 0.001 * n_toks)) AS BIGINT) AS score_micro,
+           CASE WHEN n_toks BETWEEN 10 AND 100000
+                 AND (CAST(n_chars AS DOUBLE) / n_toks) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END AS label
+    FROM (
+      SELECT source,
+             len(toks) AS n_toks,
+             len(list_filter(toks, t -> t IN ({', '.join(repr(s) for s in _QSTOP)})))
+               AS n_stop,
+             len(list_distinct(toks)) AS n_uniq,
+             len(array_to_string(toks, '')) AS n_chars
+      FROM (SELECT source, {sql_simple_tokens('text')} AS toks FROM documents)
+    )
+"""
+
+
+def _auc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, score_micro, label) — c41's IEEE score chain quantized
+    to micros (per-row double ops are bit-identical cross-engine, so
+    the floor is too) + the independent rule label."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", simple_tokens("text").alias("toks")
+    )
+    stop_set = ", ".join(repr(s) for s in _QSTOP)
+    feats = docs.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.size(F.expr(f"filter(toks, t -> t IN ({stop_set}))")).alias("n_stop"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.length(F.array_join("toks", "")).alias("n_chars"),
+    )
+    score = (
+        1.2 * (F.col("n_uniq").cast("double") / F.col("n_toks"))
+        - 0.8 * (F.col("n_stop").cast("double") / F.col("n_toks"))
+        + 0.05 * (F.col("n_chars").cast("double") / F.col("n_toks"))
+        - 0.001 * F.col("n_toks")
+    )
+    mean_len = F.col("n_chars").cast("double") / F.col("n_toks")
+    label = (
+        F.col("n_toks").between(10, 100000) & mean_len.between(2.0, 12.0)
+    )
+    return feats.select(
+        "source",
+        F.floor(F.lit(1000000) * score).cast("long").alias("score_micro"),
+        F.when(label, 1).otherwise(0).alias("label"),
+    )
+
+
+@query(
+    "c97_classifier_auc",
+    f"""
+    WITH scored AS ({_AUC_SCORED_DUCK}),
+    g AS (
+      SELECT source, score_micro,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(label) AS BIGINT) AS pos
+      FROM scored GROUP BY source, score_micro
+    ),
+    r AS (
+      SELECT source, pos, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score_micro
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - cnt AS cum_before
+      FROM g
+    ),
+    a AS (
+      SELECT source,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2
+      FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(((r2 - n_pos * (n_pos + 1)) * 1000000)
+                          // (2 * n_pos * n_neg) AS BIGINT)
+           END AS auc_ppm
+    FROM a ORDER BY source
+    """,
+)
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97: exact ROC-AUC of the c41 quality score against the
+    rule-gate label, per source — Mann-Whitney rank-sum with average
+    ranks on ties (doubled to stay integer): AUC = (2*R_pos -
+    P*(P+1)) / (2*P*N), emitted in ppm by exact BIGINT floor
+    division. The retrieval-eval triad (c42/c93/c95) measures ANN
+    rankers; this is the same discipline for the quality CLASSIFIER.
+
+    Exactness: the score is c41's per-row IEEE chain (bit-identical
+    cross-engine) quantized to micros; everything after is integer.
+    2*avg_rank for a tie group = 2*(rows before) + cnt + 1 — exact
+    without any .5 fractions. BIGINT bounds: R2 <= 2*P*n, so ppm
+    numerator stays under 2^63 to ~10^5 positives x 10^6 rows per
+    source; past that the division rides DECIMAL(38).
+
+    Scale shape: one corpus scan -> groupBy (source, score) collapses
+    ties; the global per-source rank prefix is the c18/b139 bucketed
+    two-phase form (score-range buckets via DIV — trunc-division by a
+    positive constant is monotone, so bucket order extends score
+    order; bucket carries broadcast) — no per-source SinglePartition
+    window ever sees row-level data.
+    """
+    from pyspark.sql import Window as W
+
+    from spark_dynamodb_spark.operators.dedup import _materialize
+
+    g = (
+        _auc_scored(spark, sf_dir)
+        .groupBy("source", "score_micro")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+        .withColumn("bkt", F.expr("score_micro DIV 100000"))
+    )
+    w_in = (
+        W.partitionBy("source", "bkt")
+        .orderBy("score_micro")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    in_b = g.select(
+        "source",
+        "bkt",
+        "pos",
+        "cnt",
+        F.sum("cnt").over(w_in).alias("cum_in"),
+    )
+    bt = _materialize(
+        g.groupBy("source", "bkt").agg(F.sum("cnt").alias("b_cnt")), "local"
+    )
+    w_b = (
+        W.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carries = bt.select(
+        "source",
+        "bkt",
+        (F.sum("b_cnt").over(w_b) - F.col("b_cnt")).alias("carry"),
+    )
+    r = in_b.join(F.broadcast(carries), ["source", "bkt"]).select(
+        "source",
+        "pos",
+        "cnt",
+        (F.col("carry") + F.col("cum_in") - F.col("cnt")).alias("cum_before"),
+    )
+    a = r.groupBy("source").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    return a.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr(
+                "((r2 - n_pos * (n_pos + 1)) * 1000000)"
+                " DIV (2 * n_pos * n_neg)"
+            ),
+        ).alias("auc_ppm"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# C98 — calibration audit (expected calibration error, fixed bins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c98_calibration_ece",
+    f"""
+    WITH scored AS ({_AUC_SCORED_DUCK}),
+    p AS (
+      SELECT source,
+             LEAST(GREATEST(score_micro, 0), 1000000) AS p_ppm,
+             label
+      FROM scored
+    ),
+    b AS (
+      SELECT source, LEAST(p_ppm // 100000, 9) AS bin, p_ppm, label FROM p
+    ),
+    gb AS (
+      SELECT source, bin,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(p_ppm) AS BIGINT) AS sum_p,
+             CAST(ABS(SUM(label) * 1000000 - SUM(p_ppm)) AS BIGINT) AS gap
+      FROM b GROUP BY source, bin
+    ),
+    mx AS (SELECT source, MAX(gap) AS wgap FROM gb GROUP BY source),
+    w AS (
+      SELECT gb.source, MIN(gb.bin) AS worst_bin
+      FROM gb JOIN mx ON gb.source = mx.source AND gb.gap = mx.wgap
+      GROUP BY gb.source
+    )
+    SELECT gb.source,
+           CAST(SUM(gb.n_b) AS BIGINT) AS n_docs,
+           CAST(SUM(gb.gap) // SUM(gb.n_b) AS BIGINT) AS ece_ppm,
+           CAST(MAX(w.worst_bin) AS BIGINT) AS worst_bin,
+           CAST(MAX(CASE WHEN gb.bin = w.worst_bin
+                         THEN gb.gap // gb.n_b END) AS BIGINT)
+             AS worst_gap_ppm
+    FROM gb JOIN w ON gb.source = w.source
+    GROUP BY gb.source
+    ORDER BY gb.source
+    """,
+)
+def calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C98: expected calibration error of the c41 score read as a
+    probability (clipped to [0, 1] in ppm), against the rule-gate
+    label, in 10 fixed-width confidence bins: ECE = sum_b (n_b/N) *
+    |accuracy_b - confidence_b|. A score can RANK perfectly (c97 AUC
+    = 1) yet lie about its confidence — this is the release audit
+    that catches it, per source, plus the worst-calibrated bin.
+
+    Exactness: per-bin gap = |n_pos*1e6 - sum(p_ppm)| is the
+    mass-weighted |acc - conf| scaled to ppm-docs, pure BIGINT;
+    ECE = sum(gap) / N by integer floor division. No floats anywhere
+    past the (bit-identical) per-row score.
+
+    Scale shape: one corpus scan -> one partial-agg exchange to
+    (source, bin) — a <= 10*|sources| relation; everything after
+    (argmax bin, per-source rollup) is driver-free work on that
+    bounded frame. At 100 TB this is the cheapest possible audit: a
+    single combinable aggregation.
+    """
+    p = _auc_scored(spark, sf_dir).select(
+        "source",
+        F.least(F.greatest(F.col("score_micro"), F.lit(0)), F.lit(1000000)).alias(
+            "p_ppm"
+        ),
+        "label",
+    )
+    gb = (
+        p.select(
+            "source",
+            F.least(F.expr("p_ppm DIV 100000"), F.lit(9)).alias("bin"),
+            "p_ppm",
+            "label",
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_b"),
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum("p_ppm").cast("long").alias("sum_p"),
+        )
+        .withColumn(
+            "gap", F.abs(F.col("n_pos") * 1000000 - F.col("sum_p")).cast("long")
+        )
+    )
+    out = gb.groupBy("source").agg(
+        F.sum("n_b").cast("long").alias("n_docs"),
+        F.expr("SUM(gap) DIV SUM(n_b)").cast("long").alias("ece_ppm"),
+        F.max(
+            F.struct(
+                F.col("gap"),
+                (-F.col("bin")).alias("negbin"),
+                F.col("n_b").alias("wn"),
+            )
+        ).alias("mx"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "ece_ppm",
+        (-F.col("mx.negbin")).cast("long").alias("worst_bin"),
+        F.expr("mx.gap DIV mx.wn").cast("long").alias("worst_gap_ppm"),
+    ).orderBy("source")
