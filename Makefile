@@ -1,0 +1,16 @@
+.PHONY: check-fast test bench
+
+# Pure-Python guardrails (~5 s, no Spark): registry/COVERAGE.md sync
+# and the driver 50-name lexical-window invariant. Run before EVERY
+# commit that touches registry.py, COVERAGE.md, or adds a query —
+# round 6's snapshot commit skipped these and shipped 2 red tests.
+check-fast:
+	python -m pytest tests/test_coverage_sync.py \
+	  "tests/test_properties.py::test_driver_window_holds_exactly_50_unprefixed_names" \
+	  -q
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py

@@ -3,6 +3,20 @@
 Thin shim over ``spark_dynamodb_spark`` — the registry collects every
 implemented operator from SURVEY.md §2 as a named query with (where
 SQL-expressible) a DuckDB oracle.
+
+Rows-only-by-construction entries (no ``oracle_sql()`` row CAN exist,
+as opposed to "not yet oracled"):
+
+- ``b13_agg_approx_distinct`` — Spark's HyperLogLog++ sketch
+  (``approx_count_distinct``) has no DuckDB twin; any DuckDB
+  approximation would be a different sketch with different error.
+  Bounded-error test: tests/test_scale_patterns.py (<5% vs exact).
+- ``b56_distinct_over_window_approx`` — same HLL++ estimator applied
+  per window partition; same reasoning, same bounded-error test.
+
+Streaming entries (``s*``) run a real micro-batch pipeline; where the
+final materialized state is SQL-expressible an oracle row exists,
+otherwise the driver's rows-only check applies.
 """
 
 from __future__ import annotations

@@ -50,6 +50,7 @@ ROTATED_GREEN_R1 = frozenset(
         "a04_dynamo_scan",
         "a04_dynamo_scan_fact",
         "a05_dynamo_gsi",
+        "a06_auto_prune",
         "a06_dynamo_projection",
         "a07_dynamo_pushdown",
         "a09_dynamo_binary_key",
@@ -62,6 +63,7 @@ ROTATED_GREEN_R1 = frozenset(
         "a22_dynamo_json_export",
         "a23_dynamo_versioned_update",
         "a24_dynamo_transact_write",
+        "a25_dynamo_pushdown_toggle",
         "b01_scan_full",
         "b03_projection",
         "b03_sample_deterministic",
@@ -93,7 +95,13 @@ ROTATED_GREEN_R1 = frozenset(
         "b116_last_touch_attribution",
         "b117_seasonal_anomaly",
         "b118_kcore_peel",
+        "b119_udtf_variant_pipe",
         "b11_agg_flagship_q1",
+        "b120_quantile_normalization",
+        "b121_delta_join_maintenance",
+        "b122_write_audit_publish",
+        "b123_join_key_skew_audit",
+        "b124_zone_map_skipping_audit",
         "b12_agg_count_distinct",
         "b12_agg_stats",
         "b13_agg_approx_distinct",
@@ -272,6 +280,41 @@ ROTATED_GREEN_R1 = frozenset(
         "c52_bigram_logprob",
         "c53_bpe_merge_step",
         "c54_image_patches",
+        "c55_audio_vad",
+        "c56_product_quantization",
+        "c57_zipf_slope",
+        "c58_weighted_sample",
+        "c59_dp_noisy_counts",
+        "c60_balanced_shards",
+        "c61_char_ngram_entropy",
+        "c62_content_defined_chunking",
+        "c63_matryoshka_truncation_eval",
+        "c64_textrank_keywords",
+        "c65_winsorized_stats",
+        "c66_padding_waste",
+        "c67_span_corruption",
+        "c68_psi_drift",
+        "c69_tokenizer_fertility",
+        "c70_star_components",
+        "c71_gopher_reject_reasons",
+        "c72_perplexity_buckets",
+        "c73_term_burstiness",
+        "c74_embedding_whitening",
+        "c75_contamination_spans",
+        "c76_image_ahash_neardup",
+        "c77_minhash_estimate_error",
+        "c78_soft_dedup_weights",
+        "c79_rrf_hybrid_fusion",
+        "c80_heaps_law_curve",
+        "c81_leakage_free_split",
+        "c82_mixture_token_budget",
+        "c83_substring_gram_dedup",
+        "c84_domain_doc_cap",
+        "c85_dsir_importance",
+        "c86_langid_confusion",
+        "c87_event_type_affinity",
+        "c97_classifier_auc",
+        "c98_calibration_ece",
         "s01_stream_tumbling_window",
         "s02_stream_sliding_window",
         "s03_stream_session_window",
@@ -285,6 +328,12 @@ ROTATED_GREEN_R1 = frozenset(
         "s12_stream_append_windows",
         "s13_stream_file_sink_exactly_once",
         "s14_stream_cascaded_windows",
+        "s15_stream_dedup_within_watermark",
+        "s16_stream_union_merge",
+        "s17_stream_session_timeout",
+        "s18_dynamo_stream_read",
+        "s19_dynamo_stream_sink",
+        "s20_stream_static_anti_join",
     }
 )
 
@@ -299,31 +348,6 @@ ROTATED_GREEN_R1 = frozenset(
 # driver-sim, this session):
 ROTATION_PENDING: frozenset[str] = frozenset(
     {
-        "a26_dynamo_consistent_read",
-        "b125_tpch_q2_min_cost_supplier",
-        "b126_tpch_q11_important_stock",
-        "b127_tpch_q16_supplier_count",
-        "b128_tpch_q20_potential_promotion",
-        "b129_multi_hop_reach",
-        "b130_topk_with_ties",
-        "b131_corrupt_json_handling",
-        "b132_time_travel_read",
-        "b133_trajectory_similarity_topk",
-        "b134_incremental_topk_merge",
-        "b135_column_profile",
-        "b136_referential_integrity_audit",
-        "b137_bootstrap_ci",
-        "b138_pagerank_centrality",
-        "b139_cusum_changepoint",
-        "c88_source_keyness_terms",
-        "c89_kmeans_lloyd_step",
-        "c90_curriculum_interleave",
-        "c91_bm25_topk",
-        "c92_dedup_method_agreement",
-        "c93_ann_ndcg_eval",
-        "c94_export_manifest",
-        "c95_ann_mrr_eval",
-        "c96_k_anonymity_audit",
     }
 )
 
