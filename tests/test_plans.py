@@ -1332,3 +1332,25 @@ def test_k_anonymity_sweep_on_bounded_relation(spark, sf_dir):
     plan = physical_plan(df)
     assert plan.count("Scan parquet") == 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_aqe_skew_join_annotation(spark):
+    """b140: with AQE skew handling enabled (and thresholds shrunk to
+    test scale), the executed hot-key join carries the
+    SortMergeJoin(skew=true) annotation and an AQEShuffleRead marked
+    'skewed' — Spark split the hot partition at runtime, no manual
+    salting in the plan. Pinned to sf0.01: at sf0.001 the hot
+    partition (~700 B compressed) is below any sane skew threshold,
+    which is itself the point — AQE only splits partitions that are
+    actually big."""
+    from spark_dynamodb_spark.operators import joins as j
+
+    df = j.aqe_skew_join(spark, "/root/testdata/sf0.01")
+    df.collect()  # AQE annotations exist only on the EXECUTED plan
+    # (collect(), not count(): count() builds a separate query and
+    # leaves THIS DataFrame's adaptive plan unfinalized)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan, plan
+    # and no salt machinery anywhere: the query is the plain join
+    assert "salt" not in plan.lower(), plan
