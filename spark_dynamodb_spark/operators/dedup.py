@@ -167,42 +167,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     base = _shingle_arrays(docs).cache()  # one narrow pass, reused 3×
+    return _minhash_verified_pairs(base, "sharr")
 
-    # 32 minhash values per doc, computed NARROWLY from the per-doc
-    # shingle array (no explode, NO shuffle). Each shingle is hashed
-    # ONCE (xxhash64); the 32 "permutations" are then per-seed
-    # xor + shift-xor scrambles (see _mix) — 64-bit bijections, so
-    # min over each is a valid MinHash draw — turning 32 string
-    # hashes per shingle into 1 hash + 32 codegen'd bit mixes.
-    # Signatures never reach the output (only exact-verified pairs
-    # do), so the fast JVM-intrinsic hash is fine here — no md5
-    # portability constraint.
+
+def _signed64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _minhash_mix(i: int):
+    """The i-th MinHash "permutation": xor with a golden-ratio-spaced
+    constant, then a shift-xor scramble — both steps 64-bit bijections
+    (so min over the mix is a valid MinHash draw) built ONLY from
+    xor/shift, because ANSI mode (Spark 4 default) rejects the classic
+    wrapping multiply-add permutation with ARITHMETIC_OVERFLOW."""
+    c = F.lit(_signed64(0x9E3779B97F4A7C15 * (2 * i + 1)))
+
+    def mix(h):
+        y = h.bitwiseXOR(c)
+        return y.bitwiseXOR(F.shiftrightunsigned(y, 29))
+
+    return mix
+
+
+def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
+    """Shared MinHash→LSH→verify pipeline (c02 and the c99 unified
+    pipeline): ``base`` is (doc_id, <arr_col>) with per-doc-DISTINCT
+    items (shingle strings for c02, pre-hashed shingle longs for c99 —
+    Jaccard is identical either way, collisions aside); returns the
+    exact-verified near-dup pairs (doc_a, doc_b, jaccard >= 0.8),
+    ordered.
+
+    32 minhash values per doc are computed NARROWLY from the per-doc
+    array (no explode, NO shuffle): each item is hashed ONCE
+    (xxhash64), then the 32 "permutations" are per-seed bit mixes
+    (_minhash_mix) — turning 32 hashes per item into 1 hash + 32
+    codegen'd bit mixes. Signatures never reach the output (only
+    exact-verified pairs do), so the fast JVM-intrinsic hash is fine
+    here — no md5 portability constraint.
+    """
     hashed = base.withColumn(
-        "harr", F.transform("sharr", lambda s: F.xxhash64(s))
+        "harr", F.transform(arr_col, lambda s: F.xxhash64(s))
     )
-
-    def _signed64(x: int) -> int:
-        x &= (1 << 64) - 1
-        return x - (1 << 64) if x >= 1 << 63 else x
-
-    def _mix(i: int):
-        # xor with a golden-ratio-spaced constant, then a shift-xor
-        # scramble: both steps are 64-bit bijections (so min over the
-        # mix is a valid MinHash draw) built ONLY from xor/shift —
-        # ANSI mode (Spark 4 default) rejects the classic wrapping
-        # multiply-add permutation with ARITHMETIC_OVERFLOW.
-        c = F.lit(_signed64(0x9E3779B97F4A7C15 * (2 * i + 1)))
-
-        def mix(h):
-            y = h.bitwiseXOR(c)
-            return y.bitwiseXOR(F.shiftrightunsigned(y, 29))
-
-        return mix
-
     sig = hashed.select(
         "doc_id",
         *[
-            F.array_min(F.transform("harr", _mix(i))).alias(f"h{i}")
+            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
             for i in range(N_HASHES)
         ],
     )
@@ -262,11 +272,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set is usually small but NOT provably bounded
     # (VERDICT r1) — AQE picks broadcast at runtime when a side is
     # actually small.
-    arr_a = base.select(F.col("doc_id").alias("doc_a"), F.col("sharr").alias("sharr_a"))
-    arr_b = base.select(F.col("doc_id").alias("doc_b"), F.col("sharr").alias("sharr_b"))
+    arr_a = base.select(F.col("doc_id").alias("doc_a"), F.col(arr_col).alias("arr_a"))
+    arr_b = base.select(F.col("doc_id").alias("doc_b"), F.col(arr_col).alias("arr_b"))
     paired = cands.join(arr_a, "doc_a").join(arr_b, "doc_b")
-    c = F.size(F.array_intersect("sharr_a", "sharr_b"))
-    jac = c / (F.size("sharr_a") + F.size("sharr_b") - c)
+    c = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = c / (F.size("arr_a") + F.size("arr_b") - c)
     return (
         paired.filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -1884,6 +1894,13 @@ def substring_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
     th = F.transform(tokens("text"), lambda t: md5_64(t) % _C83_TMOD)
+    return _substring_verdict(docs.select("doc_id", th.alias("th")))
+
+
+def _substring_verdict(tdf: DataFrame) -> DataFrame:
+    """Shared gram-fold + min-owner rollup (c83 and the c99 unified
+    pipeline): ``tdf`` is (doc_id, th: array<bigint> per-token hashes);
+    returns (doc_id, n_grams, dup_of, is_dup), ordered."""
 
     def _gram(i: F.Column) -> F.Column:
         h = F.coalesce(F.element_at(F.col("th"), i), F.lit(0))
@@ -1897,14 +1914,9 @@ def substring_gram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(
         F.lit(1), F.greatest(F.size(F.col("th")) - (SUBSTR_W - 1), F.lit(1))
     )
-    g = (
-        docs.select("doc_id", th.alias("th"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.transform(idx, _gram))
-            ).alias("gh"),
-        )
+    g = tdf.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(idx, _gram))).alias("gh"),
     )
     own = g.groupBy("gh").agg(F.min("doc_id").alias("owner"))
     earlier = F.when(F.col("owner") < F.col("doc_id"), F.col("owner"))
@@ -1997,4 +2009,136 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("exact_dup", "chunk_dup", "substr_dup")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("exact_dup", "chunk_dup", "substr_dup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C99 — unified dedup pipeline: ONE corpus scan feeds every method
+# ---------------------------------------------------------------------------
+#
+# c92 audits three dedup methods by composing their registered
+# relations — correct, but each branch re-scans documents.parquet. At
+# 100 TB the raw-text scan IS the dominant cost, so the real pipeline
+# runs the other way around: ONE pass over the text extracts every
+# per-doc signature (content hash, hashed shingle set, token hashes)
+# into a narrow columnar side table, and every dedup method then runs
+# off signatures alone — the text is never read (or shuffled) again.
+# Re-running a method, adding a method, or re-tuning a threshold costs
+# a signature-table scan, not a corpus scan. Each verdict branch also
+# column-prunes the signature table to exactly its one array.
+
+
+def _c99_sig_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"c99:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"c99_sigs_{tag}")
+
+
+def unified_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE pass over raw text: (doc_id, content_md5, sh, th).
+
+    - content_md5: exact-dedup key (c01 rule);
+    - sh: per-doc-DISTINCT shingles, stored as xxhash64 LONGS — the
+      MinHash path (c02 rule) needs only hashes, and Jaccard over a
+      collision-free hashed set equals Jaccard over the strings;
+    - th: per-token md5 hashes mod 2^26 (c83 rule) for the sliding
+      gram fold.
+
+    All three are narrow array transforms in one projection — the
+    physical plan has exactly ONE documents scan (plan-gated). The
+    signature row is hashes only: no text ever leaves this scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("content_md5"),
+        F.transform(
+            F.array_distinct(shingles("text", SHINGLE_K)),
+            lambda s: F.xxhash64(s),
+        ).alias("sh"),
+        F.transform(tokens("text"), lambda t: md5_64(t) % _C83_TMOD).alias("th"),
+    )
+
+
+def _sql_c99() -> str:
+    return f"""
+    WITH pairs AS ({SQL_EXACT_JACCARD_PAIRS}),
+    near AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    substr AS ({_sql_c83()}),
+    exact AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5({sql_normalize_text('text')})) < doc_id
+               AS exact_dup
+      FROM documents)
+    SELECT e.doc_id, e.exact_dup,
+           (n.doc_id IS NOT NULL) AS near_dup,
+           s.is_dup AS substr_dup,
+           CAST(CAST(e.exact_dup AS INT) + CAST((n.doc_id IS NOT NULL) AS INT)
+                + CAST(s.is_dup AS INT) AS INT) AS n_methods
+    FROM exact e
+    LEFT JOIN near n USING (doc_id)
+    JOIN substr s USING (doc_id)
+    ORDER BY e.doc_id
+    """
+
+
+@query("c99_unified_dedup_pipeline", _sql_c99())
+def unified_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99 (VERDICT r6/r7 advice): per-document verdict of THREE dedup
+    methods — exact (c01 rule), MinHash-LSH near-dup (c02 rule, exact
+    Jaccard >= 0.8 verified), sliding-gram substring (c83 rule) — with
+    the raw corpus scanned exactly ONCE.
+
+    Stage 1 (`unified_signatures`) extracts every per-doc signature in
+    one projection and stages it as a narrow parquet side table.
+    Stage 2 computes the three verdicts purely from signatures: exact
+    is a min-owner window on content_md5, near-dup runs the shared
+    `_minhash_verified_pairs` over the pre-hashed shingle arrays, and
+    substring runs the shared `_substring_verdict` over the token
+    hashes; each branch column-prunes the signature table to its one
+    array. Plan gates: the staging plan has exactly one documents
+    scan; the verdict plan has ZERO (and no text/string-shingle column
+    exists in the staged schema).
+
+    Oracle recomposes the registered c01/c02/c83 semantics as CTEs, so
+    this row cannot drift from the methods it unifies. Near-dup uses
+    the exact-Jaccard pair oracle — valid for the same recall reason
+    as c02 (8x4 banding at fixture dup levels misses nothing above
+    0.8).
+    """
+    path = _c99_sig_path(sf_dir)
+    unified_signatures(spark, sf_dir).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+
+    wexact = Window.partitionBy("content_md5")
+    exact = sigs.select(
+        "doc_id",
+        (F.min("doc_id").over(wexact) < F.col("doc_id")).alias("exact_dup"),
+    )
+    pairs = _minhash_verified_pairs(sigs.select("doc_id", "sh"), "sh")
+    near = pairs.select(F.col("doc_b").alias("doc_id")).distinct().withColumn(
+        "near_hit", F.lit(True)
+    )
+    substr = _substring_verdict(sigs.select("doc_id", "th")).select(
+        "doc_id", F.col("is_dup").alias("substr_dup")
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .join(substr, "doc_id")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce(F.col("near_hit"), F.lit(False)).alias("near_dup"),
+            "substr_dup",
+            (
+                F.col("exact_dup").cast("int")
+                + F.coalesce(F.col("near_hit"), F.lit(False)).cast("int")
+                + F.col("substr_dup").cast("int")
+            ).cast("int").alias("n_methods"),
+        )
+        .orderBy("doc_id")
     )

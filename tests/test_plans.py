@@ -1354,3 +1354,32 @@ def test_aqe_skew_join_annotation(spark):
     assert "skewed" in plan, plan
     # and no salt machinery anywhere: the query is the plain join
     assert "salt" not in plan.lower(), plan
+
+
+def test_unified_dedup_single_corpus_scan(spark, sf_dir):
+    """c99: stage 1 (signature extraction) is the ONLY pass that
+    touches raw text — one documents scan, one narrow projection, and
+    the staged schema is hashes-only (no text, no shingle strings).
+    Stage 2 (the three verdicts) never scans documents again: every
+    branch reads the staged signature table, column-pruned to its own
+    signature column."""
+    from spark_dynamodb_spark.operators import dedup as d
+
+    staging = d.unified_signatures(spark, sf_dir)
+    splan = physical_plan(staging)
+    assert splan.count("documents.parquet") == 1, splan
+    # hashes-only staging schema: the only string column is the 32-hex
+    # content hash; shingles ship as longs, tokens as longs
+    fields = {f.name: f.dataType.simpleString() for f in staging.schema.fields}
+    assert fields == {
+        "doc_id": "bigint",
+        "content_md5": "string",
+        "sh": "array<bigint>",
+        "th": "array<bigint>",
+    }, fields
+
+    df = d.unified_dedup_pipeline(spark, sf_dir)
+    vplan = physical_plan(df)
+    assert vplan.count("documents.parquet") == 0, vplan
+    assert "c99_sigs_" in vplan, vplan
+    assert "CartesianProduct" not in vplan, vplan
