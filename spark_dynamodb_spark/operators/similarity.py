@@ -369,14 +369,16 @@ def _ivf_index_ctes() -> tuple[list[str], str]:
     return ctes, f"a{KMEANS_ITERS}"
 
 
-def _ivf_sql() -> str:
+def _ivf_sql(nprobe: int = NPROBE, n_queries: int = N_QUERIES) -> str:
     """DuckDB mirror of ann_ivf. The k-means loop is deterministic and
     fixed-depth (md5-seeded cells, KMEANS_ITERS Lloyd iterations with
     exact-decimal centroid means), so the twin simply UNROLLS it as
     chained CTEs: a0 (seed) → cents0 → a1 → cents1 → ... → index +
-    final centroids → probe top-NPROBE cells → equi-join on cell →
+    final centroids → probe top-nprobe cells → equi-join on cell →
     exact cosine top-k. Every float reduction is either an exact
     decimal sum or a pinned left fold, hence hash-identical output.
+    Parametrized on (nprobe, n_queries) so the partition-pruned
+    variant (c03_ann_ivf_pruned, narrower probe set) shares the twin.
     """
     ctes, last = _ivf_index_ctes()
     ctes.append(
@@ -396,9 +398,9 @@ def _ivf_sql() -> str:
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {_sql_sqdist("q.vec", "c.cvec")} ASC, c.cell ASC) AS rn
-        FROM (SELECT * FROM {last} WHERE vec_id < {N_QUERIES}) q
+        FROM (SELECT * FROM {last} WHERE vec_id < {n_queries}) q
         CROSS JOIN centsF c
-      ) WHERE rn <= {NPROBE}
+      ) WHERE rn <= {nprobe}
     )"""
     )
     ctes.append(
@@ -473,22 +475,29 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall@5 against the exact brute force.
     """
     index = ivf_index(spark, sf_dir)  # (vec_id, vec, cell)
-    cents = _centroids_of(index)
+    return _ivf_probe_topk(index, NPROBE, N_QUERIES)
 
-    q = index.filter(F.col("vec_id") < N_QUERIES).select(
+
+def _ivf_probe_topk(index: DataFrame, nprobe: int, n_queries: int) -> DataFrame:
+    """Shared IVF probe path (c03_ann_ivf and the partition-pruned
+    variant): ``index`` is the inverted file (vec_id, vec, cell);
+    probe the nprobe nearest cells per query, equi-join on cell, exact
+    cosine top-k."""
+    cents = _centroids_of(index)
+    q = index.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    # probe list: NPROBE nearest centroids per query (broadcast nlist)
+    # probe list: nprobe nearest centroids per query (broadcast nlist)
     w_probe = W.partitionBy("query_id").orderBy(
         _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cell").asc()
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "qvec", "cell")
     )
-    # equi-join on cell: each query touches ~NPROBE/NLIST of the corpus
+    # equi-join on cell: each query touches ~nprobe/NLIST of the corpus
     scored = (
         index.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -505,6 +514,60 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
+
+
+# --- C3e': IVF with on-disk cell layout + dynamic partition pruning ---------
+#
+# The probe set of the narrow variant is 3 queries × 4 cells = at most
+# 12 distinct cells of the NLIST=16 on disk, so at least 4 cell
+# directories are PROVABLY never read — the pruning is guaranteed by
+# construction, not by fixture luck.
+NPROBE_PRUNED = 4
+NQ_PRUNED = 3
+
+
+def ivf_index_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"ivf_cells:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"ivf_cells_{tag}")
+
+
+@query("c03_ann_ivf_pruned", _ivf_sql(NPROBE_PRUNED, NQ_PRUNED))
+def ann_ivf_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3e' (VERDICT r6/r7 advice): the IVF inverted file STORED as a
+    parquet table partitioned by cell, probed with dynamic partition
+    pruning — the on-disk layout a production ANN index actually has.
+
+    c03_ann_ivf rebuilds the index in-plan, so "probe fewer cells"
+    only narrows a join. Here the index is written once
+    (``partitionBy("cell")`` — one directory per coarse cell) and the
+    probe join carries a DPP subquery: Spark broadcasts the probe
+    list, collects its distinct cells at runtime, and the corpus scan
+    SKIPS every unprobed cell directory (plan shows
+    ``PartitionFilters: [... dynamicpruning#...]``; gated in
+    tests/test_plans.py). At 100 TB this is the difference between
+    reading nprobe/nlist of the index and reading all of it — file
+    pruning happens before any row is decoded, the Spark analogue of
+    an IVF list seek. No driver-side collect anywhere: the probed
+    cell set is computed and applied inside the DPP subquery reuse of
+    the broadcast.
+
+    Narrow probe (3 queries × 4 cells ≤ 12 of 16 cells) makes the
+    pruning provable by construction. Oracle: the same unrolled
+    k-means twin as c03_ann_ivf with (nprobe, n_queries) = (4, 3) —
+    storage layout must not change answers.
+    """
+    path = ivf_index_path(sf_dir)
+    ivf_index(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    stored = spark.read.parquet(path).select(
+        "vec_id", "vec", F.col("cell").cast("int").alias("cell")
+    )
+    return _ivf_probe_topk(stored, NPROBE_PRUNED, NQ_PRUNED)
 
 
 # --- C20: random-projection dimensionality reduction ------------------------

@@ -1383,3 +1383,29 @@ def test_unified_dedup_single_corpus_scan(spark, sf_dir):
     assert vplan.count("documents.parquet") == 0, vplan
     assert "c99_sigs_" in vplan, vplan
     assert "CartesianProduct" not in vplan, vplan
+
+
+def test_ivf_pruned_dynamic_partition_pruning(spark, sf_dir):
+    """c03_ann_ivf_pruned: the inverted file lives on disk as one
+    directory per coarse cell, and the probe join installs a dynamic
+    partition pruning subquery on the corpus scan — unprobed cell
+    directories are skipped before any row is decoded. The narrow
+    probe set (3 queries x 4 cells <= 12) is strictly smaller than the
+    NLIST=16 directories on disk, so >= 4 cells are pruned by
+    construction."""
+    import os
+
+    from spark_dynamodb_spark.operators import similarity as s
+
+    df = s.ann_ivf_pruned(spark, sf_dir)
+    plan = physical_plan(df)
+    # the DPP filter reaches the partitioned corpus scan
+    assert "dynamicpruning#" in plan, plan
+    assert "PartitionFilters" in plan, plan
+    # the full index is on disk: every coarse cell has a directory
+    cells = [
+        d for d in os.listdir(s.ivf_index_path(sf_dir)) if d.startswith("cell=")
+    ]
+    assert len(cells) == s.NLIST, cells
+    # and the probe set is provably narrower than the layout
+    assert s.NPROBE_PRUNED * s.NQ_PRUNED < s.NLIST
