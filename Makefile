@@ -7,7 +7,7 @@
 # A test rename breaks this target loudly (pinned node id) — that is
 # deliberate; fix the pin rather than dropping the guard.
 check-fast:
-	python -m pytest tests/test_coverage_sync.py \
+	python -m pytest tests/test_coverage_sync.py tests/test_coverage_index.py \
 	  "tests/test_properties.py::test_driver_window_holds_exactly_50_unprefixed_names" \
 	  -q
 
