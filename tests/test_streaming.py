@@ -699,3 +699,97 @@ def test_session_timeout_fires_across_batches(spark, tmp_path):
     final = max(out, key=lambda r: (r["n_sessions"], r["timed_out_calls"]))
     assert final["timed_out_calls"] >= 1, out  # the timer actually fired
     assert final["n_sessions"] == 2, out  # closed session + reopened one
+
+
+def test_transform_with_state_in_pandas_guarded(spark, sf_dir, tmp_path):
+    """Spark 4's transformWithStateInPandas (the successor API to
+    s06's applyInPandasWithState) needs `google.protobuf` in the
+    Python workers — absent in this container and installs are
+    forbidden (COVERAGE.md API-variant note: verified to die in
+    _handle_pre_init). This test keeps the capability visible: it
+    SKIPS while the dependency is missing and runs a real
+    StatefulProcessor count-per-user pipeline (checked against the
+    batch groupBy) the moment the environment gains protobuf."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "google.protobuf not installed - transformWithStateInPandas "
+            "workers cannot start (capability covered by "
+            "s06_stream_stateful_custom via applyInPandasWithState)"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from spark_dynamodb_spark.streaming.stream_queries import events_stream
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    result = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            CountProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    q = (
+        result.writeStream.format("memory")
+        .queryName("tws_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = (
+        spark.table("tws_counts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events")
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
