@@ -52,7 +52,7 @@ def test_plan_rotation_moves_greens_and_unparks():
     from spark_dynamodb_spark.registry import load_all
 
     specs = load_all().specs()
-    window = sorted(n for n in specs if not n.startswith(("x_", "z_")))
+    window = sorted(n for n in specs if not n.startswith(("x_", "y_", "z_")))
     # pretend the driver proved every window entry green
     greens = set(window)
     rotated, pending, info = rw.plan_rotation(src, greens, 50)
