@@ -3357,16 +3357,26 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_drawn * 10^4).
 
     Scale shape: the x{_B137_R} replicate fan-out happens map-side
-    (explode of a literal sequence, inside the scan stage) and is
-    collapsed by partial aggregation BEFORE the shuffle — the exchange
-    carries {_B137_R} rows per task, never {_B137_R}x the data. One
-    scan, one Generate, one two-phase aggregate (plan-gated).
+    (explode of a literal sequence) and is collapsed by partial
+    aggregation BEFORE the final exchange — that exchange carries
+    {_B137_R} rows per task, never {_B137_R}x the data. One scan, one
+    Generate, one two-phase aggregate (plan-gated). The repartition
+    spreads the hash-heavy fan-out across cores for the same reason
+    _shingle_arrays does: locally one parquet row group = ONE task,
+    which serialized 19M md5 draws onto a single core (measured 22 s
+    at sf0.1 -> ~2 s after); the exchange moves only the 24-byte
+    (key, cents) projection, and at 100 TB — where the scan already
+    arrives in thousands of splits — AQE sizes it to a near-no-op.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)")
-        .alias("x_cents"),
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)")
+            .alias("x_cents"),
+        )
+        .repartition("l_orderkey")
     )
     rep = li.select(
         "l_orderkey",
