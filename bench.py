@@ -65,6 +65,12 @@ EXTRA = [
     # weight table)
     "c83_substring_gram_dedup",
     "c85_dsir_importance",
+    # round-8 design-depth entries: AQE runtime skew split, the
+    # single-corpus-scan dedup pipeline (includes its signature-
+    # staging write), DPP-pruned on-disk IVF probe
+    "b140_aqe_skew_join",
+    "c99_unified_dedup_pipeline",
+    "c03_ann_ivf_pruned",
 ]
 
 
