@@ -64,3 +64,42 @@ def test_plan_rotation_moves_greens_and_unparks():
         assert n not in pending and n not in rotated
     # every green is now in the rotated set
     assert greens <= rotated
+
+
+def test_rows_only_parked_names_never_rotate_or_unpark():
+    """The y_ (ROWS_ONLY_VERIFIED) entries are permanently parked:
+    they are not in the window (so plan_rotation never sees them as
+    red-staying), never enter ROTATED_GREEN_R1/ROTATION_PENDING, and
+    resolve() accepts the y_ spelling."""
+    import sys
+
+    sys.path.insert(0, rw.REPO)
+    from spark_dynamodb_spark.registry import (
+        ROTATED_GREEN_R1,
+        ROTATION_PENDING,
+        ROWS_ONLY_VERIFIED,
+        load_all,
+    )
+
+    assert ROWS_ONLY_VERIFIED == {
+        "b13_agg_approx_distinct",
+        "b56_distinct_over_window_approx",
+    }
+    assert not ROWS_ONLY_VERIFIED & ROTATED_GREEN_R1
+    assert not ROWS_ONLY_VERIFIED & ROTATION_PENDING
+    reg = load_all()
+    specs = reg.specs()
+    for n in ROWS_ONLY_VERIFIED:
+        assert f"y_{n}" in specs, f"y_{n} missing from specs()"
+        assert reg.resolve(f"y_{n}").name == n
+        # rows-only by construction: no oracle CAN exist
+        assert reg.resolve(n).oracle is None
+
+    src = open(rw.REGISTRY, encoding="utf-8").read()
+    # a y_ entry is green in every round (rows-only row) — the
+    # rotation plan must leave the rotation sets untouched by it
+    rotated, pending, info = rw.plan_rotation(
+        src, set(ROWS_ONLY_VERIFIED), 50
+    )
+    assert not set(info["window_green_rotating"]) & ROWS_ONLY_VERIFIED
+    assert not set(info["unparking"]) & ROWS_ONLY_VERIFIED
