@@ -42,9 +42,9 @@ DOC_SHIFT = 1_000_000
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
-def amplified(df, key_cols: dict[str, int], extra=None):
+def amplified(df, key_cols: dict[str, int], extra=None, replicas: int = REPLICAS):
     parts = []
-    for r in range(REPLICAS):
+    for r in range(replicas):
         d = df
         for col, shift in key_cols.items():
             d = d.withColumn(col, F.col(col) + F.lit(r * shift))
@@ -61,6 +61,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=".scratch/sf_amp8")
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument(
+        "--docs-only",
+        action="store_true",
+        help="amplify only documents (100x-class runs); other facts symlink",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -78,9 +84,14 @@ def main() -> None:
     def wr(df, t):
         df.write.mode("overwrite").parquet(f"{args.out}/{t}.parquet")
 
-    wr(amplified(rd("lineitem"), {"l_orderkey": KEY_SHIFT}), "lineitem")
-    wr(amplified(rd("orders"), {"o_orderkey": KEY_SHIFT}), "orders")
-    wr(amplified(rd("events"), {"event_id": KEY_SHIFT}), "events")
+    R = args.replicas
+    passthrough = []
+    if args.docs_only:
+        passthrough += ["lineitem", "orders", "events", "embeddings"]
+    else:
+        wr(amplified(rd("lineitem"), {"l_orderkey": KEY_SHIFT}, replicas=R), "lineitem")
+        wr(amplified(rd("orders"), {"o_orderkey": KEY_SHIFT}, replicas=R), "orders")
+        wr(amplified(rd("events"), {"event_id": KEY_SHIFT}, replicas=R), "events")
 
     def perturb_doc(d, r):
         if r == 0:
@@ -93,7 +104,11 @@ def main() -> None:
             ).otherwise(F.col("text")),
         )
 
-    wr(amplified(rd("documents"), {"doc_id": DOC_SHIFT}, perturb_doc), "documents")
+    wr(
+        amplified(rd("documents"), {"doc_id": DOC_SHIFT}, perturb_doc, replicas=R)
+        .repartition(32),
+        "documents",
+    )
 
     def perturb_vec(d, r):
         if r == 0:
@@ -107,9 +122,13 @@ def main() -> None:
             ),
         )
 
-    wr(amplified(rd("embeddings"), {"vec_id": DOC_SHIFT}, perturb_vec), "embeddings")
+    if not args.docs_only:
+        wr(
+            amplified(rd("embeddings"), {"vec_id": DOC_SHIFT}, perturb_vec, replicas=R),
+            "embeddings",
+        )
 
-    for t in DIMS:
+    for t in DIMS + tuple(passthrough):
         dst = f"{args.out}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(os.path.abspath(f"{args.src}/{t}.parquet"), dst)
