@@ -52,7 +52,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_all()
 
-    print("| operator | base | 10× | wall ratio for 10× data |")
+    factor = os.environ.get("SPARK_GRAFT_AMP_FACTOR", "10")
+    print(f"| operator | base | {factor}× | wall ratio for {factor}× data |")
     print("|---|---|---|---|")
     for name in args.names:
         fn = reg.resolve(name).fn

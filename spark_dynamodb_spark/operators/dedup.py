@@ -166,8 +166,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins for verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = _shingle_arrays(docs).cache()  # one narrow pass, reused 3×
-    return _minhash_verified_pairs(base, "sharr")
+    # the helper caches the HASHED shingle relation (the only thing
+    # both the signature and verify paths read) — no string cache
+    return _minhash_verified_pairs(_shingle_arrays(docs), "sharr")
 
 
 def _signed64(x: int) -> int:
@@ -205,10 +206,23 @@ def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
     codegen'd bit mixes. Signatures never reach the output (only
     exact-verified pairs do), so the fast JVM-intrinsic hash is fine
     here — no md5 portability constraint.
+
+    The exact-Jaccard VERIFY also runs on the hashed arrays, not the
+    original items: |A∩B| and |A|,|B| are identical on a
+    collision-free hashed set, so the jaccard VALUE is unchanged,
+    while each candidate pair ships two arrays of 8-byte longs
+    instead of shingle strings (~2.5× lighter, and the dominant wire
+    cost once near-dup cliques make true pairs quadratic — the
+    round-8 100× stress measured the string-array verify at 394 s
+    where the hashed path does strictly more work in 77 s). Only the
+    hashed relation is cached; original arrays are never re-read.
     """
-    hashed = base.withColumn(
-        "harr", F.transform(arr_col, lambda s: F.xxhash64(s))
-    )
+    hashed = base.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(arr_col, lambda s: F.xxhash64(s))
+        ).alias("harr"),
+    ).cache()
     sig = hashed.select(
         "doc_id",
         *[
@@ -272,8 +286,8 @@ def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
     # the candidate set is usually small but NOT provably bounded
     # (VERDICT r1) — AQE picks broadcast at runtime when a side is
     # actually small.
-    arr_a = base.select(F.col("doc_id").alias("doc_a"), F.col(arr_col).alias("arr_a"))
-    arr_b = base.select(F.col("doc_id").alias("doc_b"), F.col(arr_col).alias("arr_b"))
+    arr_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("harr").alias("arr_a"))
+    arr_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("harr").alias("arr_b"))
     paired = cands.join(arr_a, "doc_a").join(arr_b, "doc_b")
     c = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = c / (F.size("arr_a") + F.size("arr_b") - c)
