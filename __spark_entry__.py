@@ -5,17 +5,17 @@ implemented operator from SURVEY.md §2 as a named query with (where
 SQL-expressible) a DuckDB oracle.
 
 Rows-only-by-construction entries (no ``oracle_sql()`` row CAN exist,
-as opposed to "not yet oracled") are parked under a ``y_`` prefix
+as opposed to "not yet oracled") are parked under a ``zz_`` prefix
 (registry ``ROWS_ONLY_VERIFIED``) so they sort permanently outside
 the driver's 50-name correctness window instead of re-reporting
 ``err: no_oracle`` every round:
 
-- ``y_b13_agg_approx_distinct`` — Spark's HyperLogLog++ sketch
+- ``zz_b13_agg_approx_distinct`` — Spark's HyperLogLog++ sketch
   (``approx_count_distinct``) has no DuckDB twin; any DuckDB
   approximation would be a different sketch with different error.
   Driver rows-checked green r1; bounded-error test:
   tests/test_scale_patterns.py (<5% vs exact).
-- ``y_b56_distinct_over_window_approx`` — same HLL++ estimator applied
+- ``zz_b56_distinct_over_window_approx`` — same HLL++ estimator applied
   per window partition; same reasoning, same bounded-error test
   (≤10%); driver rows-checked green r3–r7.
 

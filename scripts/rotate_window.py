@@ -62,7 +62,7 @@ def green_names(correctness: dict) -> set[str]:
         if row.get("hash_match") or (
             row.get("rows_match") and "hash_match" not in row
         ) or (row.get("rows_match") and row.get("hash_match") is None):
-            out.add(name[2:] if name.startswith(("x_", "y_", "z_")) else name)
+            out.add(name[3:] if name.startswith("zz_") else (name[2:] if name.startswith(("x_", "z_")) else name))
     return out
 
 
@@ -81,9 +81,9 @@ def plan_rotation(
     from spark_dynamodb_spark.registry import load_all
 
     specs = load_all().specs()
-    # y_ (ROWS_ONLY_VERIFIED) entries are permanently parked — they can
+    # zz_ (ROWS_ONLY_VERIFIED) entries are permanently parked — they can
     # never hash-match and never rotate through these sets.
-    unprefixed = {n for n in specs if not n.startswith(("x_", "y_", "z_"))}
+    unprefixed = {n for n in specs if not n.startswith(("x_", "z_", "zz_"))}
 
     to_rotate = {n for n in unprefixed if n in greens}
     stay_red = unprefixed - to_rotate

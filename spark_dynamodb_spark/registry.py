@@ -40,7 +40,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-8 window (unprefixed): coverage is saturated (every prior
 # entry driver-green across r1–r7), so the window holds only this
 # round's design-depth additions. Rows-only-by-construction entries
-# live in ROWS_ONLY_VERIFIED below (``y_``);
+# live in ROWS_ONLY_VERIFIED below (``zz_``);
 # `scripts/rotate_window.py` performs the round-start swap
 # mechanically from the previous CORRECTNESS json.
 ROTATED_GREEN_R1 = frozenset(
@@ -376,9 +376,11 @@ ROTATION_PENDING: frozenset[str] = frozenset(
 )
 
 
-# Rows-only-by-construction entries, parked under ``y_`` (sorts after
-# the x_ parking lot, before the z_ greens — i.e. permanently outside
-# the driver's 50-name window). These two can NEVER earn a hash-green
+# Rows-only-by-construction entries, parked under ``zz_`` (sorts
+# after EVERY z_ green — an underfull window spills into the first
+# z_ names for re-confirmation, so the park prefix must sort after
+# all 315 of them to stay permanently outside the driver's 50-name
+# window). These two can NEVER earn a hash-green
 # row: Spark's HyperLogLog++ sketch (`approx_count_distinct`) has no
 # DuckDB twin, so the driver would re-report `err: no_oracle` every
 # round while the entry burned a window slot (VERDICT r7 "What's
@@ -396,7 +398,7 @@ ROWS_ONLY_VERIFIED: frozenset[str] = frozenset(
 
 def display_name(name: str) -> str:
     if name in ROWS_ONLY_VERIFIED:
-        return f"y_{name}"
+        return f"zz_{name}"
     if name in ROTATED_GREEN_R1:
         return f"z_{name}"
     if name in ROTATION_PENDING:
@@ -436,8 +438,10 @@ class QueryRegistry:
         return dict(sorted(out.items()))
 
     def resolve(self, name: str) -> QuerySpec:
-        """Look up a spec by original or rotated (``z_``/``x_``/``y_``) name."""
-        key = name[2:] if name.startswith(("z_", "x_", "y_")) else name
+        """Look up a spec by original or parked (``z_``/``x_``/``zz_``) name."""
+        key = name[3:] if name.startswith("zz_") else (
+            name[2:] if name.startswith(("z_", "x_")) else name
+        )
         return self._specs[key]
 
 

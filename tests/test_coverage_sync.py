@@ -20,7 +20,7 @@ from spark_dynamodb_spark.registry import (
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # `b01_scan_full`, `x_c08_sessionization`, `z_b11_agg_flagship_q1`...
-_TOKEN = re.compile(r"`((?:[xyz]_)?[abcs]\d{2}[0-9a-z]*_[a-z0-9_]+)`")
+_TOKEN = re.compile(r"`((?:zz_|[xz]_)?[abcs]\d{2}[0-9a-z]*_[a-z0-9_]+)`")
 
 
 def test_coverage_md_names_match_registry():
@@ -29,7 +29,7 @@ def test_coverage_md_names_match_registry():
     text = open(os.path.join(REPO, "COVERAGE.md"), encoding="utf-8").read()
     tokens = set(_TOKEN.findall(text))
 
-    stripped = {t[2:] if t.startswith(("x_", "y_", "z_")) else t for t in tokens}
+    stripped = {t[3:] if t.startswith("zz_") else (t[2:] if t.startswith(("x_", "z_")) else t) for t in tokens}
     missing = base_names - stripped
     assert not missing, f"registry queries with no COVERAGE.md row: {sorted(missing)}"
     stale = stripped - base_names
@@ -42,5 +42,5 @@ def test_coverage_md_names_match_registry():
     assert not bad_x, f"COVERAGE.md uses x_ for unparked queries: {sorted(bad_x)}"
     bad_z = {t for t in tokens if t.startswith("z_") and t[2:] not in ROTATED_GREEN_R1}
     assert not bad_z, f"COVERAGE.md uses z_ for unrotated queries: {sorted(bad_z)}"
-    bad_y = {t for t in tokens if t.startswith("y_") and t[2:] not in ROWS_ONLY_VERIFIED}
-    assert not bad_y, f"COVERAGE.md uses y_ for non-rows-only queries: {sorted(bad_y)}"
+    bad_zz = {t for t in tokens if t.startswith("zz_") and t[3:] not in ROWS_ONLY_VERIFIED}
+    assert not bad_zz, f"COVERAGE.md uses zz_ for non-rows-only queries: {sorted(bad_zz)}"

@@ -114,7 +114,7 @@ def test_driver_window_holds_exactly_50_unprefixed_names():
     from spark_dynamodb_spark.registry import ROTATION_PENDING
 
     names = sorted(load_all().specs().keys())
-    unprefixed = [n for n in names if not n.startswith(("x_", "y_", "z_"))]
+    unprefixed = [n for n in names if not n.startswith(("x_", "z_", "zz_"))]
     assert len(unprefixed) <= 50, (
         f"{len(unprefixed)} unprefixed entries; park new queries in "
         f"ROTATION_PENDING. Extra: {unprefixed[50:] or 'n/a'}"

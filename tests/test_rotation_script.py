@@ -52,7 +52,7 @@ def test_plan_rotation_moves_greens_and_unparks():
     from spark_dynamodb_spark.registry import load_all
 
     specs = load_all().specs()
-    window = sorted(n for n in specs if not n.startswith(("x_", "y_", "z_")))
+    window = sorted(n for n in specs if not n.startswith(("x_", "z_", "zz_")))
     # pretend the driver proved every window entry green
     greens = set(window)
     rotated, pending, info = rw.plan_rotation(src, greens, 50)
@@ -67,10 +67,10 @@ def test_plan_rotation_moves_greens_and_unparks():
 
 
 def test_rows_only_parked_names_never_rotate_or_unpark():
-    """The y_ (ROWS_ONLY_VERIFIED) entries are permanently parked:
+    """The zz_ (ROWS_ONLY_VERIFIED) entries are permanently parked:
     they are not in the window (so plan_rotation never sees them as
     red-staying), never enter ROTATED_GREEN_R1/ROTATION_PENDING, and
-    resolve() accepts the y_ spelling."""
+    resolve() accepts the zz_ spelling."""
     import sys
 
     sys.path.insert(0, rw.REPO)
@@ -90,8 +90,8 @@ def test_rows_only_parked_names_never_rotate_or_unpark():
     reg = load_all()
     specs = reg.specs()
     for n in ROWS_ONLY_VERIFIED:
-        assert f"y_{n}" in specs, f"y_{n} missing from specs()"
-        assert reg.resolve(f"y_{n}").name == n
+        assert f"zz_{n}" in specs, f"zz_{n} missing from specs()"
+        assert reg.resolve(f"zz_{n}").name == n
         # rows-only by construction: no oracle CAN exist
         assert reg.resolve(n).oracle is None
 
