@@ -71,6 +71,13 @@ EXTRA = [
     "b140_aqe_skew_join",
     "c99_unified_dedup_pipeline",
     "c03_ann_ivf_pruned",
+    # round-9 design-depth entries: int8-quantized ANN scan, blocked
+    # edit-distance verify, mergeable KMV sketch + its pairwise
+    # overlap algebra
+    "c100_ann_int8_topk",
+    "c101_dedup_edit_distance",
+    "c102_kmv_sketch_rollup",
+    "c103_kmv_source_overlap",
 ]
 
 

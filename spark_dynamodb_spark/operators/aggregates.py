@@ -799,3 +799,71 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B141 — AQE partition coalescing (the other half of runtime re-planning)
+# ---------------------------------------------------------------------------
+
+def aqe_coalesce_session(spark: SparkSession) -> SparkSession:
+    """A session tuned so AQE's post-shuffle coalescing is *observable*
+    at test scale (shared by b141 and its plan gate). 64 shuffle
+    partitions is a stand-in for a cluster-sized default (e.g. 2000);
+    the advisory size (1 MB) is what a ~84-group aggregate output can
+    never fill, so AQE folds the 64 reducers into a handful. The
+    mechanism is scale-independent — on a real cluster this is what
+    turns a 2000-reducer config into 3 tasks for a small stage and
+    leaves it at 2000 for the big ones, with NO per-query tuning."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    ns.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+    ns.conf.set("spark.sql.shuffle.partitions", "64")
+    return ns
+
+
+@query(
+    "b141_aqe_coalesce_agg",
+    f"""
+    SELECT year(l_shipdate) * 100 + month(l_shipdate) AS ship_month,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def aqe_coalesce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B141 (scale suite; pairs with b140's skew split): AQE partition
+    COALESCING — the runtime fix for the over-partitioned small
+    stage, the exact dual of b140's runtime fix for the
+    under-partitioned hot one.
+
+    The query is a plain ~84-group (ship-month) hash aggregate configured with 64
+    shuffle partitions (a deliberate cluster-default stand-in). At
+    map-output time AQE sees 64 near-empty reducer inputs and folds
+    them to a handful of tasks (AQEShuffleRead 'coalesced' in the
+    executed plan — gated in tests/test_plans.py). Why this matters
+    at 100 TB: shuffle.partitions must be sized for the LARGEST
+    stage of a job (tens of thousands); without coalescing every
+    small follow-up stage pays that task count in scheduling and
+    tiny-file output. With it, one config serves both — the 64→few
+    fold here is the same decision that folds 20k→40 on a cluster.
+
+    Results are partitioning-invariant by construction (dsum keeps
+    the double sum exact under ANY partition layout — same discipline
+    as b140), so the oracle is the plain aggregate.
+    """
+    ns = aqe_coalesce_session(spark)
+    li = load_table(ns, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ship_month")
+        )
+        .agg(
+            dsum(F.expr("l_extendedprice * (1 - l_discount)"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )

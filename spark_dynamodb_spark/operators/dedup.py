@@ -2156,3 +2156,396 @@ def unified_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C101 — blocked fuzzy dedup: edit-distance verify inside length bands
+# ---------------------------------------------------------------------------
+
+_ED_PFX = 256        # verify window (chars of normalized text)
+_ED_BAND = 64        # length-band width (chars)
+_ED_MAXDIST = 64     # levenshtein early-exit threshold
+_ED_SIM_T = 0.75     # keep pairs with prefix similarity >= this
+
+
+def _edit_distance_sql() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, lang, n_chars,
+                      substr({sql_normalize_text('text')}, 1, {_ED_PFX}) AS pfx
+               FROM documents),
+    blk AS (SELECT doc_id, lang, n_chars, pfx,
+                   unnest([CAST(floor(n_chars / {_ED_BAND}) AS BIGINT),
+                           CAST(floor(n_chars / {_ED_BAND}) AS BIGINT) + 1]) AS bkt
+            FROM d),
+    cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    x.pfx AS pa, y.pfx AS pb
+             FROM blk x JOIN blk y
+               ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+              AND abs(x.n_chars - y.n_chars) <= {_ED_BAND}),
+    ver AS (SELECT doc_a, doc_b,
+                   CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist,
+                   round(1.0 - levenshtein(pa, pb) * 1.0
+                             / greatest(length(pa), length(pb)), 6) AS pfx_sim
+            FROM cand)
+    SELECT doc_a, doc_b, edit_dist, pfx_sim
+    FROM ver
+    WHERE edit_dist <= {_ED_MAXDIST} AND pfx_sim >= {_ED_SIM_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "c101_dedup_edit_distance",
+    _edit_distance_sql(),
+    doc="""Oracle replicates the same length-band blocking, so the
+    candidate sets are identical by construction; levenshtein is the
+    standard DP edit distance in both engines and the kept distances
+    are integers — no float-tolerance caveat.""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101: fuzzy near-dup pairs by edit distance — the verify family
+    member that catches small in-place edits (typo fixes, template
+    variable swaps) that token-shingle Jaccard (c02) under-weights.
+
+    Blocking, never all-pairs: candidates must share (lang,
+    length-band) — each doc lands in its own n_chars/64 band and the
+    next one (standard band discretization, same trick as the b33
+    as-of bucketing), so any pair within 64 chars of length shares a
+    band and everything else never forms a pair. Verify runs on a
+    BOUNDED window (first 256 normalized chars) with Spark's
+    thresholded levenshtein(l, r, T) — the DP early-exits any
+    candidate drifting past T=64 edits (returns -1, filtered), so
+    per-pair cost is O(pfx * T), not O(pfx^2).
+
+    Scale shape (100 TB): band join is an equi-join (one shuffle per
+    side on (lang, band)); the verify payload per candidate is <= 256
+    chars — at real scale you would ship (id, prefix-hash) first and
+    fetch prefixes only for hash-unequal candidates; here prefixes
+    ride the candidate join directly. Output is the verified pair
+    list ordered by (doc_a, doc_b).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(normalize_text("text"), 1, _ED_PFX).alias("pfx"),
+    )
+    blk = d.withColumn(
+        "bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("n_chars") / _ED_BAND),
+                F.floor(F.col("n_chars") / _ED_BAND) + 1,
+            )
+        ),
+    )
+    x, y = blk.alias("x"), blk.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= _ED_BAND
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.pfx").alias("pa"),
+            F.col("y.pfx").alias("pb"),
+        )
+        .distinct()
+    )
+    ver = cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("pa", "pb", _ED_MAXDIST).cast("long").alias("edit_dist"),
+        F.greatest(F.length("pa"), F.length("pb")).alias("mx"),
+    )
+    return (
+        ver.filter(F.col("edit_dist") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.round(
+                F.lit(1.0) - F.col("edit_dist") / F.col("mx"), 6
+            ).alias("pfx_sim"),
+        )
+        .filter(F.col("pfx_sim") >= _ED_SIM_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C102 — mergeable KMV distinct sketch, rolled up per source
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SHARDS = 8
+_KMV_SPACE = float(1 << 60)  # md5_64 hashes are uniform in [0, 2^60)
+
+
+def _kmv_sql() -> str:
+    est = (
+        f"CASE WHEN n_in < {_KMV_K} THEN CAST(n_in AS DOUBLE) "
+        f"ELSE round(({_KMV_K - 1}.0 * {int(_KMV_SPACE)}.0) / hk, 2) END"
+    )
+    return f"""
+    WITH sh AS ({sql_shingles(key_col='source', distinct_rows=True)}),
+    h AS (SELECT DISTINCT source, {sql_md5_64('shingle')} AS h FROM sh),
+    ranked AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM h),
+    sk AS (SELECT source, COUNT(*) AS n_in, max(h) AS hk
+           FROM ranked WHERE rn <= {_KMV_K} GROUP BY source),
+    ex AS (SELECT source, COUNT(*) AS n_exact FROM h GROUP BY source),
+    est AS (SELECT ex.source, ex.n_exact, {est} AS n_est
+            FROM ex JOIN sk ON ex.source = sk.source)
+    SELECT source, n_exact, n_est,
+           round(abs(n_est - n_exact) * 100.0 / n_exact, 4) AS err_pct
+    FROM est
+    ORDER BY source
+    """
+
+
+def _source_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (source, md5-60-bit shingle hash) — the portable hash
+    relation both KMV entries (c102/c103) sketch and exact-count."""
+    return (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingles("text", SHINGLE_K))).alias("shingle"),
+        )
+        .select("source", md5_64("shingle").alias("h"))
+        .distinct()
+    )
+
+
+def _kmv_kept(h: DataFrame) -> DataFrame:
+    """The K smallest hashes per source via two BOUNDED top-k phases:
+    per-(source, hash%SHARDS) shard window, then a per-source merge
+    window over the <= SHARDS*K survivors — the KMV merge algebra
+    (union, keep K smallest) made structural; never an unbounded
+    per-group collect."""
+    shard_w = Window.partitionBy(
+        "source", F.pmod(F.col("h"), F.lit(_KMV_SHARDS))
+    ).orderBy("h")
+    phase1 = (
+        h.withColumn("rn", F.row_number().over(shard_w))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    merge_w = Window.partitionBy("source").orderBy("h")
+    return (
+        phase1.withColumn("rn", F.row_number().over(merge_w))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+
+
+@query(
+    "c102_kmv_sketch_rollup",
+    _kmv_sql(),
+    doc="""Oracle computes the K smallest hashes per source directly
+    (one window); Spark computes them in two mergeable phases — the
+    results are identical because the K smallest of a union are
+    contained in the union of each shard's K smallest. md5-derived
+    hashes keep the sketch engine-portable; the estimator arithmetic
+    is the same IEEE-double expression on both sides.""",
+)
+def kmv_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C102: K-minimum-values distinct-shingle sketch per source, with
+    the exact count and the sketch's relative error alongside.
+
+    The point is MERGEABILITY — the property every 100 TB profiling
+    pass lives on: a KMV sketch (the K smallest hash values of a set)
+    merges by "union, keep K smallest", so per-shard sketches combine
+    associatively without revisiting data — the same algebra
+    partial-aggregation pushdown needs. The implementation
+    demonstrates it structurally in two bounded phases:
+
+      phase 1 (map-side shape): per (source, hash%8) shard, keep the
+        K smallest hashes — a per-group top-k window, spillable,
+        never an unbounded collect;
+      phase 2 (merge shape): re-rank the <= 8K survivors per source
+        and keep the global K smallest, then estimate
+        |distinct| ~ (K-1) * 2^60 / h_(K)  (hashes uniform in
+        [0, 2^60)); sources with fewer than K distinct values are
+        exact by definition.
+
+    At 100 TB the phase-1 output is 256 longs per (source, shard) —
+    kilobytes per source regardless of corpus size — while the exact
+    count (computed here only to report err_pct) costs a full
+    distinct shuffle. KMV complements HLL (b13): same merge algebra,
+    but KMV also supports set-intersection estimates between sketches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _source_shingle_hashes(docs)
+    sketch = (
+        _kmv_kept(h)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_in"), F.max("h").alias("hk"))
+    )
+    exact = h.groupBy("source").agg(F.count("*").alias("n_exact"))
+    est = F.when(
+        F.col("n_in") < _KMV_K, F.col("n_in").cast("double")
+    ).otherwise(
+        F.round(F.lit((_KMV_K - 1) * 1.0 * _KMV_SPACE) / F.col("hk"), 2)
+    )
+    return (
+        exact.join(sketch, "source")
+        .select("source", "n_exact", est.alias("n_est"))
+        .select(
+            "source",
+            "n_exact",
+            "n_est",
+            F.round(
+                F.abs(F.col("n_est") - F.col("n_exact")) * 100.0 / F.col("n_exact"), 4
+            ).alias("err_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C103 — KMV set algebra: pairwise source-overlap estimate from sketches
+# ---------------------------------------------------------------------------
+
+def _kmv_overlap_sql() -> str:
+    return f"""
+    WITH sh AS ({sql_shingles(key_col='source', distinct_rows=True)}),
+    h AS (SELECT DISTINCT source, {sql_md5_64('shingle')} AS h FROM sh),
+    ranked AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM h),
+    sk AS (SELECT source, list(h ORDER BY h) AS ska
+           FROM ranked WHERE rn <= {_KMV_K} GROUP BY source),
+    n AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+              FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+              GROUP BY source_a, source_b),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.ska AS sa, b.ska AS sb
+              FROM sk a JOIN sk b ON a.source < b.source),
+    est AS (SELECT source_a, source_b,
+                   len(list_intersect(
+                       list_sort(list_distinct(list_concat(sa, sb)))[1:{_KMV_K}],
+                       list_intersect(sa, sb))) AS n_common,
+                   len(list_sort(list_distinct(list_concat(sa, sb)))[1:{_KMV_K}])
+                     AS n_merged
+            FROM pairs)
+    SELECT est.source_a, est.source_b,
+           CAST(n_common * 1000000 // n_merged AS BIGINT) AS jac_est_ppm,
+           CAST(coalesce(n_inter, 0) * 1000000
+                  // (na.n + nb.n - coalesce(n_inter, 0)) AS BIGINT) AS jac_ppm,
+           CAST(abs(n_common * 1000000 // n_merged
+                    - coalesce(n_inter, 0) * 1000000
+                        // (na.n + nb.n - coalesce(n_inter, 0))) AS BIGINT)
+             AS err_ppm
+    FROM est
+    LEFT JOIN inter ON est.source_a = inter.source_a AND est.source_b = inter.source_b
+    JOIN n na ON na.source = est.source_a
+    JOIN n nb ON nb.source = est.source_b
+    ORDER BY est.source_a, est.source_b
+    """
+
+
+@query(
+    "c103_kmv_source_overlap",
+    _kmv_overlap_sql(),
+    doc="""Oracle builds the same K-smallest sketches directly and
+    applies the same KMV set algebra; all emitted columns are
+    integers (ppm via integer division) — no float caveat anywhere.""",
+)
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C103: pairwise source-overlap (Jaccard) ESTIMATED from the c102
+    KMV sketches — the set-algebra payoff HLL cannot give: for
+    sketches S_A, S_B (each the K smallest hashes), M = the K
+    smallest of S_A ∪ S_B is a valid sketch of A ∪ B, and
+    |M ∩ S_A ∩ S_B| / |M| is the standard KMV Jaccard estimator
+    (Beyer et al., K-minimum-values set operations). The exact
+    Jaccard (ppm) and the estimate's error ride alongside.
+
+    Why it matters at 100 TB: pairwise overlap across S sources costs
+    ONE corpus scan + S·K longs with sketches — the est path here is
+    array algebra over broadcast-sized per-source rows — while the
+    exact path (emitted only to report err_ppm) is a full
+    distinct-hash self-join, the thing you cannot afford across a
+    petabyte corpus. This is c22_source_overlap's question answered
+    at sketch cost; pairs with c10/c32 decontamination, where
+    cross-source leakage is the decision input.
+
+    All outputs are integer ppm (integer division) — bit-identical in
+    any engine, no float rounding discipline needed.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _source_shingle_hashes(docs)
+    sk = (
+        _kmv_kept(h)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("ska"))
+    )
+    n = h.groupBy("source").agg(F.count("*").alias("n"))
+    ha, hb = h.alias("ha"), h.alias("hb")
+    inter = (
+        ha.join(
+            hb,
+            (F.col("ha.h") == F.col("hb.h"))
+            & (F.col("ha.source") < F.col("hb.source")),
+        )
+        .groupBy(
+            F.col("ha.source").alias("source_a"),
+            F.col("hb.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.source") < F.col("b.source")
+    ).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.ska").alias("sa"),
+        F.col("b.ska").alias("sb"),
+    )
+    merged = F.slice(F.array_sort(F.array_union("sa", "sb")), 1, _KMV_K)
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        F.size(F.array_intersect(merged, F.array_intersect("sa", "sb"))).alias(
+            "n_common"
+        ),
+        F.size(merged).alias("n_merged"),
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    return (
+        est.join(
+            inter,
+            (est.source_a == inter.source_a) & (est.source_b == inter.source_b),
+            "left",
+        )
+        .drop(inter.source_a)
+        .drop(inter.source_b)
+        .join(na, est.source_a == F.col("na.source"))
+        .join(nb, est.source_b == F.col("nb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("n_common * 1000000 DIV n_merged").cast("long").alias(
+                "jac_est_ppm"
+            ),
+            F.expr(
+                "coalesce(n_inter, 0) * 1000000"
+                " DIV (na.n + nb.n - coalesce(n_inter, 0))"
+            ).cast("long").alias("jac_ppm"),
+            F.expr(
+                "abs(n_common * 1000000 DIV n_merged"
+                " - coalesce(n_inter, 0) * 1000000"
+                "     DIV (na.n + nb.n - coalesce(n_inter, 0)))"
+            ).cast("long").alias("err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1409,3 +1409,82 @@ def test_ivf_pruned_dynamic_partition_pruning(spark, sf_dir):
     assert len(cells) == s.NLIST, cells
     # and the probe set is provably narrower than the layout
     assert s.NPROBE_PRUNED * s.NQ_PRUNED < s.NLIST
+
+
+def test_aqe_coalesce_annotation(spark, sf_dir):
+    """b141: with 64 shuffle partitions configured and a ~84-group
+    aggregate output, the EXECUTED plan's final shuffle read must be
+    an AQEShuffleRead marked 'coalesced' — Spark folded the
+    over-partitioned small stage at runtime (the dual of b140's skew
+    split). The coalesced read must land strictly under the
+    configured 64 reducers."""
+    df = aggregates.aqe_coalesce_agg(spark, sf_dir)
+    df.collect()  # AQE annotations exist only on the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan, plan
+    assert "coalesced" in plan, plan
+    assert df.rdd.getNumPartitions() < 64, df.rdd.getNumPartitions()
+
+
+def test_sq8_ann_broadcast_and_heap(spark, sf_dir):
+    """c100: the SQ8 scan must keep the c03 brute-force discipline —
+    the query side is broadcast (the corpus never shuffles for the
+    join) and the per-query top-k cut pushes into WindowGroupLimit
+    (per-task heaps below the exchange, no global sort of the n×q
+    score relation)."""
+    df = similarity.ann_int8_topk(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_edit_distance_blocked_never_allpairs(spark, sf_dir):
+    """c101: candidate generation must be an equi-join on the
+    (lang, length-band) block key — never a cartesian product — and
+    the length-band filter arrives as a join condition, not a
+    post-cross filter."""
+    df = dedup.dedup_edit_distance(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_kmv_two_phase_bounded(spark, sf_dir):
+    """c102: the sketch must be built in two bounded top-k phases
+    (per-shard window, then per-source merge window) — two Window
+    nodes, each fed by a row_number ≤ K filter — and never an
+    unbounded per-group collect (no collect_list/collect_set in the
+    plan). The shuffle key payload is the 8-byte md5-derived hash,
+    not shingle strings: no exchange beyond the distinct carries a
+    'shingle' column."""
+    df = dedup.kmv_sketch_rollup(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "collect_list" not in plan and "collect_set" not in plan, plan
+
+
+def test_kmv_overlap_sketch_pairs_broadcast(spark, sf_dir):
+    """c103: the pairwise-estimate path crosses only the K-bounded
+    per-source sketch rows, and that cross is a broadcast (no shuffle
+    of sketches); the only per-group collect in the plan is the
+    K-bounded sketch array (fed by a rn<=K filter), never an
+    unbounded group."""
+    from spark_dynamodb_spark.operators import dedup as dd
+
+    df = dd.kmv_source_overlap(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the bounded two-phase sketch shape survives composition
+    assert plan.count("Window") >= 2, plan
+
+
+def test_sq8_recall_eval_bounded(spark, sf_dir):
+    """c104: the eval joins two per-query top-k tables — every join in
+    the plan is on query_id/neighbor_id equality, no cartesian."""
+    df = similarity.sq8_recall_eval(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
