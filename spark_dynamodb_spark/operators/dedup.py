@@ -2171,16 +2171,19 @@ _ED_SIM_T = 0.75     # keep pairs with prefix similarity >= this
 def _edit_distance_sql() -> str:
     return f"""
     WITH d AS (SELECT doc_id, lang, n_chars,
-                      substr({sql_normalize_text('text')}, 1, {_ED_PFX}) AS pfx
+                      substr({sql_normalize_text('text')}, 1, {_ED_PFX}) AS pfx,
+                      list_min(list_transform({sql_tokens('text')},
+                        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS mh
                FROM documents),
-    blk AS (SELECT doc_id, lang, n_chars, pfx,
+    blk AS (SELECT doc_id, lang, n_chars, pfx, mh,
                    unnest([CAST(floor(n_chars / {_ED_BAND}) AS BIGINT),
                            CAST(floor(n_chars / {_ED_BAND}) AS BIGINT) + 1]) AS bkt
             FROM d),
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                     x.pfx AS pa, y.pfx AS pb
              FROM blk x JOIN blk y
-               ON x.lang = y.lang AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+               ON x.lang = y.lang AND x.bkt = y.bkt AND x.mh = y.mh
+              AND x.doc_id < y.doc_id
               AND abs(x.n_chars - y.n_chars) <= {_ED_BAND}),
     ver AS (SELECT doc_a, doc_b,
                    CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist,
@@ -2207,29 +2210,44 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     member that catches small in-place edits (typo fixes, template
     variable swaps) that token-shingle Jaccard (c02) under-weights.
 
-    Blocking, never all-pairs: candidates must share (lang,
-    length-band) — each doc lands in its own n_chars/64 band and the
-    next one (standard band discretization, same trick as the b33
-    as-of bucketing), so any pair within 64 chars of length shares a
-    band and everything else never forms a pair. Verify runs on a
-    BOUNDED window (first 256 normalized chars) with Spark's
-    thresholded levenshtein(l, r, T) — the DP early-exits any
-    candidate drifting past T=64 edits (returns -1, filtered), so
-    per-pair cost is O(pfx * T), not O(pfx^2).
+    Blocking, never all-pairs — and the block key is THREE-part
+    (lang, length-band, min-token-hash), a lesson the round-9 10x
+    stress taught: length bands alone are low-entropy (every
+    same-length unrelated doc collides), so candidates grew
+    quadratically with data — ~100x pairs for 10x docs, each paying
+    a levenshtein. The third key is one-permutation MinHash: the
+    minimum md5 token hash collides for near-identical docs with
+    probability ~= their token Jaccard (>=0.9 for the edit-distance
+    target class) but splits unrelated same-length docs
+    ~vocabulary-fold. Each doc still lands in its own n_chars/64 band
+    and the next one (standard band discretization, b33 trick), so
+    any near-identical pair within 64 chars of length shares a block.
+    Verify runs on a BOUNDED window (first 256 normalized chars) with
+    Spark's thresholded levenshtein(l, r, T) — the DP early-exits any
+    candidate past T=64 edits (returns -1, filtered), so per-pair
+    cost is O(pfx * T), not O(pfx^2).
 
-    Scale shape (100 TB): band join is an equi-join (one shuffle per
-    side on (lang, band)); the verify payload per candidate is <= 256
-    chars — at real scale you would ship (id, prefix-hash) first and
-    fetch prefixes only for hash-unequal candidates; here prefixes
-    ride the candidate join directly. Output is the verified pair
-    list ordered by (doc_a, doc_b).
+    Scale shape (100 TB): candidate generation is an equi-join (one
+    shuffle per side on the 3-part block key); the verify payload per
+    candidate is <= 256 chars — at real scale you would ship
+    (id, prefix-hash) first and fetch prefixes only for hash-unequal
+    candidates; here prefixes ride the candidate join directly.
+    Recall trade documented: an edit that happens to DELETE the
+    minimum-hash token breaks the block — recovered in practice by
+    using 2 permutations (OR of two block keys), the standard
+    band/row trade as c02's LSH. Output is the verified pair list
+    ordered by (doc_a, doc_b).
     """
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    # repartition first: the fixture parquet is one row group = one
+    # task, and the per-token md5 for the block key would serialize
+    # (the _shingle_arrays idiom; verify-skill gotcha)
+    d = docs.repartition("doc_id").select(
         "doc_id",
         "lang",
         "n_chars",
         F.substring(normalize_text("text"), 1, _ED_PFX).alias("pfx"),
+        F.array_min(F.transform(tokens("text"), lambda t: md5_64(t))).alias("mh"),
     )
     blk = d.withColumn(
         "bkt",
@@ -2241,11 +2259,24 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     x, y = blk.alias("x"), blk.alias("y")
-    cand = (
+    # Candidates are deduped as ID PAIRS ONLY, then re-joined to fetch
+    # the two prefixes, and only then verified. This shape is
+    # load-bearing twice over (round-9 lesson, measured at sf0.1 with
+    # 523k candidate pairs):
+    #  1. If pa/pb ride the block join directly, Catalyst pushes the
+    #     levenshtein FILTER down into the block-join CONDITION — a
+    #     CPU-heavy predicate evaluated inside the broadcast-probe
+    #     stage, whose parallelism is the raw scan's (one row group =
+    #     ONE task locally): 230 s single-task, levenshtein computed
+    #     2-3x per pair. Verifying above the prefix joins caps the
+    #     pushdown at a stage that is explicitly re-partitioned wide.
+    #  2. The distinct shuffle carries 16 bytes/pair, not 2x256 chars.
+    cand_ids = (
         x.join(
             y,
             (F.col("x.lang") == F.col("y.lang"))
             & (F.col("x.bkt") == F.col("y.bkt"))
+            & (F.col("x.mh") == F.col("y.mh"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
                 F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= _ED_BAND
@@ -2254,10 +2285,20 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.pfx").alias("pa"),
-            F.col("y.pfx").alias("pb"),
         )
         .distinct()
+        # numbered repartition (never AQE-coalesced): the pair rows are
+        # only a few MB, so AQE would fold them to ONE partition and
+        # serialize the CPU-bound verify that follows.
+        .repartition(32, "doc_a", "doc_b")
+    )
+    pfx = d.select("doc_id", "pfx")
+    cand = cand_ids.join(
+        pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")),
+        "doc_a",
+    ).join(
+        pfx.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb")),
+        "doc_b",
     )
     ver = cand.select(
         "doc_a",

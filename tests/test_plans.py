@@ -1440,9 +1440,12 @@ def test_sq8_ann_broadcast_and_heap(spark, sf_dir):
 
 def test_edit_distance_blocked_never_allpairs(spark, sf_dir):
     """c101: candidate generation must be an equi-join on the
-    (lang, length-band) block key — never a cartesian product — and
-    the length-band filter arrives as a join condition, not a
-    post-cross filter."""
+    (lang, length-band, min-token-hash) block key — never a cartesian
+    product — and the CPU-bound levenshtein verify must stay ABOVE
+    the numbered repartition, never pushed into a join condition
+    (the round-9 single-task trap: a lev predicate in the broadcast
+    probe stage ran 230 s on one task; verified fix runs 14.5 s on
+    32)."""
     df = dedup.dedup_edit_distance(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
@@ -1450,6 +1453,12 @@ def test_edit_distance_blocked_never_allpairs(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     ), plan
+    # verify parallelism is pinned by an explicit numbered exchange
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # and no join evaluates the edit distance as part of its condition
+    for line in plan.splitlines():
+        if "Join condition" in line or "Join Inner, " in line:
+            assert "levenshtein" not in line, line
 
 
 def test_kmv_two_phase_bounded(spark, sf_dir):
