@@ -1170,3 +1170,173 @@ def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_table(spark, agg, "complete")
     return out.select("event_type", "n_events", "total_value").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# S23 — incremental KMV sketch maintenance (streaming corpus profiling)
+# ---------------------------------------------------------------------------
+
+def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage documents as ``n_files`` parquet files so availableNow +
+    maxFilesPerTrigger=1 yields ``n_files`` REAL micro-batches (the
+    fixture is a single file = a single batch otherwise). Tagged by a
+    content fingerprint of the source parquet (ivf_index_path
+    discipline) so a regenerated fixture can never hit a stale stage.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    from spark_dynamodb_spark.tables import load_table
+
+    src = table_path(sf_dir, "documents")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    for root, _, files in os.walk(src):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5(("|".join(parts) + f"|{n_files}").encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    if not os.path.isdir(os.path.join(out, "_SUCCESS_DIR")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(n_files, "doc_id")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        os.makedirs(os.path.join(out, "_SUCCESS_DIR"), exist_ok=True)
+    return out
+
+
+@query(
+    "s23_stream_kmv_incremental",
+    None,  # oracle patched below from the c102 construction (sketch state)
+)
+def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: KMV distinct-sketch maintenance under INCREMENTAL arrival —
+    the c102 merge algebra exercised where it actually earns its keep:
+    a documents stream (4 real micro-batches via staged files +
+    maxFilesPerTrigger=1) whose foreachBatch sink keeps, per source,
+    the K smallest shingle hashes seen SO FAR. Each batch computes its
+    own bounded batch-sketch (distinct hashes -> per-source top-K
+    window), unions the previous sketch state (<= K rows per source),
+    and re-takes the K smallest — associativity of "union, keep K
+    smallest" makes the final state EQUAL to the batch sketch over the
+    full corpus, which is exactly what the oracle checks (the same
+    K-smallest-per-source SQL as c102).
+
+    Why this matters at 100 TB: corpus profiles (distinct n-grams,
+    vocabulary growth, per-source cardinality) must be maintained as
+    data lands, not recomputed corpus-wide per refresh. A mergeable
+    sketch turns each refresh into O(batch) work + an O(S*K) state
+    merge — this entry is the executable proof that the incremental
+    path produces the bit-identical sketch (n_in, hk, and estimate all
+    match the one-shot computation).
+
+    State lives in per-batch parquet versions (state_v{n}); each
+    micro-batch reads only v{n-1} — at production scale the state is a
+    keyed table (A12 upsert) but versioned parquet keeps the lineage
+    inspectable here. Sketch rows are <= S*K = tiny; the heavy lifting
+    (shingle + hash + per-batch top-K) is the batch's own bounded work.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.dedup import (
+        _KMV_K,
+        _kmv_kept,
+        _source_shingle_hashes,
+    )
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    state_root = tempfile.mkdtemp(prefix="kmv_state_")
+    last_path: list[str | None] = [None]  # closure cell: previous version
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch_sketch = _kmv_kept(_source_shingle_hashes(batch)).select("source", "h")
+        if last_path[0] is not None:
+            prev = sess.read.parquet(last_path[0])
+            batch_sketch = batch_sketch.unionByName(prev)
+        merged = _kmv_kept(batch_sketch.distinct()).select("source", "h")
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        last_path[0] = out
+
+    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(last_path[0])
+        sketch = final.groupBy("source").agg(
+            F.count("*").alias("n_in"), F.max("h").alias("hk")
+        )
+        est = F.when(
+            F.col("n_in") < _KMV_K, F.col("n_in").cast("double")
+        ).otherwise(
+            F.round(F.lit((_KMV_K - 1) * 1.0 * float(1 << 60)) / F.col("hk"), 2)
+        )
+        # materialize before the temp state dirs vanish
+        rows = sketch.select(
+            "source", "n_in", "hk", est.alias("n_est")
+        ).orderBy("source")
+        out = rows.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+def _finalize_s23_oracle() -> None:
+    """Oracle: the one-shot K-smallest-per-source sketch (c102's CTE),
+    emitting the identical (source, n_in, hk, n_est) columns — the
+    incremental run must reproduce it exactly."""
+    from spark_dynamodb_spark.operators.dedup import _KMV_K, _kmv_sql  # noqa: F401
+    from spark_dynamodb_spark.operators.dedup import sql_shingles
+    from spark_dynamodb_spark.functions.text import sql_md5_64
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    est = (
+        f"CASE WHEN n_in < {_KMV_K} THEN CAST(n_in AS DOUBLE) "
+        f"ELSE round(({_KMV_K - 1}.0 * {1 << 60}.0) / hk, 2) END"
+    )
+    REGISTRY.resolve("s23_stream_kmv_incremental").oracle = f"""
+    WITH sh AS ({sql_shingles(key_col='source', distinct_rows=True)}),
+    h AS (SELECT DISTINCT source, {sql_md5_64('shingle')} AS h FROM sh),
+    ranked AS (SELECT source, h,
+                      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+               FROM h),
+    sk AS (SELECT source, COUNT(*) AS n_in, max(h) AS hk
+           FROM ranked WHERE rn <= {_KMV_K} GROUP BY source)
+    SELECT source, n_in, hk, {est} AS n_est
+    FROM sk
+    ORDER BY source
+    """
+
+
+_finalize_s23_oracle()

@@ -793,3 +793,22 @@ def test_transform_with_state_in_pandas_guarded(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n_events"))
     )
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_s23_staging_yields_real_microbatches(spark, sf_dir):
+    """s23's whole point is INCREMENTAL merging — which only exists if
+    the stream actually delivers multiple micro-batches. The staging
+    step must produce 4 parquet part files (maxFilesPerTrigger=1 ->
+    4 batches), not the fixture's single file (= a single batch, which
+    would vacuously 'prove' merge associativity)."""
+    import glob
+    import os
+
+    from spark_dynamodb_spark.streaming.stream_queries import _docs_stream_staging
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    files = [
+        f for f in glob.glob(os.path.join(staged, "*.parquet"))
+        if os.path.getsize(f) > 0
+    ]
+    assert len(files) == 4, files
