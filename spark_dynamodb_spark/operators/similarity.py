@@ -2480,3 +2480,114 @@ def _finalize_c104_oracle() -> None:
 
 
 _finalize_c104_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C105 — index selection matrix: every ANN variant vs exact, one table
+# ---------------------------------------------------------------------------
+
+def _recall_matrix_member(tag: str, cte: str) -> str:
+    return f"""
+      SELECT '{tag}' AS index_name, e.query_id,
+             count(a.neighbor_id) AS n_hits
+      FROM exact e LEFT JOIN {cte} a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id"""
+
+
+@query(
+    "c105_index_recall_matrix",
+    f"""
+    WITH exact AS ({{EXACT}}),
+    lsh AS ({{LSH}}),
+    ivf AS ({{IVF}}),
+    sq8 AS ({{SQ8}}),
+    per_query AS (
+      {_recall_matrix_member('lsh', 'lsh')}
+      UNION ALL
+      {_recall_matrix_member('ivf', 'ivf')}
+      UNION ALL
+      {_recall_matrix_member('sq8', 'sq8')}
+    )
+    SELECT index_name,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits,
+           CAST(sum(n_hits) * 1000000 // (count(*) * {TOP_K}) AS BIGINT)
+             AS recall_ppm
+    FROM per_query
+    GROUP BY index_name
+    ORDER BY index_name
+    """,
+)
+def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C105: the index-selection table — recall@k of EVERY registered
+    ANN variant (hyperplane-LSH c03_ann_lsh_bucketed, IVF c03_ann_ivf,
+    SQ8 c100_ann_int8_topk) against the exact brute-force top-k, in
+    one output. This is the artifact an embedding-platform team
+    actually consults when choosing an index for a corpus: per-index
+    aggregate recall on a sampled query set, refreshed whenever the
+    corpus distribution moves. All sides ARE the registered queries
+    (c42 discipline), so the matrix evaluates the production plans.
+
+    Scale shape: each member is |queries|*k-bounded; the exact side's
+    corpus scan is shared across comparisons in spirit (here each
+    variant recomputes it — at 100 TB you materialize the exact top-k
+    for the query SAMPLE once, the standard eval-set pattern, and
+    every index eval joins against it).
+
+    Output is integer ppm (sum-of-hits over queries*k), bit-portable.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    members = {
+        "lsh": ann_lsh_bucketed(spark, sf_dir),
+        "ivf": ann_ivf(spark, sf_dir),
+        "sq8": ann_int8_topk(spark, sf_dir),
+    }
+    per = None
+    for tag, approx in members.items():
+        a = approx.select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        )
+        hits = (
+            exact.join(
+                a,
+                (exact.query_id == F.col("aq"))
+                & (exact.neighbor_id == F.col("an")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("an").alias("n_hits"))
+            .select(F.lit(tag).alias("index_name"), "query_id", "n_hits")
+        )
+        per = hits if per is None else per.unionByName(hits)
+    return (
+        per.groupBy("index_name")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        .select(
+            "index_name",
+            "n_queries",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 DIV (n_queries * {TOP_K})")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("index_name")
+    )
+
+
+def _finalize_c105_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    spec = REGISTRY.resolve("c105_index_recall_matrix")
+    spec.oracle = (
+        spec.oracle.replace("{EXACT}", _registered_oracle("c03_ann_cosine_topk"))
+        .replace("{LSH}", _registered_oracle("c03_ann_lsh_bucketed"))
+        .replace("{IVF}", _registered_oracle("c03_ann_ivf"))
+        .replace("{SQ8}", _registered_oracle("c100_ann_int8_topk"))
+    )
+
+
+_finalize_c105_oracle()
