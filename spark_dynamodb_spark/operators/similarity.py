@@ -1433,13 +1433,12 @@ def _sql_sqdist_sub() -> str:
     return _SQL_SQDIST.format(a="{a}", b="{b}", dim=PQ_SUBDIM)
 
 
-def _pq_sql() -> str:
-    """DuckDB mirror of product_quantization — the c03_ann_ivf
-    unrolling discipline applied per subspace: md5-seeded codes,
-    PQ_ITERS exact-decimal Lloyd iterations over each (m, cell), then
-    code assignment + exact reconstruction error."""
+def _pq_ctes() -> tuple[list[str], str]:
+    """The shared PQ-training CTE chain (c56 codes/error + c106 ADC
+    search build on the same unrolled deterministic Lloyd recipe).
+    Returns (ctes, last_assignment_name); centsF is appended by each
+    consumer with its own tail."""
     sq = _SQL_SQDIST.format(a="s.svec", b="c.cvec", dim=PQ_SUBDIM)
-    sq_err = _SQL_SQDIST.format(a="a.svec", b="c.cvec", dim=PQ_SUBDIM)
     seed = (
         "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||"
         f" CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) % {PQ_K} AS INT)"
@@ -1490,12 +1489,22 @@ def _pq_sql() -> str:
       ) GROUP BY m, cell
     )"""
     )
-    ctes.append(
+    return ctes, last
+
+
+def _pq_sql() -> str:
+    """DuckDB mirror of product_quantization — the c03_ann_ivf
+    unrolling discipline applied per subspace: md5-seeded codes,
+    PQ_ITERS exact-decimal Lloyd iterations over each (m, cell), then
+    code assignment + exact reconstruction error."""
+    ctes, last = _pq_ctes()
+    sq_err = _SQL_SQDIST.format(a="a.svec", b="c.cvec", dim=PQ_SUBDIM)
+    ctes = ctes + [
         f"""err AS (
       SELECT a.vec_id, a.m, a.cell, {sq_err} AS e
       FROM {last} a JOIN centsF c ON c.m = a.m AND c.cell = a.cell
     )"""
-    )
+    ]
     return (
         "WITH " + ",\n    ".join(ctes) + """
     SELECT vec_id,
@@ -1527,34 +1536,22 @@ def _pq_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-@query("c56_product_quantization", _pq_sql())
-def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C56: product quantization (the PQ of IVF-PQ, Jégou et al.) —
-    split each 64-dim embedding into 2 sub-vectors, train an
-    independent K=4 codebook per subspace (the c03_ann_ivf
-    deterministic Lloyd recipe: md5-seeded codes, exact-decimal
-    centroid means, broadcast argmin reassignment), and emit each
-    vector's code tuple plus its exact reconstruction error. Codes
-    compress 64 doubles to 2 small ints — the memory trick that lets
-    a billion-vector index fit in RAM; the error column is the
-    quantization-quality audit every PQ deployment monitors.
-
-    Scale shape: training aggregates are combinable (shuffle carries
-    M x K x SUBDIM partial sums); reassignment is a broadcast of the
-    tiny codebook; nothing iterates on the driver. The oracle unrolls
-    the identical fixed-depth iteration as chained CTEs.
-    """
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ training shared by c56 (codes + error audit)
+    and c106 (ADC search): returns (subs, assigned, cents) — the
+    subvector relation, the final per-(vec, m) cell assignment, and
+    the final codebook."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     subs = None
     for m in range(PQ_M):
-        s = emb.select(
+        sv = emb.select(
             "vec_id",
             F.lit(m).alias("m"),
             F.slice("vec", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("svec"),
         )
-        subs = s if subs is None else subs.unionAll(s)
+        subs = sv if subs is None else subs.unionAll(sv)
     assigned = subs.withColumn(
         "cell",
         (
@@ -1580,6 +1577,27 @@ def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "m", "svec", "cell")
         )
     cents = _pq_centroids(assigned)
+    return subs, assigned, cents
+
+
+@query("c56_product_quantization", _pq_sql())
+def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56: product quantization (the PQ of IVF-PQ, Jégou et al.) —
+    split each 64-dim embedding into 2 sub-vectors, train an
+    independent K=4 codebook per subspace (the c03_ann_ivf
+    deterministic Lloyd recipe: md5-seeded codes, exact-decimal
+    centroid means, broadcast argmin reassignment), and emit each
+    vector's code tuple plus its exact reconstruction error. Codes
+    compress 64 doubles to 2 small ints — the memory trick that lets
+    a billion-vector index fit in RAM; the error column is the
+    quantization-quality audit every PQ deployment monitors.
+
+    Scale shape: training aggregates are combinable (shuffle carries
+    M x K x SUBDIM partial sums); reassignment is a broadcast of the
+    tiny codebook; nothing iterates on the driver. The oracle unrolls
+    the identical fixed-depth iteration as chained CTEs.
+    """
+    subs, assigned, cents = _pq_train(spark, sf_dir)
     err = assigned.join(F.broadcast(cents), ["m", "cell"]).select(
         "vec_id", "m", "cell", _sq_dist(F.col("svec"), F.col("cvec")).alias("e")
     )
@@ -2502,12 +2520,15 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
     lsh AS ({{LSH}}),
     ivf AS ({{IVF}}),
     sq8 AS ({{SQ8}}),
+    pq AS ({{PQ}}),
     per_query AS (
       {_recall_matrix_member('lsh', 'lsh')}
       UNION ALL
       {_recall_matrix_member('ivf', 'ivf')}
       UNION ALL
       {_recall_matrix_member('sq8', 'sq8')}
+      UNION ALL
+      {_recall_matrix_member('pq', 'pq')}
     )
     SELECT index_name,
            CAST(count(*) AS BIGINT) AS n_queries,
@@ -2522,7 +2543,8 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
 def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C105: the index-selection table — recall@k of EVERY registered
     ANN variant (hyperplane-LSH c03_ann_lsh_bucketed, IVF c03_ann_ivf,
-    SQ8 c100_ann_int8_topk) against the exact brute-force top-k, in
+    SQ8 c100_ann_int8_topk, PQ-ADC c106_ann_pq_adc) against the
+    exact brute-force top-k, in
     one output. This is the artifact an embedding-platform team
     actually consults when choosing an index for a corpus: per-index
     aggregate recall on a sampled query set, refreshed whenever the
@@ -2542,6 +2564,7 @@ def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": ann_lsh_bucketed(spark, sf_dir),
         "ivf": ann_ivf(spark, sf_dir),
         "sq8": ann_int8_topk(spark, sf_dir),
+        "pq": ann_pq_adc(spark, sf_dir),
     }
     per = None
     for tag, approx in members.items():
@@ -2587,6 +2610,105 @@ def _finalize_c105_oracle() -> None:
         .replace("{LSH}", _registered_oracle("c03_ann_lsh_bucketed"))
         .replace("{IVF}", _registered_oracle("c03_ann_ivf"))
         .replace("{SQ8}", _registered_oracle("c100_ann_int8_topk"))
+        .replace("{PQ}", _registered_oracle("c106_ann_pq_adc"))
+    )
+
+
+# called at module end: the matrix composes c106, defined below
+
+
+# ---------------------------------------------------------------------------
+# C106 — PQ ADC search: top-k over codes via a broadcast lookup table
+# ---------------------------------------------------------------------------
+
+def _pq_adc_sql() -> str:
+    ctes, last = _pq_ctes()
+    sq_tab = _SQL_SQDIST.format(a="q.qsvec", b="c.cvec", dim=PQ_SUBDIM)
+    ctes = ctes + [
+        f"codes AS (SELECT vec_id, m, cell FROM {last})",
+        f"""qs AS (SELECT vec_id AS query_id, m, svec AS qsvec
+           FROM s WHERE vec_id < {N_QUERIES})""",
+        f"""tab AS (SELECT q.query_id, c.m, c.cell, {sq_tab} AS d
+            FROM qs q JOIN centsF c ON c.m = q.m)""",
+        """adc AS (
+      SELECT t.query_id, k.vec_id AS neighbor_id,
+             MAX(CASE WHEN t.m = 0 THEN t.d END)
+               + MAX(CASE WHEN t.m = 1 THEN t.d END) AS adc_dist
+      FROM codes k JOIN tab t ON t.m = k.m AND t.cell = k.cell
+      GROUP BY t.query_id, k.vec_id
+    )""",
+        f"""ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id) AS rnk
+      FROM adc WHERE neighbor_id <> query_id
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, rnk, round(adc_dist, 6) AS adc_dist
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@query(
+    "c106_ann_pq_adc",
+    _pq_adc_sql(),
+    doc="""Oracle shares the c56 training CTE chain verbatim and adds
+    the ADC tail; the distance sum is a fixed-order two-term add
+    (MAX-CASE pivot, not SUM), so floats stay bit-portable.""",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C106: PQ asymmetric-distance (ADC) search — the serving half of
+    c56's compression. The query stays UNCOMPRESSED; per query a tiny
+    (M x K) table of exact subspace distances to every codeword is
+    computed once and broadcast; the corpus is then scanned as CODES
+    ONLY (two small ints per vector), each vector's approximate
+    distance being the fixed-order sum of two table lookups (Jegou et
+    al.'s ADC). This is the IVF-PQ serving shape minus the IVF
+    pruning (c03_ann_ivf_pruned covers that half).
+
+    Why it matters at 100 TB: the scan payload per vector is ~2 bytes
+    of codes instead of 256 bytes of floats — the corpus never ships
+    vectors, the lookup table (|queries| x M x K doubles) rides the
+    broadcast, and the join is an equi-join on (m, cell). SQ8 (c100)
+    trades 4x bandwidth for near-exact ranks; PQ trades ~100x for
+    coarse ranks — the fixture's deliberately tiny codebook (M=2,
+    K=4 => 16 distinguishable code pairs, kept small so the unrolled
+    DuckDB oracle stays tractable) makes that coarseness visible in
+    c105's recall matrix rather than hiding it.
+    """
+    subs, assigned, cents = _pq_train(spark, sf_dir)
+    qs = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("svec").alias("qsvec")
+    )
+    tab = qs.join(F.broadcast(cents), "m").select(
+        "query_id", "m", "cell",
+        _sq_dist(F.col("qsvec"), F.col("cvec")).alias("d"),
+    )
+    codes = assigned.select("vec_id", "m", "cell")
+    adc = (
+        codes.join(F.broadcast(tab), ["m", "cell"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            (
+                F.max(F.when(F.col("m") == 0, F.col("d")))
+                + F.max(F.when(F.col("m") == 1, F.col("d")))
+            ).alias("adc_dist")
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rnk")
     )
 
 

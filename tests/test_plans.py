@@ -1497,3 +1497,15 @@ def test_sq8_recall_eval_bounded(spark, sf_dir):
     df = similarity.sq8_recall_eval(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_codes_scan_broadcast_table(spark, sf_dir):
+    """c106: the ADC serving shape — the per-query distance table
+    rides a broadcast (corpus never shuffles vectors for the lookup
+    join) and the per-query top-k cut pushes into WindowGroupLimit.
+    No cartesian anywhere in the composed plan."""
+    df = similarity.ann_pq_adc(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
