@@ -2291,8 +2291,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # numbered repartition (never AQE-coalesced): the pair rows are
         # only a few MB, so AQE would fold them to ONE partition and
-        # serialize the CPU-bound verify that follows.
-        .repartition(32, "doc_a", "doc_b")
+        # serialize the CPU-bound verify that follows. Width follows
+        # the session's shuffle-partition config, so a cluster gets
+        # cluster-width verify parallelism, not a hardcoded 32.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "doc_a",
+            "doc_b",
+        )
     )
     pfx = d.select("doc_id", "pfx")
     cand = cand_ids.join(
