@@ -474,3 +474,31 @@ def test_temporal_join_never_leaks_future_versions(spark, sf_dir):
     for r in sample.itertuples():
         rec = key.loc[(r.custkey, int(r.pit_version))]
         assert rec["eff_from"] <= r.ship_ts < rec["eff_to"]
+
+
+# --- KMV merge algebra (c102/c103/s23) --------------------------------------
+
+def _kmv(values, k=8):
+    """Reference KMV sketch: the k smallest distinct values."""
+    return sorted(set(values))[:k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(min_value=0, max_value=1 << 60), max_size=40),
+             min_size=1, max_size=6)
+)
+def test_kmv_merge_associativity(shards):
+    """The property every KMV consumer rests on (c102's two-phase
+    build, c103's union sketch, s23's incremental stream merge): the
+    k smallest of a union equal the k smallest of the union of each
+    shard's k smallest — in ANY grouping/order of shards."""
+    full = _kmv([v for sh in shards for v in sh])
+    # shard-then-merge (c102 phase 1 -> phase 2)
+    merged = _kmv([v for sh in shards for v in _kmv(sh)])
+    assert merged == full
+    # left-fold incremental arrival (s23's foreachBatch state merge)
+    state: list[int] = []
+    for sh in shards:
+        state = _kmv(state + _kmv(sh))
+    assert state == full
