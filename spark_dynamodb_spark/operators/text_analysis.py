@@ -1532,3 +1532,158 @@ def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# C107 — count-min sketch: heavy-hitter frequency estimation at fixed memory
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # counters per row
+_CMS_TOPK = 20  # heavy hitters audited against exact counts
+
+
+def _cms_sql() -> str:
+    rows = ", ".join(str(r) for r in range(_CMS_D))
+    est_min = " , ".join(
+        f"MAX(CASE WHEN r = {r} THEN cnt END)" for r in range(_CMS_D)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents
+    ),
+    rows_ AS (SELECT unnest([{rows}]) AS r),
+    cells AS (
+      SELECT r,
+             ({sql_md5_64("tok || ':' || CAST(r AS VARCHAR)")}) % {_CMS_W} AS col,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN rows_
+      GROUP BY r, col
+    ),
+    exact AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok),
+    hh AS (
+      SELECT tok, n_exact,
+             row_number() OVER (ORDER BY n_exact DESC, tok) AS rnk
+      FROM exact
+    ),
+    probe AS (
+      SELECT h.tok, h.n_exact, h.rnk, r.r,
+             ({sql_md5_64("h.tok || ':' || CAST(r.r AS VARCHAR)")}) % {_CMS_W} AS col
+      FROM hh h CROSS JOIN rows_ r
+      WHERE h.rnk <= {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT p.tok, p.n_exact, p.rnk,
+             least({est_min}) AS n_est
+      FROM (SELECT p.tok, p.n_exact, p.rnk, p.r, c.cnt
+            FROM probe p JOIN cells c ON c.r = p.r AND c.col = p.col) p
+      GROUP BY p.tok, p.n_exact, p.rnk
+    )
+    SELECT rnk, tok, n_exact, CAST(n_est AS BIGINT) AS n_est,
+           CAST(n_est - n_exact AS BIGINT) AS overcount
+    FROM est
+    ORDER BY rnk
+    """
+
+
+@query(
+    "c107_countmin_heavy_hitters",
+    _cms_sql(),
+    doc="""Oracle builds the same D x W counter table from the same
+    md5-derived cells and probes the same exact top-K tokens; every
+    emitted column is an integer, and CMS's one-sided error
+    (overcount >= 0 always) is part of the checked output.""",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C107: count-min sketch — frequency estimation in FIXED memory
+    (D=4 x W=1024 counters, ~32 KB) with one-sided error, audited
+    against the exact counts for the corpus's top-20 tokens. Completes
+    the sketch shelf: HLL (b13, cardinality), KMV (c102/c103,
+    distinct + set algebra), CMS (frequency / heavy hitters).
+
+    Mergeability is the same partial-aggregation algebra as the
+    others: CMS counters are plain sums, so per-partition sketches
+    combine by elementwise addition — the map-side-combinable groupBy
+    that builds the cell table here IS the merge. At 100 TB: exact
+    vocabulary counting (c06_vocab_topk) shuffles every distinct
+    token; the CMS shuffle is bounded by D x W cells regardless of
+    corpus or vocabulary size, and the estimate for any token is the
+    min over its D counters — never an undercount (every collision
+    only inflates), with overcount bounded by ~2N/W w.h.p.
+
+    Output: the exact top-20 tokens with exact count, CMS estimate,
+    and the (always >= 0) overcount — integer-only, bit-portable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.repartition("doc_id").select(
+        F.explode(simple_tokens("text")).alias("tok")
+    )
+    rows_ = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    cells = (
+        toks.select("tok", F.explode(rows_).alias("r"))
+        .select(
+            "r",
+            F.pmod(
+                md5_64(F.concat(F.col("tok"), F.lit(":"), F.col("r").cast("string"))),
+                F.lit(_CMS_W),
+            ).alias("col"),
+        )
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    from pyspark.sql import Window as W
+
+    # two-phase top-K: per-shard heads first (bounded spill, parallel),
+    # then the global rank over <= 8*K survivors — a global window over
+    # the full vocabulary would single-task a 10^9-token vocab at
+    # 100 TB. Selection (not sampling), so results are identical and
+    # the oracle keeps the simple one-window spelling.
+    shard_w = W.partitionBy(F.pmod(md5_64("tok"), F.lit(8))).orderBy(
+        F.col("n_exact").desc(), F.col("tok")
+    )
+    heads = (
+        exact.withColumn("srn", F.row_number().over(shard_w))
+        .filter(F.col("srn") <= _CMS_TOPK)
+        .drop("srn")
+    )
+    hh = (
+        heads.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("n_exact").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rnk") <= _CMS_TOPK)
+    )
+    probe = hh.select(
+        "tok", "n_exact", "rnk", F.explode(rows_).alias("r")
+    ).select(
+        "tok",
+        "n_exact",
+        "rnk",
+        "r",
+        F.pmod(
+            md5_64(F.concat(F.col("tok"), F.lit(":"), F.col("r").cast("string"))),
+            F.lit(_CMS_W),
+        ).alias("col"),
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["r", "col"])
+        .groupBy("tok", "n_exact", "rnk")
+        .agg(
+            F.least(
+                *[
+                    F.max(F.when(F.col("r") == r, F.col("cnt")))
+                    for r in range(_CMS_D)
+                ]
+            ).alias("n_est")
+        )
+    )
+    return est.select(
+        "rnk",
+        "tok",
+        "n_exact",
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+    ).orderBy("rnk")

@@ -1509,3 +1509,18 @@ def test_pq_adc_codes_scan_broadcast_table(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_bounded_cells_and_two_phase_topk(spark, sf_dir):
+    """c107: the sketch build is one combinable groupBy into a D*W
+    cell table (probe side joins it as a broadcast); the exact top-K
+    is two-phase (shard heads then global), so the plan carries >= 2
+    Window nodes and never an unbounded collect."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    df = ta.countmin_heavy_hitters(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Window") >= 2, plan
+    assert "collect_list" not in plan and "collect_set" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
