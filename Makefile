@@ -21,3 +21,21 @@ bench:
 # clone (hooks in .git/ don't travel with the repo).
 install-hooks:
 	git config core.hooksPath scripts/hooks
+
+# Scale-stress recipe (PLANS.md amplification tables): build the 10x
+# fixture once, then time queries at sf0.1 vs 10x. Usage:
+#   make stress NAMES="c102_kmv_sketch_rollup c107_countmin_heavy_hitters"
+# 100x docs-only variant (the adversarial 100-replica-clique corpus):
+#   make stress-100x NAMES="..."
+.scratch/sf_amp8:
+	python scripts/amplify_sf.py
+
+.scratch/sf_amp100:
+	python scripts/amplify_sf.py --replicas 100 --docs-only --out .scratch/sf_amp100
+
+stress: .scratch/sf_amp8
+	python scripts/scale_stress.py $(NAMES)
+
+stress-100x: .scratch/sf_amp100
+	SPARK_GRAFT_AMP_FACTOR=100 python scripts/scale_stress.py $(NAMES) \
+	  --amp .scratch/sf_amp100 --runs 1
