@@ -408,3 +408,28 @@ def test_compaction_collapses_file_count(spark, sf_dir):
     n_comp = len(glob.glob(os.path.join(comp_dir, "*.parquet")))
     assert n_frag == 64
     assert n_comp < n_frag / 4, (n_frag, n_comp)
+
+
+def test_kmv_estimate_error_bounded(spark, sf_dir):
+    """c102: KMV's expected relative standard error at K=256 is
+    ~1/sqrt(K-2) ~ 6.3%; assert every per-source estimate lands within
+    4 RSE (~25%) — a regression in the estimator (wrong hash space,
+    off-by-one in h_(K)) blows far past this."""
+    from spark_dynamodb_spark.operators.dedup import kmv_sketch_rollup
+
+    rows = kmv_sketch_rollup(spark, sf_dir).toPandas()
+    assert len(rows) > 0
+    assert (rows["err_pct"] <= 25.0).all(), rows
+
+
+def test_cms_overcount_one_sided(spark, sf_dir):
+    """c107: count-min can only OVERcount (collisions add, min never
+    drops below truth). A negative overcount means the cell table and
+    the probe disagree on the hash — the first thing to break if the
+    md5 recipe drifts on either side."""
+    from spark_dynamodb_spark.operators.text_analysis import countmin_heavy_hitters
+
+    rows = countmin_heavy_hitters(spark, sf_dir).toPandas()
+    assert len(rows) == 20
+    assert (rows["overcount"] >= 0).all(), rows
+    assert (rows["n_est"] >= rows["n_exact"]).all(), rows
