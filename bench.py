@@ -78,6 +78,7 @@ EXTRA = [
     "c101_dedup_edit_distance",
     "c102_kmv_sketch_rollup",
     "c103_kmv_source_overlap",
+    "c108_simhash_hamming_pairs",
 ]
 
 

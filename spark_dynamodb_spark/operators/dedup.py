@@ -2606,3 +2606,122 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# C108 — SimHash hamming search: block-permuted candidates (Manku et al.)
+# ---------------------------------------------------------------------------
+
+_SH_CHUNKS = 4            # 60 bits -> 4 x 15-bit chunks
+_SH_CHUNK_BITS = 15
+_SH_HAM_T = 3             # pigeonhole: <= 3 flipped bits leave >= 1 chunk intact
+_SH_BUCKET_CAP = 512      # skew guard, mirrored in the oracle
+
+
+def _simhash_pairs_sql() -> str:
+    chunks = ", ".join(
+        f"(simhash >> {i * _SH_CHUNK_BITS}) & {(1 << _SH_CHUNK_BITS) - 1}"
+        for i in range(_SH_CHUNKS)
+    )
+    return f"""
+    WITH sh AS ({_simhash_sql().replace("ORDER BY doc_id", "")}),
+    blk AS (
+      SELECT doc_id, simhash, ci, cv
+      FROM (SELECT doc_id, simhash,
+                   unnest(generate_series(0, {_SH_CHUNKS - 1})) AS ci,
+                   unnest([{chunks}]) AS cv
+            FROM sh)
+    ),
+    sized AS (
+      SELECT doc_id, simhash, ci, cv,
+             COUNT(*) OVER (PARTITION BY ci, cv) AS bucket_docs
+      FROM blk
+    ),
+    kept AS (SELECT * FROM sized WHERE bucket_docs <= {_SH_BUCKET_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM kept a JOIN kept b
+        ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_HAM_T}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query(
+    "c108_simhash_hamming_pairs",
+    _simhash_pairs_sql(),
+    doc="""Oracle replicates the identical chunk blocking and skew cap
+    from the same registered simhash relation; hamming distances are
+    integers — no float caveat. Completeness at the threshold is
+    structural (pigeonhole), not probabilistic.""",
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2c': the SEARCH half of SimHash dedup (c02_dedup_simhash emits
+    the fingerprints; this finds the hamming-close pairs) — Manku et
+    al.'s block-permuted scheme, the web-crawl-scale standard: split
+    the 60-bit fingerprint into 4 x 15-bit chunks; any pair within
+    hamming distance 3 differs in at most 3 bits, so by pigeonhole at
+    least ONE chunk is bit-identical — candidates are exactly the
+    pairs sharing (chunk_idx, chunk_value), an equi-join, and recall
+    at the threshold is 100% BY CONSTRUCTION (unlike MinHash-LSH's
+    probabilistic recall, c02). Verify is one codegen'd
+    bit_count(xor) <= 3 on the candidate pairs.
+
+    Skew guard (same discipline as the LSH banding): a chunk value
+    shared by > 512 docs (degenerate fingerprints from near-empty
+    documents) is dropped before pairing, window-counted in the same
+    exchange that the pair join reuses; the oracle mirrors the cap so
+    parity is structural.
+
+    Scale shape (100 TB): fingerprints are 8 bytes/doc; the blocking
+    explode is x4; one shuffle on (chunk_idx, chunk_value); verify
+    payload is two BIGINTs per candidate. This is the cheapest
+    complete near-dup pass that exists — the reason crawl dedup runs
+    SimHash before anything shingle-based.
+    """
+    sh = dedup_simhash(spark, sf_dir)  # (doc_id, simhash) — the registered rel
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("simhash", i * _SH_CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << _SH_CHUNK_BITS) - 1))
+                .alias("cv"),
+            )
+            for i in range(_SH_CHUNKS)
+        ]
+    )
+    blk = sh.select(
+        "doc_id", "simhash", F.explode(chunk_structs).alias("c")
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    w = Window.partitionBy("ci", "cv")
+    kept = blk.withColumn("bucket_docs", F.count("*").over(w)).filter(
+        F.col("bucket_docs") <= _SH_BUCKET_CAP
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _SH_HAM_T)
+        .orderBy("doc_a", "doc_b")
+    )

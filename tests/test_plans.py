@@ -1524,3 +1524,14 @@ def test_cms_bounded_cells_and_two_phase_topk(spark, sf_dir):
     assert plan.count("Window") >= 2, plan
     assert "collect_list" not in plan and "collect_set" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_simhash_hamming_block_join_no_allpairs(spark, sf_dir):
+    """c108: candidates come from an equi-join on (chunk_idx,
+    chunk_value) — never a cartesian — and the skew-cap window shares
+    the join's (ci, cv) partitioning (one exchange feeds both)."""
+    df = dedup.simhash_hamming_pairs(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Window") >= 1, plan
