@@ -502,3 +502,23 @@ def test_kmv_merge_associativity(shards):
     for sh in shards:
         state = _kmv(state + _kmv(sh))
     assert state == full
+
+
+# --- SimHash block-permuted completeness (c108) ------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 60) - 1),
+    st.sets(st.integers(min_value=0, max_value=59), max_size=3),
+)
+def test_simhash_pigeonhole_completeness(fingerprint, flipped_bits):
+    """c108's recall claim is structural: any pair within hamming
+    distance 3 of 60-bit fingerprints shares at least one of the four
+    15-bit chunks exactly (3 flips cannot touch 4 chunks), so the
+    chunk equi-join NEVER misses a pair at the threshold."""
+    other = fingerprint
+    for b in flipped_bits:
+        other ^= 1 << b
+    chunks_a = [(fingerprint >> (15 * i)) & 0x7FFF for i in range(4)]
+    chunks_b = [(other >> (15 * i)) & 0x7FFF for i in range(4)]
+    assert any(a == b for a, b in zip(chunks_a, chunks_b))
