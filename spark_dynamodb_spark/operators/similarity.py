@@ -2713,3 +2713,207 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_c105_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C109 — IVF-PQ: coarse cells prune the scan, PQ codes pay its bandwidth
+# ---------------------------------------------------------------------------
+
+def _pq_ctes_prefixed() -> list[str]:
+    """The PQ training chain with ``p``-prefixed CTE names so it can
+    share one WITH-clause with the IVF chain (both use a{k}/cents{k}
+    internally): pms → ps → pa0 → pcents0 → … → pcentsF. Reads the
+    shared ``v`` CTE."""
+    sq = _SQL_SQDIST.format(a="s.svec", b="c.cvec", dim=PQ_SUBDIM)
+    seed = (
+        "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||"
+        f" CAST(m AS VARCHAR)), 1, 15)) AS BIGINT) % {PQ_K} AS INT)"
+    )
+    ctes = [
+        f"pms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)",
+        f"""ps AS (
+      SELECT vec_id, m,
+             list_transform(generate_series(1, {PQ_SUBDIM}),
+                            i -> vec[m * {PQ_SUBDIM} + i]) AS svec
+      FROM v CROSS JOIN pms
+    )""",
+        f"pa0 AS (SELECT vec_id, m, svec, {seed} AS cell FROM ps)",
+    ]
+    for k in range(PQ_ITERS):
+        ctes.append(
+            f"""pcents{k} AS (
+      SELECT m, cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT m, cell, pos,
+               CAST(SUM(CAST(svec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(svec[pos]) AS mn
+        FROM pa{k} CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS pos) g
+        GROUP BY m, cell, pos
+      ) GROUP BY m, cell
+    )"""
+        )
+        ctes.append(
+            f"""pa{k + 1} AS (
+      SELECT vec_id, m, svec, cell FROM (
+        SELECT s.vec_id, s.m, s.svec, c.cell,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {sq} ASC, c.cell ASC) AS rn
+        FROM ps s JOIN pcents{k} c ON c.m = s.m
+      ) WHERE rn = 1
+    )"""
+        )
+    ctes.append(
+        f"""pcentsF AS (
+      SELECT m, cell, list(mn ORDER BY pos) AS cvec FROM (
+        SELECT m, cell, pos,
+               CAST(SUM(CAST(svec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(svec[pos]) AS mn
+        FROM pa{PQ_ITERS} CROSS JOIN (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS pos) g
+        GROUP BY m, cell, pos
+      ) GROUP BY m, cell
+    )"""
+    )
+    return ctes
+
+
+def _ivf_pq_sql() -> str:
+    ctes, ilast = _ivf_index_ctes()
+    ctes.append(
+        f"""centsF AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE) / COUNT(vec[pos]) AS m
+        FROM {ilast} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )"""
+    )
+    ctes += _pq_ctes_prefixed()
+    sq_tab = _SQL_SQDIST.format(a="q.qsvec", b="c.cvec", dim=PQ_SUBDIM)
+    ctes += [
+        f"pcodes AS (SELECT vec_id, m, cell AS pcell FROM pa{PQ_ITERS})",
+        f"""probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_sqdist("q.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+        FROM (SELECT * FROM {ilast} WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN centsF c
+      ) WHERE rn <= {NPROBE}
+    )""",
+        f"""qsub AS (
+      SELECT vec_id AS query_id, m, svec AS qsvec
+      FROM ps WHERE vec_id < {N_QUERIES}
+    )""",
+        f"""tab AS (
+      SELECT q.query_id, c.m, c.cell AS pcell, {sq_tab} AS d
+      FROM qsub q JOIN pcentsF c ON c.m = q.m
+    )""",
+        f"""cand AS (
+      SELECT p.query_id, i.vec_id AS neighbor_id
+      FROM probes p JOIN {ilast} i ON i.cell = p.cell AND i.vec_id <> p.query_id
+    )""",
+        """adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             MAX(CASE WHEN k.m = 0 THEN t.d END)
+               + MAX(CASE WHEN k.m = 1 THEN t.d END) AS adc_dist
+      FROM cand c
+      JOIN pcodes k ON k.vec_id = c.neighbor_id
+      JOIN tab t ON t.query_id = c.query_id AND t.m = k.m AND t.pcell = k.pcell
+      GROUP BY c.query_id, c.neighbor_id
+    )""",
+        """ranked AS (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist ASC, neighbor_id) AS rnk
+      FROM adc
+    )""",
+    ]
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, rnk, round(adc_dist, 6) AS adc_dist
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@query(
+    "c109_ann_ivf_pq",
+    _ivf_pq_sql(),
+    doc="""Oracle = the IVF chain and the p-prefixed PQ chain sharing
+    one WITH clause off the same ``v`` CTE, then probe → candidate →
+    ADC → rank; fixed-order adds keep the floats bit-portable.""",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109: IVF-PQ — the two halves composed the way every
+    billion-scale vector index deploys them (Jegou et al.; FAISS's
+    default): the IVF coarse quantizer prunes WHICH vectors are
+    scanned (probe the NPROBE nearest of NLIST cells — an equi-join
+    on cell, ~NPROBE/NLIST of the corpus per query) and PQ prunes
+    WHAT each scanned vector costs (codes only, ADC lookup-table
+    scoring — no float vectors ship). c03_ann_ivf covers the
+    IVF-with-exact-rerank path, c106 the PQ-over-everything path;
+    this entry is their composition: both prunings at once, which is
+    the configuration that actually serves at 10^9+ vectors.
+
+    Scale shape: probe list and distance table are |queries|-bounded
+    broadcasts; the corpus side touches only probed cells AND reads
+    only (cell, codes) — at 100 TB of embeddings that is the
+    difference between scanning ~40 GB of codes in 6/16 cells and
+    scanning 100 TB of floats. All reused pieces are the REGISTERED
+    constructions (ivf_index, _pq_train), so the oracle shares their
+    proven unrolled chains verbatim (PQ chain p-prefixed to cohabit
+    one WITH clause).
+    """
+    index = ivf_index(spark, sf_dir)  # (vec_id, vec, cell)
+    subs, assigned, pqcents = _pq_train(spark, sf_dir)
+    cents = _centroids_of(index)
+    q = index.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        _sq_dist(F.col("qvec"), F.col("cvec")).asc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        index.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qsub = subs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("svec").alias("qsvec")
+    )
+    tab = qsub.join(F.broadcast(pqcents), "m").select(
+        "query_id", "m", F.col("cell").alias("pcell"),
+        _sq_dist(F.col("qsvec"), F.col("cvec")).alias("d"),
+    )
+    pcodes = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "m", F.col("cell").alias("pcell")
+    )
+    adc = (
+        cand.join(pcodes, "neighbor_id")
+        .join(F.broadcast(tab), ["query_id", "m", "pcell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (
+                F.max(F.when(F.col("m") == 0, F.col("d")))
+                + F.max(F.when(F.col("m") == 1, F.col("d")))
+            ).alias("adc_dist")
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rnk")
+    )

@@ -1535,3 +1535,15 @@ def test_simhash_hamming_block_join_no_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Window") >= 1, plan
+
+
+def test_ivf_pq_double_pruning(spark, sf_dir):
+    """c109: both prunings must be visible — the probe list and the
+    ADC table ride broadcasts (corpus never shuffles for either), the
+    candidate restriction is an equi-join on cell, and the per-query
+    top-k cut uses a WindowGroupLimit heap. No cartesian."""
+    df = similarity.ann_ivf_pq(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
