@@ -1577,6 +1577,12 @@ def _pq_train(spark: SparkSession, sf_dir: str):
             .select("vec_id", "m", "svec", "cell")
         )
     cents = _pq_centroids(assigned)
+    # The final assignment is reused several times by every consumer
+    # (c56: codes + error; c106: codes + table; c109: codes + cand
+    # join) and each reuse would otherwise replay the full Lloyd
+    # lineage — cache the trained relation once (at production scale
+    # this is the staged-index write, c03_ann_ivf_pruned discipline).
+    assigned = assigned.cache()
     return subs, assigned, cents
 
 
@@ -2866,7 +2872,9 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven unrolled chains verbatim (PQ chain p-prefixed to cohabit
     one WITH clause).
     """
-    index = ivf_index(spark, sf_dir)  # (vec_id, vec, cell)
+    # cache both trained relations: the probe, candidate join, and
+    # centroid computation each replay the Lloyd lineage otherwise
+    index = ivf_index(spark, sf_dir).cache()  # (vec_id, vec, cell)
     subs, assigned, pqcents = _pq_train(spark, sf_dir)
     cents = _centroids_of(index)
     q = index.filter(F.col("vec_id") < N_QUERIES).select(
