@@ -2527,6 +2527,7 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
     ivf AS ({{IVF}}),
     sq8 AS ({{SQ8}}),
     pq AS ({{PQ}}),
+    ivfpq AS ({{IVFPQ}}),
     per_query AS (
       {_recall_matrix_member('lsh', 'lsh')}
       UNION ALL
@@ -2535,6 +2536,8 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
       {_recall_matrix_member('sq8', 'sq8')}
       UNION ALL
       {_recall_matrix_member('pq', 'pq')}
+      UNION ALL
+      {_recall_matrix_member('ivfpq', 'ivfpq')}
     )
     SELECT index_name,
            CAST(count(*) AS BIGINT) AS n_queries,
@@ -2549,8 +2552,8 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
 def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C105: the index-selection table — recall@k of EVERY registered
     ANN variant (hyperplane-LSH c03_ann_lsh_bucketed, IVF c03_ann_ivf,
-    SQ8 c100_ann_int8_topk, PQ-ADC c106_ann_pq_adc) against the
-    exact brute-force top-k, in
+    SQ8 c100_ann_int8_topk, PQ-ADC c106_ann_pq_adc, composed IVF-PQ
+    c109_ann_ivf_pq) against the exact brute-force top-k, in
     one output. This is the artifact an embedding-platform team
     actually consults when choosing an index for a corpus: per-index
     aggregate recall on a sampled query set, refreshed whenever the
@@ -2571,6 +2574,7 @@ def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": ann_ivf(spark, sf_dir),
         "sq8": ann_int8_topk(spark, sf_dir),
         "pq": ann_pq_adc(spark, sf_dir),
+        "ivfpq": ann_ivf_pq(spark, sf_dir),
     }
     per = None
     for tag, approx in members.items():
@@ -2617,6 +2621,7 @@ def _finalize_c105_oracle() -> None:
         .replace("{IVF}", _registered_oracle("c03_ann_ivf"))
         .replace("{SQ8}", _registered_oracle("c100_ann_int8_topk"))
         .replace("{PQ}", _registered_oracle("c106_ann_pq_adc"))
+        .replace("{IVFPQ}", _registered_oracle("c109_ann_ivf_pq"))
     )
 
 
@@ -2716,9 +2721,6 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
-
-
-_finalize_c105_oracle()
 
 
 # ---------------------------------------------------------------------------
@@ -2925,3 +2927,6 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+_finalize_c105_oracle()
