@@ -118,6 +118,8 @@ ROTATED_GREEN_R1 = frozenset(
         "b137_bootstrap_ci",
         "b138_pagerank_centrality",
         "b139_cusum_changepoint",
+        "b140_aqe_skew_join",
+        "b141_aqe_coalesce_agg",
         "b14_agg_cube",
         "b14_agg_min_max",
         "b14_agg_rollup",
@@ -222,6 +224,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c02_embedding_neardup",
         "c03_ann_cosine_topk",
         "c03_ann_ivf",
+        "c03_ann_ivf_pruned",
         "c03_ann_lsh_bucketed",
         "c03_embedding_normalize",
         "c03_label_centroids",
@@ -248,6 +251,16 @@ ROTATED_GREEN_R1 = frozenset(
         "c07_corpus_prep",
         "c08_sessionization",
         "c09_sequence_packing",
+        "c100_ann_int8_topk",
+        "c101_dedup_edit_distance",
+        "c102_kmv_sketch_rollup",
+        "c103_kmv_source_overlap",
+        "c104_sq8_recall_eval",
+        "c105_index_recall_matrix",
+        "c106_ann_pq_adc",
+        "c107_countmin_heavy_hitters",
+        "c108_simhash_hamming_pairs",
+        "c109_ann_ivf_pq",
         "c10_decontamination",
         "c11_domain_mixture",
         "c12_chunk_dedup",
@@ -337,6 +350,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c96_k_anonymity_audit",
         "c97_classifier_auc",
         "c98_calibration_ece",
+        "c99_unified_dedup_pipeline",
         "s01_stream_tumbling_window",
         "s02_stream_sliding_window",
         "s03_stream_session_window",
@@ -358,6 +372,7 @@ ROTATED_GREEN_R1 = frozenset(
         "s20_stream_static_anti_join",
         "s21_dynamo_stream_enrich",
         "s22_dynamo_cdc_replication",
+        "s23_stream_kmv_incremental",
     }
 )
 
