@@ -805,6 +805,9 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B141 — AQE partition coalescing (the other half of runtime re-planning)
 # ---------------------------------------------------------------------------
 
+_AQE_COALESCE_SESSIONS: dict[int, SparkSession] = {}
+
+
 def aqe_coalesce_session(spark: SparkSession) -> SparkSession:
     """A session tuned so AQE's post-shuffle coalescing is *observable*
     at test scale (shared by b141 and its plan gate). 64 shuffle
@@ -813,13 +816,24 @@ def aqe_coalesce_session(spark: SparkSession) -> SparkSession:
     never fill, so AQE folds the 64 reducers into a handful. The
     mechanism is scale-independent — on a real cluster this is what
     turns a 2000-reducer config into 3 tasks for a small stage and
-    leaves it at 2000 for the big ones, with NO per-query tuning."""
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.adaptive.enabled", "true")
-    ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    ns.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-    ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
-    ns.conf.set("spark.sql.shuffle.partitions", "64")
+    leaves it at 2000 for the big ones, with NO per-query tuning.
+
+    Memoized per SparkContext (ADVICE r9): a fresh newSession() per
+    call would accumulate sessions across repeated runs. NOTE the
+    returned DataFrames are bound to THIS session — joining/unioning
+    them with frames from the caller's session mixes plans across
+    sessions and fails; b141 returns a self-contained result for
+    exactly that reason."""
+    key = id(spark.sparkContext)
+    ns = _AQE_COALESCE_SESSIONS.get(key)
+    if ns is None:
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.adaptive.enabled", "true")
+        ns.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        ns.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        ns.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        ns.conf.set("spark.sql.shuffle.partitions", "64")
+        _AQE_COALESCE_SESSIONS[key] = ns
     return ns
 
 

@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from spark_dynamodb_spark.functions.text import md5_64
@@ -1423,10 +1423,31 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- C56: product quantization ---------------------------------------------
-PQ_M = 2  # subspaces
+PQ_M = 2  # subspaces (c56's code0/code1 output schema is M=2-bound; see below)
 PQ_SUBDIM = DIM // PQ_M
 PQ_K = 4  # codewords per subspace
 PQ_ITERS = 2  # Lloyd iterations per sub-quantizer
+
+
+def _adc_sum_col(col: str = "d") -> Column:
+    """Sum of per-subspace ADC pivot terms, generated from range(PQ_M)
+    so raising PQ_M cannot silently yield null/partial distances
+    (ADVICE r9: the first draft hardcoded m == 0 and m == 1)."""
+    terms = [F.max(F.when(F.col("m") == i, F.col(col))) for i in range(PQ_M)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _adc_sum_sql(m_alias: str, d_alias: str) -> str:
+    """DuckDB mirror of _adc_sum_col: the same range(PQ_M)-generated
+    MAX-CASE pivot, so Spark and oracle stay in lockstep under a PQ_M
+    change."""
+    return "\n               + ".join(
+        f"MAX(CASE WHEN {m_alias}.m = {i} THEN {d_alias}.d END)"
+        for i in range(PQ_M)
+    )
 
 
 def _sql_sqdist_sub() -> str:
@@ -1603,6 +1624,10 @@ def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny codebook; nothing iterates on the driver. The oracle unrolls
     the identical fixed-depth iteration as chained CTEs.
     """
+    # c56's OUTPUT SCHEMA (code0, code1) is inherently M=2 — widening
+    # PQ_M must add columns here and in the oracle, so fail loudly
+    # rather than emit partial codes (ADVICE r9).
+    assert PQ_M == 2, "c56 emits code0/code1; extend the schema before raising PQ_M"
     subs, assigned, cents = _pq_train(spark, sf_dir)
     err = assigned.join(F.broadcast(cents), ["m", "cell"]).select(
         "vec_id", "m", "cell", _sq_dist(F.col("svec"), F.col("cvec")).alias("e")
@@ -1612,11 +1637,7 @@ def product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(F.when(F.col("m") == 0, F.col("cell"))).cast("int").alias("code0"),
             F.max(F.when(F.col("m") == 1, F.col("cell"))).cast("int").alias("code1"),
-            F.round(
-                F.max(F.when(F.col("m") == 0, F.col("e")))
-                + F.max(F.when(F.col("m") == 1, F.col("e"))),
-                6,
-            ).alias("quant_err"),
+            F.round(_adc_sum_col("e"), 6).alias("quant_err"),
         )
         .orderBy("vec_id")
     )
@@ -2297,7 +2318,9 @@ def _sq8_sql() -> str:
                FROM embeddings),
     st AS (SELECT vec_id, vec,
                   list_max(list_transform(vec, x -> abs(x))) AS mx,
-                  sqrt(list_dot_product(vec, vec)) AS nrm
+                  sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(vec, x -> x * x)),
+                       (acc, x) -> acc + x)) AS nrm
            FROM v),
     q8 AS (SELECT vec_id,
                   list_transform(vec,
@@ -2641,10 +2664,9 @@ def _pq_adc_sql() -> str:
            FROM s WHERE vec_id < {N_QUERIES})""",
         f"""tab AS (SELECT q.query_id, c.m, c.cell, {sq_tab} AS d
             FROM qs q JOIN centsF c ON c.m = q.m)""",
-        """adc AS (
+        f"""adc AS (
       SELECT t.query_id, k.vec_id AS neighbor_id,
-             MAX(CASE WHEN t.m = 0 THEN t.d END)
-               + MAX(CASE WHEN t.m = 1 THEN t.d END) AS adc_dist
+             {_adc_sum_sql("t", "t")} AS adc_dist
       FROM codes k JOIN tab t ON t.m = k.m AND t.cell = k.cell
       GROUP BY t.query_id, k.vec_id
     )""",
@@ -2703,12 +2725,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         codes.join(F.broadcast(tab), ["m", "cell"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            (
-                F.max(F.when(F.col("m") == 0, F.col("d")))
-                + F.max(F.when(F.col("m") == 1, F.col("d")))
-            ).alias("adc_dist")
-        )
+        .agg(_adc_sum_col("d").alias("adc_dist"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
@@ -2821,10 +2838,9 @@ def _ivf_pq_sql() -> str:
       SELECT p.query_id, i.vec_id AS neighbor_id
       FROM probes p JOIN {ilast} i ON i.cell = p.cell AND i.vec_id <> p.query_id
     )""",
-        """adc AS (
+        f"""adc AS (
       SELECT c.query_id, c.neighbor_id,
-             MAX(CASE WHEN k.m = 0 THEN t.d END)
-               + MAX(CASE WHEN k.m = 1 THEN t.d END) AS adc_dist
+             {_adc_sum_sql("k", "t")} AS adc_dist
       FROM cand c
       JOIN pcodes k ON k.vec_id = c.neighbor_id
       JOIN tab t ON t.query_id = c.query_id AND t.m = k.m AND t.pcell = k.pcell
@@ -2910,12 +2926,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(pcodes, "neighbor_id")
         .join(F.broadcast(tab), ["query_id", "m", "pcell"])
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            (
-                F.max(F.when(F.col("m") == 0, F.col("d")))
-                + F.max(F.when(F.col("m") == 1, F.col("d")))
-            ).alias("adc_dist")
-        )
+        .agg(_adc_sum_col("d").alias("adc_dist"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return (
