@@ -2168,90 +2168,101 @@ _ED_MAXDIST = 64     # levenshtein early-exit threshold
 _ED_SIM_T = 0.75     # keep pairs with prefix similarity >= this
 
 
-def _edit_distance_sql() -> str:
-    return f"""
-    WITH d AS (SELECT doc_id, lang, n_chars,
+def _ed_d_sql() -> str:
+    """The d CTE: per-doc edit-distance signature off one documents
+    scan — bounded normalized prefix + TWO independent min-token-hash
+    permutations (mh2 hashes token || chr(1); md5 of the shifted input
+    is an independent uniform draw, the standard multi-permutation
+    MinHash construction). Shared by the c101 and c110 oracles."""
+    return f"""d AS (SELECT doc_id, lang, n_chars,
                       substr({sql_normalize_text('text')}, 1, {_ED_PFX}) AS pfx,
                       list_min(list_transform({sql_tokens('text')},
-                        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT))) AS mh
-               FROM documents),
-    blk AS (SELECT doc_id, lang, n_chars, pfx, mh,
+                        t -> {sql_md5_64('t')})) AS mh1,
+                      list_min(list_transform({sql_tokens('text')},
+                        t -> {sql_md5_64('t || chr(1)')})) AS mh2
+               FROM documents)"""
+
+
+def _ed_pair_ctes(src: str) -> str:
+    """blk → pblk → cand → ver → kept over a d-shaped relation
+    ``src`` (doc_id, lang, n_chars, pfx, mh1, mh2): the two-permutation
+    blocked candidate join plus the bounded levenshtein verify —
+    the oracle mirror of :func:`_ed_verified_pairs`, shared by c101
+    (src = raw docs) and c110 (src = distinct signature reps)."""
+    return f"""blk AS (SELECT doc_id, lang, n_chars, pfx, mh1, mh2,
                    unnest([CAST(floor(n_chars / {_ED_BAND}) AS BIGINT),
                            CAST(floor(n_chars / {_ED_BAND}) AS BIGINT) + 1]) AS bkt
-            FROM d),
+            FROM {src}),
+    pblk AS (SELECT doc_id, lang, n_chars, pfx, bkt, 1 AS p, mh1 AS ph FROM blk
+             UNION ALL
+             SELECT doc_id, lang, n_chars, pfx, bkt, 2 AS p, mh2 AS ph FROM blk),
     cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
                     x.pfx AS pa, y.pfx AS pb
-             FROM blk x JOIN blk y
-               ON x.lang = y.lang AND x.bkt = y.bkt AND x.mh = y.mh
+             FROM pblk x JOIN pblk y
+               ON x.lang = y.lang AND x.bkt = y.bkt
+              AND x.p = y.p AND x.ph = y.ph
               AND x.doc_id < y.doc_id
               AND abs(x.n_chars - y.n_chars) <= {_ED_BAND}),
     ver AS (SELECT doc_a, doc_b,
                    CAST(CASE WHEN pa = pb THEN 0
                              ELSE levenshtein(pa, pb) END AS BIGINT) AS edit_dist,
-                   round(1.0 - (CASE WHEN pa = pb THEN 0
-                                     ELSE levenshtein(pa, pb) END) * 1.0
-                             / greatest(length(pa), length(pb)), 6) AS pfx_sim
-            FROM cand)
+                   round(CASE WHEN greatest(length(pa), length(pb)) = 0 THEN 1.0
+                              ELSE 1.0 - (CASE WHEN pa = pb THEN 0
+                                               ELSE levenshtein(pa, pb) END) * 1.0
+                                       / greatest(length(pa), length(pb)) END,
+                         6) AS pfx_sim
+            FROM cand),
+    kept AS (SELECT doc_a, doc_b, edit_dist, pfx_sim
+             FROM ver
+             WHERE edit_dist <= {_ED_MAXDIST} AND pfx_sim >= {_ED_SIM_T})"""
+
+
+def _edit_distance_sql() -> str:
+    return f"""
+    WITH {_ed_d_sql()},
+    {_ed_pair_ctes('d')}
     SELECT doc_a, doc_b, edit_dist, pfx_sim
-    FROM ver
-    WHERE edit_dist <= {_ED_MAXDIST} AND pfx_sim >= {_ED_SIM_T}
+    FROM kept
     ORDER BY doc_a, doc_b
     """
 
 
-@query(
-    "c101_dedup_edit_distance",
-    _edit_distance_sql(),
-    doc="""Oracle replicates the same length-band blocking, so the
-    candidate sets are identical by construction; levenshtein is the
-    standard DP edit distance in both engines and the kept distances
-    are integers — no float-tolerance caveat.""",
-)
-def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C101: fuzzy near-dup pairs by edit distance — the verify family
-    member that catches small in-place edits (typo fixes, template
-    variable swaps) that token-shingle Jaccard (c02) under-weights.
+def _ed_prepared(docs: DataFrame) -> DataFrame:
+    """One narrow pass over raw text: the per-doc edit-distance
+    signature (doc_id, lang, n_chars, pfx, mh1, mh2).
 
-    Blocking, never all-pairs — and the block key is THREE-part
-    (lang, length-band, min-token-hash), a lesson the round-9 10x
-    stress taught: length bands alone are low-entropy (every
-    same-length unrelated doc collides), so candidates grew
-    quadratically with data — ~100x pairs for 10x docs, each paying
-    a levenshtein. The third key is one-permutation MinHash: the
-    minimum md5 token hash collides for near-identical docs with
-    probability ~= their token Jaccard (>=0.9 for the edit-distance
-    target class) but splits unrelated same-length docs
-    ~vocabulary-fold. Each doc still lands in its own n_chars/64 band
-    and the next one (standard band discretization, b33 trick), so
-    any near-identical pair within 64 chars of length shares a block.
-    Verify runs on a BOUNDED window (first 256 normalized chars) with
-    Spark's thresholded levenshtein(l, r, T) — the DP early-exits any
-    candidate past T=64 edits (returns -1, filtered), so per-pair
-    cost is O(pfx * T), not O(pfx^2).
+    TWO independent min-token-hash permutations (round-10, closing the
+    recall gap the round-9 docstring documented): an edit that deletes
+    THE minimum-hash token changes mh1 and breaks that block, but the
+    permutation-2 minimum is almost surely a DIFFERENT token (each
+    token's rank under md5(t || chr(1)) is an independent uniform
+    draw), so the pair still collides on mh2 — the standard OR-of-
+    permutations band/row trade, same construction as c02's LSH.
+    Property-tested in tests/test_scale_patterns.py (delete-the-min
+    miss class).
 
-    Scale shape (100 TB): candidate generation is an equi-join (one
-    shuffle per side on the 3-part block key); the verify payload per
-    candidate is <= 256 chars — at real scale you would ship
-    (id, prefix-hash) first and fetch prefixes only for hash-unequal
-    candidates; here prefixes ride the candidate join directly.
-    Recall trade documented: an edit that happens to DELETE the
-    minimum-hash token breaks the block — recovered in practice by
-    using 2 permutations (OR of two block keys), the standard
-    band/row trade as c02's LSH. Output is the verified pair list
-    ordered by (doc_a, doc_b).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    # repartition first: the fixture parquet is one row group = one
-    # task, and the per-token md5 for the block key would serialize
-    # (the _shingle_arrays idiom; verify-skill gotcha)
-    d = docs.repartition("doc_id").select(
+    repartition first: the fixture parquet is one row group = one
+    task, and the per-token md5 for the block keys would serialize
+    (the _shingle_arrays idiom; verify-skill gotcha)."""
+    return docs.repartition("doc_id").select(
         "doc_id",
         "lang",
         "n_chars",
         F.substring(normalize_text("text"), 1, _ED_PFX).alias("pfx"),
-        F.array_min(F.transform(tokens("text"), lambda t: md5_64(t))).alias("mh"),
+        F.array_min(F.transform(tokens("text"), lambda t: md5_64(t))).alias("mh1"),
+        F.array_min(
+            F.transform(tokens("text"), lambda t: md5_64(F.concat(t, F.lit("\x01"))))
+        ).alias("mh2"),
     )
-    blk = d.withColumn(
+
+
+def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
+    """Blocked candidate generation + bounded levenshtein verify over a
+    prepared signature frame — the machinery shared by c101 (pair
+    list over raw docs) and c110 (verdicts over distinct-signature
+    representatives). Returns (doc_a, doc_b, edit_dist, pfx_sim)."""
+    spark = prep.sparkSession
+    blk = prep.withColumn(
         "bkt",
         F.explode(
             F.array(
@@ -2260,7 +2271,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    x, y = blk.alias("x"), blk.alias("y")
+    # OR of the two permutation keys as a UNION of equi-joins: each doc
+    # posts (perm, hash) rows and candidates join on (lang, bkt, perm,
+    # hash) — an OR in the join condition would break the equi-join
+    # (hash-partitionable keys are the whole point of blocking).
+    keep = ["doc_id", "lang", "n_chars", "pfx", "bkt"]
+    pblk = blk.select(
+        *keep, F.lit(1).alias("p"), F.col("mh1").alias("ph")
+    ).unionByName(blk.select(*keep, F.lit(2).alias("p"), F.col("mh2").alias("ph")))
+    x, y = pblk.alias("x"), pblk.alias("y")
     # Candidates are deduped as ID PAIRS ONLY, then re-joined to fetch
     # the two prefixes, and only then verified. This shape is
     # load-bearing twice over (round-9 lesson, measured at sf0.1 with
@@ -2272,13 +2291,16 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     ONE task locally): 230 s single-task, levenshtein computed
     #     2-3x per pair. Verifying above the prefix joins caps the
     #     pushdown at a stage that is explicitly re-partitioned wide.
-    #  2. The distinct shuffle carries 16 bytes/pair, not 2x256 chars.
+    #  2. The distinct shuffle carries 16 bytes/pair, not 2x256 chars
+    #     (and with two permutations it also folds the double-collision
+    #     case — pairs matching on BOTH mh1 and mh2 — to one row).
     cand_ids = (
         x.join(
             y,
             (F.col("x.lang") == F.col("y.lang"))
             & (F.col("x.bkt") == F.col("y.bkt"))
-            & (F.col("x.mh") == F.col("y.mh"))
+            & (F.col("x.p") == F.col("y.p"))
+            & (F.col("x.ph") == F.col("y.ph"))
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
                 F.abs(F.col("x.n_chars") - F.col("y.n_chars")) <= _ED_BAND
@@ -2300,7 +2322,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
-    pfx = d.select("doc_id", "pfx")
+    pfx = prep.select("doc_id", "pfx")
     cand = cand_ids.join(
         pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")),
         "doc_a",
@@ -2328,12 +2350,185 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "edit_dist",
+            # mx = 0 (two whitespace-only docs -> empty normalized
+            # prefixes) would be null here but NaN (0/0) in the DuckDB
+            # oracle, where NaN >= threshold is TRUE — guard both sides
+            # identically: empty-prefix pairs are exact matches, sim 1.0
+            # (ADVICE r9).
             F.round(
-                F.lit(1.0) - F.col("edit_dist") / F.col("mx"), 6
+                F.when(F.col("mx") == 0, F.lit(1.0)).otherwise(
+                    F.lit(1.0) - F.col("edit_dist") / F.col("mx")
+                ),
+                6,
             ).alias("pfx_sim"),
         )
         .filter(F.col("pfx_sim") >= _ED_SIM_T)
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "c101_dedup_edit_distance",
+    _edit_distance_sql(),
+    doc="""Oracle replicates the same length-band + two-permutation
+    blocking, so the candidate sets are identical by construction;
+    levenshtein is the standard DP edit distance in both engines and
+    the kept distances are integers — no float-tolerance caveat.""",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101: fuzzy near-dup pairs by edit distance — the verify family
+    member that catches small in-place edits (typo fixes, template
+    variable swaps) that token-shingle Jaccard (c02) under-weights.
+
+    Blocking, never all-pairs — the block key is THREE-part
+    (lang, length-band, min-token-hash), a lesson the round-9 10x
+    stress taught: length bands alone are low-entropy (every
+    same-length unrelated doc collides), so candidates grew
+    quadratically with data — ~100x pairs for 10x docs, each paying
+    a levenshtein. The third key is MinHash: the minimum md5 token
+    hash collides for near-identical docs with probability ~= their
+    token Jaccard (>=0.9 for the edit-distance target class) but
+    splits unrelated same-length docs ~vocabulary-fold — and since
+    round 10 it is TWO independent permutations OR-ed as a union of
+    equi-joins, closing the documented miss class where the edit
+    deletes the minimum-hash token itself (see _ed_prepared). Each
+    doc still lands in its own n_chars/64 band and the next one
+    (standard band discretization, b33 trick), so any near-identical
+    pair within 64 chars of length shares a block. Verify runs on a
+    BOUNDED window (first 256 normalized chars) with Spark's
+    thresholded levenshtein(l, r, T) — the DP early-exits any
+    candidate past T=64 edits (returns -1, filtered), so per-pair
+    cost is O(pfx * T), not O(pfx^2).
+
+    Scale shape (100 TB): candidate generation is an equi-join (one
+    shuffle per side on the 4-part posted block key); the verify
+    payload per candidate is <= 256 chars — at real scale you would
+    ship (id, prefix-hash) first and fetch prefixes only for
+    hash-unequal candidates; here prefixes ride the candidate join
+    directly. The pair LIST is itself the quadratic cost in a
+    replica-heavy corpus — c110 is the verdict-shaped sibling that
+    collapses replica cliques before any pairwise work. Output is
+    the verified pair list ordered by (doc_a, doc_b).
+    """
+    prep = _ed_prepared(load_table(spark, sf_dir, "documents"))
+    return _ed_verified_pairs(prep).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# C110 — edit-distance VERDICTS: the scale-safe sibling of c101
+# ---------------------------------------------------------------------------
+
+_ED_SIG_COLS = ["lang", "n_chars", "pfx", "mh1", "mh2"]
+
+
+def _c110_sig_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"c110:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"c110_sigs_{tag}")
+
+
+def _edit_distance_verdict_sql() -> str:
+    sig_list = ", ".join(_ED_SIG_COLS)
+    return f"""
+    WITH {_ed_d_sql()},
+    sig AS (SELECT {sig_list}, min(doc_id) AS rep_id
+            FROM d GROUP BY {sig_list}),
+    reps AS (SELECT rep_id AS doc_id, {sig_list} FROM sig),
+    {_ed_pair_ctes('reps')},
+    ext AS (SELECT rep_id, min(partner) AS ext_min FROM (
+              SELECT doc_b AS rep_id, doc_a AS partner FROM kept
+              UNION ALL
+              SELECT doc_a AS rep_id, doc_b AS partner FROM kept)
+            GROUP BY rep_id),
+    flr AS (SELECT {', '.join('s.' + c for c in _ED_SIG_COLS)},
+                   least(s.rep_id, coalesce(e.ext_min, s.rep_id)) AS g_floor
+            FROM sig s LEFT JOIN ext e ON e.rep_id = s.rep_id)
+    SELECT m.doc_id,
+           m.doc_id > f.g_floor AS is_dup,
+           CASE WHEN m.doc_id > f.g_floor THEN f.g_floor
+                ELSE m.doc_id END AS canon_id
+    FROM d m JOIN flr f
+      ON {' AND '.join(f'm.{c} = f.{c}' for c in _ED_SIG_COLS)}
+    ORDER BY m.doc_id
+    """
+
+
+@query(
+    "c110_edit_distance_verdict",
+    _edit_distance_verdict_sql(),
+    doc="""Oracle recomposes the same signature-group floor
+    construction over the shared two-permutation pair CTEs; verdicts
+    and canon ids are integers/booleans — no float caveat.""",
+)
+def edit_distance_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110: per-doc edit-distance KEEP/DROP verdicts — the
+    verdict-shaped sibling of c101 that PLANS.md's round-9 stress
+    prescribed ("at 100 TB: emit edit-distance VERDICTS if you can —
+    the pair list itself is the quadratic cost").
+
+    Semantics: doc is a dup iff SOME smaller-id doc matches it under
+    exactly c101's predicate (same lang, |n_chars diff| <= band,
+    min-hash block collision on either permutation, bounded-prefix
+    levenshtein <= 64, prefix similarity >= 0.75); canon_id is its
+    smallest direct match. Emitted per doc: (doc_id, is_dup,
+    canon_id).
+
+    Why this is the 100 TB shape — replica cliques collapse BEFORE
+    any pairwise work: every c101-relevant property of a doc lives in
+    its bounded signature (lang, n_chars, 256-char prefix, mh1, mh2),
+    so k replicas of one page form ONE signature group, verdict-able
+    by the group-min alone, and the quadratic candidate join runs
+    over DISTINCT signatures only (their count grows ~linearly where
+    pairs grow ~quadratically: c101's 10x stress saw 97.6x pairs).
+    The pair predicate is signature-level, so "exists a smaller
+    matching partner" factors exactly: for a member d of group G,
+    partners are other members of G (min = rep_id) and members of
+    matched groups G' (min = min over matched G' of their rep_id) —
+    d is a dup iff d > g_floor = least(rep_id, ext_min), with
+    canon_id = g_floor. No approximation is introduced; the verdict
+    table equals what c101's pair list would imply, at
+    representative-level cost.
+
+    Plan shape (gated): ONE documents scan total — the signature
+    pass stages (doc_id + bounded signature, no raw text) to parquet
+    (c99 discipline); the verdict plan reads the staged table only.
+    All joins are equi-joins; the verdict re-join keys on the full
+    signature tuple.
+    """
+    path = _c110_sig_path(sf_dir)
+    _ed_prepared(load_table(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    prep = spark.read.parquet(path)
+    sig = prep.groupBy(*_ED_SIG_COLS).agg(F.min("doc_id").alias("rep_id"))
+    reps = sig.select(F.col("rep_id").alias("doc_id"), *_ED_SIG_COLS)
+    pairs = _ed_verified_pairs(reps)
+    ext = (
+        pairs.select(F.col("doc_b").alias("rep_id"), F.col("doc_a").alias("partner"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_a").alias("rep_id"), F.col("doc_b").alias("partner")
+            )
+        )
+        .groupBy("rep_id")
+        .agg(F.min("partner").alias("ext_min"))
+    )
+    flr = sig.join(ext, "rep_id", "left").select(
+        *_ED_SIG_COLS,
+        F.least(F.col("rep_id"), F.coalesce("ext_min", "rep_id")).alias("g_floor"),
+    )
+    return (
+        prep.join(flr, _ED_SIG_COLS)
+        .select(
+            "doc_id",
+            (F.col("doc_id") > F.col("g_floor")).alias("is_dup"),
+            F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
+            .otherwise(F.col("doc_id"))
+            .alias("canon_id"),
+        )
+        .orderBy("doc_id")
     )
 
 

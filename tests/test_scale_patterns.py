@@ -433,3 +433,42 @@ def test_cms_overcount_one_sided(spark, sf_dir):
     assert len(rows) == 20
     assert (rows["overcount"] >= 0).all(), rows
     assert (rows["n_est"] >= rows["n_exact"]).all(), rows
+
+
+def test_edit_distance_two_permutation_recovers_min_token_deletion(spark):
+    """c101/c110: the round-9 docstring documented the one-permutation
+    miss class — an edit that deletes THE minimum-hash token changes
+    the block key and the pair is never a candidate. Round 10's second
+    permutation (md5 of token || chr(1)) recovers it: this constructs
+    exactly that adversarial pair (premises checked in pure Python
+    against the same md5 recipe) and asserts the blocked join still
+    finds it."""
+    from hashlib import md5 as _pymd5
+
+    from spark_dynamodb_spark.operators.dedup import (
+        _ed_prepared,
+        _ed_verified_pairs,
+    )
+
+    def h1(t: str) -> int:
+        return int(_pymd5(t.encode()).hexdigest()[:15], 16)
+
+    def h2(t: str) -> int:
+        return int(_pymd5((t + "\x01").encode()).hexdigest()[:15], 16)
+
+    toks = [f"tok{i:02d}" for i in range(30)]
+    mn1 = min(toks, key=h1)
+    rest = [t for t in toks if t != mn1]
+    # premises: deleting the perm-1 minimum breaks the perm-1 block...
+    assert min(rest, key=h1) != mn1
+    # ...but leaves the perm-2 block intact (its minimum is another token)
+    assert min(rest, key=h2) == min(toks, key=h2)
+
+    text_a = " ".join(toks)
+    text_b = " ".join(rest)
+    docs = spark.createDataFrame(
+        [(1, text_a, "en", len(text_a)), (2, text_b, "en", len(text_b))],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    pairs = _ed_verified_pairs(_ed_prepared(docs)).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)], pairs
