@@ -307,3 +307,53 @@ def test_soft_dedup_weights_partition_unity(spark, sf_dir):
         assert sizes == {len(members)}, (comp, sizes, len(members))
         mass = sum(m.weight_ppm for m in members)
         assert 1_000_000 - len(members) < mass <= 1_000_000
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Real PNG parse: zlib-inflated IDAT, CRC-checked chunks, and all
+    FIVE scanline unfilter paths (the encoder cycles filter r % 5, so
+    payloads spanning >= 5 rows exercise None/Sub/Up/Average/Paeth)."""
+    from spark_dynamodb_spark.functions import codecs
+
+    for payload in (b"", b"x", b"hello world" * 37, bytes(range(256)) * 3):
+        png = codecs.encode_png(payload, width=7)  # 21 B rows: odd width
+        img = codecs.decode_png(png)
+        assert img["width"] == 7 and img["bit_depth"] == 8
+        assert img["color_type"] == 2
+        assert img["file_size"] == len(png)
+        assert img["pixel_data"][: len(payload)] == payload
+        if payload:
+            assert img["height"] == -(-len(payload) // 21)
+    # RGBA variant
+    payload = bytes((i * 7) % 256 for i in range(400))
+    img = codecs.decode_png(codecs.encode_png(payload, width=8, color_type=6))
+    assert img["color_type"] == 6
+    assert img["pixel_data"][: len(payload)] == payload
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"BM not a png............" * 2)
+
+
+def test_png_codec_rejects_corruption_and_unsupported():
+    """A flipped byte anywhere in a chunk must fail the CRC (never
+    silently misdecode), and out-of-scope variants raise
+    NotImplementedError rather than returning garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    png = bytearray(codecs.encode_png(b"payload bytes" * 9, width=4))
+    png[45] ^= 0x55  # inside IDAT body
+    with _pytest.raises(ValueError):
+        codecs.decode_png(bytes(png))
+
+    # interlaced flag -> NotImplementedError (with IHDR CRC re-signed)
+    png = bytearray(codecs.encode_png(b"zz" * 40, width=4))
+    ihdr_body = bytearray(png[16:29])
+    ihdr_body[12] = 1  # interlace = Adam7
+    crc = codecs.zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    png[16:29] = ihdr_body
+    struct.pack_into(">I", png, 29, crc)
+    with _pytest.raises(NotImplementedError):
+        codecs.decode_png(bytes(png))
