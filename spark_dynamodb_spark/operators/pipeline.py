@@ -1977,3 +1977,245 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C111 — single-scan corpus profiler (the profiling capstone, c99 discipline)
+# ---------------------------------------------------------------------------
+
+_C111_COLS = ["source", "lang", "n_chars"]
+_C111_QCOLS = ["n_chars", "n_tokens"]
+_C111_QS = [(25, 0.25), (50, 0.50), (75, 0.75)]
+
+
+def _c111_sig_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(f"c111:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"c111_sigs_{tag}")
+
+
+def corpus_profile_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE pass over raw text for c111: per-doc profile signature
+    (doc_id, source, lang, n_chars, n_tokens, sh, toks).
+
+    sh carries per-doc-DISTINCT shingle hashes as longs (the KMV
+    input); toks carries the simple-token array — the one string
+    payload the profiler genuinely needs, because heavy-hitter
+    REPORTS must name the token (a hashes-only stage could estimate
+    frequencies but never report which term they belong to). The
+    stage is columnar: each profile section column-prunes to exactly
+    the arrays it consumes, so the KMV pass never reads toks and the
+    CMS pass never reads sh."""
+    from spark_dynamodb_spark.functions.text import shingles
+    from spark_dynamodb_spark.operators.dedup import SHINGLE_K
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = simple_tokens("text")
+    # repartition first: one row group = one task (verify-skill gotcha)
+    return docs.repartition("doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_distinct(shingles("text", SHINGLE_K)), lambda s: md5_64(s)
+        ).alias("sh"),
+        toks.alias("toks"),
+    )
+
+
+def _c111_sql() -> str:
+    from spark_dynamodb_spark.operators.dedup import (
+        _KMV_K,
+        sql_shingles,
+    )
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _CMS_D,
+        _CMS_TOPK,
+        _CMS_W,
+    )
+
+    col_rows = "\n      UNION ALL\n".join(
+        f"""SELECT 'columns' AS section, '{c}' AS k,
+                 'n_nonnull' AS metric, CAST(COUNT({c}) AS BIGINT) AS value
+          FROM documents
+          UNION ALL
+          SELECT 'columns', '{c}', 'n_distinct',
+                 CAST(COUNT(DISTINCT {c}) AS BIGINT)
+          FROM documents"""
+        for c in _C111_COLS
+    )
+    qexpr = {"n_chars": "n_chars", "n_tokens": f"len({sql_simple_tokens('text')})"}
+    q_rows = "\n      UNION ALL\n".join(
+        f"""SELECT 'quantiles', '{c}', 'q{tag}',
+                 CAST(quantile_disc({qexpr[c]}, {p}) AS BIGINT)
+          FROM documents"""
+        for c in _C111_QCOLS
+        for tag, p in _C111_QS
+    )
+    cms_rows = ", ".join(str(r) for r in range(_CMS_D))
+    cms_min = " , ".join(
+        f"MAX(CASE WHEN r = {r} THEN cnt END)" for r in range(_CMS_D)
+    )
+    return f"""
+    WITH sh AS ({sql_shingles(key_col='source', distinct_rows=True)}),
+    h AS (SELECT DISTINCT source, {sql_md5_64('shingle')} AS h FROM sh),
+    kranked AS (SELECT source, h,
+                       row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM h),
+    sk AS (SELECT source, COUNT(*) AS n_in, max(h) AS hk
+           FROM kranked WHERE rn <= {_KMV_K} GROUP BY source),
+    toks AS (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents),
+    rows_ AS (SELECT unnest([{cms_rows}]) AS r),
+    cells AS (
+      SELECT r,
+             ({sql_md5_64("tok || ':' || CAST(r AS VARCHAR)")}) % {_CMS_W} AS col,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN rows_
+      GROUP BY r, col
+    ),
+    exact AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok),
+    hh AS (
+      SELECT tok, n_exact,
+             row_number() OVER (ORDER BY n_exact DESC, tok) AS rnk
+      FROM exact
+    ),
+    probe AS (
+      SELECT h.tok, h.n_exact, h.rnk, r.r,
+             ({sql_md5_64("h.tok || ':' || CAST(r.r AS VARCHAR)")}) % {_CMS_W} AS col
+      FROM hh h CROSS JOIN rows_ r
+      WHERE h.rnk <= {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT p.tok, p.n_exact, p.rnk,
+             least({cms_min}) AS n_est
+      FROM (SELECT p.tok, p.n_exact, p.rnk, p.r, c.cnt
+            FROM probe p JOIN cells c ON c.r = p.r AND c.col = p.col) p
+      GROUP BY p.tok, p.n_exact, p.rnk
+    ),
+    allrows AS (
+      SELECT 'columns' AS section, '_table' AS k, 'n_rows' AS metric,
+             CAST(COUNT(*) AS BIGINT) AS value
+      FROM documents
+      UNION ALL
+      {col_rows}
+      UNION ALL
+      {q_rows}
+      UNION ALL
+      SELECT 'kmv', source, 'n_in', CAST(n_in AS BIGINT) FROM sk
+      UNION ALL
+      SELECT 'kmv', source, 'hk', CAST(hk AS BIGINT) FROM sk
+      UNION ALL
+      SELECT 'cms_heavy', tok, 'rnk', CAST(rnk AS BIGINT) FROM est
+      UNION ALL
+      SELECT 'cms_heavy', tok, 'n_exact', CAST(n_exact AS BIGINT) FROM est
+      UNION ALL
+      SELECT 'cms_heavy', tok, 'n_est', CAST(n_est AS BIGINT) FROM est
+    )
+    SELECT section, k, metric, value FROM allrows
+    ORDER BY section, k, metric
+    """
+
+
+@query(
+    "c111_corpus_profile",
+    _c111_sql(),
+    doc="""Oracle recomposes the b135/b35/c102/c107 section semantics
+    as CTEs over documents directly (it may scan as often as it
+    likes); every value is an integer — no float caveat. The Spark
+    side's whole point is that IT scans documents exactly once.""",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C111: the single-scan corpus profiler — column profile (b135
+    discipline), exact length/token quantiles (b35), per-source KMV
+    distinct sketches (c102), and CMS heavy hitters with exact audit
+    (c107), all emitted as ONE tall (section, k, metric, value)
+    table off ONE scan of raw text.
+
+    This is the 100 TB profiling story, the same argument c99 makes
+    for dedup: at corpus scale the scan IS the cost, so every profile
+    a pipeline wants must ride one pass. The staging projection
+    extracts per-doc bounded signatures (doc-level columns, token
+    count, distinct shingle hashes, token array) to parquet; the four
+    sections then each column-prune the STAGE to their own column —
+    the verdict plan has ZERO documents scans (plan-gated), and
+    re-profiling or adding a section costs a signature scan, not a
+    corpus scan.
+
+    Section scale shapes, inherited from their parent entries:
+    columns = one Expand + combinable two-phase aggregate; quantiles
+    = GK sketch (percentile_approx on the exact path at this scale —
+    at 100 TB dial accuracy down, same plan); KMV = two bounded top-k
+    window phases, kilobytes per source; CMS = D x W-bounded cell
+    aggregate + broadcast probe of the exact top-20 (itself two-phase
+    sharded). Nothing collects; every shuffle is either combinable or
+    bounded by sketch size.
+    """
+    from spark_dynamodb_spark.operators.dedup import _kmv_kept
+    from spark_dynamodb_spark.operators.text_analysis import (
+        cms_heavy_hitters_from,
+    )
+
+    path = _c111_sig_path(sf_dir)
+    corpus_profile_signatures(spark, sf_dir).write.mode("overwrite").parquet(path)
+    sigs = spark.read.parquet(path)
+
+    # columns section: one wide aggregate, stack-unpivoted (b135 shape)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _C111_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = sigs.agg(*aggs)
+    stack_args = ["'_table'", "'n_rows'", "n_rows"]
+    for c in _C111_COLS:
+        stack_args += [f"'{c}'", "'n_nonnull'", f"nn_{c}"]
+        stack_args += [f"'{c}'", "'n_distinct'", f"nd_{c}"]
+    cols_sec = wide.selectExpr(
+        f"stack({1 + 2 * len(_C111_COLS)}, {', '.join(stack_args)})"
+        " AS (k, metric, value)"
+    ).select(F.lit("columns").alias("section"), "k", "metric", "value")
+
+    # quantiles section: GK sketch on its exact path (b35 discipline)
+    qaggs = [
+        F.percentile_approx(c, p, 1_000_000).alias(f"{c}_q{tag}")
+        for c in _C111_QCOLS
+        for tag, p in _C111_QS
+    ]
+    qwide = sigs.agg(*qaggs)
+    qstack = []
+    for c in _C111_QCOLS:
+        for tag, _p in _C111_QS:
+            qstack += [f"'{c}'", f"'q{tag}'", f"{c}_q{tag}"]
+    quant_sec = qwide.selectExpr(
+        f"stack({len(_C111_QCOLS) * len(_C111_QS)}, {', '.join(qstack)})"
+        " AS (k, metric, value)"
+    ).select(F.lit("quantiles").alias("section"), "k", "metric", "value")
+
+    # kmv section: two bounded top-k phases (c102 machinery)
+    h = sigs.select("source", F.explode("sh").alias("h")).distinct()
+    sk = (
+        _kmv_kept(h)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_in"), F.max("h").alias("hk"))
+    )
+    kmv_sec = sk.selectExpr(
+        "source AS k", "stack(2, 'n_in', n_in, 'hk', hk) AS (metric, value)"
+    ).select(F.lit("kmv").alias("section"), "k", "metric", "value")
+
+    # cms_heavy section: shared c107 core over the staged token arrays
+    toks = sigs.select(F.explode("toks").alias("tok"))
+    est = cms_heavy_hitters_from(toks)
+    cms_sec = est.selectExpr(
+        "tok AS k",
+        "stack(3, 'rnk', CAST(rnk AS BIGINT), 'n_exact', n_exact,"
+        " 'n_est', n_est) AS (metric, value)",
+    ).select(F.lit("cms_heavy").alias("section"), "k", "metric", "value")
+
+    out = cols_sec.unionByName(quant_sec).unionByName(kmv_sec).unionByName(cms_sec)
+    return out.select(
+        "section", "k", "metric", F.col("value").cast("long").alias("value")
+    ).orderBy("section", "k", "metric")

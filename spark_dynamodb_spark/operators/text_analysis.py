@@ -1618,8 +1618,23 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.repartition("doc_id").select(
         F.explode(simple_tokens("text")).alias("tok")
     )
+    est = cms_heavy_hitters_from(toks)
+    return est.select(
+        "rnk",
+        "tok",
+        "n_exact",
+        F.col("n_est").cast("long").alias("n_est"),
+        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
+    ).orderBy("rnk")
+
+
+def cms_cells_from(toks: DataFrame) -> DataFrame:
+    """The D x W CMS counter table (r, col, cnt) over a (tok)
+    occurrence relation. Counters are plain sums, so per-batch tables
+    merge by elementwise addition — the property s24 exercises under
+    incremental arrival."""
     rows_ = F.array(*[F.lit(r) for r in range(_CMS_D)])
-    cells = (
+    return (
         toks.select("tok", F.explode(rows_).alias("r"))
         .select(
             "r",
@@ -1631,6 +1646,15 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r", "col")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_heavy_hitters_from(toks: DataFrame) -> DataFrame:
+    """The c107 core over any (tok) occurrence relation: D x W CMS
+    cell table + exact two-phase top-K + broadcast probe. Returns
+    (tok, n_exact, rnk, n_est) unordered — shared with the c111
+    single-scan corpus profiler."""
+    rows_ = F.array(*[F.lit(r) for r in range(_CMS_D)])
+    cells = cms_cells_from(toks)
     exact = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
     from pyspark.sql import Window as W
 
@@ -1668,7 +1692,7 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CMS_W),
         ).alias("col"),
     )
-    est = (
+    return (
         probe.join(F.broadcast(cells), ["r", "col"])
         .groupBy("tok", "n_exact", "rnk")
         .agg(
@@ -1680,10 +1704,3 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_est")
         )
     )
-    return est.select(
-        "rnk",
-        "tok",
-        "n_exact",
-        F.col("n_est").cast("long").alias("n_est"),
-        (F.col("n_est") - F.col("n_exact")).cast("long").alias("overcount"),
-    ).orderBy("rnk")
