@@ -1200,14 +1200,28 @@ def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
             parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
     tag = hashlib.md5(("|".join(parts) + f"|{n_files}").encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
-    if not os.path.isdir(os.path.join(out, "_SUCCESS_DIR")):
+    if not os.path.isdir(out):
+        # Write to a unique scratch dir, then atomically rename into the
+        # tagged path: a crash mid-write can never leave a half-staged
+        # dir behind the tag, and two concurrent sessions staging the
+        # same fingerprint race benignly (the loser's rename fails on
+        # the existing dir and its scratch is discarded) — ADVICE r9;
+        # the previous _SUCCESS_DIR marker had a write->marker gap.
+        scratch = tempfile.mkdtemp(prefix=f"docs_stream_{tag}_", dir=tempfile.gettempdir())
+        stage = os.path.join(scratch, "stage")
         (
             load_table(spark, sf_dir, "documents")
             .repartition(n_files, "doc_id")
             .write.mode("overwrite")
-            .parquet(out)
+            .parquet(stage)
         )
-        os.makedirs(os.path.join(out, "_SUCCESS_DIR"), exist_ok=True)
+        try:
+            os.rename(stage, out)
+        except OSError:
+            pass  # concurrent stager won the rename; its stage is complete
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
     return out
 
 
@@ -1340,3 +1354,118 @@ def _finalize_s23_oracle() -> None:
 
 
 _finalize_s23_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S24 — incremental count-min sketch maintenance (the streaming CMS pair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "s24_stream_cms_incremental",
+    None,  # oracle patched below: the one-shot c107 cell table
+)
+def stream_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: count-min sketch maintenance under INCREMENTAL arrival —
+    the streaming twin of s23 (KMV), completing the sketch pair. A
+    documents stream (4 real micro-batches via staged files +
+    maxFilesPerTrigger=1) whose foreachBatch sink keeps the running
+    D x W CMS counter table: each batch computes its own bounded cell
+    table (c107's shared cms_cells_from), unions the previous state,
+    and elementwise-SUMS — the merge IS addition, so the final state
+    is bit-identical to the one-shot corpus cell table, which is
+    exactly what the oracle checks (a second streaming entry with a
+    full value-level oracle).
+
+    Why this matters at 100 TB: frequency monitors (vocabulary drift,
+    heavy-hitter alerts, contamination screens) must track a landing
+    corpus without recounting it; CMS state is D x W counters — 4096
+    longs here — regardless of corpus or vocabulary size, and each
+    refresh costs O(batch) + an O(D*W) add. State lives in per-batch
+    parquet versions (state_v{n}), same discipline as s23.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.functions.text import simple_tokens
+    from spark_dynamodb_spark.operators.text_analysis import cms_cells_from
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    state_root = tempfile.mkdtemp(prefix="cms_state_")
+    last_path: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        toks = batch.select(F.explode(simple_tokens("text")).alias("tok"))
+        cells = cms_cells_from(toks)
+        if last_path[0] is not None:
+            cells = cells.unionByName(sess.read.parquet(last_path[0]))
+        merged = cells.groupBy("r", "col").agg(F.sum("cnt").alias("cnt"))
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        last_path[0] = out
+
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(last_path[0])
+        rows = final.select(
+            "r", "col", F.col("cnt").cast("long").alias("cnt")
+        ).orderBy("r", "col")
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+def _finalize_s24_oracle() -> None:
+    """Oracle: the one-shot c107 cell table over the whole corpus —
+    the incrementally merged counters must reproduce it exactly."""
+    from spark_dynamodb_spark.functions.text import sql_md5_64, sql_simple_tokens
+    from spark_dynamodb_spark.operators.text_analysis import _CMS_D, _CMS_W
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    rows = ", ".join(str(r) for r in range(_CMS_D))
+    REGISTRY.resolve("s24_stream_cms_incremental").oracle = f"""
+    WITH toks AS (
+      SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents
+    ),
+    rows_ AS (SELECT unnest([{rows}]) AS r),
+    cells AS (
+      SELECT r,
+             ({sql_md5_64("tok || ':' || CAST(r AS VARCHAR)")}) % {_CMS_W} AS col,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN rows_
+      GROUP BY r, col
+    )
+    SELECT r, col, CAST(cnt AS BIGINT) AS cnt
+    FROM cells
+    ORDER BY r, col
+    """
+
+
+_finalize_s24_oracle()

@@ -811,4 +811,8 @@ def test_s23_staging_yields_real_microbatches(spark, sf_dir):
         f for f in glob.glob(os.path.join(staged, "*.parquet"))
         if os.path.getsize(f) > 0
     ]
-    assert len(files) == 4, files
+    # repartition(n, col) hash-distributes and CAN leave a partition
+    # empty; >= 2 non-empty parts is what "real micro-batches" needs
+    # (ADVICE r9 — the old == 4 assert over-pinned an unguaranteed
+    # property), and <= 4 pins that staging didn't over-split.
+    assert 2 <= len(files) <= 4, files
