@@ -1461,6 +1461,54 @@ def test_edit_distance_blocked_never_allpairs(spark, sf_dir):
             assert "levenshtein" not in line, line
 
 
+def test_edit_distance_verdict_single_scan_no_pairs(spark, sf_dir):
+    """c110: the signature pass is the ONLY touch of raw text — one
+    documents scan staging a bounded signature table (no text column),
+    and the verdict plan reads the stage only; the candidate join runs
+    over distinct-signature representatives (equi-join, no cartesian),
+    and the output is per-doc verdicts, never a pair list."""
+    from spark_dynamodb_spark.operators.dedup import _c110_sig_path, _ed_prepared
+    from spark_dynamodb_spark.tables import load_table
+
+    staged = _ed_prepared(load_table(spark, sf_dir, "documents"))
+    splan = physical_plan(staged)
+    assert splan.count("documents.parquet") == 1, splan
+    assert "text" not in {f.name for f in staged.schema.fields}
+
+    df = dedup.edit_distance_verdict(spark, sf_dir)
+    vplan = physical_plan(df)
+    assert vplan.count("documents.parquet") == 0, vplan
+    assert "c110_sigs_" in vplan, vplan
+    assert "CartesianProduct" not in vplan, vplan
+    assert "BroadcastNestedLoopJoin" not in vplan, vplan
+    # verdict-shaped output: one row per doc, no pair columns
+    assert [f.name for f in df.schema.fields] == ["doc_id", "is_dup", "canon_id"]
+
+
+def test_corpus_profile_single_scan(spark, sf_dir):
+    """c111: ONE documents scan total — the staging projection is the
+    only pass over raw text, and the four profile sections (columns,
+    quantiles, kmv, cms_heavy) read the staged signature table only,
+    each column-pruned to its own array. No cartesian anywhere; no
+    unbounded per-group collect."""
+    from spark_dynamodb_spark.operators import pipeline as pl
+
+    staged = pl.corpus_profile_signatures(spark, sf_dir)
+    splan = physical_plan(staged)
+    assert splan.count("documents.parquet") == 1, splan
+    assert "text" not in {f.name for f in staged.schema.fields}
+
+    df = pl.corpus_profile(spark, sf_dir)
+    vplan = physical_plan(df)
+    assert vplan.count("documents.parquet") == 0, vplan
+    assert "c111_sigs_" in vplan, vplan
+    assert "CartesianProduct" not in vplan, vplan
+    assert "collect_list" not in vplan and "collect_set" not in vplan, vplan
+    # every section present in one tall frame
+    secs = {r.section for r in df.select("section").distinct().collect()}
+    assert secs == {"columns", "quantiles", "kmv", "cms_heavy"}, secs
+
+
 def test_kmv_two_phase_bounded(spark, sf_dir):
     """c102: the sketch must be built in two bounded top-k phases
     (per-shard window, then per-source merge window) — two Window
