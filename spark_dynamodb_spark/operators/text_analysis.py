@@ -1704,3 +1704,182 @@ def cms_heavy_hitters_from(toks: DataFrame) -> DataFrame:
             ).alias("n_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C112 — BPE merge-table training: the iterative-algorithm capstone
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6  # learned merges; fixed depth keeps the unrolled oracle sane
+
+# Fold markers (outside the fixture's printable-ASCII alphabet): chr(31)
+# separates symbols inside the fold's string accumulator, chr(2) closes a
+# segment just produced by a merge so it cannot re-merge within the same
+# pass (BPE applies each rule left-to-right over NON-overlapping pairs;
+# fresh merges become eligible again in the NEXT iteration when the marks
+# are stripped).
+_BPE_SEP_SQL = "char(31)"   # Spark SQL spelling
+_BPE_MARK_SQL = "char(2)"
+
+
+def _bpe_merge_expr(l: str, r: str) -> str:
+    """Spark SQL: apply ONE merge rule (columns ``l``/``r``) to a symbol
+    array left-to-right via a string fold — acc holds SEP-joined
+    segments; a segment equal to l (and not mark-closed) followed by r
+    collapses into l||r||MARK. Mirrored verbatim (modulo dialect
+    spellings) by the DuckDB oracle's list_reduce."""
+    return f"""split(replace(
+         aggregate(syms, '', (acc, x) -> CASE
+           WHEN (acc = {l} OR endswith(acc, concat({_BPE_SEP_SQL}, {l}))) AND x = {r}
+             THEN concat(substring(acc, 1, length(acc) - length({l})),
+                         {l}, {r}, {_BPE_MARK_SQL})
+           WHEN acc = '' THEN x
+           ELSE concat(acc, {_BPE_SEP_SQL}, x) END),
+       {_BPE_MARK_SQL}, ''), {_BPE_SEP_SQL})"""
+
+
+def _bpe_sql() -> str:
+    """Unrolled {_BPE_MERGES}-iteration training chain (the c56/PQ
+    oracle discipline: fixed-depth iteration as chained CTEs)."""
+    fold = """list_reduce(list_prepend('', syms),
+             (acc, x) -> CASE
+               WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND x = b.r
+                 THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r || chr(2)
+               WHEN acc = '' THEN x
+               ELSE acc || chr(31) || x END)"""
+    ctes = [
+        f"""w AS (SELECT tok AS word, COUNT(*) AS wcnt
+          FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
+          GROUP BY tok)""",
+        """s0 AS (SELECT word, wcnt,
+                list_transform(generate_series(1, length(word)),
+                               i -> substr(word, i, 1)) AS syms
+          FROM w)""",
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT s.l, s.r, SUM(wcnt) AS cnt FROM (
+        SELECT wcnt, unnest(list_transform(generate_series(1, len(syms) - 1),
+                     i -> struct_pack(l := syms[i], r := syms[i+1]))) AS s
+        FROM s{k - 1} WHERE len(syms) >= 2
+      ) GROUP BY s.l, s.r
+    )"""
+        )
+        ctes.append(
+            f"b{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"""s{k} AS (
+      SELECT word, wcnt,
+             string_split(replace({fold}, chr(2), ''), chr(31)) AS syms
+      FROM s{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT {k} AS step, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM b{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(step AS INT) AS step, lhs, rhs, pair_count FROM (
+      {union}
+    )
+    ORDER BY step
+    """
+    )
+
+
+@query(
+    "c112_bpe_train",
+    _bpe_sql(),
+    doc="""Oracle unrolls the identical fixed-depth training loop as
+    chained CTEs (the PQ/c56 discipline); the left-to-right
+    non-overlapping merge application is the same string fold in both
+    engines (aggregate <-> list_reduce), argmax ties break
+    lexicographically, and counts are exact integer sums — no float
+    caveat anywhere.""",
+)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C112: learn a BPE merge table from the corpus — the iterative
+    TRAINING loop behind c04_text_token_bpe's static pre-tokenizer,
+    expressed as a DataFrame fixed-point iteration (the same
+    chained-plan discipline as c56's Lloyd iterations).
+
+    Algorithm (Sennrich et al., standard BPE): start from character
+    symbols over the distinct-WORD relation (word, count); each
+    iteration counts adjacent symbol pairs weighted by word frequency,
+    picks the most frequent pair (ties lexicographic), and merges its
+    non-overlapping left-to-right occurrences in every word. Emits the
+    learned table: (step, lhs, rhs, pair_count).
+
+    The merge application is a per-word string fold (SEP-joined
+    accumulator; a freshly merged segment is mark-closed so it cannot
+    re-merge within the same pass but becomes eligible next iteration)
+    — identical algebra on both engines, so the whole training run is
+    hash-checked end-to-end.
+
+    Scale shape (100 TB): training runs on the DISTINCT-WORD relation
+    — vocabulary-bounded, not corpus-bounded. The corpus is scanned
+    once for word counts (a combinable groupBy); each of the N
+    iterations then costs one pair-count aggregate over ~|vocab| rows
+    (shuffle keyed by symbol pair), one global top-1 (sort-limit,
+    two-phase), and one broadcast of the single winning rule into a
+    narrow map — nothing ever iterates on the driver, and each
+    trained relation is cached so reuse doesn't replay the chain
+    (the c109 staged-index lesson; without it plan k re-executes all
+    k-1 predecessors twice — once under p{k}, once under s{k}).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.repartition("doc_id")
+        .select(F.explode(simple_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    syms = w.select(
+        "word", "wcnt", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+    ).cache()
+    bests = []
+    for k in range(1, _BPE_MERGES + 1):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "wcnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                    )
+                ).alias("p"),
+            )
+            .select(F.col("p.0").alias("l"), F.col("p.1").alias("r"), "wcnt")
+            .groupBy("l", "r")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .select(
+                F.lit(k).alias("step"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+            .cache()
+        )
+        bests.append(best)
+        syms = (
+            syms.crossJoin(
+                F.broadcast(best.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br")))
+            )
+            .selectExpr("word", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
+            .cache()
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        F.col("step").cast("int"), "lhs", "rhs", "pair_count"
+    ).orderBy("step")

@@ -357,3 +357,36 @@ def test_png_codec_rejects_corruption_and_unsupported():
     struct.pack_into(">I", png, 29, crc)
     with _pytest.raises(NotImplementedError):
         codecs.decode_png(bytes(png))
+
+
+def test_bpe_training_semantics(spark):
+    """c112's merge machinery on a hand-computable vocabulary: the
+    most frequent pair merges first, application is left-to-right and
+    NON-overlapping within a pass ('aaab' -> [aa, a, b], never the
+    overlapping [a, aa, b] reading), and a merged symbol is eligible
+    again in later iterations."""
+    from spark_dynamodb_spark.operators.text_analysis import _bpe_merge_expr
+
+    import pyspark.sql.functions as _F
+
+    words = spark.createDataFrame(
+        [("aaab", 2), ("aab", 3), ("banana", 1)], "word string, wcnt long"
+    )
+    syms = words.select(
+        "word", "wcnt",
+        _F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    )
+    merged = syms.selectExpr(
+        "word", "wcnt", _bpe_merge_expr("'a'", "'a'") + " AS syms"
+    )
+    got = {r.word: r.syms for r in merged.collect()}
+    assert got["aaab"] == ["aa", "a", "b"], got
+    assert got["aab"] == ["aa", "b"], got
+    assert got["banana"] == ["b", "a", "n", "a", "n", "a"], got
+    # second pass: the previously merged 'aa' is eligible again
+    merged2 = merged.selectExpr(
+        "word", "wcnt", _bpe_merge_expr("'aa'", "'b'") + " AS syms"
+    )
+    got2 = {r.word: r.syms for r in merged2.collect()}
+    assert got2["aab"] == ["aab"], got2
+    assert got2["aaab"] == ["aa", "a", "b"], got2  # tail is [a,b], not [aa,b]

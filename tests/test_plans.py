@@ -1595,3 +1595,25 @@ def test_ivf_pq_double_pruning(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_train_vocab_bounded(spark, sf_dir):
+    """c112: training must run on the aggregated distinct-word
+    relation (one corpus scan into a combinable word count), each
+    iteration's winning rule must arrive by broadcast, and no true
+    cartesian product may appear (the only nested-loop joins are the
+    1-row broadcast rule applications)."""
+    from spark_dynamodb_spark.operators import text_analysis as ta
+
+    df = ta.bpe_train(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    rows = df.collect()
+    assert [r.step for r in rows] == list(range(1, ta._BPE_MERGES + 1))
+    # merged symbols are concatenations of earlier symbols — a merge
+    # learned at step k must be composed of pieces available before k
+    seen = {chr(c) for c in range(32, 127)}
+    for r in rows:
+        assert r.lhs in seen or all(ch in seen for ch in r.lhs)
+        seen.add(r.lhs + r.rhs)
