@@ -85,6 +85,7 @@ EXTRA = [
     "c110_edit_distance_verdict",
     "c111_corpus_profile",
     "c05_multimodal_png",
+    "c112_bpe_train",
 ]
 
 
