@@ -86,6 +86,7 @@ EXTRA = [
     "c111_corpus_profile",
     "c05_multimodal_png",
     "c112_bpe_train",
+    "c114_ann_ivf_pq_rerank",
 ]
 
 

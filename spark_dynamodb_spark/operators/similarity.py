@@ -2551,6 +2551,7 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
     sq8 AS ({{SQ8}}),
     pq AS ({{PQ}}),
     ivfpq AS ({{IVFPQ}}),
+    ivfpq_rr AS ({{IVFPQRR}}),
     per_query AS (
       {_recall_matrix_member('lsh', 'lsh')}
       UNION ALL
@@ -2561,6 +2562,8 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
       {_recall_matrix_member('pq', 'pq')}
       UNION ALL
       {_recall_matrix_member('ivfpq', 'ivfpq')}
+      UNION ALL
+      {_recall_matrix_member('ivfpq_rr', 'ivfpq_rr')}
     )
     SELECT index_name,
            CAST(count(*) AS BIGINT) AS n_queries,
@@ -2598,6 +2601,7 @@ def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq8": ann_int8_topk(spark, sf_dir),
         "pq": ann_pq_adc(spark, sf_dir),
         "ivfpq": ann_ivf_pq(spark, sf_dir),
+        "ivfpq_rr": ann_ivf_pq_rerank(spark, sf_dir),
     }
     per = None
     for tag, approx in members.items():
@@ -2645,6 +2649,7 @@ def _finalize_c105_oracle() -> None:
         .replace("{SQ8}", _registered_oracle("c100_ann_int8_topk"))
         .replace("{PQ}", _registered_oracle("c106_ann_pq_adc"))
         .replace("{IVFPQ}", _registered_oracle("c109_ann_ivf_pq"))
+        .replace("{IVFPQRR}", _registered_oracle("c114_ann_ivf_pq_rerank"))
     )
 
 
@@ -2800,7 +2805,10 @@ def _pq_ctes_prefixed() -> list[str]:
     return ctes
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_adc_ctes() -> tuple[list[str], str]:
+    """The full IVF-PQ chain through the ``ranked`` ADC CTE, shared by
+    the c109 oracle (top-k by ADC) and the c114 oracle (exact re-rank
+    of the ADC shortlist). Returns (ctes, ivf_assignment_cte_name)."""
     ctes, ilast = _ivf_index_ctes()
     ctes.append(
         f"""centsF AS (
@@ -2853,6 +2861,11 @@ def _ivf_pq_sql() -> str:
       FROM adc
     )""",
     ]
+    return ctes, ilast
+
+
+def _ivf_pq_sql() -> str:
+    ctes, _ilast = _ivf_pq_adc_ctes()
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
     SELECT query_id, neighbor_id, rnk, round(adc_dist, 6) AS adc_dist
@@ -2890,6 +2903,25 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven unrolled chains verbatim (PQ chain p-prefixed to cohabit
     one WITH clause).
     """
+    adc, _index = _ivf_pq_adc(spark, sf_dir)
+    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _ivf_pq_adc(spark: SparkSession, sf_dir: str):
+    """The IVF-PQ ADC relation shared by c109 (top-k by ADC) and c114
+    (exact re-rank of the ADC shortlist): returns
+    ((query_id, neighbor_id, adc_dist), index) where index is the
+    cached (vec_id, vec, cell) relation — the raw vectors c114's
+    re-rank fetches for its shortlist."""
     # cache both trained relations: the probe, candidate join, and
     # centroid computation each replay the Lloyd lineage otherwise
     index = ivf_index(spark, sf_dir).cache()  # (vec_id, vec, cell)
@@ -2928,16 +2960,105 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(_adc_sum_col("d").alias("adc_dist"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return adc, index
+
+
+
+
+# ---------------------------------------------------------------------------
+# C114 — IVF-PQ + exact re-rank: the full serving pipeline
+# ---------------------------------------------------------------------------
+
+RERANK_R = 15  # ADC shortlist size re-ranked exactly (3x the served k)
+
+
+def _ivf_pq_rerank_sql() -> str:
+    ctes, ilast = _ivf_pq_adc_ctes()
+    cos = (
+        "list_dot_product(q.vec, n.vec) / "
+        "(sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(n.vec, n.vec)))"
+    )
+    ctes += [
+        f"shortl AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {RERANK_R})",
+        f"""rr AS (
+      SELECT s.query_id, s.neighbor_id, {cos} AS cos
+      FROM shortl s
+      JOIN {ilast} q ON q.vec_id = s.query_id
+      JOIN {ilast} n ON n.vec_id = s.neighbor_id
+    )""",
+        """rranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM rr
+    )""",
+    ]
     return (
-        adc.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+    FROM rranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+    )
+
+
+@query(
+    "c114_ann_ivf_pq_rerank",
+    _ivf_pq_rerank_sql(),
+    doc="""Oracle extends the shared c109 ADC chain with the shortlist
+    + exact-cosine tail; the cosine is the same expression family the
+    c03 oracle has hash-matched since round 1, and the shortlist cut
+    is on the already-verified ADC ranking — integer ranks, rounded
+    floats, no new tolerance surface.""",
+)
+def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C114: IVF-PQ shortlist + EXACT re-rank — the complete serving
+    pipeline every production ANN deployment runs (FAISS's
+    search-then-refine): the composed index (c109) cheaply produces a
+    shortlist of RERANK_R candidates per query from codes alone, then
+    the raw vectors of JUST those candidates are fetched and scored
+    exactly, and the served top-k is ranked by true cosine.
+
+    Why this is the 100 TB shape: ADC ranks are quantization-coarse
+    (the c105 matrix measures the toy codebook at 0.04-0.06 recall@k
+    against exact), but re-ranking repairs every ranking error WITHIN
+    the shortlist at a cost of |queries| x R exact distances — a
+    broadcast-joined sliver, independent of corpus size. The recall
+    ceiling becomes the probe/shortlist recall (did the true neighbor
+    reach the shortlist?) rather than the code resolution — which is
+    exactly the knob (NPROBE, R) a deployment tunes. The corpus is
+    still never scanned as floats; only shortlisted vec_ids fetch
+    their raw vectors (an equi-join against the index relation).
+    """
+    adc, index = _ivf_pq_adc(spark, sf_dir)
+    w_adc = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    shortl = (
+        adc.withColumn("arnk", F.row_number().over(w_adc))
+        .filter(F.col("arnk") <= RERANK_R)
+        .select("query_id", "neighbor_id")
+    )
+    qv = index.select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    nv = index.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("nvec"))
+    rr = (
+        shortl.join(nv, "neighbor_id")
+        .join(F.broadcast(qv.filter(F.col("query_id") < N_QUERIES)), "query_id")
         .select(
-            "query_id", "neighbor_id", "rnk",
-            F.round("adc_dist", 6).alias("adc_dist"),
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("qvec", "nvec").alias("cos"),
         )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        rr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
         .orderBy("query_id", "rnk")
     )
 
 
+# c105 composes oracles of entries defined across the whole module (incl.
+# c114) — finalize once everything is registered.
 _finalize_c105_oracle()

@@ -1617,3 +1617,26 @@ def test_bpe_train_vocab_bounded(spark, sf_dir):
     for r in rows:
         assert r.lhs in seen or all(ch in seen for ch in r.lhs)
         seen.add(r.lhs + r.rhs)
+
+
+def test_ivf_pq_rerank_shortlist_bounded(spark, sf_dir):
+    """c114: the exact re-rank must touch raw vectors ONLY for the
+    ADC shortlist (broadcast query vectors, equi-join for neighbor
+    vectors) — no cartesian, no corpus-wide float scan beyond the
+    index relation the probe already reads; output is the served
+    top-k shape."""
+    from spark_dynamodb_spark.operators import similarity as sim
+
+    df = sim.ann_ivf_pq_rerank(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "query_id", "neighbor_id", "rnk", "cosine",
+    ]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(rnks == sorted(rnks) and len(rnks) <= sim.TOP_K
+               for rnks in per_q.values())
