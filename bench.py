@@ -87,6 +87,7 @@ EXTRA = [
     "c05_multimodal_png",
     "c112_bpe_train",
     "c114_ann_ivf_pq_rerank",
+    "c113_bpe_encode",
 ]
 
 

@@ -1738,15 +1738,19 @@ def _bpe_merge_expr(l: str, r: str) -> str:
        {_BPE_MARK_SQL}, ''), {_BPE_SEP_SQL})"""
 
 
-def _bpe_sql() -> str:
-    """Unrolled {_BPE_MERGES}-iteration training chain (the c56/PQ
-    oracle discipline: fixed-depth iteration as chained CTEs)."""
-    fold = """list_reduce(list_prepend('', syms),
+_BPE_FOLD_SQL = """list_reduce(list_prepend('', syms),
              (acc, x) -> CASE
                WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND x = b.r
                  THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r || chr(2)
                WHEN acc = '' THEN x
                ELSE acc || chr(31) || x END)"""
+
+
+def _bpe_train_ctes() -> list[str]:
+    """The unrolled {_BPE_MERGES}-iteration training chain (w, s0,
+    p1/b1/s1 .. p6/b6/s6) shared by the c112 (merge table) and c113
+    (corpus encode) oracles — the c56/PQ discipline: fixed-depth
+    iteration as chained CTEs."""
     ctes = [
         f"""w AS (SELECT tok AS word, COUNT(*) AS wcnt
           FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
@@ -1772,17 +1776,21 @@ def _bpe_sql() -> str:
         ctes.append(
             f"""s{k} AS (
       SELECT word, wcnt,
-             string_split(replace({fold}, chr(2), ''), chr(31)) AS syms
+             string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
       FROM s{k - 1} CROSS JOIN b{k} b
     )"""
         )
+    return ctes
+
+
+def _bpe_sql() -> str:
     union = "\n      UNION ALL\n      ".join(
         f"SELECT {k} AS step, l AS lhs, r AS rhs, CAST(cnt AS BIGINT) AS pair_count"
         f" FROM b{k}"
         for k in range(1, _BPE_MERGES + 1)
     )
     return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        "WITH " + ",\n    ".join(_bpe_train_ctes()) + f"""
     SELECT CAST(step AS INT) AS step, lhs, rhs, pair_count FROM (
       {union}
     )
@@ -1831,6 +1839,19 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the c109 staged-index lesson; without it plan k re-executes all
     k-1 predecessors twice — once under p{k}, once under s{k}).
     """
+    rules = _bpe_train_rules(spark, sf_dir)
+    out = rules[0]
+    for b in rules[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        F.col("step").cast("int"), "lhs", "rhs", "pair_count"
+    ).orderBy("step")
+
+
+def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """The c112 training loop, shared with c113's corpus encode:
+    returns the learned rules as _BPE_MERGES cached 1-row frames
+    (step, lhs, rhs, pair_count), in merge order."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.repartition("doc_id")
@@ -1877,9 +1898,136 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .selectExpr("word", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
             .cache()
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        F.col("step").cast("int"), "lhs", "rhs", "pair_count"
-    ).orderBy("step")
+    return bests
+
+
+def _bpe_encode_sql() -> str:
+    ctes = _bpe_train_ctes()
+    ctes.append(
+        f"""ws AS (SELECT source, tok AS word, COUNT(*) AS wcnt
+          FROM (SELECT source, unnest({sql_simple_tokens('text')}) AS tok
+                FROM documents)
+          GROUP BY source, tok)"""
+    )
+    ctes.append(
+        """e0 AS (SELECT source, word, wcnt,
+                list_transform(generate_series(1, length(word)),
+                               i -> substr(word, i, 1)) AS syms
+          FROM ws)"""
+    )
+    for k in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""e{k} AS (
+      SELECT source, word, wcnt,
+             string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
+      FROM e{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+    last = f"e{_BPE_MERGES}"
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , stats AS (
+      SELECT source,
+             CAST(SUM(wcnt) AS BIGINT) AS n_words,
+             CAST(SUM(wcnt * len(syms)) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(wcnt * length(word)) AS BIGINT) AS n_chars
+      FROM {last}
+      GROUP BY source
+    ),
+    vocab AS (
+      SELECT source, COUNT(DISTINCT sym) AS n_symbols FROM (
+        SELECT source, unnest(syms) AS sym FROM {last}
+      ) GROUP BY source
+    )
+    SELECT s.source, s.n_words, s.n_bpe_tokens,
+           CAST(s.n_bpe_tokens * 1000 // s.n_words AS BIGINT) AS bpe_per_kword,
+           CAST(s.n_chars * 1000 // s.n_bpe_tokens AS BIGINT)
+             AS chars_per_ktoken,
+           CAST(v.n_symbols AS BIGINT) AS n_symbols
+    FROM stats s JOIN vocab v ON v.source = s.source
+    ORDER BY s.source
+    """
+    )
+
+
+@query(
+    "c113_bpe_encode",
+    _bpe_encode_sql(),
+    doc="""Oracle re-trains via the shared c112 CTE chain, then applies
+    the same six rules to per-source word counts with the identical
+    fold — every emitted figure is an exact integer (counts and
+    floor-divided ratios), no tolerance surface.""",
+)
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113: apply the c112-learned merge table to the corpus — the
+    ENCODE half of the BPE pair, emitting the per-source tokenization
+    profile a data pipeline actually consumes: word count, BPE token
+    count, tokens per 1000 words, chars per 1000 tokens (the
+    compression the merges bought), and the per-source symbol
+    vocabulary after merging.
+
+    Same scale shape as training: encoding statistics run on the
+    per-source DISTINCT-WORD relation (each distinct word is folded
+    once per rule and its stats weighted by wcnt), so the corpus is
+    scanned once for the per-source word counts and everything after
+    is vocabulary-bounded. At serving time the learned table would be
+    broadcast into a tokenizer UDF over raw text; here the stats ARE
+    the deliverable, so the weighted distinct-word form is both
+    cheaper and exactly equivalent.
+    """
+    rules = _bpe_train_rules(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ws = (
+        docs.repartition("doc_id")
+        .select("source", F.explode(simple_tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    enc = ws.select(
+        "source", "word", "wcnt",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    )
+    for best in rules:
+        # localCheckpoint each fold step: a hard lineage cut is the only
+        # reliable guard against CollapseProject inlining all six fold
+        # lambdas into ONE exponentially nested expression (the c100
+        # lesson; a .cache() boundary was NOT enough here — the chain
+        # OOMed the driver even at sf0.001). The checkpointed relation
+        # is the distinct-word vocabulary — kilobytes.
+        enc = (
+            enc.crossJoin(
+                F.broadcast(
+                    best.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br"))
+                )
+            )
+            .selectExpr(
+                "source", "word", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms"
+            )
+            .localCheckpoint(eager=True)
+        )
+    stats = enc.groupBy("source").agg(
+        F.sum("wcnt").cast("long").alias("n_words"),
+        F.sum(F.col("wcnt") * F.size("syms")).cast("long").alias("n_bpe_tokens"),
+        F.sum(F.col("wcnt") * F.length("word")).cast("long").alias("n_chars"),
+    )
+    vocab = (
+        enc.select("source", F.explode("syms").alias("sym"))
+        .groupBy("source")
+        .agg(F.count_distinct("sym").alias("n_symbols"))
+    )
+    return (
+        stats.join(vocab, "source")
+        .select(
+            "source",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("n_bpe_tokens * 1000 DIV n_words")
+            .cast("long")
+            .alias("bpe_per_kword"),
+            F.expr("n_chars * 1000 DIV n_bpe_tokens")
+            .cast("long")
+            .alias("chars_per_ktoken"),
+            F.col("n_symbols").cast("long"),
+        )
+        .orderBy("source")
+    )
