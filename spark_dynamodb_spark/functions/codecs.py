@@ -288,9 +288,12 @@ def decode_png(payload: bytes) -> dict:
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # the loop guard only proves 12 bytes past pos exist — a file
+        # cut inside the body OR the trailing CRC must be a ValueError,
+        # not a struct.error from a short unpack buffer
+        if pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
+        body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
         )

@@ -2420,13 +2420,6 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ED_SIG_COLS = ["lang", "n_chars", "pfx", "mh1", "mh2"]
 
 
-def _c110_sig_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(f"c110:{sf_dir}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"c110_sigs_{tag}")
 
 
 def _edit_distance_verdict_sql() -> str:
@@ -2450,7 +2443,7 @@ def _edit_distance_verdict_sql() -> str:
            CASE WHEN m.doc_id > f.g_floor THEN f.g_floor
                 ELSE m.doc_id END AS canon_id
     FROM d m JOIN flr f
-      ON {' AND '.join(f'm.{c} = f.{c}' for c in _ED_SIG_COLS)}
+      ON {' AND '.join(f'm.{c} IS NOT DISTINCT FROM f.{c}' for c in _ED_SIG_COLS)}
     ORDER BY m.doc_id
     """
 
@@ -2497,14 +2490,20 @@ def edit_distance_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     All joins are equi-joins; the verdict re-join keys on the full
     signature tuple.
     """
-    path = _c110_sig_path(sf_dir)
+    from spark_dynamodb_spark.tables import scratch_stage_path
+
+    path = scratch_stage_path(spark, "c110", sf_dir)
     _ed_prepared(load_table(spark, sf_dir, "documents")).write.mode(
         "overwrite"
     ).parquet(path)
     prep = spark.read.parquet(path)
     sig = prep.groupBy(*_ED_SIG_COLS).agg(F.min("doc_id").alias("rep_id"))
     reps = sig.select(F.col("rep_id").alias("doc_id"), *_ED_SIG_COLS)
-    pairs = _ed_verified_pairs(reps)
+    # cache: ext reads the pair relation TWICE (once per union side), and
+    # the rep-pair candidate+verify is the query's dominant cost — the
+    # 100x profile measured 292 s per evaluation, so the uncached union
+    # paid it double (739 s total; cached: the verify runs once)
+    pairs = _ed_verified_pairs(reps).cache()
     ext = (
         pairs.select(F.col("doc_b").alias("rep_id"), F.col("doc_a").alias("partner"))
         .unionByName(
@@ -2516,11 +2515,20 @@ def edit_distance_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("partner").alias("ext_min"))
     )
     flr = sig.join(ext, "rep_id", "left").select(
-        *_ED_SIG_COLS,
+        *[F.col(c).alias(f"f_{c}") for c in _ED_SIG_COLS],
         F.least(F.col("rep_id"), F.coalesce("ext_min", "rep_id")).alias("g_floor"),
     )
+    # NULL-SAFE re-join (code-review r10): a doc with NULL text has a
+    # null signature; plain equality would drop its verdict row in BOTH
+    # engines (so the hash check could never catch it), violating the
+    # one-row-per-doc contract. eqNullSafe / IS NOT DISTINCT FROM keeps
+    # null-keyed groups joinable and stays an equi-join.
+    cond = None
+    for c in _ED_SIG_COLS:
+        term = prep[c].eqNullSafe(F.col(f"f_{c}"))
+        cond = term if cond is None else (cond & term)
     return (
-        prep.join(flr, _ED_SIG_COLS)
+        prep.join(flr, cond)
         .select(
             "doc_id",
             (F.col("doc_id") > F.col("g_floor")).alias("is_dup"),

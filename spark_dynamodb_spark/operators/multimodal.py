@@ -214,6 +214,7 @@ def with_png_columns(docs: DataFrame) -> DataFrame:
            'image/png' AS mime,
            source AS origin
     FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
     ORDER BY doc_id
     """,
 )

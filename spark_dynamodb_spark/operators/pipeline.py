@@ -1988,13 +1988,6 @@ _C111_QCOLS = ["n_chars", "n_tokens"]
 _C111_QS = [(25, 0.25), (50, 0.50), (75, 0.75)]
 
 
-def _c111_sig_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(f"c111:{sf_dir}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"c111_sigs_{tag}")
 
 
 def corpus_profile_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,7 +2153,9 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_heavy_hitters_from,
     )
 
-    path = _c111_sig_path(sf_dir)
+    from spark_dynamodb_spark.tables import scratch_stage_path
+
+    path = scratch_stage_path(spark, "c111", sf_dir)
     corpus_profile_signatures(spark, sf_dir).write.mode("overwrite").parquet(path)
     sigs = spark.read.parquet(path)
 

@@ -2959,6 +2959,13 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str):
         .join(F.broadcast(tab), ["query_id", "m", "pcell"])
         .groupBy("query_id", "neighbor_id")
         .agg(_adc_sum_col("d").alias("adc_dist"))
+        # cache: c105 evaluates BOTH c109 and c114, and everything
+        # downstream of the trained-relation caches (probe window,
+        # candidate join, this ADC groupBy) would otherwise run twice —
+        # the same double-evaluation class the c110 pair cache fixed
+        # (code-review r10); plan canonicalization lets the second
+        # caller hit this cache even from its own _ivf_pq_adc call
+        .cache()
     )
     return adc, index
 

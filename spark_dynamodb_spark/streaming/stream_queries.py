@@ -1218,10 +1218,16 @@ def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
         try:
             os.rename(stage, out)
         except OSError:
-            pass  # concurrent stager won the rename; its stage is complete
+            # expected only when a concurrent stager won the rename —
+            # verify that below rather than assuming (a permissions /
+            # cross-mount / ENOSPC failure must not return a missing
+            # path; code-review r10)
+            pass
         import shutil
 
         shutil.rmtree(scratch, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise OSError(f"stream staging failed: {out} does not exist")
     return out
 
 

@@ -99,3 +99,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def scratch_stage_path(spark: SparkSession, entry: str, sf_dir: str) -> str:
+    """Session-isolated staging dir for an entry's signature parquet:
+    unique per (entry, sf_dir, Spark application), so concurrent
+    sessions can never clobber each other's stage while one is
+    mid-read (code-review r10 — the first spelling keyed on sf_dir
+    alone). Within one session, repeated runs overwrite their OWN
+    stage (callers write mode=overwrite each invocation), so no
+    stale-cache fingerprinting is needed. The dir name keeps the
+    ``<entry>_sigs_`` prefix the plan gates assert on."""
+    import hashlib
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{entry}:{sf_dir}:{app}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"{entry}_sigs_{tag}")

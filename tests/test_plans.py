@@ -1467,7 +1467,7 @@ def test_edit_distance_verdict_single_scan_no_pairs(spark, sf_dir):
     and the verdict plan reads the stage only; the candidate join runs
     over distinct-signature representatives (equi-join, no cartesian),
     and the output is per-doc verdicts, never a pair list."""
-    from spark_dynamodb_spark.operators.dedup import _c110_sig_path, _ed_prepared
+    from spark_dynamodb_spark.operators.dedup import _ed_prepared
     from spark_dynamodb_spark.tables import load_table
 
     staged = _ed_prepared(load_table(spark, sf_dir, "documents"))
@@ -1612,10 +1612,13 @@ def test_bpe_train_vocab_bounded(spark, sf_dir):
     rows = df.collect()
     assert [r.step for r in rows] == list(range(1, ta._BPE_MERGES + 1))
     # merged symbols are concatenations of earlier symbols — a merge
-    # learned at step k must be composed of pieces available before k
+    # learned at step k must have BOTH sides available before k: single
+    # characters, or symbols produced by an earlier step (seen must NOT
+    # be seeded with multi-char strings or the check is vacuous —
+    # code-review r10 caught the first spelling's always-true fallback)
     seen = {chr(c) for c in range(32, 127)}
     for r in rows:
-        assert r.lhs in seen or all(ch in seen for ch in r.lhs)
+        assert r.lhs in seen and r.rhs in seen, (r, sorted(s for s in seen if len(s) > 1))
         seen.add(r.lhs + r.rhs)
 
 
