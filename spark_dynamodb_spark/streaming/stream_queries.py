@@ -1475,3 +1475,119 @@ def _finalize_s24_oracle() -> None:
 
 
 _finalize_s24_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S25 — incremental exact-dedup canon state (streaming ingestion dedup)
+# ---------------------------------------------------------------------------
+
+
+def _finalize_s25_oracle() -> None:
+    """Oracle: the one-shot c01 exact-dedup state over the whole corpus
+    — the incrementally merged canon table must reproduce it exactly."""
+    from spark_dynamodb_spark.functions.text import sql_normalize_text
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s25_stream_dedup_state").oracle = f"""
+    SELECT md5({sql_normalize_text('text')}) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    ORDER BY keep_doc_id
+    """
+
+
+@query(
+    "s25_stream_dedup_state",
+    None,  # oracle patched below (needs the registry entry to exist)
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: exact-dedup canon state under INCREMENTAL arrival — the
+    third streaming merge-algebra entry (s23 KMV: union-keep-K;
+    s24 CMS: elementwise sum; here: per-key MIN and SUM), and the
+    shape every landing-zone dedup actually runs: as documents
+    arrive, maintain per content-hash the canonical (first) doc_id
+    and the copy count, so each new batch can be deduplicated against
+    EVERYTHING ever seen at O(batch + state-delta) cost instead of a
+    corpus-wide re-group.
+
+    Each micro-batch (4 real ones: staged files + maxFilesPerTrigger=1)
+    computes its own (content_hash, min doc_id, count) aggregate,
+    unions the previous state, and re-aggregates — min and sum are
+    associative+commutative, so the final state is bit-identical to
+    the one-shot c01 computation, which is what the oracle checks
+    (value-level, same discipline as s23/s24). State is one row per
+    DISTINCT content — bounded by unique corpus content, not arrival
+    volume; at 100 TB this is the dedup ledger a crawler keeps, with
+    each refresh a combinable aggregate plus an equi-merge on the
+    hash key.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.functions.text import normalize_text
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    state_root = tempfile.mkdtemp(prefix="dedup_state_")
+    last_path: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        part = (
+            batch.select(
+                "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        )
+        if last_path[0] is not None:
+            part = part.unionByName(sess.read.parquet(last_path[0]))
+        merged = part.groupBy("content_hash").agg(
+            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.sum("n_copies").alias("n_copies"),
+        )
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        last_path[0] = out
+
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(last_path[0])
+        rows = final.select(
+            "content_hash",
+            F.col("keep_doc_id").cast("long"),
+            F.col("n_copies").cast("long"),
+        ).orderBy("keep_doc_id")
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+_finalize_s25_oracle()
