@@ -241,6 +241,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_audio_resample",
         "c05_multimodal_features",
         "c05_multimodal_frames",
+        "c05_multimodal_png",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
         "c05_multimodal_wav",
@@ -262,6 +263,11 @@ ROTATED_GREEN_R1 = frozenset(
         "c108_simhash_hamming_pairs",
         "c109_ann_ivf_pq",
         "c10_decontamination",
+        "c110_edit_distance_verdict",
+        "c111_corpus_profile",
+        "c112_bpe_train",
+        "c113_bpe_encode",
+        "c114_ann_ivf_pq_rerank",
         "c11_domain_mixture",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
@@ -373,6 +379,8 @@ ROTATED_GREEN_R1 = frozenset(
         "s21_dynamo_stream_enrich",
         "s22_dynamo_cdc_replication",
         "s23_stream_kmv_incremental",
+        "s24_stream_cms_incremental",
+        "s25_stream_dedup_state",
     }
 )
 
