@@ -198,6 +198,12 @@ def main() -> None:
         obj = json.loads(line)
         obj["queries"] = timings
         line = json.dumps(obj)
+    if len(line) + 1 > 2000:  # headline set itself outgrew the capture
+        print(f"# stdout line still {len(line)} B > 2000, falling back to"
+              " totals-only (full map in BENCH_DETAIL.json)", file=sys.stderr)
+        obj = json.loads(line)
+        obj["queries"] = {}
+        line = json.dumps(obj)
     print(line)
 
 

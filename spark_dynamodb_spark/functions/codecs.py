@@ -233,9 +233,14 @@ def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
     """
     if color_type not in _PNG_BPP:
         raise NotImplementedError(f"color type {color_type} not supported")
+    if not data:
+        # The PNG spec (11.2.2) requires nonzero IHDR width/height; a
+        # zero-height file would be internally round-trippable but
+        # invalid to external decoders, so reject rather than emit it.
+        raise ValueError("encode_png: empty payload (spec requires height > 0)")
     bpp = _PNG_BPP[color_type]
     row_bytes = width * bpp
-    height = -(-len(data) // row_bytes) if data else 0
+    height = -(-len(data) // row_bytes)
     scanlines = bytearray()
     prior = bytes(row_bytes)
     for r in range(height):

@@ -824,7 +824,11 @@ def aqe_coalesce_session(spark: SparkSession) -> SparkSession:
     them with frames from the caller's session mixes plans across
     sessions and fails; b141 returns a self-contained result for
     exactly that reason."""
-    key = id(spark.sparkContext)
+    # Keyed by applicationId, not id(sparkContext) (ADVICE r10): a
+    # stopped context can be garbage-collected and its id() reused by
+    # a fresh one, which would hand back a session bound to the dead
+    # context. applicationId is unique per context lifetime.
+    key = spark.sparkContext.applicationId
     ns = _AQE_COALESCE_SESSIONS.get(key)
     if ns is None:
         ns = spark.newSession()

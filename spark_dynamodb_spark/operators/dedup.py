@@ -2404,10 +2404,19 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload per candidate is <= 256 chars — at real scale you would
     ship (id, prefix-hash) first and fetch prefixes only for
     hash-unequal candidates; here prefixes ride the candidate join
-    directly. The pair LIST is itself the quadratic cost in a
-    replica-heavy corpus — c110 is the verdict-shaped sibling that
-    collapses replica cliques before any pairwise work. Output is
-    the verified pair list ordered by (doc_a, doc_b).
+    directly.
+
+    DIAGNOSTIC-ONLY (VERDICT r10): the pair LIST contract is itself
+    quadratic in a replica-heavy corpus — k replicas of one page emit
+    k·(k-1)/2 rows no matter how good the blocking is (measured:
+    34.16x wall at just 10x data, PLANS.md round-9 stress). Route
+    production dedup through c110_edit_distance_verdict, which
+    collapses replica cliques to distinct-signature representatives
+    BEFORE pairwise work (1.51x at 10x, 15.6x at 100x) and emits
+    per-doc verdicts. Keep c101 for ad-hoc pair inspection at audit
+    scale (which pairs matched, and why) — the one question the
+    verdict table cannot answer. Output is the verified pair list
+    ordered by (doc_a, doc_b).
     """
     prep = _ed_prepared(load_table(spark, sf_dir, "documents"))
     return _ed_verified_pairs(prep).orderBy("doc_a", "doc_b")
@@ -2482,7 +2491,16 @@ def edit_distance_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     d is a dup iff d > g_floor = least(rep_id, ext_min), with
     canon_id = g_floor. No approximation is introduced; the verdict
     table equals what c101's pair list would imply, at
-    representative-level cost.
+    representative-level cost — with ONE documented divergence
+    (ADVICE r10): zero-token docs. array_min over an empty token
+    array yields NULL mh1/mh2, so c101's equi-join never pairs such
+    docs at all, while c110 groups them by null-safe signature
+    equality and marks same-signature members of a null-mh group as
+    dups of the group floor. For token-less docs c110's "identical
+    bounded signature = duplicate" is the more useful contract (they
+    ARE byte-identical in every field the signature observes), so the
+    divergence is kept deliberately; the oracle mirrors it with
+    IS NOT DISTINCT FROM, keeping the hash check exact.
 
     Plan shape (gated): ONE documents scan total — the signature
     pass stages (doc_id + bounded signature, no raw text) to parquet
@@ -2499,11 +2517,17 @@ def edit_distance_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep = spark.read.parquet(path)
     sig = prep.groupBy(*_ED_SIG_COLS).agg(F.min("doc_id").alias("rep_id"))
     reps = sig.select(F.col("rep_id").alias("doc_id"), *_ED_SIG_COLS)
-    # cache: ext reads the pair relation TWICE (once per union side), and
-    # the rep-pair candidate+verify is the query's dominant cost — the
-    # 100x profile measured 292 s per evaluation, so the uncached union
-    # paid it double (739 s total; cached: the verify runs once)
-    pairs = _ed_verified_pairs(reps).cache()
+    # single-evaluation stage: ext reads the pair relation TWICE (once
+    # per union side), and the rep-pair candidate+verify is the query's
+    # dominant cost — the 100x profile measured 292 s per evaluation, so
+    # an unmaterialized union paid it double (739 s vs 272 s). Staged to
+    # parquet rather than .cache() (ADVICE r10: caches created inside a
+    # query fn are never unpersisted and accumulate executor storage in
+    # long-lived sessions; the pair relation is bounded — 221k rows at
+    # 100x — so the stage write is cheap and self-overwriting per run).
+    pairs_path = scratch_stage_path(spark, "c110_pairs", sf_dir)
+    _ed_verified_pairs(reps).write.mode("overwrite").parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
     ext = (
         pairs.select(F.col("doc_b").alias("rep_id"), F.col("doc_a").alias("partner"))
         .unionByName(

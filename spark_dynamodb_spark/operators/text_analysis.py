@@ -1851,7 +1851,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     """The c112 training loop, shared with c113's corpus encode:
     returns the learned rules as _BPE_MERGES cached 1-row frames
-    (step, lhs, rhs, pair_count), in merge order."""
+    (step, lhs, rhs, pair_count), in merge order.
+
+    Storage note (ADVICE r10): the per-iteration caches here are the
+    1-row rule frames and the distinct-word symbol relation —
+    vocabulary-bounded kilobytes, held for the session rather than
+    unpersisted because the returned rule frames must outlive this
+    function (callers fold them into their own plans lazily)."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.repartition("doc_id")

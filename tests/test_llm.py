@@ -315,15 +315,19 @@ def test_png_codec_roundtrip_all_filters():
     payloads spanning >= 5 rows exercise None/Sub/Up/Average/Paeth)."""
     from spark_dynamodb_spark.functions import codecs
 
-    for payload in (b"", b"x", b"hello world" * 37, bytes(range(256)) * 3):
+    for payload in (b"x", b"hello world" * 37, bytes(range(256)) * 3):
         png = codecs.encode_png(payload, width=7)  # 21 B rows: odd width
         img = codecs.decode_png(png)
         assert img["width"] == 7 and img["bit_depth"] == 8
         assert img["color_type"] == 2
         assert img["file_size"] == len(png)
         assert img["pixel_data"][: len(payload)] == payload
-        if payload:
-            assert img["height"] == -(-len(payload) // 21)
+        assert img["height"] == -(-len(payload) // 21)
+    # empty payload: the spec requires nonzero IHDR height, so the
+    # encoder rejects it explicitly instead of emitting an invalid file
+    # (ADVICE r10)
+    with pytest.raises(ValueError):
+        codecs.encode_png(b"", width=7)
     # RGBA variant
     payload = bytes((i * 7) % 256 for i in range(400))
     img = codecs.decode_png(codecs.encode_png(payload, width=8, color_type=6))
