@@ -1591,3 +1591,306 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_s25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S26 — incremental MinHash-LSH near-dup verdict state (streaming)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_band_rows(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from a (doc_id, harr) hashed
+    shingle relation — the same narrow signature construction as the
+    one-shot c02 pipeline (operators/dedup.py _minhash_verified_pairs):
+    32 per-seed bit mixes over each doc's hashed-shingle array, banded
+    8x4, each band's slice folded to one xxhash64 key."""
+    from spark_dynamodb_spark.operators.dedup import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        _minhash_mix,
+    )
+
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def _neardup_bucket_merge(
+    prev: DataFrame | None, bands_new: DataFrame, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's band-bucket state transition. ``prev`` is the
+    previous (band, key, cnt, ids) state (None on the first batch),
+    ``bands_new`` the batch's (doc_id, band, key) rows. Returns
+    ``(state, prov)`` where ``state`` is the merged bucket state and
+    ``prov`` the batch's provenance rows (doc_a, doc_b, band, key) —
+    every candidate pair this batch can justify, bucket-capped.
+
+    State invariant (the boundedness the 100 TB design rests on): a
+    bucket keeps its member list ONLY while its cumulative count is
+    <= cap; past that it is dead — ids emptied, count kept. Counts
+    only grow, so dead stays dead, membership storage is <= cap ids
+    per bucket, and per-batch pair work is <= cap^2 per bucket. Pairs
+    are generated from alive buckets as (all pairs of merged members)
+    minus (pairs already generated among previous members), via JVM
+    array transforms — no self-join, no re-shuffle of old members.
+    """
+    newb = bands_new.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("new_ids"),
+        F.count("*").alias("new_cnt"),
+    )
+    if prev is None:
+        m = newb.select(
+            "band",
+            "key",
+            F.col("new_cnt").alias("cnt"),
+            F.expr("CAST(array() AS array<bigint>)").alias("old_ids"),
+            "new_ids",
+        )
+    else:
+        m = newb.join(prev, ["band", "key"], "full").select(
+            "band",
+            "key",
+            (F.coalesce("new_cnt", F.lit(0)) + F.coalesce("cnt", F.lit(0))).alias(
+                "cnt"
+            ),
+            F.coalesce("ids", F.expr("CAST(array() AS array<bigint>)")).alias(
+                "old_ids"
+            ),
+            F.coalesce("new_ids", F.expr("CAST(array() AS array<bigint>)")).alias(
+                "new_ids"
+            ),
+        )
+    # one evaluation feeds both outputs (state write + prov rows);
+    # localCheckpoint blocks are ContextCleaner-GC'd, unlike .cache()
+    m = m.localCheckpoint(eager=True)
+    all_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.concat("old_ids", "new_ids"),
+                lambda x: F.transform(
+                    F.concat("old_ids", "new_ids"),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    fresh = F.filter(
+        all_pairs,
+        lambda p: ~(
+            F.array_contains("old_ids", p["doc_a"])
+            & F.array_contains("old_ids", p["doc_b"])
+        ),
+    )
+    prov = (
+        m.filter((F.col("cnt") <= cap) & (F.size("new_ids") > 0))
+        .select("band", "key", F.explode(fresh).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "band", "key")
+    )
+    state = m.select(
+        "band",
+        "key",
+        "cnt",
+        F.when(
+            F.col("cnt") <= cap, F.concat("old_ids", "new_ids")
+        )
+        .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        .alias("ids"),
+    )
+    return state, prov
+
+
+def _finalize_s26_oracle() -> None:
+    """Oracle: verdicts over the one-shot exact-Jaccard pair relation —
+    a doc is a near-dup iff SOME smaller-id doc pairs with it at
+    J >= 0.8, canon = the smallest such partner. Valid against the LSH
+    incremental pipeline for the same reason c02's oracle is: at the
+    fixture's duplicate level (J ~ 0.98) the 8x4 banding misses
+    nothing above threshold (miss probability < 1e-6 at J = 0.9)."""
+    from spark_dynamodb_spark.operators.dedup import SQL_EXACT_JACCARD_PAIRS
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s26_stream_neardup_state").oracle = f"""
+    WITH pairs AS ({SQL_EXACT_JACCARD_PAIRS}),
+    p AS (SELECT doc_b AS doc_id, min(doc_a) AS mn
+          FROM pairs GROUP BY doc_b)
+    SELECT d.doc_id,
+           p.mn IS NOT NULL AS is_dup,
+           coalesce(p.mn, d.doc_id) AS canon_id
+    FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@query(
+    "s26_stream_neardup_state",
+    None,  # oracle patched below (shares dedup.py's exact-Jaccard CTE)
+)
+def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: MinHash-LSH NEAR-dup verdicts under INCREMENTAL arrival —
+    the fourth streaming merge-algebra entry, completing the dedup
+    shelf (s25: exact ledger; s23/s24: sketches; here: the landing-zone
+    near-dup state a 100 TB crawler actually maintains). As document
+    batches arrive (4 real micro-batches: staged files +
+    maxFilesPerTrigger=1), each batch's docs are shingled, hashed and
+    banded ONCE — raw text is never revisited — and merged into three
+    persistent relations:
+
+    - ``sigs``   (append-only): (doc_id, harr) hashed shingle arrays,
+      the exact-verify input;
+    - ``bands``  (versioned merge): per (band, key) bucket the
+      cumulative count and a member list kept only while the bucket is
+      <= MAX_BUCKET_DOCS (dead buckets keep the count, drop members —
+      state is cap-bounded per bucket, see _neardup_bucket_merge);
+    - ``prov`` / ``pairs`` (append-only): candidate provenance
+      (doc_a, doc_b, band, key) from alive buckets, and the
+      exact-Jaccard-verified pairs among them (each unordered pair is
+      generated and verified exactly once — in the batch where its
+      later member arrives).
+
+    Finalization replays NOTHING: verdicts come from the state alone —
+    verified pairs still justified by a band whose FINAL count is
+    <= cap (monotone counts make the gen-time cap a superset of the
+    final cap, so the final filter restores EXACT one-shot semantics:
+    the result is independent of the batch split), folded to per-doc
+    (doc_id, is_dup, canon_id) with canon = smallest verified partner.
+
+    Batch-split independence is the contract: the oracle checks the
+    final state value-equals the one-shot computation over the whole
+    corpus (same discipline as s23-s25). At 100 TB the sigs/bands
+    relations live in a keyed store (the repo's dynamo source is the
+    natural home: equi-lookups by doc_id / (band, key)), each batch
+    costs O(batch + touched-buckets), and candidate work stays
+    <= cap^2 per bucket regardless of corpus size.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.dedup import (
+        JACCARD_T,
+        MAX_BUCKET_DOCS,
+        _shingle_arrays,
+    )
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    root = tempfile.mkdtemp(prefix="neardup_state_")
+    sigs_dir = os.path.join(root, "sigs")
+    prov_dir = os.path.join(root, "prov")
+    pairs_dir = os.path.join(root, "pairs")
+    last_bands: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # one shingling pass per batch: the checkpointed relation feeds
+        # both the signature-store append and the band construction
+        hashed_batch = _shingle_arrays(batch).select(
+            "doc_id",
+            F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s))).alias(
+                "harr"
+            ),
+        ).localCheckpoint(eager=True)
+        hashed_batch.write.mode("append").parquet(sigs_dir)
+        hashed = sess.read.parquet(sigs_dir)  # full signature store
+        bands_new = _neardup_band_rows(hashed_batch)
+        prev = (
+            sess.read.parquet(last_bands[0]) if last_bands[0] is not None else None
+        )
+        state, prov = _neardup_bucket_merge(prev, bands_new, MAX_BUCKET_DOCS)
+        out = os.path.join(root, f"bands_v{batch_id}")
+        state.write.mode("overwrite").parquet(out)
+        last_bands[0] = out
+        prov = prov.localCheckpoint(eager=True)
+        prov.write.mode("append").parquet(prov_dir)
+        cand = prov.select("doc_a", "doc_b").distinct()
+        arr_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("harr").alias("arr_a"))
+        arr_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("harr").alias("arr_b"))
+        paired = cand.join(arr_a, "doc_a").join(arr_b, "doc_b")
+        c = F.size(F.array_intersect("arr_a", "arr_b"))
+        jac = c / (F.size("arr_a") + F.size("arr_b") - c)
+        paired.filter(jac >= JACCARD_T).select("doc_a", "doc_b").write.mode(
+            "append"
+        ).parquet(pairs_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="neardup_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        docs_all = spark.read.parquet(sigs_dir).select("doc_id")
+        bands_final = spark.read.parquet(last_bands[0])
+        if os.path.isdir(pairs_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(pairs_dir)
+        ):
+            prov = spark.read.parquet(prov_dir)
+            pairs_v = spark.read.parquet(pairs_dir)
+            # final-cap filter: restores exact one-shot semantics (a
+            # gen-time-alive bucket that later died disqualifies its
+            # provenance rows, exactly as the one-shot drop would)
+            alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
+                "band", "key"
+            )
+            justified = (
+                prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
+            )
+            vpairs = pairs_v.join(justified, ["doc_a", "doc_b"])
+            partners = vpairs.groupBy("doc_b").agg(F.min("doc_a").alias("mn"))
+            verdict = docs_all.join(
+                partners.select(F.col("doc_b").alias("doc_id"), "mn"),
+                "doc_id",
+                "left",
+            )
+        else:
+            verdict = docs_all.select(
+                "doc_id", F.lit(None).cast("long").alias("mn")
+            )
+        rows = verdict.select(
+            F.col("doc_id").cast("long"),
+            F.col("mn").isNotNull().alias("is_dup"),
+            F.coalesce("mn", "doc_id").cast("long").alias("canon_id"),
+        ).orderBy("doc_id")
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_finalize_s26_oracle()

@@ -816,3 +816,75 @@ def test_s23_staging_yields_real_microbatches(spark, sf_dir):
     # (ADVICE r9 — the old == 4 assert over-pinned an unguaranteed
     # property), and <= 4 pins that staging didn't over-split.
     assert 2 <= len(files) <= 4, files
+
+
+def test_s26_bucket_state_bounded(spark):
+    """s26's band-bucket state invariant: a bucket keeps members only
+    while its cumulative count is <= cap (dead buckets keep the count,
+    drop the ids — so membership storage and per-batch pair work are
+    cap-bounded); provenance pairs come only from alive buckets; and
+    the gen-time cap is a superset of the final cap (monotone counts),
+    which is what makes the final-count filter restore exact one-shot
+    semantics independent of the batch split."""
+    from spark_dynamodb_spark.streaming.stream_queries import _neardup_bucket_merge
+
+    cap = 3
+
+    def bands(rows):
+        return spark.createDataFrame(rows, "doc_id long, band int, key long")
+
+    # batch 1: bucket A gets 2 docs (alive), bucket B gets 3 (at cap)
+    b1 = bands([(1, 0, 100), (2, 0, 100), (10, 1, 200), (11, 1, 200), (12, 1, 200)])
+    state1, prov1 = _neardup_bucket_merge(None, b1, cap)
+    s1 = {(r["band"], r["key"]): r for r in state1.collect()}
+    assert sorted(s1[(0, 100)]["ids"]) == [1, 2] and s1[(0, 100)]["cnt"] == 2
+    assert sorted(s1[(1, 200)]["ids"]) == [10, 11, 12]
+    p1 = {(r["doc_a"], r["doc_b"]) for r in prov1.collect()}
+    assert p1 == {(1, 2), (10, 11), (10, 12), (11, 12)}
+
+    # batch 2: bucket A gains 1 (still alive: new-old pairs, no old-old
+    # regeneration), bucket B gains 1 (cnt 4 > cap: dies — ids emptied,
+    # cnt kept, NO new pairs)
+    b2 = bands([(3, 0, 100), (13, 1, 200)])
+    state2, prov2 = _neardup_bucket_merge(state1, b2, cap)
+    s2 = {(r["band"], r["key"]): r for r in state2.collect()}
+    assert sorted(s2[(0, 100)]["ids"]) == [1, 2, 3] and s2[(0, 100)]["cnt"] == 3
+    assert s2[(1, 200)]["ids"] == [] and s2[(1, 200)]["cnt"] == 4
+    p2 = {(r["doc_a"], r["doc_b"]) for r in prov2.collect()}
+    assert p2 == {(1, 3), (2, 3)}
+
+    # batch 3: dead bucket stays dead (monotone) even with one arrival
+    b3 = bands([(14, 1, 200)])
+    state3, prov3 = _neardup_bucket_merge(state2, b3, cap)
+    s3 = {(r["band"], r["key"]): r for r in state3.collect()}
+    assert s3[(1, 200)]["ids"] == [] and s3[(1, 200)]["cnt"] == 5
+    assert prov3.count() == 0
+
+
+def test_s26_matches_one_shot_lsh_verdict(spark, sf_dir):
+    """s26's final state must value-equal the verdict fold of the
+    ONE-SHOT c02 MinHash-LSH pipeline (not just the exact-Jaccard
+    oracle): is_dup iff some smaller-id verified partner exists,
+    canon = the smallest one — the batch-split-independence contract."""
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators.dedup import dedup_minhash_lsh
+    from spark_dynamodb_spark.streaming.stream_queries import stream_neardup_state
+    from spark_dynamodb_spark.tables import load_table
+
+    got = [tuple(r) for r in stream_neardup_state(spark, sf_dir).collect()]
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    partners = pairs.groupBy("doc_b").agg(F.min("doc_a").alias("mn"))
+    want_df = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(partners.select(F.col("doc_b").alias("doc_id"), "mn"), "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("mn").isNotNull().alias("is_dup"),
+            F.coalesce("mn", "doc_id").cast("long").alias("canon_id"),
+        )
+        .orderBy("doc_id")
+    )
+    want = [tuple(r) for r in want_df.collect()]
+    assert got == want and len(got) > 0
