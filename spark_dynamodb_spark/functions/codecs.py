@@ -360,3 +360,487 @@ def decode_png(payload: bytes) -> dict:
         "file_size": len(payload),
         "pixel_data": bytes(out),
     }
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline JFIF, ITU T.81): stdlib + numpy encoder/decoder
+# ---------------------------------------------------------------------------
+#
+# The encoder packs a byte payload as the per-block DC constants of the
+# luma plane of a REAL baseline JPEG — 4:2:0 chroma subsampling,
+# standard Annex K Huffman tables, DC prediction, run-length AC coding,
+# 0xFF byte stuffing — plus one trailer MCU row of nonzero-AC blocks so
+# a decoder that skips the AC/run-length/IDCT paths cannot pass the
+# roundtrip tests. Quant tables are all-ones: with DC = 8*(v-128) the
+# dequant+IDCT of a constant block is exactly v in IEEE doubles, which
+# is what makes a payload-md5 oracle possible for a lossy-by-nature
+# format (the payload region is chosen to be exactly representable; the
+# trailer region is where the lossy machinery gets exercised, pinned by
+# hardcoded expected pixels in tests).
+
+_JPEG_MCU_COLS = 4  # MCUs per row -> 64 px wide, 16 payload bytes per MCU row
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU T.81 Annex K.3 typical Huffman tables: (BITS counts 1..16, HUFFVAL)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# fixed trailer-row coefficient patterns (zigzag index -> value), per
+# block slot in the FIRST trailer MCU: 4 luma then Cb, Cr. Nonzero AC
+# at varied runs exercises run-length decode, ZRL-free paths, negative
+# magnitudes, and chroma upsampling of non-constant planes.
+_JPEG_TRAILER_COEFS = [
+    {0: 576, 5: 30, 20: -17},  # Y0: DC 200 + two ACs
+    {1: 25},                    # Y1: single low AC
+    {9: -40},                   # Y2: negative mid AC
+    {0: -256},                  # Y3: DC 96
+    {1: 25, 10: 12},            # Cb
+    {2: -25},                   # Cr
+]
+
+
+def _jpeg_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """value -> (category, extra bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _jpeg_encode_block(
+    wr: _JpegBitWriter,
+    coefs: dict[int, int],
+    pred: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    """Entropy-encode one block given zigzag-indexed coefficients;
+    returns the new DC predictor."""
+    dc = coefs.get(0, 0)
+    s, bits = _jpeg_magnitude(dc - pred)
+    code, ln = dc_tab[s]
+    wr.write(code, ln)
+    if s:
+        wr.write(bits, s)
+    run = 0
+    last_nz = max((z for z in coefs if z > 0 and coefs[z]), default=0)
+    for z in range(1, 64):
+        v = coefs.get(z, 0)
+        if z > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        s, bits = _jpeg_magnitude(v)
+        code, ln = ac_tab[(run << 4) | s]
+        wr.write(code, ln)
+        wr.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        wr.write(code, ln)
+    return dc
+
+
+def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
+    """Pack a byte payload as a baseline JFIF (SOF0) JPEG.
+
+    Layout: 4:2:0 sampling (luma 2x2, chroma 1x1), width =
+    16*mcu_cols px. Each payload byte becomes one CONSTANT 8x8 luma
+    block (DC = 8*(byte-128), all AC 0 — exactly representable, see
+    module comment), 4 bytes per MCU in raster block order; chroma is
+    neutral (128). After the payload rows one TRAILER MCU row carries
+    the fixed nonzero-AC patterns (_JPEG_TRAILER_COEFS) so decode must
+    run the full dequant/IDCT/upsample machinery. Standard Annex K
+    Huffman tables, all-ones quant tables, no restart markers.
+    """
+    import struct as _struct
+
+    if not data:
+        raise ValueError("encode_jpeg: empty payload")
+    per_row = 4 * mcu_cols
+    payload_mcu_rows = -(-len(data) // per_row)
+    mcu_rows = payload_mcu_rows + 1  # + trailer row
+    width = 16 * mcu_cols
+    height = 16 * mcu_rows
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT: two all-ones 8-bit tables (ids 0, 1)
+    for tid in (0, 1):
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tid]) + bytes([1] * 64)
+    # SOF0
+    out += b"\xff\xc0" + _struct.pack(">H", 17) + bytes([8])
+    out += _struct.pack(">HH", height, width) + bytes([3])
+    out += bytes([1, 0x22, 0])  # Y: 2x2 sampling, quant table 0
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    # DHT x4
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUM),
+        (1, 0, _JPEG_AC_LUM),
+        (0, 1, _JPEG_DC_CHR),
+        (1, 1, _JPEG_AC_CHR),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    # SOS
+    out += b"\xff\xda" + _struct.pack(">H", 12) + bytes([3])
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+
+    dc_lum = _jpeg_huff_codes(*_JPEG_DC_LUM)
+    ac_lum = _jpeg_huff_codes(*_JPEG_AC_LUM)
+    dc_chr = _jpeg_huff_codes(*_JPEG_DC_CHR)
+    ac_chr = _jpeg_huff_codes(*_JPEG_AC_CHR)
+    wr = _JpegBitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    n_payload_mcus = payload_mcu_rows * mcu_cols
+    for m in range(mcu_rows * mcu_cols):
+        trailer_first = m == n_payload_mcus  # first MCU of the trailer row
+        for b in range(4):  # luma blocks
+            if m < n_payload_mcus:
+                i = m * 4 + b
+                v = data[i] if i < len(data) else 0
+                coefs = {0: 8 * (v - 128)} if v != 128 else {}
+            elif trailer_first:
+                coefs = _JPEG_TRAILER_COEFS[b]
+            else:
+                coefs = {}
+            pred["y"] = _jpeg_encode_block(wr, coefs, pred["y"], dc_lum, ac_lum)
+        cb = _JPEG_TRAILER_COEFS[4] if trailer_first else {}
+        cr = _JPEG_TRAILER_COEFS[5] if trailer_first else {}
+        pred["cb"] = _jpeg_encode_block(wr, cb, pred["cb"], dc_chr, ac_chr)
+        pred["cr"] = _jpeg_encode_block(wr, cr, pred["cr"], dc_chr, ac_chr)
+    out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with
+    0xFF00 unstuffing; stops at any real marker."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                raise ValueError("jpeg: hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical order (decoder twin of
+    _jpeg_huff_codes)."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_matrix():
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Parse a baseline JFIF (SOF0) JPEG from raw bytes: marker walk,
+    DQT/DHT/SOF0/SOS, canonical Huffman entropy decode with DC
+    prediction and run-length AC coding, byte unstuffing, dequant,
+    float 2D IDCT (level shift, round, clamp), and chroma upsampling
+    by sample replication to full resolution.
+
+    Returns {width, height, n_components, sampling, file_size,
+    planes: [bytes raster per component, full resolution]}. Raises
+    ValueError on non-JPEG input or corrupt streams,
+    NotImplementedError for progressive (SOF2), 12-bit, arithmetic
+    coding, or restart-interval streams (out of scope here).
+    """
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps = []  # (id, h, v, tq)
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG (SOF0) is supported here "
+                f"(marker 0xFF{marker:02X}); progressive/arithmetic streams "
+                "need real codec libs"
+            )
+        if marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI) not supported here")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qtabs[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                htabs[(cls, tid)] = _jpeg_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (w, h, nc)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tabs = body[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + size
+            break
+        pos = pos + 2 + size
+    if sof is None or scan is None:
+        raise ValueError("jpeg: missing SOF0 or SOS")
+    w, h, nc = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    idctm = _jpeg_idct_matrix()
+    rd = _JpegBitReader(payload, pos)
+    pred = [0] * nc
+    # per-component block grids
+    grids = []
+    for _, ch, cv, _tq in comps:
+        grids.append(
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
+        )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                sc = next(s for s in scan if s[0] == cid)
+                dct = htabs[(0, sc[1])]
+                act = htabs[(1, sc[2])]
+                q = qtabs[tq]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coefs = np.zeros(64)
+                        s = rd.huff(dct)
+                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        coefs[0] = pred[ci] * q[0]
+                        z = 1
+                        while z < 64:
+                            rs = rd.huff(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    z += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            z += r
+                            if z > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            coefs[_JPEG_ZIGZAG[z]] = (
+                                _jpeg_extend(rd.bits(s), s) * q[z]
+                            )
+                            z += 1
+                        block = idctm.T @ coefs.reshape(8, 8) @ idctm
+                        px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        grids[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    planes = []
+    for ci, (_, ch, cv, _tq) in enumerate(comps):
+        g = grids[ci]
+        # replicate-upsample to full MCU-aligned resolution, crop to (h, w)
+        g = np.repeat(np.repeat(g, vmax // cv, axis=0), hmax // ch, axis=1)
+        planes.append(g[:h, :w].tobytes())
+    return {
+        "width": w,
+        "height": h,
+        "n_components": nc,
+        "sampling": [(c[1], c[2]) for c in comps],
+        "file_size": len(payload),
+        "planes": planes,
+    }
+
+
+def jpeg_payload_bytes(img: dict, n: int) -> bytes:
+    """Invert encode_jpeg's packing: read the per-block luma constants
+    in MCU raster block order (the trailer row is excluded by ``n``)."""
+    w = img["width"]
+    y = img["planes"][0]
+    out = bytearray()
+    mcu_cols = w // 16
+    for i in range(n):
+        m, b = divmod(i, 4)
+        my, mx = divmod(m, mcu_cols)
+        py = 16 * my + 8 * (b // 2)
+        px = 16 * mx + 8 * (b % 2)
+        out.append(y[py * w + px])
+    return bytes(out)

@@ -2552,6 +2552,7 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
     pq AS ({{PQ}}),
     ivfpq AS ({{IVFPQ}}),
     ivfpq_rr AS ({{IVFPQRR}}),
+    bin AS ({{BIN}}),
     per_query AS (
       {_recall_matrix_member('lsh', 'lsh')}
       UNION ALL
@@ -2564,6 +2565,8 @@ def _recall_matrix_member(tag: str, cte: str) -> str:
       {_recall_matrix_member('ivfpq', 'ivfpq')}
       UNION ALL
       {_recall_matrix_member('ivfpq_rr', 'ivfpq_rr')}
+      UNION ALL
+      {_recall_matrix_member('bin', 'bin')}
     )
     SELECT index_name,
            CAST(count(*) AS BIGINT) AS n_queries,
@@ -2608,6 +2611,7 @@ def index_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pq": ann_pq_adc(spark, sf_dir),
         "ivfpq": ann_ivf_pq(spark, sf_dir),
         "ivfpq_rr": ann_ivf_pq_rerank(spark, sf_dir),
+        "bin": ann_binary_hamming(spark, sf_dir),
     }
     per = None
     for tag, approx in members.items():
@@ -2656,6 +2660,7 @@ def _finalize_c105_oracle() -> None:
         .replace("{PQ}", _registered_oracle("c106_ann_pq_adc"))
         .replace("{IVFPQ}", _registered_oracle("c109_ann_ivf_pq"))
         .replace("{IVFPQRR}", _registered_oracle("c114_ann_ivf_pq_rerank"))
+        .replace("{BIN}", _registered_oracle("c118_ann_binary_hamming"))
     )
 
 
@@ -3072,6 +3077,115 @@ def ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rr.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", F.round("cos", 6).alias("cosine"))
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C118 — binary quantization (1-bit sign codes): the last compression rung
+# ---------------------------------------------------------------------------
+
+
+def _bin_sql() -> str:
+    def code(lo: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(embedding[{lo}:{lo + 31}], "
+            f"(x, i) -> CASE WHEN CAST(x AS DOUBLE) > 0 "
+            f"THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)), "
+            f"(a, b) -> a + b)"
+        )
+
+    return f"""
+    WITH b AS (SELECT vec_id, {code(1)} AS lo, {code(33)} AS hi
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+          FROM b WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             bit_count(xor(q.qlo, b.lo)) + bit_count(xor(q.qhi, b.hi))
+               AS hamming
+      FROM q CROSS JOIN b WHERE b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming ASC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk, CAST(hamming AS BIGINT) AS hamming
+    FROM ranked WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+
+@query(
+    "c118_ann_binary_hamming",
+    _bin_sql(),
+    doc="""Binary quantization is ALL-integer — sign tests, bit packs,
+    popcounts — so the oracle is trivially exact: no float ranking
+    anywhere, ties broken by neighbor_id in both engines.""",
+)
+def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118: 1-bit binary-quantized ANN — the last rung of the
+    compression ladder (float32 -> SQ8 c100 -> PQ c106 -> IVF-PQ c109
+    -> here), closing VERDICT r10 "Next round" #7. Each vector becomes
+    its 64 SIGN bits packed into two 32-bit halves (two BIGINTs —
+    avoiding the sign-bit overflow a single 64-bit pack hits in ANSI
+    arithmetic); similarity is Hamming distance via XOR + bit_count,
+    ranked ascending with neighbor_id ties. For sign-symmetric
+    embeddings the Hamming distance is a monotone proxy for angular
+    distance (the hyperplane-LSH argument, c03_ann_lsh_bucketed, with
+    the coordinate axes as the hyperplanes).
+
+    Why a team picks this rung: 8 BYTES per vector (32x smaller than
+    float32, 8x smaller than SQ8) and the distance is two XOR+popcount
+    instructions — the cheapest possible first-pass filter; production
+    stacks shortlist with binary codes and re-rank the shortlist with
+    exact or SQ8 scores (the c114 shortlist+rerank shape composes
+    directly). Recall on THIS fixture's uniform-random vectors is the
+    honest worst case, reported per-variant by c105's matrix ('bin'
+    row) rather than claimed here.
+
+    Scale shape: codes are computed narrowly (one projection, no
+    shuffle), the 10-query code table broadcasts, the corpus scans as
+    16 bytes/vector, and the per-query top-k runs through the same
+    WindowGroupLimit heap as every ANN entry. At 100 TB the candidate
+    generation becomes bit-chunk bucketing (split the 64 bits into
+    banded sub-codes, join on exact sub-code match — the c108
+    block-permuted hamming search pattern); this entry is the scan
+    kernel that search composes with.
+    """
+
+    def code(off: int) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {off}, 32), "
+            f"(x, i) -> IF(CAST(x AS DOUBLE) > 0D, "
+            f"shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (a, b) -> a + b)"
+        )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select("vec_id", code(1).alias("lo"), code(33).alias("hi"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(qlo ^ lo) + bit_count(qhi ^ hi)").alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("hamming").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rnk", F.col("hamming").cast("long")
+        )
         .orderBy("query_id", "rnk")
     )
 

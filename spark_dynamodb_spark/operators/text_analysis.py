@@ -2051,7 +2051,10 @@ def _bpe_apply_merge_py(syms: list[str], l: str, r: str) -> list[str]:
     same pass — the incoming element is always a raw symbol, so it can
     never be the right side either). Kept next to the SQL spelling so
     the three implementations (Spark fold, DuckDB list_reduce, this)
-    cannot drift separately; tests/test_llm.py pins them equal."""
+    cannot drift separately; tests/test_llm.py pins them equal on every
+    non-empty input (callers only fold words from simple_tokens, which
+    filters empties; on an empty array the string-fold spellings yield
+    [''] where this returns [] — a documented non-input)."""
     out: list[str] = []
     closed: list[bool] = []
     for x in syms:
@@ -2140,6 +2143,13 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from spark_dynamodb_spark.sources.dynamo import _ship_package
+
+    # the encode closure references module globals (_bpe_apply_merge_py),
+    # pickled BY REFERENCE — ship the package zip so out-of-repo worker
+    # processes can import it (the multimodal/_ensure_worker_imports
+    # lesson; in-repo pytest never catches this class)
+    _ship_package(spark)
     rules = _bpe_train_rules(spark, sf_dir)
     merges = [(r["lhs"], r["rhs"]) for df in rules for r in df.collect()]
 
@@ -2177,3 +2187,433 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "doc_id long, n_words long, n_tokens long, n_chars long")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C116 — unigram-LM (SentencePiece-style) tokenizer training: hard-EM
+# ---------------------------------------------------------------------------
+
+_ULM_PFX = 6       # words segment over their first 6 chars (bounded DP)
+_ULM_MAXP = 3      # max piece length
+_ULM_ITERS = 2     # fixed-depth Viterbi-EM (c112/c56 discipline)
+_ULM_SCALE = 1_000_000  # probability quantization: q = cnt*SCALE DIV total
+_ULM_TOPN = 40
+
+
+def _ulm_pattern_rows() -> list[tuple[int, int, list[int], list[int], int, int]]:
+    """All compositions of n in 1.._ULM_PFX into parts of 1.._ULM_MAXP,
+    as (n, pid, starts, lens, k, boost) where boost = SCALE^(PFX - k).
+    51 rows total — the shared literal both the Spark frame and the
+    DuckDB VALUES derive from, so the two segmentation spaces cannot
+    drift. Score arithmetic stays exact and bounded: each quantized
+    piece prob is <= SCALE, so score = prod(q_i) * boost <= SCALE^PFX
+    = 1e36 — inside both Spark DECIMAL(38,0) and DuckDB HUGEINT."""
+    rows = []
+    for n in range(1, _ULM_PFX + 1):
+        pats: list[list[int]] = []
+
+        def rec(left: int, acc: list[int]) -> None:
+            if left == 0:
+                pats.append(list(acc))
+                return
+            for ln in range(1, min(_ULM_MAXP, left) + 1):
+                rec(left - ln, acc + [ln])
+
+        rec(n, [])
+        for pid, lens in enumerate(pats):
+            starts, s = [], 1
+            for ln in lens:
+                starts.append(s)
+                s += ln
+            k = len(lens)
+            rows.append((n, pid, starts, lens, k, _ULM_SCALE ** (_ULM_PFX - k)))
+    return rows
+
+
+_ULM_PIECES_EXPR = (
+    "flatten(transform(sequence(1, length(w6)), "
+    f"s -> transform(sequence(1, least({_ULM_MAXP}, length(w6) - s + 1)), "
+    "l -> substring(w6, s, l))))"
+)
+
+_ULM_PIECES_SQL = (
+    "flatten(list_transform(generate_series(1, length(w6)), "
+    f"s -> list_transform(generate_series(1, least({_ULM_MAXP}, length(w6) - s + 1)), "
+    "l -> substr(w6, s, l))))"
+)
+
+
+def _ulm_ctes() -> tuple[list[str], str]:
+    """The shared unigram-LM CTE chain (w, w6, pat, v0, then per
+    iteration t: t/q/cand/ex/scored/best/u/v) — returns (ctes,
+    final_vocab_name). Shared by the c116 oracle and c117's
+    fertility-comparison oracle, the c112/_bpe_train_ctes discipline."""
+    pat_values = ",\n      ".join(
+        f"({n}, {pid}, {starts}, {lens}, {k}, '{boost}'::HUGEINT)"
+        for n, pid, starts, lens, k, boost in _ulm_pattern_rows()
+    )
+    ctes = [
+        f"""w AS (SELECT tok AS word, COUNT(*) AS wcnt
+          FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
+          GROUP BY tok)""",
+        f"""w6 AS (SELECT substr(word, 1, {_ULM_PFX}) AS w6, SUM(wcnt) AS wcnt
+          FROM w GROUP BY 1)""",
+        f"""pat(n, pid, starts, lens, k, boost) AS (VALUES
+      {pat_values})""",
+        f"""v0 AS (SELECT piece, SUM(wcnt) AS cnt FROM (
+          SELECT wcnt, unnest({_ULM_PIECES_SQL}) AS piece FROM w6)
+          GROUP BY piece)""",
+    ]
+    prev = "v0"
+    for t in range(1, _ULM_ITERS + 1):
+        ctes += _ulm_estep_ctes(t, prev)
+        ctes += [
+            f"""u{t} AS (SELECT piece, SUM(wcnt) AS used FROM (
+          SELECT wcnt, unnest(pieces) AS piece FROM best{t})
+          GROUP BY piece)""",
+            f"""v{t} AS (SELECT v.piece, 1 + coalesce(u.used, 0) AS cnt
+          FROM v0 v LEFT JOIN u{t} u ON u.piece = v.piece)""",
+        ]
+        prev = f"v{t}"
+    return ctes, prev
+
+
+def _ulm_estep_ctes(t: int, vocab: str) -> list[str]:
+    """One E-step as CTEs t{t}/q{t}/cand{t}/ex{t}/scored{t}/best{t}
+    over vocabulary relation ``vocab``."""
+    return [
+        f"t{t} AS (SELECT SUM(cnt) AS tot FROM {vocab})",
+        f"""q{t} AS (SELECT piece, cnt * {_ULM_SCALE} // tot AS q
+          FROM {vocab} CROSS JOIN t{t})""",
+        f"""cand{t} AS (
+      SELECT w.w6, w.wcnt, p.pid, p.k, p.boost,
+             list_transform(generate_series(1, p.k),
+                            i -> substr(w.w6, p.starts[i], p.lens[i])) AS pieces
+      FROM w6 w JOIN pat p ON p.n = length(w.w6))""",
+        f"""ex{t} AS (
+      SELECT c.w6, c.wcnt, c.pid, c.k, c.boost, c.pieces,
+             array_to_string(c.pieces, '|') AS seg_str,
+             unnest(c.pieces) AS piece
+      FROM cand{t} c)""",
+        f"""scored{t} AS (
+      SELECT e.w6, e.wcnt, e.pid, e.k, e.pieces, e.seg_str,
+             list_reduce(list_prepend(any_value(e.boost),
+                                      list(q.q::HUGEINT)),
+                         (a, b) -> a * b) AS score
+      FROM ex{t} e JOIN q{t} q ON q.piece = e.piece
+      GROUP BY e.w6, e.wcnt, e.pid, e.k, e.pieces, e.seg_str)""",
+        f"""best{t} AS (
+      SELECT * FROM (
+        SELECT w6, wcnt, k, pieces,
+               row_number() OVER (PARTITION BY w6
+                 ORDER BY score DESC, k ASC, seg_str ASC) AS rn
+        FROM scored{t}) WHERE rn = 1)""",
+    ]
+
+
+def _ulm_sql() -> str:
+    ctes, prev = _ulm_ctes()
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+             AS rank,
+           piece,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM {prev}
+    ORDER BY cnt DESC, piece ASC
+    LIMIT {_ULM_TOPN}
+    """
+    )
+
+
+def _ulm_relations(spark: SparkSession, sf_dir: str):
+    """(w6, cand, seed, vocab0) — the bounded training relations: the
+    prefix-truncated distinct-word counts, the per-word candidate
+    segmentations (joined against the broadcast 51-row composition
+    table), the seed piece domain, and the occurrence-weighted seed
+    counts. Each eagerly checkpointed: they are re-read every
+    iteration and the chain must not re-derive them (c112 lesson)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w6 = (
+        docs.repartition("doc_id")
+        .select(F.explode(simple_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+        .select(F.expr(f"substring(word, 1, {_ULM_PFX})").alias("w6"), "wcnt")
+        .groupBy("w6")
+        .agg(F.sum("wcnt").alias("wcnt"))
+        .localCheckpoint(eager=True)
+    )
+    pat = spark.createDataFrame(
+        [
+            (n, pid, starts, lens, k, str(boost))
+            for n, pid, starts, lens, k, boost in _ulm_pattern_rows()
+        ],
+        "n int, pid int, starts array<int>, lens array<int>, k int, boost_s string",
+    ).select(
+        "n", "pid", "starts", "lens", "k",
+        F.col("boost_s").cast("decimal(38,0)").alias("boost"),
+    )
+    vocab0 = (
+        w6.select("wcnt", F.explode(F.expr(_ULM_PIECES_EXPR)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        w6.join(F.broadcast(pat), F.length("w6") == F.col("n"))
+        .select(
+            "w6",
+            "wcnt",
+            "pid",
+            "k",
+            "boost",
+            F.expr(
+                "transform(sequence(1, k), "
+                "i -> substring(w6, element_at(starts, i), element_at(lens, i)))"
+            ).alias("pieces"),
+        )
+        .withColumn("seg_str", F.array_join("pieces", "|"))
+        .localCheckpoint(eager=True)
+    )
+    return w6, cand, vocab0.select("piece"), vocab0
+
+
+def _ulm_estep(cand: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One Viterbi E-step: every word picks its max-score segmentation
+    under ``vocab`` — returns (w6, wcnt, k, pieces). Scores are exact
+    bounded integers (see _ulm_pattern_rows)."""
+    from pyspark.sql import Window as W
+
+    total = vocab.agg(F.sum("cnt").alias("tot"))
+    q = vocab.crossJoin(F.broadcast(total)).select(
+        "piece", F.expr(f"cnt * {_ULM_SCALE} DIV tot").alias("q")
+    )
+    scored = (
+        cand.select(
+            "w6", "wcnt", "pid", "k", "boost", "seg_str",
+            "pieces", F.explode("pieces").alias("piece"),
+        )
+        .join(q, "piece")
+        .groupBy("w6", "wcnt", "pid", "k", "boost", "seg_str", "pieces")
+        .agg(F.collect_list("q").alias("qs"))
+        .select(
+            "w6",
+            "wcnt",
+            "k",
+            "seg_str",
+            "pieces",
+            F.expr(
+                "aggregate(qs, boost, (a, x) -> a * CAST(x AS DECIMAL(38,0)))"
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("w6").orderBy(
+                    F.col("score").desc(), F.col("k").asc(), F.col("seg_str").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("w6", "wcnt", "k", "pieces")
+    )
+
+
+def _ulm_train(spark: SparkSession, sf_dir: str):
+    """Run the fixed-depth hard-EM loop; returns (cand, vocab_final).
+    Each M-step re-estimates counts from the chosen segmentations with
+    add-one smoothing over the seed domain, then checkpoints."""
+    _, cand, seed, vocab = _ulm_relations(spark, sf_dir)
+    for _ in range(_ULM_ITERS):
+        best = _ulm_estep(cand, vocab)
+        used = (
+            best.select("wcnt", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wcnt").alias("used"))
+        )
+        vocab = (
+            seed.join(used, "piece", "left")
+            .select("piece", (F.lit(1) + F.coalesce("used", F.lit(0))).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    return cand, vocab
+
+
+@query(
+    "c116_unigram_lm_train",
+    _ulm_sql(),
+    doc="""Oracle unrolls the same two Viterbi-EM iterations as chained
+    CTEs over the shared pattern literal; every score is an exact
+    bounded integer (quantized probs, HUGEINT products), every emitted
+    figure an integer or string — no tolerance surface.""",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116: unigram-LM tokenizer training (SentencePiece-style) — the
+    EM-based alternative a data team compares against BPE (c112), as a
+    fixed-depth DataFrame iteration with integer-exact E and M steps
+    (VERDICT r10 "Next round" #3).
+
+    Semantics (deliberately bounded so the unrolled oracle stays
+    tractable, the c112 discipline): words segment over their first
+    6 chars (_ULM_PFX) into pieces of length <= 3 (_ULM_MAXP); the
+    seed vocabulary is every such substring with occurrence-weighted
+    counts. Each of the 2 hard-EM iterations: (E) every word picks its
+    max-probability segmentation — piece probabilities quantized to
+    cnt*1e6 DIV total so each segmentation score prod(q_i) *
+    SCALE^(PFX-k) is an EXACT integer <= 1e36 (inside DECIMAL(38,0) /
+    HUGEINT; identical floor-division in both engines), ties broken
+    (fewer pieces, then lexicographic segmentation string); (M) piece
+    counts re-estimated from the chosen segmentations with add-one
+    smoothing over the seed vocabulary (keeps every piece scorable —
+    no zero-probability dead ends). Output: the top 40 pieces by final
+    count — the learned piece inventory.
+
+    Scale shape (the c112 story): training runs entirely on the
+    DISTINCT-WORD relation — the corpus is scanned ONCE for word
+    counts; candidate enumeration is a broadcast join against the
+    51-row composition table (<= 24 segmentations per word); the only
+    per-iteration shuffles are the piece-keyed q-join and the per-word
+    argmax window, both bounded by |distinct words| * 51 rows, never
+    corpus-sized. Each vocabulary update localCheckpoints (the
+    c112/c113 CollapseProject lineage-cut lesson). The final global
+    rank window runs on the piece inventory only.
+    """
+    from pyspark.sql import Window as W
+
+    _, vocab = _ulm_train(spark, sf_dir)
+    return (
+        vocab.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cnt").desc(), F.col("piece").asc()))
+            .cast("long"),
+        )
+        .filter(F.col("rank") <= _ULM_TOPN)
+        .select("rank", "piece", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C117 — tokenizer fertility: unigram-LM vs BPE on the same prefix corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c117_tokenizer_fertility_compare",
+    None,  # oracle patched at module end (composes the c112 BPE CTEs)
+)
+def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C117: the tokenizer-selection artifact — fertility (tokens per
+    1000 words) of the c116 unigram-LM model vs the c112 BPE merges on
+    the SAME corpus relation, apples-to-apples: both tokenizers applied
+    to the prefix-truncated distinct-word relation (the unigram model's
+    domain), weighted by word counts. One row per tokenizer:
+    (tokenizer, n_words, n_tokens, tokens_per_kword), all exact
+    integers. This is the comparison row VERDICT r10 asked to pair with
+    the unigram trainer — what a data team reads before picking the
+    tokenizer for a corpus.
+
+    Scale shape: both sides run on the bounded prefix-word relation
+    (corpus scanned once via the shared word count); the unigram side
+    is one serving E-step with the trained vocabulary; the BPE side
+    folds six broadcast rules over the distinct prefixes. Nothing is
+    corpus-sized after the first aggregation.
+    """
+    cand, vocab = _ulm_train(spark, sf_dir)
+    best = _ulm_estep(cand, vocab)
+    uni = best.agg(
+        F.sum("wcnt").cast("long").alias("n_words"),
+        F.sum(F.col("wcnt") * F.col("k")).cast("long").alias("n_tokens"),
+    ).select(F.lit("unigram").alias("tokenizer"), "n_words", "n_tokens")
+
+    rules = _bpe_train_rules(spark, sf_dir)
+    w6, _, _, _ = _ulm_relations(spark, sf_dir)
+    enc = w6.select(
+        "w6", "wcnt", F.expr("filter(split(w6, ''), x -> x <> '')").alias("syms")
+    )
+    for best_rule in rules:
+        enc = (
+            enc.crossJoin(
+                F.broadcast(
+                    best_rule.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br"))
+                )
+            )
+            .selectExpr("w6", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
+            .localCheckpoint(eager=True)  # c113 CollapseProject guard
+        )
+    bpe = enc.agg(
+        F.sum("wcnt").cast("long").alias("n_words"),
+        F.sum(F.col("wcnt") * F.size("syms")).cast("long").alias("n_tokens"),
+    ).select(F.lit("bpe").alias("tokenizer"), "n_words", "n_tokens")
+
+    return (
+        uni.unionByName(bpe)
+        .select(
+            "tokenizer",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000 DIV n_words").cast("long").alias(
+                "tokens_per_kword"
+            ),
+        )
+        .orderBy("tokenizer")
+    )
+
+
+def _finalize_c117_oracle() -> None:
+    """Composes the unigram chain (+1 serving E-step) with the c112 BPE
+    training chain applied to the same prefix-word relation. The BPE
+    chain's own w/s0 CTEs train on FULL words (exactly as c112 does);
+    the encode fold then runs over the shared w6 relation."""
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    ctes, prev = _ulm_ctes()
+    t = _ULM_ITERS + 1
+    ctes += _ulm_estep_ctes(t, prev)
+    # c112 training chain: w and the s0/p/b/s iteration CTEs — w is
+    # already defined identically in _ulm_ctes (same definition text),
+    # so append only s0 onward.
+    bpe_ctes = _bpe_train_ctes()
+    assert bpe_ctes[0].startswith("w AS")
+    ctes += bpe_ctes[1:]
+    ctes.append(
+        """e0 AS (SELECT w6, wcnt,
+            list_transform(generate_series(1, length(w6)),
+                           i -> substr(w6, i, 1)) AS syms
+          FROM w6)"""
+    )
+    for k in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""e{k} AS (
+      SELECT w6, wcnt,
+             string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
+      FROM e{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+    REGISTRY.resolve("c117_tokenizer_fertility_compare").oracle = (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , uni AS (
+      SELECT 'unigram' AS tokenizer,
+             CAST(SUM(wcnt) AS BIGINT) AS n_words,
+             CAST(SUM(wcnt * k) AS BIGINT) AS n_tokens
+      FROM best{t}
+    ),
+    bpe AS (
+      SELECT 'bpe' AS tokenizer,
+             CAST(SUM(wcnt) AS BIGINT) AS n_words,
+             CAST(SUM(wcnt * len(syms)) AS BIGINT) AS n_tokens
+      FROM e{_BPE_MERGES}
+    )
+    SELECT tokenizer, n_words, n_tokens,
+           CAST(n_tokens * 1000 // n_words AS BIGINT) AS tokens_per_kword
+    FROM (SELECT * FROM uni UNION ALL SELECT * FROM bpe)
+    ORDER BY tokenizer
+    """
+    )
+
+
+_finalize_c117_oracle()

@@ -394,3 +394,202 @@ def test_bpe_training_semantics(spark):
     got2 = {r.word: r.syms for r in merged2.collect()}
     assert got2["aab"] == ["aab"], got2
     assert got2["aaab"] == ["aa", "a", "b"], got2  # tail is [a,b], not [aa,b]
+
+
+def test_bpe_python_fold_twin_matches_spark_fold(spark):
+    """c115's _bpe_apply_merge_py must be bit-equal to the Spark fold
+    (_bpe_merge_expr) on the same adversarial cases — overlapping runs,
+    self-pairs, merged-symbol re-eligibility across passes — plus a
+    randomized sweep so the three spellings (Spark / DuckDB / Python)
+    cannot drift."""
+    import itertools
+
+    import pyspark.sql.functions as _F
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _bpe_apply_merge_py,
+        _bpe_merge_expr,
+    )
+
+    # no empty word: simple_tokens filters empties, so the folds never
+    # see an empty symbol array (where the Spark string-fold yields ['']
+    # and the Python twin yields [] — a documented non-input)
+    words = ["aaab", "aab", "banana", "aaaa", "abab", "bbbb", "a"] + [
+        "".join(p) for p in itertools.product("ab", repeat=5)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string").select(
+        "word", _F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+    )
+    for l, r in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            row["word"]: row["syms"]
+            for row in df.selectExpr(
+                "word", _bpe_merge_expr(f"'{l}'", f"'{r}'") + " AS syms"
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == _bpe_apply_merge_py(list(w), l, r), (w, l, r)
+    # chained passes: merged symbols feed later rules exactly alike
+    chain = [("a", "a"), ("aa", "b"), ("aab", "a")]
+    cur = df
+    py = {w: list(w) for w in words}
+    for l, r in chain:
+        cur = cur.selectExpr("word", _bpe_merge_expr(f"'{l}'", f"'{r}'") + " AS syms")
+        py = {w: _bpe_apply_merge_py(s, l, r) for w, s in py.items()}
+    got = {row["word"]: row["syms"] for row in cur.collect()}
+    assert got == py
+
+
+def test_tokenizer_encode_rollup_equals_c113(spark, sf_dir):
+    """The c115 <-> c113 identity IS the serving-path contract: per-doc
+    raw-text token counts, rolled up per source, must exactly equal the
+    distinct-word algebra's n_words / n_bpe_tokens / n_chars (c113
+    computes chars via SUM(wcnt*length(word)) — same quantity)."""
+    import pyspark.sql.functions as _F
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        bpe_encode,
+        tokenizer_encode,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    per_doc = tokenizer_encode(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rolled = {
+        r["source"]: (r["w"], r["t"])
+        for r in per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(_F.sum("n_words").alias("w"), _F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    want = {
+        r["source"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(spark, sf_dir).collect()
+    }
+    assert rolled == want and len(want) > 0
+
+
+def test_unigram_lm_hand_computable(spark, tmp_path):
+    """c116 on a corpus where the EM arithmetic is checkable by hand:
+    three copies of the word 'abc'. Seed pieces {a,b,c,ab,bc,abc} each
+    count 3 (total 18, q = 166666 each); among the four segmentations
+    of 'abc' the single-piece one wins (score q*S^5 = 1.67e35 beats
+    q^2*S^4 = 2.78e34 and q^3*S^3) — the unigram property that whole
+    frequent words become single pieces, which BPE needs k merges for.
+    M-step: abc -> 1+3 = 4, every unused piece -> 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_dynamodb_spark.operators.text_analysis import unigram_lm_train
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array(["abc abc abc"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+            "source": pa.array(["t"], pa.string()),
+            "n_chars": pa.array([11], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = unigram_lm_train(spark, str(tmp_path)).collect()
+    assert (rows[0]["piece"], rows[0]["cnt"]) == ("abc", 4)
+    assert {r["piece"] for r in rows} == {"a", "b", "c", "ab", "bc", "abc"}
+    assert all(r["cnt"] == 1 for r in rows[1:])
+
+
+def test_unigram_fertility_beats_bpe_on_repetitive_corpus(spark, sf_dir):
+    """c117 sanity: with only 6 learned BPE merges but a full substring
+    seed vocabulary, the unigram tokenizer's fertility on the prefix
+    corpus must be <= BPE's (it can always mimic any <= 3-char pieces
+    BPE reaches, and whole frequent prefixes win immediately). Also
+    pins the shared-denominator contract: both rows count the SAME
+    n_words."""
+    from spark_dynamodb_spark.operators.text_analysis import (
+        tokenizer_fertility_compare,
+    )
+
+    rows = {r["tokenizer"]: r for r in tokenizer_fertility_compare(spark, sf_dir).collect()}
+    assert rows["unigram"]["n_words"] == rows["bpe"]["n_words"] > 0
+    assert rows["unigram"]["tokens_per_kword"] <= rows["bpe"]["tokens_per_kword"]
+    assert rows["unigram"]["tokens_per_kword"] >= 1000  # >= 1 piece per word
+
+
+def test_jpeg_codec_roundtrip_and_structure():
+    """Real baseline-JPEG parse: Huffman entropy decode with DC
+    prediction, byte unstuffing, dequant + IDCT, 4:2:0 chroma
+    upsampling. Payload bytes (per-block DC constants) must come back
+    byte-exact; spec-formula dims must hold."""
+    from spark_dynamodb_spark.functions import codecs
+
+    for payload in (b"x", b"hello world jpeg" * 37, bytes(range(256)) * 3):
+        j = codecs.encode_jpeg(payload)
+        img = codecs.decode_jpeg(j)
+        assert img["width"] == 64
+        assert img["height"] == (-(-len(payload) // 16) + 1) * 16
+        assert img["sampling"] == [(2, 2), (1, 1), (1, 1)]
+        assert img["file_size"] == len(j)
+        assert codecs.jpeg_payload_bytes(img, len(payload)) == payload
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"BM not a jpeg..........." * 2)
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(b"")
+
+
+def test_jpeg_trailer_pins_ac_and_subsampling_machinery():
+    """The trailer MCU row carries nonzero-AC blocks; these pixel
+    literals were computed once from the spec IDCT and pinned — a
+    decoder that skips AC decode, run-length handling, negative
+    magnitudes, or chroma upsampling reproduces the payload but NOT
+    these values."""
+    import numpy as np
+
+    from spark_dynamodb_spark.functions import codecs
+
+    img = codecs.decode_jpeg(codecs.encode_jpeg(bytes(range(64))))
+    w, h = img["width"], img["height"]
+    y = np.frombuffer(img["planes"][0], np.uint8).reshape(h, w)
+    cb = np.frombuffer(img["planes"][1], np.uint8).reshape(h, w)
+    cr = np.frombuffer(img["planes"][2], np.uint8).reshape(h, w)
+    ty = h - 16  # trailer row origin
+    # Y0: DC 200 + AC(zigzag 5, 20) -> a real 2-D ripple
+    assert y[ty : ty + 2, 0:4].tolist() == [[203, 200, 196, 193], [208, 205, 201, 198]]
+    assert y[ty + 4, 0:8].tolist() == [207, 205, 200, 198, 198, 200, 205, 207]
+    # Y1: single low-frequency AC -> horizontal-only gradient
+    assert y[ty, 8:12].tolist() == [132, 132, 130, 129]
+    assert (y[ty, 8:16] == y[ty + 1, 8:16]).all()
+    # Y2: AC at natural (3,0) -> vertical-only variation
+    assert (y[ty + 8, 0:8] == y[ty + 8, 0]).all()
+    assert y[ty + 8, 0] == 122
+    # Y3: DC-only -256 -> exactly 96 everywhere
+    assert (y[ty + 8 : ty + 16, 8:16] == 96).all()
+    # chroma: non-constant, 2x2 replicated to full res
+    assert cb[ty, 0:8].tolist() == [134, 134, 133, 133, 132, 132, 130, 130]
+    assert (cr[ty, 0:8] == 124).all()
+    # payload-region chroma is neutral 128
+    assert (cb[0:16, :] == 128).all() and (cr[0:16, :] == 128).all()
+
+
+def test_jpeg_rejects_out_of_scope_variants():
+    """Progressive (SOF2), restart intervals, 16-bit quant tables ->
+    honest NotImplementedError; corrupt entropy stream -> ValueError."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    j = bytearray(codecs.encode_jpeg(b"abcdef"))
+    sof = j.find(b"\xff\xc0")
+    j2 = bytearray(j)
+    j2[sof + 1] = 0xC2  # claim progressive
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(bytes(j2))
+    # inject a DRI segment right after SOI
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(bytes(j[:2]) + dri + bytes(j[2:]))
+    # flip the quant-table precision nibble
+    dqt = j.find(b"\xff\xdb")
+    j3 = bytearray(j)
+    j3[dqt + 4] = 0x10
+    with pytest.raises(NotImplementedError):
+        codecs.decode_jpeg(bytes(j3))

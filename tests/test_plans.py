@@ -1643,3 +1643,21 @@ def test_ivf_pq_rerank_shortlist_bounded(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rnk)
     assert all(rnks == sorted(rnks) and len(rnks) <= sim.TOP_K
                for rnks in per_q.values())
+
+
+def test_tokenizer_encode_no_rawtext_shuffle(spark, sf_dir):
+    """c115: serving-path tokenizer — ONE documents scan pruned to
+    (doc_id, text), the learned merges closed over an Arrow-batched
+    MapInPandas, and the ONLY exchange is the final range sort of the
+    per-doc count rows. Raw text never crosses a shuffle boundary."""
+    from spark_dynamodb_spark.operators.text_analysis import tokenizer_encode
+
+    df = tokenizer_encode(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # the one exchange moves the 4-column count relation, not text
+    ex_line = next(l for l in plan.splitlines() if "Exchange" in l)
+    assert "text" not in ex_line, ex_line
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
