@@ -88,6 +88,14 @@ EXTRA = [
     "c112_bpe_train",
     "c114_ann_ivf_pq_rerank",
     "c113_bpe_encode",
+    # round-11 design-depth entries: serving-path tokenizer (Arrow
+    # mapInPandas over raw text with broadcast merges), unigram-LM
+    # hard-EM training, binary-code hamming scan (cheapest ANN rung),
+    # baseline-JPEG entropy decode
+    "c115_tokenizer_encode",
+    "c116_unigram_lm_train",
+    "c118_ann_binary_hamming",
+    "c05_multimodal_jpeg",
 ]
 
 

@@ -996,10 +996,22 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_worker_imports(spark)
     # ASCII-only + non-empty guard mirrored in the oracle (encode_jpeg
     # rejects empty payloads; multi-byte chars would break the
-    # byte<->block mapping formulas)
+    # byte<->block mapping formulas). The repartition matters: a
+    # compacted local fixture is ONE parquet row group = ONE scan task,
+    # which serializes the (CPU-heavy, pure-Python) entropy codec on a
+    # single core — the b137 lesson. NUMBERED repartition (never
+    # AQE-coalesced): the text rows are only a few MB, so an unnumbered
+    # exchange gets folded back to ONE partition and the codec
+    # serializes again (measured: 108 s -> 7 s at sf0.1). Width follows the
+    # session's shuffle-partition config, so a cluster gets
+    # cluster-width codec parallelism, not a hardcoded 32.
     docs = with_jpeg_columns(
-        load_table(spark, sf_dir, "documents").filter(
+        load_table(spark, sf_dir, "documents")
+        .filter(
             (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
         )
     )
 
