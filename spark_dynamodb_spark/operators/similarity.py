@@ -429,6 +429,36 @@ def _ivf_sql(nprobe: int = NPROBE, n_queries: int = N_QUERIES) -> str:
     )
 
 
+def _argmin_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, vec) x broadcast (cell, cvec) -> (vec_id, vec, cell):
+    nearest-centroid assignment (exact fold distances, cell-asc ties)."""
+    w_assign = W.partitionBy("vec_id").orderBy(
+        _sq_dist(F.col("vec"), F.col("cvec")).asc(), F.col("cell").asc()
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cell")
+    )
+
+
+def _lloyd(emb: DataFrame) -> DataFrame:
+    """KMEANS_ITERS deterministic Lloyd iterations from md5-seeded
+    cells over (vec_id, vec) — the training loop shared by ivf_index
+    (full corpus) and s27's seed-shard incremental index
+    (streaming/stream_queries.py). Returns the final assignment."""
+    from spark_dynamodb_spark.functions.text import md5_64
+
+    # deterministic seeding (no RNG APIs): cell = md5_64(vec_id) % NLIST
+    assigned = emb.withColumn(
+        "cell", (md5_64(F.col("vec_id").cast("string")) % NLIST).cast("int")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _argmin_assign(emb, _centroids_of(assigned))
+    return assigned
+
+
 def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic IVF inverted file: (vec_id, vec, cell) after
     KMEANS_ITERS Lloyd iterations from md5-seeded cells. All DataFrame
@@ -436,27 +466,10 @@ def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassignment a broadcast-nlist argmin; nothing iterates on the
     driver. Shared by c03_ann_ivf (probe path) and c31_semantic_dedup
     (within-cell pair generation)."""
-    from spark_dynamodb_spark.functions.text import md5_64
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    # deterministic seeding (no RNG APIs): cell = md5_64(vec_id) % NLIST
-    assigned = emb.withColumn(
-        "cell", (md5_64(F.col("vec_id").cast("string")) % NLIST).cast("int")
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _centroids_of(assigned)
-        w_assign = W.partitionBy("vec_id").orderBy(
-            _sq_dist(F.col("vec"), F.col("cvec")).asc(), F.col("cell").asc()
-        )
-        assigned = (
-            emb.crossJoin(F.broadcast(cents))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "vec", "cell")
-        )
-    return assigned
+    return _lloyd(emb)
 
 
 @query("c03_ann_ivf", _ivf_sql())

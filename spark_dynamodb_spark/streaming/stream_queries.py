@@ -1894,3 +1894,258 @@ def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_s26_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S27 — incremental IVF index maintenance (streaming embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _emb_stream_staging(spark: SparkSession, sf_dir: str, n_shards: int = 4) -> str:
+    """Stage embeddings as ``n_shards`` single-file parquet shards keyed
+    by ``vec_id % n_shards`` (NOT hash-partitioned: the shard predicate
+    must be SQL-expressible so the oracle can name the training shard).
+    Shard 1 is written FIRST and shard 0 (the seed/training shard)
+    second, so with modification-time file ordering at least one data
+    batch arrives BEFORE the index is trained — the pending-buffer path
+    is exercised on every run, not just in crafted tests. Fingerprint
+    tagging as in _docs_stream_staging."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = table_path(sf_dir, "embeddings")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    for root, _, files in os.walk(src):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5(("|".join(parts) + f"|emb{n_shards}").encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"emb_stream_{tag}")
+    if not os.path.isdir(out):
+        scratch = tempfile.mkdtemp(prefix=f"emb_stream_{tag}_", dir=tempfile.gettempdir())
+        stage = os.path.join(scratch, "stage")
+        os.makedirs(stage)
+        emb = spark.read.parquet(src)
+        order = [1, 0] + list(range(2, n_shards))
+        for r in order:
+            shard_dir = os.path.join(scratch, f"w{r}")
+            (
+                emb.filter(F.col("vec_id") % n_shards == r)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(shard_dir)
+            )
+            part = next(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(shard_dir, part),
+                os.path.join(stage, f"shard{r}.parquet"),
+            )
+        try:
+            os.rename(stage, out)
+        except OSError:
+            pass
+        shutil.rmtree(scratch, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise OSError(f"embedding stream staging failed: {out}")
+    return out
+
+
+def _finalize_s27_oracle() -> None:
+    """Oracle: train the Lloyd chain on the SEED SHARD ONLY
+    (vec_id % 4 = 0 — the same deterministic shard the stream
+    designates), then assign EVERY vector to the final centroids.
+    Reuses similarity.py's exact-decimal centroid + pinned-fold
+    distance SQL so the assignment is hash-identical."""
+    from spark_dynamodb_spark.operators.similarity import (
+        DIM,
+        KMEANS_ITERS,
+        NLIST,
+        _sql_sqdist,
+    )
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    seed_cell = (
+        "CAST(CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {NLIST} AS INT)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS vec FROM embeddings)",
+        "t AS (SELECT vec_id, vec FROM v WHERE vec_id % 4 = 0)",
+        f"a0 AS (SELECT vec_id, vec, {seed_cell} AS cell FROM t)",
+    ]
+    for k in range(KMEANS_ITERS):
+        ctes.append(
+            f"""cents{k} AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(vec[pos]) AS m
+        FROM a{k} CROSS JOIN (SELECT unnest(generate_series(1, {DIM})) AS pos) g
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""a{k + 1} AS (
+      SELECT vec_id, vec, cell FROM (
+        SELECT t.vec_id, t.vec, c.cell,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {_sql_sqdist("t.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+        FROM t CROSS JOIN cents{k} c
+      ) WHERE rn = 1
+    )"""
+        )
+    ctes.append(
+        f"""centsF AS (
+      SELECT cell, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(vec[pos] AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(vec[pos]) AS m
+        FROM a{KMEANS_ITERS} CROSS JOIN
+             (SELECT unnest(generate_series(1, {DIM})) AS pos) g
+        GROUP BY cell, pos
+      ) GROUP BY cell
+    )"""
+    )
+    REGISTRY.resolve("s27_stream_ivf_assign_state").oracle = (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT vec_id, cell FROM (
+      SELECT v.vec_id, c.cell,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_sql_sqdist("v.vec", "c.cvec")} ASC, c.cell ASC) AS rn
+      FROM v CROSS JOIN centsF c
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+    )
+
+
+@query(
+    "s27_stream_ivf_assign_state",
+    None,  # oracle patched below (shares similarity.py's kmeans SQL)
+)
+def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S27: incremental IVF index maintenance — the embedding-side
+    landing-zone twin of s26: as vector batches arrive, maintain the
+    inverted-file assignment state every ANN serving path (c03 IVF,
+    c109 IVF-PQ, c114 rerank) reads, without ever re-touching old
+    vectors.
+
+    The realistic train-once/assign-forever shape: centroids are
+    trained (KMEANS_ITERS exact-decimal Lloyd iterations — the SAME
+    _lloyd loop the one-shot ivf_index runs) on a designated SEED
+    SHARD (vec_id % 4 = 0); vectors that arrive before the seed shard
+    wait in a PENDING buffer (the staging writes a data shard first,
+    deliberately, so this path runs every time); once trained, pending
+    and all later batches are assigned by broadcast-argmin and
+    APPENDED to the assignment state — each batch costs O(batch x
+    NLIST), old assignments are never recomputed. Final state =
+    (vec_id, cell) for every vector, value-level-oracle-equal to the
+    one-shot computation (train on shard 0, assign all) and
+    independent of batch arrival order by construction.
+
+    At 100 TB: the assignment state IS the IVF index the serving
+    queries equi-join on cell (cell-partitioned parquet / the dynamo
+    keyed store); per-cell counts from this state are the drift signal
+    that triggers retraining. Centroids are NLIST x DIM doubles —
+    kilobytes, broadcast.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.similarity import (
+        _argmin_assign,
+        _centroids_of,
+        _lloyd,
+    )
+
+    staged = _emb_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    root = tempfile.mkdtemp(prefix="ivf_state_")
+    cents_dir = os.path.join(root, "centroids")
+    assigned_dir = os.path.join(root, "assigned")
+    pending_dir = os.path.join(root, "pending")
+    have_cents: list[bool] = [False]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        vecs = batch.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+        )
+        if not have_cents[0]:
+            seed = vecs.filter(F.col("vec_id") % 4 == 0)
+            if seed.limit(1).count() > 0:
+                # this IS the seed shard (staging shards by vec_id % 4,
+                # so seed rows arrive in exactly one batch): train and
+                # persist the centroid state
+                _centroids_of(_lloyd(seed)).write.mode("overwrite").parquet(
+                    cents_dir
+                )
+                have_cents[0] = True
+            else:
+                # index not trained yet — buffer the batch
+                vecs.write.mode("append").parquet(pending_dir)
+                return
+        cents = sess.read.parquet(cents_dir)
+        todo = vecs
+        drained = os.path.isdir(pending_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(pending_dir)
+        )
+        if drained:
+            todo = todo.unionByName(sess.read.parquet(pending_dir))
+        _argmin_assign(todo, cents).select("vec_id", "cell").write.mode(
+            "append"
+        ).parquet(assigned_dir)
+        if drained:
+            # only AFTER the append action has consumed the buffer —
+            # plans are lazy, deleting first would yank the files out
+            # from under the running read
+            shutil.rmtree(pending_dir, ignore_errors=True)
+
+    ckpt = tempfile.mkdtemp(prefix="ivf_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(assigned_dir)
+            .select(F.col("vec_id").cast("long"), F.col("cell").cast("int"))
+            .orderBy("vec_id")
+        )
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_finalize_s27_oracle()

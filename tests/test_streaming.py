@@ -888,3 +888,39 @@ def test_s26_matches_one_shot_lsh_verdict(spark, sf_dir):
     )
     want = [tuple(r) for r in want_df.collect()]
     assert got == want and len(got) > 0
+
+
+def test_s27_pending_buffer_and_exactly_once(spark, sf_dir):
+    """s27's staging deliberately writes a DATA shard before the seed
+    shard (mtime order), so vectors arrive before the index is trained
+    and the pending-buffer path runs on every invocation — pinned here
+    via the staged file mtimes. The final state must cover every
+    vector exactly once (a pending buffer drained twice, or a batch
+    assigned twice, would show as duplicate vec_ids)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        _emb_stream_staging,
+        stream_ivf_assign_state,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    staged = _emb_stream_staging(spark, sf_dir)
+    mt = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    }
+    assert len(mt) == 4, mt
+    assert mt["shard1.parquet"] < mt["shard0.parquet"], mt
+
+    out = stream_ivf_assign_state(spark, sf_dir)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    rows = out.collect()
+    assert len(rows) == n_vec
+    assert len({r["vec_id"] for r in rows}) == n_vec
+    from spark_dynamodb_spark.operators.similarity import NLIST
+
+    assert all(0 <= r["cell"] < NLIST for r in rows)
