@@ -2617,3 +2617,132 @@ def _finalize_c117_oracle() -> None:
 
 
 _finalize_c117_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C119 — unigram-LM serving encoder: trained model over RAW text
+# ---------------------------------------------------------------------------
+
+
+def _ulm_segment_py(
+    w6: str, q: dict[str, int], patterns: dict[int, list]
+) -> int:
+    """Python twin of the _ulm_estep argmax for ONE word prefix:
+    returns k (piece count) of the winning segmentation. Arithmetic is
+    arbitrary-precision Python int — identical by construction to the
+    Spark DECIMAL(38,0) / DuckDB HUGEINT scores (all values <= 1e36,
+    same floor-divided quantized probs, same (score DESC, k ASC,
+    seg_str ASC) tie-break)."""
+    best = None  # (neg marker handled via comparisons)
+    for starts, lens, k, boost in patterns[len(w6)]:
+        pieces = [w6[s - 1 : s - 1 + ln] for s, ln in zip(starts, lens)]
+        score = boost
+        for p in pieces:
+            score *= q.get(p, 0)
+        seg = "|".join(pieces)
+        cand = (-score, k, seg)
+        if best is None or cand < best:
+            best = cand
+            best_k = k
+    return best_k
+
+
+def _ulm_encode_sql() -> str:
+    ctes, prev = _ulm_ctes()
+    t = _ULM_ITERS + 1
+    ctes += _ulm_estep_ctes(t, prev)  # serving E-step with the final vocab
+    ctes.append(
+        f"""dw AS (SELECT doc_id, substr(tok, 1, {_ULM_PFX}) AS w6,
+                 COUNT(*) AS n
+          FROM (SELECT doc_id, unnest({sql_simple_tokens('text')}) AS tok
+                FROM documents)
+          GROUP BY doc_id, w6)"""
+    )
+    ctes.append(
+        f"""ds AS (SELECT d.doc_id,
+                 CAST(SUM(d.n) AS BIGINT) AS n_words,
+                 CAST(SUM(d.n * b.k) AS BIGINT) AS n_pieces
+          FROM dw d JOIN best{t} b ON b.w6 = d.w6
+          GROUP BY d.doc_id)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + """
+    SELECT d.doc_id,
+           coalesce(s.n_words, 0) AS n_words,
+           coalesce(s.n_pieces, 0) AS n_pieces
+    FROM documents d LEFT JOIN ds s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+    )
+
+
+@query(
+    "c119_unigram_encode",
+    _ulm_encode_sql(),
+    doc="""Oracle re-trains via the shared unigram CTE chain, runs one
+    serving E-step, and folds per-doc prefix counts through the
+    winning piece counts; exact integers throughout.""",
+)
+def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119: the unigram-LM SERVING encoder — the c115 twin for the
+    c116-trained model, completing the tokenizer family end-to-end
+    (train c112/c116, corpus-stats c113/c117, raw-text serve
+    c115/here). The trained piece table (piece -> quantized prob q,
+    plus the 51-row composition table) is collected once driver-side —
+    tokenizer vocabularies ARE the MB-scale bounded model every
+    serving stack ships — and closed over an Arrow-batched
+    mapInPandas Viterbi encoder: per document, per DISTINCT word
+    prefix (per-partition cache), enumerate the <= 24 bounded
+    segmentations and take the SAME integer-exact argmax as training
+    (_ulm_segment_py is the pinned Python twin of _ulm_estep; Python
+    arbitrary-precision ints reproduce the DECIMAL(38,0)/HUGEINT
+    scores bit-for-bit because every value is <= 1e36). Emits per-doc
+    (n_words, n_pieces).
+
+    Scale shape: model collection is piece-inventory bounded (never
+    corpus-bounded); the encode pass is ONE pruned documents scan into
+    mapInPandas with no shuffle of raw text (plan-gated, same shape
+    as c115); corpus-level rollups of this output must equal c117's
+    unigram row exactly — pinned in tests/test_llm.py.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from spark_dynamodb_spark.sources.dynamo import _ship_package
+
+    _ship_package(spark)
+    _, vocab = _ulm_train(spark, sf_dir)
+    model = vocab.collect()
+    total = sum(r["cnt"] for r in model)
+    q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}
+    patterns: dict[int, list] = {}
+    for n, _pid, starts, lens, k, boost in _ulm_pattern_rows():
+        patterns.setdefault(n, []).append((starts, lens, k, boost))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def k_of(word: str) -> int:
+            w6 = word[:_ULM_PFX]
+            hit = cache.get(w6)
+            if hit is None:
+                hit = _ulm_segment_py(w6, q, patterns)
+                cache[w6] = hit
+            return hit
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                rows.append(
+                    (int(doc_id), len(toks), sum(k_of(w) for w in toks))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_words", "n_pieces"])
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, n_words long, n_pieces long")
+        .orderBy("doc_id")
+    )

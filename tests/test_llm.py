@@ -593,3 +593,48 @@ def test_jpeg_rejects_out_of_scope_variants():
     j3[dqt + 4] = 0x10
     with pytest.raises(NotImplementedError):
         codecs.decode_jpeg(bytes(j3))
+
+
+def test_unigram_encode_rollup_equals_c117(spark, sf_dir):
+    """c119 <-> c117 identity: corpus rollups of the per-doc serving
+    encoder must exactly equal the c117 'unigram' comparison row (same
+    trained model, same serving E-step semantics). Both sides integer."""
+    import pyspark.sql.functions as _F
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        tokenizer_fertility_compare,
+        unigram_encode,
+    )
+
+    agg = unigram_encode(spark, sf_dir).agg(
+        _F.sum("n_words").alias("w"), _F.sum("n_pieces").alias("p")
+    ).collect()[0]
+    uni = {
+        r["tokenizer"]: r for r in tokenizer_fertility_compare(spark, sf_dir).collect()
+    }["unigram"]
+    assert (agg["w"], agg["p"]) == (uni["n_words"], uni["n_tokens"])
+
+
+def test_ulm_segment_python_twin_matches_spark_estep(spark, sf_dir):
+    """c119's _ulm_segment_py must pick the SAME k as the Spark
+    _ulm_estep argmax for every distinct prefix in the fixture — the
+    three-engine-agreement pin for the unigram serving path."""
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _ULM_SCALE,
+        _ulm_estep,
+        _ulm_pattern_rows,
+        _ulm_segment_py,
+        _ulm_train,
+    )
+
+    cand, vocab = _ulm_train(spark, sf_dir)
+    model = vocab.collect()
+    total = sum(r["cnt"] for r in model)
+    q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}
+    patterns = {}
+    for n, _pid, starts, lens, k, boost in _ulm_pattern_rows():
+        patterns.setdefault(n, []).append((starts, lens, k, boost))
+    want = {r["w6"]: r["k"] for r in _ulm_estep(cand, vocab).collect()}
+    assert len(want) > 20  # sf0.001 fixture: 31 distinct prefixes
+    for w6, k in want.items():
+        assert _ulm_segment_py(w6, q, patterns) == k, w6

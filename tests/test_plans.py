@@ -1676,3 +1676,18 @@ def test_multimodal_jpeg_parallel_codec(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_unigram_encode_no_rawtext_shuffle(spark, sf_dir):
+    """c119: same serving shape as c115 — one pruned documents scan
+    into MapInPandas, the only exchange the final range sort of count
+    rows; the trained model rides the closure, raw text never crosses
+    a shuffle."""
+    from spark_dynamodb_spark.operators.text_analysis import unigram_encode
+
+    df = unigram_encode(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
