@@ -96,6 +96,7 @@ EXTRA = [
     "c116_unigram_lm_train",
     "c118_ann_binary_hamming",
     "c05_multimodal_jpeg",
+    "c119_unigram_encode",
 ]
 
 
