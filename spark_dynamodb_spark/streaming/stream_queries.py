@@ -2071,10 +2071,20 @@ def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     staged = _emb_stream_staging(spark, sf_dir)
+    # branch on the parquet footer for the embedding element type (the
+    # events_stream discipline): the driver fixture stores float32 but
+    # the 10x/100x amplified fixtures store float64 (the tie-breaking
+    # epsilon nudge re-wrote the column) — a hardcoded float schema
+    # dies mid-stream with SchemaColumnConvertNotSupportedException
+    import pyarrow.parquet as pq
+
+    shard0 = os.path.join(staged, "shard0.parquet")
+    elem = pq.read_schema(shard0).field("embedding").type.value_type
+    elem_t = T.DoubleType() if str(elem) == "double" else T.FloatType()
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
-            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("embedding", T.ArrayType(elem_t)),
             T.StructField("label", T.IntegerType()),
         ]
     )
