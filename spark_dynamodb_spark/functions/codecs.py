@@ -713,9 +713,19 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
+        # T.81 B.1.1.2: any marker may be preceded by optional 0xFF
+        # fill bytes — skip them (code-review r11: a conforming
+        # external encoder's padding would otherwise shift the walk
+        # into garbage)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are parameterless (no length field)
+            pos += 2
+            continue
         size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + size]
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):

@@ -805,7 +805,7 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B141 — AQE partition coalescing (the other half of runtime re-planning)
 # ---------------------------------------------------------------------------
 
-_AQE_COALESCE_SESSIONS: dict[int, SparkSession] = {}
+_AQE_COALESCE_SESSIONS: dict[str, SparkSession] = {}  # keyed by applicationId
 
 
 def aqe_coalesce_session(spark: SparkSession) -> SparkSession:

@@ -191,6 +191,35 @@ def _minhash_mix(i: int):
     return mix
 
 
+def minhash_band_rows(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from a (doc_id, harr)
+    hashed-shingle relation: 32 per-seed bit mixes folded to 8x4 band
+    keys, all narrow (no shuffle). ONE spelling shared by the one-shot
+    pipeline below and s26's incremental band-bucket state
+    (streaming/stream_queries.py) — s26's contract is value-equality
+    with this pipeline, so the signature/banding construction must be
+    literally the same code (code-review r11)."""
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
     """Shared MinHash→LSH→verify pipeline (c02 and the c99 unified
     pipeline): ``base`` is (doc_id, <arr_col>) with per-doc-DISTINCT
@@ -223,26 +252,7 @@ def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
             F.transform(arr_col, lambda s: F.xxhash64(s))
         ).alias("harr"),
     ).cache()
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    # LSH bands: hash each band's signature slice, explode to (band, key)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = minhash_band_rows(hashed)
     # Skew guard + pair generation in ONE exchange on (band, key):
     # a window count tags every row with its bucket size, hot buckets
     # (> MAX_BUCKET_DOCS) are dropped BEFORE any list materializes

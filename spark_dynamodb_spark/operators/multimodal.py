@@ -221,6 +221,7 @@ def with_png_columns(docs: DataFrame) -> DataFrame:
            source AS origin
     FROM documents
     WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
     ORDER BY doc_id
     """,
 )
@@ -244,10 +245,13 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     the codec choice.
     """
     _ensure_worker_imports(spark)
-    # ASCII-only guard mirrored in the oracle (see c05_multimodal_features)
+    # ASCII-only + non-empty guard mirrored in the oracle (code-review
+    # r11: encode_png rejects empty payloads since the r10-advice spec
+    # fix, so an empty-text doc would crash the UDF while the oracle
+    # returned a height-0 row — same guard the JPEG entry ships with)
     docs = with_png_columns(
         load_table(spark, sf_dir, "documents").filter(
-            F.octet_length("text") == F.length("text")
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
         )
     )
 

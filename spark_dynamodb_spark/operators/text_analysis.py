@@ -2423,10 +2423,13 @@ def _ulm_estep(cand: DataFrame, vocab: DataFrame) -> DataFrame:
 
 
 def _ulm_train(spark: SparkSession, sf_dir: str):
-    """Run the fixed-depth hard-EM loop; returns (cand, vocab_final).
-    Each M-step re-estimates counts from the chosen segmentations with
-    add-one smoothing over the seed domain, then checkpoints."""
-    _, cand, seed, vocab = _ulm_relations(spark, sf_dir)
+    """Run the fixed-depth hard-EM loop; returns (w6, cand,
+    vocab_final) — w6 rides along so c117's BPE side doesn't re-run
+    _ulm_relations' three eager materializations just to rebuild it
+    (code-review r11). Each M-step re-estimates counts from the chosen
+    segmentations with add-one smoothing over the seed domain, then
+    checkpoints."""
+    w6, cand, seed, vocab = _ulm_relations(spark, sf_dir)
     for _ in range(_ULM_ITERS):
         best = _ulm_estep(cand, vocab)
         used = (
@@ -2439,7 +2442,7 @@ def _ulm_train(spark: SparkSession, sf_dir: str):
             .select("piece", (F.lit(1) + F.coalesce("used", F.lit(0))).alias("cnt"))
             .localCheckpoint(eager=True)
         )
-    return cand, vocab
+    return w6, cand, vocab
 
 
 @query(
@@ -2483,7 +2486,7 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    _, vocab = _ulm_train(spark, sf_dir)
+    _, _, vocab = _ulm_train(spark, sf_dir)
     return (
         vocab.withColumn(
             "rank",
@@ -2523,7 +2526,7 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds six broadcast rules over the distinct prefixes. Nothing is
     corpus-sized after the first aggregation.
     """
-    cand, vocab = _ulm_train(spark, sf_dir)
+    w6, cand, vocab = _ulm_train(spark, sf_dir)
     best = _ulm_estep(cand, vocab)
     uni = best.agg(
         F.sum("wcnt").cast("long").alias("n_words"),
@@ -2531,7 +2534,6 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("unigram").alias("tokenizer"), "n_words", "n_tokens")
 
     rules = _bpe_train_rules(spark, sf_dir)
-    w6, _, _, _ = _ulm_relations(spark, sf_dir)
     enc = w6.select(
         "w6", "wcnt", F.expr("filter(split(w6, ''), x -> x <> '')").alias("syms")
     )
@@ -2578,7 +2580,11 @@ def _finalize_c117_oracle() -> None:
     # already defined identically in _ulm_ctes (same definition text),
     # so append only s0 onward.
     bpe_ctes = _bpe_train_ctes()
-    assert bpe_ctes[0].startswith("w AS")
+    # the BPE chain's w CTE is substituted by the unigram chain's w —
+    # valid only while the two definitions are TEXTUALLY identical
+    # (code-review r11: a startswith check would let a drifted c112
+    # word relation silently train BPE on the wrong words here)
+    assert bpe_ctes[0] == ctes[0], "c112/c116 w CTE drifted apart"
     ctes += bpe_ctes[1:]
     ctes.append(
         """e0 AS (SELECT w6, wcnt,
@@ -2712,7 +2718,7 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_dynamodb_spark.sources.dynamo import _ship_package
 
     _ship_package(spark)
-    _, vocab = _ulm_train(spark, sf_dir)
+    _, _, vocab = _ulm_train(spark, sf_dir)
     model = vocab.collect()
     total = sum(r["cnt"] for r in model)
     q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}

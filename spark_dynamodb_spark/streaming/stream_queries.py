@@ -1599,37 +1599,14 @@ _finalize_s25_oracle()
 
 
 def _neardup_band_rows(hashed: DataFrame) -> DataFrame:
-    """(doc_id, band, key) LSH band rows from a (doc_id, harr) hashed
-    shingle relation — the same narrow signature construction as the
-    one-shot c02 pipeline (operators/dedup.py _minhash_verified_pairs):
-    32 per-seed bit mixes over each doc's hashed-shingle array, banded
-    8x4, each band's slice folded to one xxhash64 key."""
-    from spark_dynamodb_spark.operators.dedup import (
-        N_BANDS,
-        N_HASHES,
-        ROWS_PER_BAND,
-        _minhash_mix,
-    )
+    """(doc_id, band, key) LSH band rows — literally the one-shot c02
+    spelling (operators/dedup.py::minhash_band_rows, factored shared
+    in code-review r11): s26's contract is value-equality with that
+    pipeline, so the signature/banding construction is one function,
+    not a copy that could drift."""
+    from spark_dynamodb_spark.operators.dedup import minhash_band_rows
 
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    return minhash_band_rows(hashed)
 
 
 def _neardup_bucket_merge(

@@ -593,6 +593,11 @@ def test_jpeg_rejects_out_of_scope_variants():
     j3[dqt + 4] = 0x10
     with pytest.raises(NotImplementedError):
         codecs.decode_jpeg(bytes(j3))
+    # spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) and a
+    # parameterless TEM marker must not derail the walk
+    padded = bytes(j[:2]) + b"\xff\xff" + b"\xff\x01" + bytes(j[2:])
+    img = codecs.decode_jpeg(padded)
+    assert codecs.jpeg_payload_bytes(img, 6) == b"abcdef"
 
 
 def test_unigram_encode_rollup_equals_c117(spark, sf_dir):
@@ -627,7 +632,7 @@ def test_ulm_segment_python_twin_matches_spark_estep(spark, sf_dir):
         _ulm_train,
     )
 
-    cand, vocab = _ulm_train(spark, sf_dir)
+    _, cand, vocab = _ulm_train(spark, sf_dir)
     model = vocab.collect()
     total = sum(r["cnt"] for r in model)
     q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}

@@ -1484,6 +1484,29 @@ def test_edit_distance_verdict_single_scan_no_pairs(spark, sf_dir):
     # verdict-shaped output: one row per doc, no pair columns
     assert [f.name for f in df.schema.fields] == ["doc_id", "is_dup", "canon_id"]
 
+    # the pair computation itself no longer appears in the verdict plan
+    # (it is staged to parquet before the final query — code-review r11
+    # noted the old assertions stopped covering it), so gate its plan
+    # directly: candidate generation must stay an equi-join, never a
+    # cartesian, and the verify must run above a numbered repartition
+    import pyspark.sql.functions as F
+
+    sig = staged.groupBy(*dedup._ED_SIG_COLS).agg(F.min("doc_id").alias("rep_id"))
+    reps = sig.select(F.col("rep_id").alias("doc_id"), *dedup._ED_SIG_COLS)
+    pplan = physical_plan(dedup._ed_verified_pairs(reps))
+    assert "CartesianProduct" not in pplan, pplan
+    assert "BroadcastNestedLoopJoin" not in pplan, pplan
+    # the numbered repartition can be absorbed into an equivalent
+    # ENSURE_REQUIREMENTS exchange on the aggregated reps input — what
+    # matters is that a (doc_a, doc_b) hash exchange exists above the
+    # candidate join so the verify runs shuffle-wide
+    assert any(
+        "Exchange hashpartitioning(doc_a" in line for line in pplan.splitlines()
+    ), pplan
+    for line in pplan.splitlines():
+        if "Join condition" in line or "Join Inner, " in line:
+            assert "levenshtein" not in line, line
+
 
 def test_corpus_profile_single_scan(spark, sf_dir):
     """c111: ONE documents scan total — the staging projection is the
