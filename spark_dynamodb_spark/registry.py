@@ -241,6 +241,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_audio_resample",
         "c05_multimodal_features",
         "c05_multimodal_frames",
+        "c05_multimodal_jpeg",
         "c05_multimodal_png",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
@@ -268,6 +269,11 @@ ROTATED_GREEN_R1 = frozenset(
         "c112_bpe_train",
         "c113_bpe_encode",
         "c114_ann_ivf_pq_rerank",
+        "c115_tokenizer_encode",
+        "c116_unigram_lm_train",
+        "c117_tokenizer_fertility_compare",
+        "c118_ann_binary_hamming",
+        "c119_unigram_encode",
         "c11_domain_mixture",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
@@ -381,6 +387,8 @@ ROTATED_GREEN_R1 = frozenset(
         "s23_stream_kmv_incremental",
         "s24_stream_cms_incremental",
         "s25_stream_dedup_state",
+        "s26_stream_neardup_state",
+        "s27_stream_ivf_assign_state",
     }
 )
 
