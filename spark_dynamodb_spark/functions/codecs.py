@@ -488,6 +488,15 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.buf)
 
+    def restart_marker(self, n: int) -> None:
+        """Byte-align (1-fill pad, stuffed if the pad byte lands on
+        0xFF, per T.81 F.1.2.3) then emit RSTn — markers themselves are
+        never stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _jpeg_magnitude(v: int) -> tuple[int, int]:
     """value -> (category, extra bits) per T.81 F.1.2.1."""
@@ -538,7 +547,9 @@ def _jpeg_encode_block(
     return dc
 
 
-def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
+def encode_jpeg(
+    data: bytes, mcu_cols: int = _JPEG_MCU_COLS, restart_interval: int = 0
+) -> bytes:
     """Pack a byte payload as a baseline JFIF (SOF0) JPEG.
 
     Layout: 4:2:0 sampling (luma 2x2, chroma 1x1), width =
@@ -548,7 +559,11 @@ def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
     neutral (128). After the payload rows one TRAILER MCU row carries
     the fixed nonzero-AC patterns (_JPEG_TRAILER_COEFS) so decode must
     run the full dequant/IDCT/upsample machinery. Standard Annex K
-    Huffman tables, all-ones quant tables, no restart markers.
+    Huffman tables, all-ones quant tables.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (cyclic n = 0..7, DC predictors reset, pad
+    bits 1-filled) — T.81 B.2.4.4 / E.2.4.
     """
     import struct as _struct
 
@@ -559,6 +574,14 @@ def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
     mcu_rows = payload_mcu_rows + 1  # + trailer row
     width = 16 * mcu_cols
     height = 16 * mcu_rows
+    if height > 65535:
+        # SOF0 stores height in 16 bits; a larger payload would crash
+        # struct.pack below with an opaque error mid-job (ADVICE r11)
+        raise ValueError(
+            "encode_jpeg: payload too large for SOF0 16-bit height "
+            f"({len(data)} bytes -> height {height} > 65535 at "
+            f"mcu_cols={mcu_cols}); raise mcu_cols to widen the image"
+        )
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -581,6 +604,8 @@ def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
     ):
         out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
         out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    if restart_interval > 0:
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)  # DRI
     # SOS
     out += b"\xff\xda" + _struct.pack(">H", 12) + bytes([3])
     out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
@@ -592,7 +617,12 @@ def encode_jpeg(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
     wr = _JpegBitWriter()
     pred = {"y": 0, "cb": 0, "cr": 0}
     n_payload_mcus = payload_mcu_rows * mcu_cols
+    rst = 0
     for m in range(mcu_rows * mcu_cols):
+        if restart_interval > 0 and m > 0 and m % restart_interval == 0:
+            wr.restart_marker(rst)
+            rst = (rst + 1) % 8
+            pred = {"y": 0, "cb": 0, "cr": 0}
         trailer_first = m == n_payload_mcus  # first MCU of the trailer row
         for b in range(4):  # luma blocks
             if m < n_payload_mcus:
@@ -624,8 +654,15 @@ class _JpegBitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            # documented contract is ValueError on corrupt streams —
+            # without this an off-the-end read leaks IndexError
+            # (ADVICE r11)
+            raise ValueError("jpeg: truncated stream")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("jpeg: truncated stream")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed FF
@@ -652,6 +689,28 @@ class _JpegBitReader:
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
+
+    def restart(self) -> int:
+        """Consume an RSTn marker at a restart boundary: discard the
+        partial byte's pad bits, skip a stuffed pad byte if the 1-fill
+        landed on 0xFF, and return n (0..7) — T.81 E.2.4/F.2.1.3."""
+        self.acc = 0
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and self.buf[self.pos + 1] == 0x00
+        ):
+            self.pos += 2  # stuffed pad byte before the marker
+        if (
+            self.pos + 1 >= len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or not 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("jpeg: expected restart marker")
+        n = self.buf[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
 
 
 def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -695,10 +754,12 @@ def decode_jpeg(payload: bytes) -> dict:
     by sample replication to full resolution.
 
     Returns {width, height, n_components, sampling, file_size,
-    planes: [bytes raster per component, full resolution]}. Raises
-    ValueError on non-JPEG input or corrupt streams,
-    NotImplementedError for progressive (SOF2), 12-bit, arithmetic
-    coding, or restart-interval streams (out of scope here).
+    planes: [bytes raster per component, full resolution]}. Restart
+    intervals (DRI/RSTn) are supported: predictors reset and the bit
+    reader re-aligns at each marker, with sequence checking. Raises
+    ValueError on non-JPEG input or corrupt/truncated streams,
+    NotImplementedError for progressive (SOF2), 12-bit, or arithmetic
+    coding (out of scope here).
     """
     import numpy as np
 
@@ -707,6 +768,7 @@ def decode_jpeg(payload: bytes) -> dict:
     pos = 2
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
     sof = None
     comps = []  # (id, h, v, tq)
     scan = None
@@ -719,6 +781,8 @@ def decode_jpeg(payload: bytes) -> dict:
         # into garbage)
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("jpeg: truncated stream")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -726,17 +790,21 @@ def decode_jpeg(payload: bytes) -> dict:
             # TEM / RSTn are parameterless (no length field)
             pos += 2
             continue
+        if pos + 4 > len(payload):
+            raise ValueError("jpeg: truncated stream")
         size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("jpeg: truncated stream")
         if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"only baseline sequential JPEG (SOF0) is supported here "
                 f"(marker 0xFF{marker:02X}); progressive/arithmetic streams "
                 "need real codec libs"
             )
-        if marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI) not supported here")
-        if marker == 0xDB:  # DQT
+        if marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDB:  # DQT
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
@@ -789,8 +857,19 @@ def decode_jpeg(payload: bytes) -> dict:
         grids.append(
             np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
         )
+    rst_expect = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            m = my * mcux + mx
+            if restart_interval and m > 0 and m % restart_interval == 0:
+                n = rd.restart()
+                if n != rst_expect:
+                    raise ValueError(
+                        f"jpeg: restart marker out of sequence "
+                        f"(got RST{n}, expected RST{rst_expect})"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                pred = [0] * nc
             for ci, (cid, ch, cv, tq) in enumerate(comps):
                 sc = next(s for s in scan if s[0] == cid)
                 dct = htabs[(0, sc[1])]

@@ -2169,6 +2169,7 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                _ascii_guard(text, "c115_tokenizer_encode")
                 toks = [t for t in (text or "").lower().split(" ") if t]
                 n_tokens = 0
                 n_chars = 0
@@ -2192,6 +2193,20 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C116 — unigram-LM (SentencePiece-style) tokenizer training: hard-EM
 # ---------------------------------------------------------------------------
+
+def _ascii_guard(text: str | None, op: str) -> None:
+    """The serving encoders lowercase/split with Python ``str``
+    methods while the training relations and oracles use SQL
+    ``lower()``/``split()`` — these agree only on ASCII (Python
+    'İ'.lower() is TWO chars, breaking the pinned serve<->train
+    identities silently). Fail loudly instead (ADVICE r11)."""
+    if text and not text.isascii():
+        raise ValueError(
+            f"{op}: non-ASCII document text — Python and SQL lowercase "
+            "semantics diverge outside ASCII; normalize the corpus "
+            "upstream (e.g. c04_text_normalize) before serving"
+        )
+
 
 _ULM_PFX = 6       # words segment over their first 6 chars (bounded DP)
 _ULM_MAXP = 3      # max piece length
@@ -2740,6 +2755,7 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                _ascii_guard(text, "c119_unigram_encode")
                 toks = [t for t in (text or "").lower().split(" ") if t]
                 rows.append(
                     (int(doc_id), len(toks), sum(k_of(w) for w in toks))
