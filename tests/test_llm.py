@@ -687,7 +687,7 @@ def test_unigram_encode_rollup_equals_c117(spark, sf_dir):
 
 def test_ulm_segment_python_twin_matches_spark_estep(spark, sf_dir):
     """c119's _ulm_segment_py must pick the SAME k as the Spark
-    _ulm_estep argmax for every distinct prefix in the fixture — the
+    _ulm_estep argmax for every distinct word in the fixture — the
     three-engine-agreement pin for the unigram serving path."""
     from spark_dynamodb_spark.operators.text_analysis import (
         _ULM_SCALE,
@@ -702,9 +702,57 @@ def test_ulm_segment_python_twin_matches_spark_estep(spark, sf_dir):
     total = sum(r["cnt"] for r in model)
     q = {r["piece"]: r["cnt"] * _ULM_SCALE // total for r in model}
     patterns = {}
-    for n, _pid, starts, lens, k, boost in _ulm_pattern_rows():
+    for n, starts, lens, k, boost in _ulm_pattern_rows():
         patterns.setdefault(n, []).append((starts, lens, k, boost))
-    want = {r["w6"]: r["k"] for r in _ulm_estep(cand, vocab).collect()}
-    assert len(want) > 20  # sf0.001 fixture: 31 distinct prefixes
-    for w6, k in want.items():
-        assert _ulm_segment_py(w6, q, patterns) == k, w6
+    want = {r["wseg"]: r["k"] for r in _ulm_estep(cand, vocab).collect()}
+    assert len(want) > 20  # sf0.001 fixture: 31 distinct words
+    for wseg, k in want.items():
+        assert _ulm_segment_py(wseg, q, patterns) == k, wseg
+
+
+def test_ulm_segment_twin_mirrors_join_oov_semantics():
+    """ADVICE r11: a candidate containing a piece ABSENT from q must
+    drop out (inner-join semantics), not score 0 — and the two cases
+    must differ: present-with-q==0 stays. Constructed so the two
+    semantics disagree: under 'score OOV as 0' every candidate of 'ab'
+    ties at 0 and (k ASC, seg ASC) picks k=1 'ab'; under join
+    semantics only ['a','b'] survives (k=2)."""
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _ulm_pattern_rows,
+        _ulm_segment_py,
+    )
+
+    patterns = {}
+    for n, starts, lens, k, boost in _ulm_pattern_rows():
+        patterns.setdefault(n, []).append((starts, lens, k, boost))
+    # 'ab' absent entirely; 'a' and 'b' present but quantized to 0
+    assert _ulm_segment_py("ab", {"a": 0, "b": 0}, patterns) == 2
+    # fully out-of-vocabulary word -> loud error, not a silent guess
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        _ulm_segment_py("zz", {"a": 1}, patterns)
+
+
+def test_ulm_pattern_space_matches_recursive_cte():
+    """The Spark side enumerates compositions in Python
+    (_ulm_pattern_rows); the oracle enumerates them with a recursive
+    CTE (_ULM_PAT_CTES). The two spaces must be row-identical —
+    including the exact HUGEINT boost — or the engines segment over
+    different candidate sets."""
+    import duckdb
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _ULM_PAT_CTES,
+        _ulm_pattern_rows,
+    )
+
+    got = duckdb.connect().execute(
+        "WITH RECURSIVE "
+        + ",\n".join(_ULM_PAT_CTES)
+        + " SELECT n, starts, lens, k, CAST(boost AS VARCHAR) FROM pat"
+    ).fetchall()
+    want = {
+        (n, tuple(starts), tuple(lens), k, str(boost))
+        for n, starts, lens, k, boost in _ulm_pattern_rows()
+    }
+    assert {(n, tuple(s), tuple(l), k, b) for n, s, l, k, b in got} == want
+    assert len(got) == len(want) == 1951
