@@ -146,6 +146,8 @@ def main() -> None:
     # dispersion line that separates real deltas from host noise.
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
+    from spark_dynamodb_spark.maintenance import release_cached
+
     def measure(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
         mins: dict[str, float] = {}
         medians: dict[str, float] = {}
@@ -157,6 +159,13 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 n = df.count()
                 samples.append(time.perf_counter() - t0)
+                # every query call mints fresh localCheckpoints that
+                # would otherwise pin executor storage for the rest of
+                # the bench (VERDICT r11 #7); releasing between runs
+                # also keeps timings honest — nothing leaks a
+                # session-cached relation into the next run's "min"
+                # (the r10 c110 measurement artifact)
+                release_cached(spark)
             mins[name] = round(min(samples), 3)
             medians[name] = round(statistics.median(samples), 3)
             print(

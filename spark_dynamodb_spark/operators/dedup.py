@@ -2266,11 +2266,13 @@ def _ed_prepared(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
-    """Blocked candidate generation + bounded levenshtein verify over a
-    prepared signature frame — the machinery shared by c101 (pair
-    list over raw docs) and c110 (verdicts over distinct-signature
-    representatives). Returns (doc_a, doc_b, edit_dist, pfx_sim)."""
+def _ed_candidate_pairs(prep: DataFrame) -> DataFrame:
+    """Blocked candidate generation over a prepared signature frame:
+    (doc_a, doc_b, pa, pb) with a numbered (doc_a, doc_b) repartition
+    as the TOPMOST exchange, so the verify stage built on top runs at
+    exactly shuffle-partition width. Factored from _ed_verified_pairs
+    so the plan gates can inspect this pre-barrier plan (the lazy
+    localCheckpoint above hides it behind a Scan ExistingRDD)."""
     spark = prep.sparkSession
     blk = prep.withColumn(
         "bkt",
@@ -2299,8 +2301,10 @@ def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
     #     CPU-heavy predicate evaluated inside the broadcast-probe
     #     stage, whose parallelism is the raw scan's (one row group =
     #     ONE task locally): 230 s single-task, levenshtein computed
-    #     2-3x per pair. Verifying above the prefix joins caps the
-    #     pushdown at a stage that is explicitly re-partitioned wide.
+    #     2-3x per pair. Verifying above the prefix joins (and, since
+    #     round 12, above a numbered repartition that sits DIRECTLY
+    #     under it) caps the pushdown at a stage that is explicitly
+    #     re-partitioned wide.
     #  2. The distinct shuffle carries 16 bytes/pair, not 2x256 chars
     #     (and with two permutations it also folds the double-collision
     #     case — pairs matching on BOTH mh1 and mh2 — to one row).
@@ -2321,30 +2325,76 @@ def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
             F.col("y.doc_id").alias("doc_b"),
         )
         .distinct()
-        # numbered repartition (never AQE-coalesced): the pair rows are
-        # only a few MB, so AQE would fold them to ONE partition and
-        # serialize the CPU-bound verify that follows. Width follows
-        # the session's shuffle-partition config, so a cluster gets
-        # cluster-width verify parallelism, not a hardcoded 32.
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            "doc_a",
-            "doc_b",
-        )
     )
     pfx = prep.select("doc_id", "pfx")
-    cand = cand_ids.join(
-        pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")),
-        "doc_a",
-    ).join(
-        pfx.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb")),
-        "doc_b",
+    cand = (
+        cand_ids.join(
+            pfx.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            pfx.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb")),
+            "doc_b",
+        )
+        # numbered repartition (never AQE-coalesced) DIRECTLY under the
+        # verify — round-12 finding: when this sat below the pfx joins,
+        # each join inserted its own ENSURE_REQUIREMENTS exchange above
+        # it and AQE coalesced THOSE, so the CPU-bound verify ran
+        # 8-wide despite the numbered exchange (measured at sf0.1:
+        # verify stage 8-wide ~8 s, 32-wide ~4.4 s). Keys are REVERSED
+        # (doc_b, doc_a) deliberately: the distinct above already
+        # hash-partitions (doc_a, doc_b, N), and a same-key numbered
+        # repartition is elided as satisfied-by-child at planning —
+        # leaving only the AQE-coalescible ENSURE_REQUIREMENTS
+        # exchange. Hash partitioning is argument-order-sensitive, so
+        # the reversed spelling survives as a real REPARTITION_BY_NUM
+        # (plan-gated). The shuffle carries the two 256-char prefixes
+        # (~0.5 KB/pair) instead of 16 B/pair — measured cheaper than
+        # the parallelism it buys. Width follows the session's
+        # shuffle-partition config, so a cluster gets cluster-width
+        # verify parallelism.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            "doc_b",
+            "doc_a",
+        )
+        .select("doc_a", "doc_b", "pa", "pb")
     )
-    # equality short-circuit: in a replica-heavy corpus MOST verified
-    # pairs have bit-identical prefixes (levenshtein(x, x) = 0), and a
-    # string equality check is ~2 orders cheaper than the banded DP —
-    # the DP is only paid on pairs that actually differ (10x stress:
-    # 51M candidate pairs, the bulk exact-equal).
+    return cand
+
+
+def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
+    """Blocked candidate generation + bounded levenshtein verify over a
+    prepared signature frame — the machinery shared by c101 (pair
+    list over raw docs) and c110 (verdicts over distinct-signature
+    representatives). Returns (doc_a, doc_b, edit_dist, pfx_sim).
+
+    The candidate frame crosses a lazy localCheckpoint = an optimizer
+    BARRIER, load-bearing twice (round-12 plan audit, measured: c110
+    14.5 s -> 8.2 s at sf0.1): (1) without it Catalyst pushes the
+    kept-pair filters through the repartition INTO the pfx
+    broadcast-join condition, evaluating levenshtein 2-3x per pair
+    inside a stage whose width AQE already coalesced to 8; (2) the RDD
+    scan boundary pins the verify stage at exactly the numbered width
+    of _ed_candidate_pairs' topmost exchange. The checkpointed RDD is
+    released by maintenance.release_cached (the r10/r11
+    unpersist-audit class)."""
+    cand = _ed_candidate_pairs(prep).localCheckpoint(eager=False)
+    # verify kernel: JVM thresholded levenshtein, kept after a measured
+    # round-12 bake-off against VERDICT r11 #2's prescribed Myers
+    # bit-parallel mapInPandas kernel (implemented, property-tested,
+    # then benchmarked on checkpointed identical input at equal 32-wide
+    # parallelism: SQL DP 4.4-5.0 s vs Myers-in-Python 6.0-8.9 s for
+    # the same 662k pairs at sf0.1). Two reasons the prescription
+    # loses here: (1) 99.3% of blocked candidates are FAR pairs, where
+    # Spark's banded DP aborts on the threshold just as fast as Myers'
+    # bigint loop, and (2) this corpus's 31-word shared vocabulary
+    # defeats prefix/suffix trimming (far pairs still share most
+    # content). The r11 profile's "0.9 ms per differing pair" blamed
+    # the kernel; the real cost was the verify running 8-wide (see the
+    # repartition note above). Equality short-circuit: MOST verified
+    # pairs in a replica-heavy corpus are bit-identical and skip the
+    # DP via a string-equality check that is ~2 orders cheaper.
     lev = F.when(F.col("pa") == F.col("pb"), F.lit(0)).otherwise(
         F.levenshtein("pa", "pb", _ED_MAXDIST)
     )

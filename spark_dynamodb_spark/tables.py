@@ -101,6 +101,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+# stage dirs this process created (never swept) + apps already swept
+_SESSION_STAGE_PATHS: set[str] = set()
+_SWEPT_APPS: set[str] = set()
+
+
 def scratch_stage_path(spark: SparkSession, entry: str, sf_dir: str) -> str:
     """Session-isolated staging dir for an entry's signature parquet:
     unique per (entry, sf_dir, Spark application), so concurrent
@@ -109,11 +114,26 @@ def scratch_stage_path(spark: SparkSession, entry: str, sf_dir: str) -> str:
     alone). Within one session, repeated runs overwrite their OWN
     stage (callers write mode=overwrite each invocation), so no
     stale-cache fingerprinting is needed. The dir name keeps the
-    ``<entry>_sigs_`` prefix the plan gates assert on."""
+    ``<entry>_sigs_`` prefix the plan gates assert on.
+
+    Round 12 (VERDICT r11 #6): the first call per application also
+    sweeps STALE stage dirs left by dead sessions — the per-app
+    fingerprint means no session ever overwrote a prior session's
+    dirs, and 161 had accumulated in the temp root. The sweep skips
+    everything this session registered and anything touched within
+    the last hour (maintenance.sweep_scratch), so live concurrent
+    sessions are never clipped."""
     import hashlib
     import os
     import tempfile
 
     app = spark.sparkContext.applicationId
     tag = hashlib.md5(f"{entry}:{sf_dir}:{app}".encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"{entry}_sigs_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"{entry}_sigs_{tag}")
+    _SESSION_STAGE_PATHS.add(path)
+    if app not in _SWEPT_APPS:
+        _SWEPT_APPS.add(app)
+        from spark_dynamodb_spark.maintenance import sweep_scratch
+
+        sweep_scratch(keep=_SESSION_STAGE_PATHS)
+    return path

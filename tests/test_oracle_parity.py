@@ -23,15 +23,25 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_parity(spark, sf_dir, duck, name):
+    from spark_dynamodb_spark.maintenance import release_cached
+
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     problems = compare(name, df, spec.oracle, duck)
+    # each query call mints fresh localCheckpoints; release them so a
+    # 340-entry sweep doesn't accumulate executor storage (VERDICT r11
+    # #7 — observed as transient collectToPython failures late in
+    # long multi-query sessions)
+    release_cached(spark)
     assert not problems, "\n".join(problems)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
+    from spark_dynamodb_spark.maintenance import release_cached
+
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    release_cached(spark)

@@ -1446,19 +1446,45 @@ def test_edit_distance_blocked_never_allpairs(spark, sf_dir):
     (the round-9 single-task trap: a lev predicate in the broadcast
     probe stage ran 230 s on one task; verified fix runs 14.5 s on
     32)."""
+    from spark_dynamodb_spark.operators.dedup import (
+        _ed_candidate_pairs,
+        _ed_prepared,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    # candidate-generation plan (below the round-12 checkpoint barrier):
+    # equi-join blocking, numbered repartition as the TOPMOST exchange,
+    # and NO levenshtein anywhere below the barrier (when the kept-pair
+    # filters leaked into the pfx broadcast-join condition, the DP ran
+    # 2-3x per pair inside an AQE-coalesced 8-wide stage — measured
+    # 14.5 s -> 8.2 s at sf0.1 after the barrier pinned it out)
+    cplan = physical_plan(
+        _ed_candidate_pairs(_ed_prepared(load_table(spark, sf_dir, "documents")))
+    )
+    assert "CartesianProduct" not in cplan, cplan
+    assert "BroadcastNestedLoopJoin" not in cplan, cplan
+    assert ("SortMergeJoin" in cplan) or ("ShuffledHashJoin" in cplan) or (
+        "BroadcastHashJoin" in cplan
+    ), cplan
+    assert "levenshtein" not in cplan, cplan
+    clines = cplan.splitlines()
+    rep_i = next(i for i, l in enumerate(clines) if "REPARTITION_BY_NUM" in l)
+    join_i = next(i for i, l in enumerate(clines) if "Join" in l)
+    assert rep_i < join_i, cplan  # numbered exchange sits above all joins
+
+    # full-query plan: the verify runs above the checkpoint's RDD scan
+    # boundary, with no join (and hence no narrower re-exchange) in
+    # between — the stage width IS the numbered repartition's
     df = dedup.dedup_edit_distance(spark, sf_dir)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    ), plan
-    # verify parallelism is pinned by an explicit numbered exchange
-    assert "REPARTITION_BY_NUM" in plan, plan
-    # and no join evaluates the edit distance as part of its condition
-    for line in plan.splitlines():
-        if "Join condition" in line or "Join Inner, " in line:
-            assert "levenshtein" not in line, line
+    assert "levenshtein" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    lines = plan.splitlines()
+    lev_i = next(i for i, l in enumerate(lines) if "levenshtein" in l)
+    rdd_i = next(i for i, l in enumerate(lines) if "ExistingRDD" in l)
+    assert lev_i < rdd_i, plan
+    assert not any("Join" in l for l in lines[lev_i:rdd_i]), plan
 
 
 def test_edit_distance_verdict_single_scan_no_pairs(spark, sf_dir):
@@ -1493,19 +1519,29 @@ def test_edit_distance_verdict_single_scan_no_pairs(spark, sf_dir):
 
     sig = staged.groupBy(*dedup._ED_SIG_COLS).agg(F.min("doc_id").alias("rep_id"))
     reps = sig.select(F.col("rep_id").alias("doc_id"), *dedup._ED_SIG_COLS)
+    # candidate plan below the checkpoint barrier: equi-join blocking,
+    # numbered (doc_a, doc_b) exchange ABOVE the joins, no levenshtein
+    # leaked into any join condition (round 12 — see the c101 gate)
+    cplan = physical_plan(dedup._ed_candidate_pairs(reps))
+    assert "CartesianProduct" not in cplan, cplan
+    assert "BroadcastNestedLoopJoin" not in cplan, cplan
+    assert "levenshtein" not in cplan, cplan
+    clines = cplan.splitlines()
+    rep_i = next(
+        i
+        for i, l in enumerate(clines)
+        if "REPARTITION_BY_NUM" in l and "hashpartitioning(doc_b" in l
+    )
+    join_i = next(i for i, l in enumerate(clines) if "Join" in l)
+    assert rep_i < join_i, cplan
+    # verify plan: levenshtein above the RDD scan boundary, no join in
+    # between — stage width is exactly the numbered repartition's
     pplan = physical_plan(dedup._ed_verified_pairs(reps))
-    assert "CartesianProduct" not in pplan, pplan
-    assert "BroadcastNestedLoopJoin" not in pplan, pplan
-    # the numbered repartition can be absorbed into an equivalent
-    # ENSURE_REQUIREMENTS exchange on the aggregated reps input — what
-    # matters is that a (doc_a, doc_b) hash exchange exists above the
-    # candidate join so the verify runs shuffle-wide
-    assert any(
-        "Exchange hashpartitioning(doc_a" in line for line in pplan.splitlines()
-    ), pplan
-    for line in pplan.splitlines():
-        if "Join condition" in line or "Join Inner, " in line:
-            assert "levenshtein" not in line, line
+    plines = pplan.splitlines()
+    lev_i = next(i for i, l in enumerate(plines) if "levenshtein" in l)
+    rdd_i = next(i for i, l in enumerate(plines) if "ExistingRDD" in l)
+    assert lev_i < rdd_i, pplan
+    assert not any("Join" in l for l in plines[lev_i:rdd_i]), pplan
 
 
 def test_corpus_profile_single_scan(spark, sf_dir):
