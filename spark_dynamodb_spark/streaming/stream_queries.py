@@ -1874,6 +1874,268 @@ _finalize_s26_oracle()
 
 
 # ---------------------------------------------------------------------------
+# S28 — streaming near-dup VERDICT CONTRACT: signature-group collapse
+# ---------------------------------------------------------------------------
+
+
+def _s28_group_merge(prev: DataFrame | None, batch_sigs: DataFrame) -> DataFrame:
+    """One micro-batch's signature-GROUP state transition: merge the
+    batch's per-signature (sarr, b_rep, b_cnt) rollup into the
+    persistent group state (sarr, gid, rep_id, cnt, is_new).
+
+    ``gid`` is the group's STABLE identity — the smallest doc_id of
+    the batch that first introduced the signature; it never changes,
+    so bucket member lists and the pair ledger stay valid across
+    batches. ``rep_id`` is the group's smallest member doc_id SO FAR
+    and only shrinks; finalization reads it, so the verdict table is
+    independent of arrival order even when a smaller replica arrives
+    after its clique's gid was minted. ``is_new`` marks groups minted
+    THIS batch — the only ones that enter LSH banding (the whole
+    point: a replica flood of an already-seen signature is one count
+    bump, zero pairwise work)."""
+    gb = batch_sigs.filter(F.size("sarr") > 0).groupBy("sarr").agg(
+        F.min("doc_id").alias("b_rep"), F.count("*").alias("b_cnt")
+    )
+    if prev is None:
+        return gb.select(
+            "sarr",
+            F.col("b_rep").alias("gid"),
+            F.col("b_rep").alias("rep_id"),
+            F.col("b_cnt").alias("cnt"),
+            F.lit(True).alias("is_new"),
+        )
+    return gb.join(prev, ["sarr"], "full").select(
+        "sarr",
+        F.coalesce("gid", "b_rep").alias("gid"),
+        F.least(
+            F.coalesce("rep_id", "b_rep"), F.coalesce("b_rep", "rep_id")
+        ).alias("rep_id"),
+        (F.coalesce("cnt", F.lit(0)) + F.coalesce("b_cnt", F.lit(0))).alias("cnt"),
+        F.col("gid").isNull().alias("is_new"),
+    )
+
+
+def _finalize_s28_oracle() -> None:
+    """Same oracle as s26 — the verdict CONTRACT is identical (exact
+    one-shot near-dup semantics); only the state machinery differs.
+    Sharing the string pins that the two streaming spellings answer
+    the same question."""
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s28_stream_neardup_verdict").oracle = REGISTRY.resolve(
+        "s26_stream_neardup_state"
+    ).oracle
+
+
+@query(
+    "s28_stream_neardup_verdict",
+    None,  # oracle patched below (shared with s26)
+)
+def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S28: streaming near-dup verdicts with SIGNATURE-GROUP COLLAPSE
+    — c110's rep-collapse lesson (operators/dedup.py) applied to s26's
+    ledgers, VERDICT r11 #1 (the round's one perf-weak item): s26's
+    verified-pair ledger grows ~quadratically inside replica cliques
+    (measured 19.43x wall at 100x data), because every clique member
+    pairs with every other. Here replica cliques collapse to ONE
+    group per distinct hashed-shingle SET before any pairwise work:
+
+    - per batch, docs fold into signature GROUPS (sorted distinct
+      shingle-hash array = the group key; _s28_group_merge keeps a
+      stable gid, the shrinking min-member rep_id, and a count);
+    - only groups minted this batch enter LSH banding — bucket state
+      (s26's _neardup_bucket_merge, reused verbatim) holds GROUP ids,
+      so a 10,000-replica flood of one page is one band-row set, one
+      count bump, zero candidate pairs;
+    - the verified-pair ledger stores GROUP pairs (exact Jaccard on
+      the two signature arrays — Jaccard depends only on the sets, so
+      a group-level verify IS the member-level verify), making
+      verified-pair storage O(distinct-signatures^2) per clique
+      neighborhood instead of O(members^2) — pinned by
+      tests/test_streaming.py's state-size assertion.
+
+    Finalization is c110's group-floor fold, streamed: for each group,
+    ext_min = the smallest rep_id among exact-verified partner groups
+    (pairs justified by a FINAL-count-alive bucket — the monotone-cap
+    argument is s26's, over group counts); g_floor = least(rep_id,
+    ext_min); a member is a dup iff doc_id > g_floor, canon = g_floor.
+    Equivalence with the exact-Jaccard oracle is the c110 factoring
+    argument: within a group J = 1 (identical sets), across groups
+    J(a, b) = J(G, G') for every member choice, so "smallest partner
+    of d" is exactly "least(rep of d's group if d isn't it, smallest
+    matched group rep below d)". Docs whose shingle set is EMPTY never
+    group (J is 0/0 = no pair in the oracle): they fall through the
+    left join as their own verdict row, is_dup false.
+
+    Batch-split independence: final rep_id/cnt are split-independent
+    rollups; pair EXISTENCE depends only on the deterministic banding
+    of group signatures; gids vary with arrival order but never reach
+    the output. At 100 TB the group state lives in a keyed store
+    (equi-lookups by signature hash), each batch costs O(batch +
+    new-groups x bands), and — the landing-zone reality s26 missed —
+    steady-state crawl batches are replica-heavy, so new-groups is a
+    trickle even when the batch is a flood.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.dedup import (
+        JACCARD_T,
+        MAX_BUCKET_DOCS,
+        _shingle_arrays,
+    )
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    root = tempfile.mkdtemp(prefix="neardup_vstate_")
+    sigs_dir = os.path.join(root, "sigs")
+    prov_dir = os.path.join(root, "prov")
+    gpairs_dir = os.path.join(root, "gpairs")
+    last_groups: list[str | None] = [None]
+    last_bands: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        # one shingling pass; sarr sorted so identical shingle SETS
+        # compare equal regardless of first-occurrence order
+        batch_sigs = (
+            _shingle_arrays(batch)
+            .select(
+                "doc_id",
+                F.array_sort(
+                    F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+                ).alias("sarr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch_sigs.write.mode("append").parquet(sigs_dir)
+        prev_groups = (
+            sess.read.parquet(last_groups[0]) if last_groups[0] is not None else None
+        )
+        groups = _s28_group_merge(prev_groups, batch_sigs).localCheckpoint(
+            eager=True
+        )
+        gout = os.path.join(root, f"groups_v{batch_id}")
+        groups.write.mode("overwrite").parquet(gout)
+        last_groups[0] = gout
+        # LSH banding over NEWLY MINTED groups only
+        bands_new = _neardup_band_rows(
+            groups.filter("is_new").select(
+                F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")
+            )
+        )
+        prev_bands = (
+            sess.read.parquet(last_bands[0]) if last_bands[0] is not None else None
+        )
+        state, prov = _neardup_bucket_merge(prev_bands, bands_new, MAX_BUCKET_DOCS)
+        bout = os.path.join(root, f"bands_v{batch_id}")
+        state.write.mode("overwrite").parquet(bout)
+        last_bands[0] = bout
+        prov = prov.localCheckpoint(eager=True)
+        prov.write.mode("append").parquet(prov_dir)
+        # exact group-level Jaccard verify, each group pair ONCE
+        cand = prov.select("doc_a", "doc_b").distinct()
+        garr = groups.select("gid", "sarr")
+        paired = cand.join(
+            garr.select(F.col("gid").alias("doc_a"), F.col("sarr").alias("arr_a")),
+            "doc_a",
+        ).join(
+            garr.select(F.col("gid").alias("doc_b"), F.col("sarr").alias("arr_b")),
+            "doc_b",
+        )
+        c = F.size(F.array_intersect("arr_a", "arr_b"))
+        jac = c / (F.size("arr_a") + F.size("arr_b") - c)
+        paired.filter(jac >= JACCARD_T).select("doc_a", "doc_b").write.mode(
+            "append"
+        ).parquet(gpairs_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="neardup_vckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        docs_all = spark.read.parquet(sigs_dir)
+        groups_final = spark.read.parquet(last_groups[0])
+        bands_final = spark.read.parquet(last_bands[0])
+        have_pairs = os.path.isdir(gpairs_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(gpairs_dir)
+        )
+        if have_pairs:
+            prov = spark.read.parquet(prov_dir)
+            gpairs = spark.read.parquet(gpairs_dir)
+            alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
+                "band", "key"
+            )
+            justified = (
+                prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
+            )
+            vg = gpairs.join(justified, ["doc_a", "doc_b"])
+            g = groups_final.select("gid", "rep_id")
+            e = vg.join(
+                g.select(F.col("gid").alias("doc_a"), F.col("rep_id").alias("rep_a")),
+                "doc_a",
+            ).join(
+                g.select(F.col("gid").alias("doc_b"), F.col("rep_id").alias("rep_b")),
+                "doc_b",
+            )
+            ext = (
+                e.select(F.col("doc_a").alias("gid"), F.col("rep_b").alias("p"))
+                .unionByName(
+                    e.select(F.col("doc_b").alias("gid"), F.col("rep_a").alias("p"))
+                )
+                .groupBy("gid")
+                .agg(F.min("p").alias("ext_min"))
+            )
+            flr = groups_final.join(ext, "gid", "left").select(
+                "sarr",
+                F.least(
+                    F.col("rep_id"), F.coalesce("ext_min", "rep_id")
+                ).alias("g_floor"),
+            )
+        else:
+            flr = groups_final.select("sarr", F.col("rep_id").alias("g_floor"))
+        v = docs_all.join(flr, "sarr", "left")
+        rows = v.select(
+            F.col("doc_id").cast("long"),
+            F.coalesce(F.col("doc_id") > F.col("g_floor"), F.lit(False)).alias(
+                "is_dup"
+            ),
+            F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("canon_id"),
+        ).orderBy("doc_id")
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_finalize_s28_oracle()
+
+
+# ---------------------------------------------------------------------------
 # S27 — incremental IVF index maintenance (streaming embeddings)
 # ---------------------------------------------------------------------------
 

@@ -924,3 +924,95 @@ def test_s27_pending_buffer_and_exactly_once(spark, sf_dir):
     from spark_dynamodb_spark.operators.similarity import NLIST
 
     assert all(0 <= r["cell"] < NLIST for r in rows)
+
+
+def test_s28_group_collapse_state_is_rep_quadratic_not_member_quadratic(spark):
+    """VERDICT r11 #1's 'done' criterion: for a replica clique of k
+    identical docs, s28's state must hold ONE group (not k bucket
+    members) and its verified-pair ledger O(reps^2) group pairs (not
+    O(k^2) doc pairs). Driven through the real batch transition
+    (_s28_group_merge + the shared _neardup_bucket_merge) with a
+    60-replica clique split across two batches plus two distinct docs:
+    the clique contributes ZERO pairs (one group, no partner), the two
+    near-identical distinct docs contribute their single group pair's
+    candidate, and bucket member lists hold group ids."""
+    import pyspark.sql.functions as F
+
+    from spark_dynamodb_spark.operators.dedup import MAX_BUCKET_DOCS
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        _neardup_band_rows,
+        _neardup_bucket_merge,
+        _s28_group_merge,
+    )
+
+    words = [f"w{i:03d}" for i in range(40)]
+    clique_text = " ".join(words)
+    near_text = " ".join(words[:-1] + ["zzz"])  # J >> 0.8 vs clique
+    far_text = " ".join(f"q{i:03d}" for i in range(40))
+
+    # reuse the exact query-side signature construction
+    from spark_dynamodb_spark.operators.dedup import _shingle_arrays
+
+    def batch_sigs(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return _shingle_arrays(df).select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+            ).alias("sarr"),
+        )
+
+    b1 = batch_sigs([(i, clique_text) for i in range(1, 31)] + [(100, near_text)])
+    b2 = batch_sigs(
+        [(i, clique_text) for i in range(31, 61)] + [(200, far_text)]
+    )
+
+    g1 = _s28_group_merge(None, b1).localCheckpoint(eager=True)
+    # 30 clique replicas -> ONE group; near doc -> its own group
+    rows1 = {r["gid"]: r for r in g1.collect()}
+    assert len(rows1) == 2
+    assert rows1[1]["cnt"] == 30 and rows1[1]["rep_id"] == 1
+    bands1 = _neardup_band_rows(
+        g1.filter("is_new").select(
+            F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")
+        )
+    )
+    st1, prov1 = _neardup_bucket_merge(None, bands1, MAX_BUCKET_DOCS)
+    st1 = st1.localCheckpoint(eager=True)
+    # bucket member lists hold GROUP ids — never more entries than groups
+    assert st1.select(F.max(F.size("ids"))).first()[0] <= 2
+    # candidate pairs are GROUP pairs: at most {clique-group, near-group}
+    p1 = {(r["doc_a"], r["doc_b"]) for r in prov1.collect()}
+    assert p1 <= {(1, 100)}
+
+    g2 = _s28_group_merge(g1.drop("is_new"), b2).localCheckpoint(eager=True)
+    rows2 = {r["gid"]: r for r in g2.collect()}
+    assert len(rows2) == 3
+    # 30 more replicas: count bump only, NOT a new group
+    assert rows2[1]["cnt"] == 60 and not rows2[1]["is_new"]
+    bands2 = _neardup_band_rows(
+        g2.filter("is_new").select(
+            F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")
+        )
+    )
+    st2, prov2 = _neardup_bucket_merge(st1, bands2, MAX_BUCKET_DOCS)
+    # the 60-member clique generated ZERO ledger pairs across both
+    # batches (one group, its only near partner is doc 100's group):
+    # total candidate work is O(groups^2) = O(9), not O(60^2)
+    p_all = p1 | {(r["doc_a"], r["doc_b"]) for r in prov2.collect()}
+    assert all(a in (1, 100, 200) and b in (1, 100, 200) for a, b in p_all)
+    assert len(p_all) <= 3
+
+
+def test_s28_matches_s26_verdicts(spark, sf_dir):
+    """The two streaming near-dup spellings must produce the SAME
+    verdict table — s28 is a state-machinery optimization, not a
+    semantics change."""
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        stream_neardup_state,
+        stream_neardup_verdict,
+    )
+
+    got26 = [tuple(r) for r in stream_neardup_state(spark, sf_dir).collect()]
+    got28 = [tuple(r) for r in stream_neardup_verdict(spark, sf_dir).collect()]
+    assert got26 == got28
