@@ -241,7 +241,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_audio_resample",
         "c05_multimodal_features",
         "c05_multimodal_frames",
-        "c05_multimodal_jpeg",
         "c05_multimodal_png",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
@@ -254,7 +253,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c08_sessionization",
         "c09_sequence_packing",
         "c100_ann_int8_topk",
-        "c101_dedup_edit_distance",
         "c102_kmv_sketch_rollup",
         "c103_kmv_source_overlap",
         "c104_sq8_recall_eval",
@@ -264,16 +262,11 @@ ROTATED_GREEN_R1 = frozenset(
         "c108_simhash_hamming_pairs",
         "c109_ann_ivf_pq",
         "c10_decontamination",
-        "c110_edit_distance_verdict",
         "c111_corpus_profile",
         "c112_bpe_train",
         "c113_bpe_encode",
         "c114_ann_ivf_pq_rerank",
-        "c115_tokenizer_encode",
-        "c116_unigram_lm_train",
-        "c117_tokenizer_fertility_compare",
         "c118_ann_binary_hamming",
-        "c119_unigram_encode",
         "c11_domain_mixture",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
@@ -393,6 +386,13 @@ ROTATED_GREEN_R1 = frozenset(
 )
 
 
+# Round-12 note: seven previously-rotated names were deliberately
+# UN-rotated back into the window (removed from ROTATED_GREEN_R1)
+# because this round changed their implementation or semantics and
+# the driver's lexical-first-50 window would otherwise never
+# re-verify them: c05_multimodal_jpeg (DRI), c101/c110 (verify plan
+# surgery), c115-c117/c119 (full-word unigram-LM). They re-rotate
+# via scripts/rotate_window.py once CORRECTNESS_r12 is green.
 # Entries awaiting their first driver window slot, parked under ``x_``
 # (sorts after the window, before the z_ greens). Round-5 state: the
 # rotation script unparked the first 50 round-4 names into the window
