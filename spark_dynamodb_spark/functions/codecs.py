@@ -21,7 +21,7 @@ added DRI/RSTn restart intervals) and FLAC (round 12: fixed
 predictors + Rice coding, STREAMINFO-MD5 self-verification) are
 implemented here too, stdlib+numpy only. Still honestly out of
 scope with NotImplementedError: MP3/non-PCM audio, progressive or
-arithmetic JPEG, LPC/stereo FLAC.
+arithmetic JPEG, stereo/wasted-bits FLAC.
 """
 
 from __future__ import annotations
@@ -948,10 +948,10 @@ def jpeg_payload_bytes(img: dict, n: int) -> bytes:
 # splitting) cannot reproduce it. encode_flac packs one 16-bit sample
 # per payload byte (the encode_wav mapping) into 256-sample frames and
 # CYCLES the subframe type per frame (constant / verbatim / fixed order
-# 1-3 with Rice-coded residuals) so decode must implement all of them.
-# Out of scope, honest NotImplementedError: LPC subframes, stereo
-# decorrelation, wasted bits. Frame header CRC-8 and frame CRC-16 are
-# real and enforced.
+# 1-3 / quantized-coefficient LPC, all with Rice-coded residuals) so
+# decode must implement every subframe family. Out of scope, honest
+# NotImplementedError: stereo decorrelation, wasted bits. Frame header
+# CRC-8 and frame CRC-16 are real and enforced.
 
 FLAC_BLOCK = 256
 
@@ -1089,14 +1089,56 @@ def _rice_param(resid):
     return p
 
 
+_LPC_SHIFT = 4  # encoder's LPC mode: coeffs (2, -1) << 4, exact order-2
+
+
+def _flac_write_residual(wr: _FlacBitWriter, resid) -> None:
+    """Rice residual, method 00 (4-bit params), partition order 0."""
+    wr.write(0b00, 2)
+    wr.write(0, 4)
+    p = min(_rice_param(resid), 14)
+    wr.write(p, 4)
+    for r in resid:
+        u = _flac_zigzag(r)
+        for _ in range(u >> p):
+            wr.write(0, 1)
+        wr.write(1, 1)
+        if p:
+            wr.write(u & ((1 << p) - 1), p)
+
+
 def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
-    """mode: 0=constant(if possible else verbatim), 1=verbatim, 2..4 fixed order mode-2+1"""
+    """mode: 0=constant(if possible else verbatim), 1=verbatim,
+    2..4=fixed order mode-1, 5=LPC order 2 (quantized (2,-1)<<4
+    coefficients — numerically the fixed-2 predictor, but routed
+    through the full LPC header/coefficient/shift machinery so decode
+    must implement it)."""
     n = len(samples)
     if mode == 0 and all(s == samples[0] for s in samples):
         wr.write(0, 1)
         wr.write(0b000000, 6)
         wr.write(0, 1)
         wr.write(samples[0] & ((1 << bps) - 1), bps)
+        return
+    if mode == 5 and n > 2:
+        order = 2
+        wr.write(0, 1)
+        wr.write(0b100000 | (order - 1), 6)
+        wr.write(0, 1)
+        for s in samples[:order]:
+            wr.write(s & ((1 << bps) - 1), bps)
+        coefs = [2 << _LPC_SHIFT, -(1 << _LPC_SHIFT)]
+        prec = 7  # signed range -64..63 holds 32/-16
+        wr.write(prec - 1, 4)
+        wr.write(_LPC_SHIFT, 5)
+        for c in coefs:
+            wr.write(c & ((1 << prec) - 1), prec)
+        resid = [
+            samples[i]
+            - ((coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) >> _LPC_SHIFT)
+            for i in range(order, n)
+        ]
+        _flac_write_residual(wr, resid)
         return
     order = 0 if mode <= 1 else min(mode - 1, 4, n - 1)
     if mode == 1 or n <= order:
@@ -1117,21 +1159,7 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     for i in range(order, n):
         pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
         resid.append(samples[i] - pred)
-    # residual: method 00 (rice4), partition order 0, one partition
-    wr.write(0b00, 2)
-    wr.write(0, 4)  # partition order 0
-    p = _rice_param(resid)
-    if p >= 15:
-        p = 14
-    wr.write(p, 4)
-    for r in resid:
-        u = _flac_zigzag(r)
-        q = u >> p
-        for _ in range(q):
-            wr.write(0, 1)
-        wr.write(1, 1)
-        if p:
-            wr.write(u & ((1 << p) - 1), p)
+    _flac_write_residual(wr, resid)
 
 
 def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
@@ -1140,9 +1168,9 @@ def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
     STREAMINFO with the spec-mandated MD5 of the decoded samples,
     then 256-sample fixed-blocksize frames whose subframe type CYCLES
     by frame index (constant when possible, verbatim, fixed orders
-    1-3 with Rice-coded residuals) so a decoder must implement the
-    whole fixed-predictor surface. Header CRC-8 + frame CRC-16 per
-    RFC 9639."""
+    1-3, quantized-coefficient LPC — all with Rice-coded residuals)
+    so a decoder must implement every subframe family. Header CRC-8 +
+    frame CRC-16 per RFC 9639."""
     if not data:
         raise ValueError("encode_flac: empty payload")
     samples = [b << 4 for b in data]
@@ -1187,7 +1215,7 @@ def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
             hbytes.append(bs_tail)
         hbytes.append(_flac_crc8(bytes(hbytes)))
         fw = _FlacBitWriter()
-        _flac_write_subframe(fw, blk, bps, f % 5)
+        _flac_write_subframe(fw, blk, bps, f % 6)
         fw.align()
         frame = bytes(hbytes) + fw.bytes()
         frame += struct.pack(">H", _flac_crc16(frame))
@@ -1203,14 +1231,15 @@ def decode_flac(payload: bytes) -> dict:
     """Parse a FLAC stream from raw bytes: metadata-block walk
     (STREAMINFO required), then per frame: sync-code scan, header
     fields + UTF-8-coded frame number + CRC-8, subframe decode
-    (constant / verbatim / fixed predictors with Rice residual
-    partitions, escape codes included), frame CRC-16 — and finally
+    (constant / verbatim / fixed predictors / LPC with quantized
+    coefficients and arithmetic shift, Rice residual partitions with
+    escape codes), frame CRC-16 — and finally
     the spec's own oracle: the MD5 of the decoded little-endian
     samples must equal STREAMINFO's. Returns {sample_rate,
     n_channels, bits_per_sample, n_samples, duration_ms, sample_data,
     md5_verified, file_size}. Raises ValueError on corrupt/truncated
-    streams or MD5 mismatch, NotImplementedError for LPC subframes,
-    stereo, wasted bits (out of scope here)."""
+    streams or MD5 mismatch, NotImplementedError for stereo and
+    wasted bits (out of scope here)."""
     if len(payload) < 8 or payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (missing fLaC magic)")
     pos = 4
@@ -1324,6 +1353,35 @@ def decode_flac(payload: bytes) -> dict:
     }
 
 
+def _flac_signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if bits and v >= (1 << (bits - 1)) else v
+
+
+def _flac_read_residual(rd: _FlacBitReader, bs: int, order: int) -> list[int]:
+    """Rice-partitioned residual decode (both 4- and 5-bit parameter
+    methods, escape-to-raw included) — shared by FIXED and LPC
+    subframes."""
+    method = rd.read(2)
+    if method not in (0, 1):
+        raise ValueError("flac: bad residual method")
+    pbits = 4 if method == 0 else 5
+    porder = rd.read(4)
+    out: list[int] = []
+    for part in range(1 << porder):
+        cnt = (bs >> porder) - (order if part == 0 else 0)
+        p = rd.read(pbits)
+        if p == (1 << pbits) - 1:
+            rawbits = rd.read(5)
+            for _ in range(cnt):
+                out.append(_flac_signed(rd.read(rawbits), rawbits) if rawbits else 0)
+        else:
+            for _ in range(cnt):
+                q = rd.read_unary()
+                u = (q << p) | (rd.read(p) if p else 0)
+                out.append(_flac_unzigzag(u))
+    return out
+
+
 def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
     if rd.read(1):
         raise ValueError("flac: subframe padding bit set")
@@ -1332,8 +1390,7 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
     if wasted:
         raise NotImplementedError("wasted bits not supported here")
 
-    def signed(v, bits):
-        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+    signed = _flac_signed
 
     if stype == 0b000000:
         v = signed(rd.read(bps), bps)
@@ -1342,35 +1399,33 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
         return [signed(rd.read(bps), bps) for _ in range(bs)]
     if 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
-        warm = [signed(rd.read(bps), bps) for _ in range(order)]
-        method = rd.read(2)
-        if method not in (0, 1):
-            raise ValueError("flac: bad residual method")
-        pbits = 4 if method == 0 else 5
-        porder = rd.read(4)
-        nparts = 1 << porder
-        samples = list(warm)
+        samples = [signed(rd.read(bps), bps) for _ in range(order)]
         coefs = _FIXED_COEFS[order]
-        for part in range(nparts):
-            cnt = (bs >> porder) - (order if part == 0 else 0)
-            p = rd.read(pbits)
-            if p == (1 << pbits) - 1:
-                rawbits = rd.read(5)
-                for _ in range(cnt):
-                    u = rd.read(rawbits) if rawbits else 0
-                    r = signed(u, rawbits) if rawbits else 0
-                    pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-                    samples.append(pred + r)
-            else:
-                for _ in range(cnt):
-                    q = rd.read_unary()
-                    u = (q << p) | (rd.read(p) if p else 0)
-                    r = _flac_unzigzag(u)
-                    pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-                    samples.append(pred + r)
+        for r in _flac_read_residual(rd, bs, order):
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(pred + r)
         return samples
     if stype & 0b100000:
-        raise NotImplementedError("LPC subframes not supported here (fixed-predictor FLAC only)")
+        # LPC subframe (round 12): order-1 in the low 5 bits, warmup,
+        # quantized coefficient precision/shift, coefficients, then the
+        # same Rice residual; reconstruction is the spec's
+        # (sum coef_j * s[i-1-j]) >> shift + residual with an
+        # ARITHMETIC shift (Python's >> on negative ints floors, which
+        # is exactly libFLAC's behavior)
+        order = (stype & 0b011111) + 1
+        samples = [signed(rd.read(bps), bps) for _ in range(order)]
+        prec = rd.read(4)
+        if prec == 0b1111:
+            raise ValueError("flac: invalid LPC coefficient precision")
+        prec += 1
+        shift = signed(rd.read(5), 5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift is forbidden")
+        coefs = [signed(rd.read(prec), prec) for _ in range(order)]
+        for r in _flac_read_residual(rd, bs, order):
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
+            samples.append(pred + r)
+        return samples
     raise ValueError("flac: reserved subframe type")
 
 
