@@ -97,6 +97,12 @@ EXTRA = [
     "c118_ann_binary_hamming",
     "c05_multimodal_jpeg",
     "c119_unigram_encode",
+    # round-12 design-depth entries: FLAC lossless decode (fixed +
+    # LPC subframes, STREAMINFO-MD5 self-verified per doc), streaming
+    # near-dup verdicts with signature-group collapse (the s26
+    # quadratic-ledger fix — 1.59x at 100x vs 19.43x)
+    "c05_multimodal_flac",
+    "s28_stream_neardup_verdict",
 ]
 
 
