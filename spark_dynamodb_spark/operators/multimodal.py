@@ -376,13 +376,13 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (a zero-sample FLAC stream is spec-degenerate — same
     class as the r11 PNG empty-payload guard).
 
-    Scale shape: same as the other C5 entries — Arrow-batched
-    mapInPandas over a pruned (doc_id, text) scan; codec work is
-    embarrassingly parallel per document, so parallelism = scan
-    splits (the fixture's single row group is re-widened by the
-    numbered repartition in _ensure_worker_imports' sibling entries;
-    here encode+decode is ~0.2 ms/doc, cheap enough to ride the scan,
-    the c115 trade)."""
+    Scale shape: same as c05_multimodal_jpeg — Arrow-batched
+    mapInPandas over a pruned (doc_id, text) scan, re-widened by a
+    NUMBERED repartition: the pure-Python Rice/predictor codec costs
+    ~1.5 ms/doc, so the fixture's one-row-group scan would serialize
+    it on a single core (measured 8.8 s -> expected scan-width after
+    the exchange; the same 108 s -> 7 s class as the JPEG entry), and
+    an unnumbered exchange gets AQE-folded back to one partition."""
     _ensure_worker_imports(spark)
     from spark_dynamodb_spark.functions.codecs import (
         FLAC_BLOCK,
@@ -391,8 +391,14 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         wav_payload_bytes,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
     )
 
     out_schema = T.StructType(
