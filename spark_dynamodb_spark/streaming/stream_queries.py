@@ -2136,6 +2136,256 @@ _finalize_s28_oracle()
 
 
 # ---------------------------------------------------------------------------
+# S29 — s28's group state in the DYNAMO KEYED STORE (connector-backed state)
+# ---------------------------------------------------------------------------
+
+
+def _finalize_s29_oracle() -> None:
+    """Same verdict oracle as s26/s28 — the contract is unchanged;
+    what s29 proves is WHERE the state can live."""
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s29_stream_neardup_dynamo_state").oracle = REGISTRY.resolve(
+        "s26_stream_neardup_state"
+    ).oracle
+
+
+@query(
+    "s29_stream_neardup_dynamo_state",
+    None,  # oracle patched below (shared with s26/s28)
+)
+def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S29: the s28 signature-group state persisted in the repo's OWN
+    dynamo keyed store instead of scratch parquet — making the r11
+    verdict's scale note ("at 100 TB the sigs/bands relations live in
+    a keyed store; the repo's dynamo source is the natural home")
+    a working pipeline rather than a docstring claim. This is the
+    Part A x Part C composition: the connector surface (A2 table
+    create, A4 segmented scan, A11 batch-put upsert) IS the streaming
+    state backend.
+
+    Per micro-batch: the batch's signature-group rollup point-merges
+    against the store (read_dynamo scan + sig64-keyed join locally;
+    at real scale these are GetItem lookups on the hash key — the
+    exact access shape DynamoDB exists for), gid/rep_id/cnt fold
+    exactly as _s28_group_merge, and ONLY the touched items are
+    batch-put back (A11's put-replace semantics make retried batches
+    idempotent). The key is xxhash64 of the sorted shingle-hash array;
+    the full array rides in the item and a same-key-different-array
+    collision fails LOUDLY rather than silently merging two cliques
+    (none can occur in any real corpus size — 64-bit birthday at 1e4
+    groups is ~1e-12 — but the guard keeps the oracle contract
+    honest). Bands/provenance/pair ledgers stay scan-shaped parquet
+    relations deliberately: the keyed store is for point-lookup state,
+    and pretending otherwise would ship the wrong 100 TB design.
+
+    Finalization and semantics are s28's (group-floor fold; same
+    shared oracle string), so the driver hash-verifies that moving the
+    state into the connector changed NOTHING about the answer.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.dedup import (
+        JACCARD_T,
+        MAX_BUCKET_DOCS,
+        _shingle_arrays,
+    )
+    from spark_dynamodb_spark.sources import keyed_store, read_dynamo, write_dynamo
+    from spark_dynamodb_spark.sources.dynamo_queries import _sf_tag
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    store_table = f"neardup_groups_{_sf_tag(sf_dir)}"
+    seed = spark.createDataFrame(
+        [],
+        "sig64 long, sarr array<bigint>, gid long, rep_id long, cnt long",
+    )
+    # fresh store each run — the oracle describes the final state
+    keyed_store.create_table(spark, seed, store_table, hash_key="sig64", n_segments=2)
+
+    root = tempfile.mkdtemp(prefix="neardup_dstate_")
+    sigs_dir = os.path.join(root, "sigs")
+    prov_dir = os.path.join(root, "prov")
+    gpairs_dir = os.path.join(root, "gpairs")
+    last_bands: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        batch_sigs = (
+            _shingle_arrays(batch)
+            .select(
+                "doc_id",
+                F.array_sort(
+                    F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+                ).alias("sarr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        batch_sigs.write.mode("append").parquet(sigs_dir)
+        gb = (
+            batch_sigs.filter(F.size("sarr") > 0)
+            .groupBy("sarr")
+            .agg(F.min("doc_id").alias("b_rep"), F.count("*").alias("b_cnt"))
+            .withColumn("sig64", F.xxhash64(F.expr("array_join(sarr, ',')")))
+        )
+        store = read_dynamo(sess, store_table).select(
+            "sig64",
+            F.col("sarr").alias("sarr_stored"),
+            "gid",
+            "rep_id",
+            "cnt",
+        )
+        m = gb.join(store, "sig64", "left").localCheckpoint(eager=True)
+        # collision guard: same 64-bit key, different signature array
+        # -> refuse loudly instead of silently merging two cliques
+        bad = m.filter(
+            F.col("sarr_stored").isNotNull()
+            & (F.col("sarr") != F.col("sarr_stored"))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"s29: xxhash64 signature-key collision on {bad} group(s) — "
+                "widen the key before trusting this corpus"
+            )
+        merged = m.select(
+            "sig64",
+            "sarr",
+            F.coalesce("gid", "b_rep").alias("gid"),
+            F.least(
+                F.coalesce("rep_id", "b_rep"), F.coalesce("b_rep", "rep_id")
+            ).alias("rep_id"),
+            (F.coalesce("cnt", F.lit(0)) + F.col("b_cnt")).alias("cnt"),
+            F.col("gid").isNull().alias("is_new"),
+        ).localCheckpoint(eager=True)
+        # ONLY touched items go back through the batch-put upsert
+        write_dynamo(
+            merged.select("sig64", "sarr", "gid", "rep_id", "cnt"), store_table
+        )
+        bands_new = _neardup_band_rows(
+            merged.filter("is_new").select(
+                F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")
+            )
+        )
+        prev_bands = (
+            sess.read.parquet(last_bands[0]) if last_bands[0] is not None else None
+        )
+        state, prov = _neardup_bucket_merge(prev_bands, bands_new, MAX_BUCKET_DOCS)
+        bout = os.path.join(root, f"bands_v{batch_id}")
+        state.write.mode("overwrite").parquet(bout)
+        last_bands[0] = bout
+        prov = prov.localCheckpoint(eager=True)
+        prov.write.mode("append").parquet(prov_dir)
+        cand = prov.select("doc_a", "doc_b").distinct()
+        # candidate pairs reach back to groups from EARLIER batches
+        # (a pair is generated when its later member arrives), so the
+        # verify must join against the FULL group state — re-read the
+        # store after the put (read-your-writes through the connector;
+        # a first-draft join against only the batch-touched ``merged``
+        # frame silently dropped every cross-batch pair: 6/24 dups)
+        garr = read_dynamo(sess, store_table).select("gid", "sarr")
+        paired = cand.join(
+            garr.select(F.col("gid").alias("doc_a"), F.col("sarr").alias("arr_a")),
+            "doc_a",
+        ).join(
+            garr.select(F.col("gid").alias("doc_b"), F.col("sarr").alias("arr_b")),
+            "doc_b",
+        )
+        c = F.size(F.array_intersect("arr_a", "arr_b"))
+        jac = c / (F.size("arr_a") + F.size("arr_b") - c)
+        paired.filter(jac >= JACCARD_T).select("doc_a", "doc_b").write.mode(
+            "append"
+        ).parquet(gpairs_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="neardup_dckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        docs_all = spark.read.parquet(sigs_dir)
+        groups_final = read_dynamo(spark, store_table).select(
+            "sarr", "gid", "rep_id", "cnt"
+        )
+        bands_final = spark.read.parquet(last_bands[0])
+        have_pairs = os.path.isdir(gpairs_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(gpairs_dir)
+        )
+        if have_pairs:
+            prov = spark.read.parquet(prov_dir)
+            gpairs = spark.read.parquet(gpairs_dir)
+            alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
+                "band", "key"
+            )
+            justified = (
+                prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
+            )
+            vg = gpairs.join(justified, ["doc_a", "doc_b"])
+            g = groups_final.select("gid", "rep_id")
+            e = vg.join(
+                g.select(F.col("gid").alias("doc_a"), F.col("rep_id").alias("rep_a")),
+                "doc_a",
+            ).join(
+                g.select(F.col("gid").alias("doc_b"), F.col("rep_id").alias("rep_b")),
+                "doc_b",
+            )
+            ext = (
+                e.select(F.col("doc_a").alias("gid"), F.col("rep_b").alias("p"))
+                .unionByName(
+                    e.select(F.col("doc_b").alias("gid"), F.col("rep_a").alias("p"))
+                )
+                .groupBy("gid")
+                .agg(F.min("p").alias("ext_min"))
+            )
+            flr = groups_final.join(ext, "gid", "left").select(
+                "sarr",
+                F.least(
+                    F.col("rep_id"), F.coalesce("ext_min", "rep_id")
+                ).alias("g_floor"),
+            )
+        else:
+            flr = groups_final.select("sarr", F.col("rep_id").alias("g_floor"))
+        v = docs_all.join(flr, "sarr", "left")
+        rows = v.select(
+            F.col("doc_id").cast("long"),
+            F.coalesce(F.col("doc_id") > F.col("g_floor"), F.lit(False)).alias(
+                "is_dup"
+            ),
+            F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
+            .otherwise(F.col("doc_id"))
+            .cast("long")
+            .alias("canon_id"),
+        ).orderBy("doc_id")
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_finalize_s29_oracle()
+
+
+# ---------------------------------------------------------------------------
 # S27 — incremental IVF index maintenance (streaming embeddings)
 # ---------------------------------------------------------------------------
 

@@ -1016,3 +1016,33 @@ def test_s28_matches_s26_verdicts(spark, sf_dir):
     got26 = [tuple(r) for r in stream_neardup_state(spark, sf_dir).collect()]
     got28 = [tuple(r) for r in stream_neardup_verdict(spark, sf_dir).collect()]
     assert got26 == got28
+
+
+def test_s29_dynamo_backed_state_matches_s28(spark, sf_dir):
+    """Moving the signature-group state into the dynamo keyed store
+    must change NOTHING about the verdicts (same shared oracle), and
+    the store must end holding exactly the distinct-signature groups
+    with batch-put upserts folded (cnt sums to the non-empty-sig doc
+    count; rep_id <= gid everywhere since rep only shrinks)."""
+    import pyspark.sql.functions as F
+
+    from spark_dynamodb_spark.sources import read_dynamo
+    from spark_dynamodb_spark.sources.dynamo_queries import _sf_tag
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        stream_neardup_dynamo_state,
+        stream_neardup_verdict,
+    )
+
+    got29 = [tuple(r) for r in stream_neardup_dynamo_state(spark, sf_dir).collect()]
+    got28 = [tuple(r) for r in stream_neardup_verdict(spark, sf_dir).collect()]
+    assert got29 == got28
+    store = read_dynamo(spark, f"neardup_groups_{_sf_tag(sf_dir)}")
+    agg = store.agg(
+        F.count("*").alias("groups"),
+        F.sum("cnt").alias("members"),
+        F.max(F.col("rep_id") > F.col("gid")).alias("rep_above_gid"),
+        F.count_distinct("sig64").alias("distinct_keys"),
+    ).first()
+    assert agg["groups"] == agg["distinct_keys"]  # put-replace, no dup items
+    assert agg["members"] == 500  # every non-empty-sig doc counted once
+    assert not agg["rep_above_gid"]  # rep_id only shrinks from gid
