@@ -103,6 +103,7 @@ EXTRA = [
     # quadratic-ledger fix — 1.59x at 100x vs 19.43x)
     "c05_multimodal_flac",
     "s28_stream_neardup_verdict",
+    "s29_stream_neardup_dynamo_state",
 ]
 
 
