@@ -522,3 +522,36 @@ def test_simhash_pigeonhole_completeness(fingerprint, flipped_bits):
     chunks_a = [(fingerprint >> (15 * i)) & 0x7FFF for i in range(4)]
     chunks_b = [(other >> (15 * i)) & 0x7FFF for i in range(4)]
     assert any(a == b for a, b in zip(chunks_a, chunks_b))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payload=st.binary(min_size=1, max_size=2000),
+    interval=st.integers(min_value=0, max_value=9),
+)
+def test_jpeg_roundtrip_property(payload, interval):
+    """Any payload, any restart interval (0 = no DRI): the decoded
+    luma blocks must invert the packing byte-exactly, and the DRI
+    stream must decode identically to the marker-free one."""
+    from spark_dynamodb_spark.functions import codecs
+
+    j = codecs.encode_jpeg(payload, restart_interval=interval)
+    img = codecs.decode_jpeg(j)
+    assert codecs.jpeg_payload_bytes(img, len(payload)) == payload
+    if interval:
+        plain = codecs.decode_jpeg(codecs.encode_jpeg(payload))
+        assert img["planes"] == plain["planes"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=4000))
+def test_flac_roundtrip_property(payload):
+    """Any payload: the full subframe-mode cycle (constant, verbatim,
+    fixed 1-3, LPC) must reproduce the samples bit-exactly — enforced
+    doubly, by the payload inversion and by the decoder's own
+    STREAMINFO-MD5 check (which raises on any mismatch)."""
+    from spark_dynamodb_spark.functions import codecs
+
+    d = codecs.decode_flac(codecs.encode_flac(payload))
+    assert d["md5_verified"]
+    assert codecs.wav_payload_bytes(d["sample_data"]) == payload
