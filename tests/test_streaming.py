@@ -1046,3 +1046,44 @@ def test_s29_dynamo_backed_state_matches_s28(spark, sf_dir):
     assert agg["groups"] == agg["distinct_keys"]  # put-replace, no dup items
     assert agg["members"] == 500  # every non-empty-sig doc counted once
     assert not agg["rep_above_gid"]  # rep_id only shrinks from gid
+
+
+def test_s28_rep_shrinks_when_smaller_replica_arrives_late(spark):
+    """Arrival-order independence, the path the ordered fixture
+    batches never exercise: a replica with a SMALLER doc_id arriving
+    AFTER its clique's gid was minted must shrink rep_id (gid stays
+    stable), and the group-floor fold must then mark the original
+    minting doc as a dup of the late arrival."""
+    import pyspark.sql.functions as F
+
+    from spark_dynamodb_spark.operators.dedup import _shingle_arrays
+    from spark_dynamodb_spark.streaming.stream_queries import _s28_group_merge
+
+    text = " ".join(f"w{i:03d}" for i in range(40))
+
+    def batch_sigs(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return _shingle_arrays(df).select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+            ).alias("sarr"),
+        )
+
+    g1 = _s28_group_merge(None, batch_sigs([(100, text)])).localCheckpoint(
+        eager=True
+    )
+    r1 = g1.collect()[0]
+    assert (r1["gid"], r1["rep_id"], r1["cnt"], r1["is_new"]) == (100, 100, 1, True)
+
+    g2 = _s28_group_merge(g1.drop("is_new"), batch_sigs([(5, text)])).localCheckpoint(
+        eager=True
+    )
+    r2 = g2.collect()[0]
+    # gid STABLE (bucket members and pair ledger stay valid),
+    # rep_id SHRUNK (the verdict fold reads this), count folded
+    assert (r2["gid"], r2["rep_id"], r2["cnt"], r2["is_new"]) == (100, 5, 2, False)
+    # the group-floor fold on this state: doc 100 > floor 5 -> dup of 5;
+    # doc 5 == floor -> keeper (exactly the c110 semantics, streamed)
+    floor = min(r2["rep_id"], r2["gid"])
+    assert floor == 5
