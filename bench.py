@@ -104,6 +104,9 @@ EXTRA = [
     "c05_multimodal_flac",
     "s28_stream_neardup_verdict",
     "s29_stream_neardup_dynamo_state",
+    # the video modality: MJPEG-in-AVI container walk + idx1
+    # cross-check + per-frame baseline-JPEG decode, stride-2 sampling
+    "c05_multimodal_video",
 ]
 
 

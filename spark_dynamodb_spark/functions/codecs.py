@@ -1429,3 +1429,281 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
     raise ValueError("flac: reserved subframe type")
 
 
+
+
+# --- AVI / MJPEG (Microsoft RIFF AVI, OpenDML-compatible subset) ------------
+#
+# The VIDEO modality: a real container format (RIFF chunk tree with
+# hdrl/avih/strh/strf headers, a movi payload list, and an idx1 frame
+# index) wrapping one REAL baseline JPEG per frame — Motion-JPEG, the
+# format every capture pipeline and browser still emits. Nothing here
+# is a new entropy codec: the per-frame image IS encode_jpeg/decode_jpeg
+# above (Annex K Huffman, DC prediction, IDCT), so the video path
+# exercises container walking + index cross-checking + per-frame codec
+# dispatch — exactly the shape a frame-sampling ffmpeg UDF has, with
+# the decode stage swapped for the stdlib implementation.
+#
+# Layout contract (mirrors the other synthetic-media encoders): the
+# payload is split into fixed AVI_FRAME_PAYLOAD-byte chunks, one chunk
+# per frame; the last chunk is zero-padded so every frame has identical
+# dimensions (a container invariant — strf declares ONE biWidth/
+# biHeight for the stream; jpeg_payload_bytes() trims the pad on read).
+
+AVI_FPS = 10
+AVI_FRAME_PAYLOAD = 64  # bytes/frame -> 4 payload MCU rows + trailer = 64x80
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + LE u32 size + body + even-byte pad."""
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(listtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + body)
+
+
+def encode_avi_mjpeg(
+    data: bytes, fps: int = AVI_FPS, frame_payload: int = AVI_FRAME_PAYLOAD
+) -> bytes:
+    """Pack a byte payload as a spec-compliant single-stream MJPEG AVI.
+
+    Each frame_payload-byte chunk becomes one '00dc' compressed-video
+    chunk holding a full baseline JPEG (encode_jpeg); the last chunk is
+    zero-padded to keep frame dimensions constant. Headers are real:
+    avih (frame timing, AVIF_HASINDEX, totals, dimensions), strh
+    ('vids'/'MJPG', scale/rate, length), strf (BITMAPINFOHEADER with
+    biCompression 'MJPG'), and a full idx1 keyframe index whose offsets
+    are relative to the 'movi' fourcc (the convention ffmpeg/VfW write).
+    """
+    if not data:
+        raise ValueError("encode_avi_mjpeg: empty payload")
+    if frame_payload <= 0 or frame_payload % 16:
+        # 16 payload bytes per MCU row at mcu_cols=4; a non-multiple
+        # would make per-frame heights vary with chunk content
+        raise ValueError("encode_avi_mjpeg: frame_payload must be a multiple of 16")
+    if fps <= 0:
+        raise ValueError("encode_avi_mjpeg: fps must be positive")
+
+    chunks = [data[i : i + frame_payload] for i in range(0, len(data), frame_payload)]
+    jpegs = [
+        encode_jpeg(c + b"\x00" * (frame_payload - len(c)), mcu_cols=4)
+        for c in chunks
+    ]
+    width = 64
+    height = 16 * (frame_payload // 16 + 1)  # payload MCU rows + trailer
+    n_frames = len(jpegs)
+    max_frame = max(len(j) for j in jpegs)
+
+    # movi list body + idx1 entries (offset = distance from the 'movi'
+    # fourcc to the chunk's ckid, per the VfW convention)
+    movi_body = bytearray()
+    idx = bytearray()
+    for j in jpegs:
+        offset = 4 + len(movi_body)  # 4 = the 'movi' fourcc itself
+        movi_body += _riff_chunk(b"00dc", j)
+        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(j))  # AVIIF_KEYFRAME
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_frame * fps,  # dwMaxBytesPerSec (upper bound)
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags = AVIF_HASINDEX
+        n_frames,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_frame,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            n_frames,  # dwLength
+            max_frame,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (-1 = default)
+            0,  # dwSampleSize (0 = variable)
+        )
+        + struct.pack("<4h", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    body = (
+        b"AVI "
+        + hdrl
+        + _riff_list(b"movi", bytes(movi_body))
+        + _riff_chunk(b"idx1", bytes(idx))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> dict:
+    """Parse an MJPEG AVI from raw bytes: RIFF tree walk, header
+    validation (avih / strh 'vids'+'MJPG' / strf BITMAPINFOHEADER),
+    '00dc' frame extraction from the movi list, idx1 cross-checking
+    (every index entry must point at the frame actually found at that
+    offset, VfW 'movi'-relative convention), then a full decode_jpeg of
+    every frame with dimension checks against strf.
+
+    Returns {width, height, fps, n_frames, file_size, frames: [the
+    decode_jpeg dict per frame, in stream order]}. Raises ValueError on
+    non-AVI input, truncation, header/index/frame inconsistencies, or
+    frame dimensions that contradict the declared stream format.
+    """
+    def need(n: int, what: str) -> None:
+        if n > len(payload):
+            raise ValueError(f"avi: truncated stream ({what})")
+
+    need(12, "RIFF header")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI signature)")
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    if 8 + riff_size > len(payload):
+        raise ValueError("avi: truncated stream (RIFF size exceeds payload)")
+
+    avih = None
+    strh = None
+    strf = None
+    frames_raw: list[tuple[int, bytes]] = []  # (offset of ckid rel. to 'movi', jpeg)
+    idx_entries: list[tuple[int, int]] = []  # (offset, size)
+
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        nonlocal avih, strh, strf
+        pos = start
+        while pos + 8 <= end:
+            ckid = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("avi: truncated stream (chunk overruns parent)")
+            if ckid == b"LIST":
+                if size < 4:
+                    raise ValueError("avi: truncated stream (LIST too small)")
+                ltype = payload[body_start : body_start + 4]
+                if ltype == b"movi":
+                    movi_fourcc = body_start
+                    mpos = body_start + 4
+                    mend = body_start + size
+                    while mpos + 8 <= mend:
+                        fid = payload[mpos : mpos + 4]
+                        fsize = struct.unpack("<I", payload[mpos + 4 : mpos + 8])[0]
+                        if mpos + 8 + fsize > mend:
+                            raise ValueError("avi: truncated stream (frame chunk)")
+                        if fid == b"00dc":
+                            frames_raw.append(
+                                (mpos - movi_fourcc,
+                                 payload[mpos + 8 : mpos + 8 + fsize])
+                            )
+                        mpos += 8 + fsize + (fsize % 2)
+                else:
+                    walk(body_start + 4, body_start + size, depth + 1)
+            elif ckid == b"avih":
+                avih = struct.unpack("<14I", payload[body_start : body_start + 56])
+            elif ckid == b"strh":
+                if payload[body_start : body_start + 4] != b"vids":
+                    raise ValueError("avi: first stream is not a video stream")
+                if payload[body_start + 4 : body_start + 8] != b"MJPG":
+                    raise ValueError(
+                        "avi: unsupported video handler "
+                        f"{payload[body_start + 4 : body_start + 8]!r} (MJPG only)"
+                    )
+                strh = struct.unpack(
+                    "<IHHIIIIIIIi", payload[body_start + 8 : body_start + 48]
+                )
+            elif ckid == b"strf":
+                strf = struct.unpack(
+                    "<IiiHH4sIiiII", payload[body_start : body_start + 40]
+                )
+                if strf[5] != b"MJPG":
+                    raise ValueError("avi: strf biCompression is not MJPG")
+            elif ckid == b"idx1":
+                p = body_start
+                while p + 16 <= body_start + size:
+                    eid = payload[p : p + 4]
+                    _flags, off, sz = struct.unpack("<III", payload[p + 4 : p + 16])
+                    if eid == b"00dc":
+                        idx_entries.append((off, sz))
+                    p += 16
+            pos += 8 + size + (size % 2)
+
+    try:
+        walk(12, 8 + riff_size)
+    except struct.error as exc:  # short header slice
+        raise ValueError(f"avi: truncated stream ({exc})") from exc
+
+    if avih is None or strh is None or strf is None:
+        raise ValueError("avi: missing avih/strh/strf header")
+    if avih[6] != 1:
+        raise ValueError(f"avi: expected 1 stream, header declares {avih[6]}")
+    width, height = strf[1], strf[2]
+    if (width, height) != (avih[8], avih[9]):
+        raise ValueError("avi: avih/strf dimension mismatch")
+    if strh[4] == 0:
+        raise ValueError("avi: strh dwScale is zero")
+    fps = strh[5] // strh[4]
+    n_frames = len(frames_raw)
+    if n_frames == 0:
+        raise ValueError("avi: no video frames in movi list")
+    if avih[4] != n_frames or strh[7] != n_frames:
+        raise ValueError(
+            f"avi: header frame counts (avih {avih[4]}, strh {strh[7]}) "
+            f"disagree with movi content ({n_frames})"
+        )
+    if len(idx_entries) != n_frames:
+        raise ValueError("avi: idx1 entry count disagrees with movi content")
+    for (ioff, isz), (foff, fjpeg) in zip(idx_entries, frames_raw):
+        if ioff != foff or isz != len(fjpeg):
+            raise ValueError("avi: idx1 entry does not match movi chunk layout")
+
+    frames = []
+    for fjpeg in frames_raw:
+        img = decode_jpeg(fjpeg[1])
+        if (img["width"], img["height"]) != (width, height):
+            raise ValueError(
+                f"avi: frame dimensions {img['width']}x{img['height']} "
+                f"contradict strf {width}x{height}"
+            )
+        frames.append(img)
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": n_frames,
+        "file_size": len(payload),
+        "frames": frames,
+    }
+
+
+def avi_frame_payload_bytes(video: dict, frame_idx: int, total_len: int,
+                            frame_payload: int = AVI_FRAME_PAYLOAD) -> bytes:
+    """Recover the original payload chunk carried by one frame of an
+    encode_avi_mjpeg stream (the zero-pad on the final frame is
+    trimmed via the caller-supplied total payload length)."""
+    n = min(frame_payload, total_len - frame_idx * frame_payload)
+    if n <= 0:
+        raise ValueError("avi: frame_idx beyond payload")
+    return jpeg_payload_bytes(video["frames"][frame_idx], n)

@@ -1141,3 +1141,137 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
+def with_avi_columns(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload: REAL MJPEG-AVI bytes, meta). Same
+    ingest shape as with_bmp_columns/with_jpeg_columns; the encoder
+    splits the text bytes into fixed-size frame chunks, encodes each as
+    a full baseline JPEG, and wraps them in a RIFF AVI container with
+    real avih/strh/strf headers and an idx1 keyframe index."""
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_dynamodb_spark.functions.codecs import encode_avi_mjpeg
+
+    _ensure_worker_imports(docs.sparkSession)
+
+    @pandas_udf(T.BinaryType())
+    def to_avi(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_avi_mjpeg(t.encode()))
+
+    return docs.select(
+        "doc_id",
+        to_avi("text").alias("payload"),
+        F.struct(
+            F.lit("video/x-msvideo").alias("mime"),
+            F.col("source").alias("origin"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("content_length"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "c05_multimodal_video",
+    """
+    WITH f AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(
+               0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1)) AS frame_idx
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        AND length(text) > 0
+    )
+    SELECT d.doc_id, f.frame_idx,
+           CAST(64 AS BIGINT) AS width,
+           CAST(80 AS BIGINT) AS height,
+           CAST(10 AS BIGINT) AS fps,
+           CAST(ceil(f.n / 64.0) AS BIGINT) AS n_frames,
+           md5(substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64))
+             AS frame_md5,
+           CAST(length(substr(d.text, CAST(f.frame_idx * 64 + 1 AS BIGINT), 64))
+             AS BIGINT) AS frame_bytes
+    FROM f JOIN documents d USING (doc_id)
+    WHERE f.frame_idx % 2 = 0
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5j: REAL video decode + frame sampling — the modality the C5
+    family still lacked. Document bytes ride as Motion-JPEG inside a
+    spec-compliant RIFF AVI (functions/codecs.py encode_avi_mjpeg):
+    real avih/strh('vids'+'MJPG')/strf headers, '00dc' movi chunks,
+    and an idx1 index the decoder CROSS-CHECKS entry-by-entry against
+    the actual chunk layout before any frame is touched. Every frame
+    is a full baseline JPEG decoded by the same Annex-K Huffman /
+    DC-prediction / IDCT machinery as c05_multimodal_jpeg — so this
+    entry is container-walk + index-verify + per-frame codec dispatch,
+    the exact shape of a frame-sampling ffmpeg UDF. The op samples
+    every SECOND frame (the classic stride sample) and emits the
+    recovered per-frame payload md5: the oracle recomputes it as
+    md5(substr(text, ...)) plus the container-geometry formulas, so a
+    decoder that misreads the index convention, the movi walk, frame
+    order, or any JPEG stage fails the hash.
+
+    100 TB shape: identical to c05_multimodal_jpeg — the pure-Python
+    per-frame codec is CPU-heavy and embarrassingly parallel, so the
+    scan is re-widened by a NUMBERED repartition (AQE would fold an
+    unnumbered few-MB exchange back to one partition — the measured
+    b137/JPEG lesson); media bytes never pass through the driver, and
+    sampled-frame decode cost scales with frames KEPT, not frames
+    stored (the decoder walks the index; only sampled '00dc' chunks
+    need their JPEG stage in a stride>1 deployment).
+    """
+    _ensure_worker_imports(spark)
+    from spark_dynamodb_spark.functions.codecs import (
+        AVI_FRAME_PAYLOAD,
+        avi_frame_payload_bytes,
+        decode_avi_mjpeg,
+    )
+
+    docs = with_avi_columns(
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("fps", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("frame_md5", T.StringType()),
+            T.StructField("frame_bytes", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                video = decode_avi_mjpeg(bytes(payload))
+                total = meta["content_length"]
+                for idx in range(0, video["n_frames"], 2):
+                    chunk = avi_frame_payload_bytes(video, idx, total)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(video["width"])
+                    out["height"].append(video["height"])
+                    out["fps"].append(video["fps"])
+                    out["n_frames"].append(video["n_frames"])
+                    out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+                    out["frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    assert AVI_FRAME_PAYLOAD == 64  # the oracle's substr stride is pinned to it
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id", "frame_idx")

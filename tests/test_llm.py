@@ -849,3 +849,56 @@ def test_flac_lpc_subframes_decode():
     # six-mode cycle produces different frame 2 vs frame 5 encodings
     one = codecs.encode_flac(bytes([1, 2, 3, 4]) * 384)  # 6 frames
     assert codecs.decode_flac(one)["md5_verified"]
+
+
+def test_avi_mjpeg_container_checks_reject_corruption():
+    """The video decoder must validate the container, not just ride it:
+    idx1 entries are cross-checked against the movi layout, header
+    frame counts against the actual chunks, the declared handler and
+    per-frame JPEG dimensions against the stream format."""
+    from spark_dynamodb_spark.functions import codecs
+
+    base = codecs.encode_avi_mjpeg(b"the quick brown fox " * 10)
+
+    # truncation (RIFF size overruns the payload)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_avi_mjpeg(base[: len(base) // 2])
+
+    # idx1 offset that no longer matches the movi chunk layout
+    ipos = base.rindex(b"idx1")
+    tampered = bytearray(base)
+    tampered[ipos + 8 + 8] ^= 0x04  # first entry's dwChunkOffset
+    with pytest.raises(ValueError, match="idx1"):
+        codecs.decode_avi_mjpeg(bytes(tampered))
+
+    # header frame count disagreeing with movi content
+    apos = base.index(b"avih")
+    tampered = bytearray(base)
+    tampered[apos + 8 + 16] ^= 0x01  # avih dwTotalFrames
+    with pytest.raises(ValueError, match="frame count"):
+        codecs.decode_avi_mjpeg(bytes(tampered))
+
+    # a non-MJPEG video handler is an honest refusal, not a misparse
+    hpos = base.index(b"MJPG")
+    tampered = bytearray(base)
+    tampered[hpos : hpos + 4] = b"XVID"
+    with pytest.raises(ValueError, match="handler"):
+        codecs.decode_avi_mjpeg(bytes(tampered))
+
+    # declared stream dimensions contradicting the frames themselves
+    spos = base.index(b"strf")
+    tampered = bytearray(base)
+    for off in (apos + 8 + 32, spos + 8 + 4):  # avih dwWidth, strf biWidth
+        tampered[off] = 128
+    with pytest.raises(ValueError, match="contradict"):
+        codecs.decode_avi_mjpeg(bytes(tampered))
+
+    # multi-stream declaration (only single-stream MJPEG is in scope)
+    tampered = bytearray(base)
+    tampered[apos + 8 + 24] = 2  # avih dwStreams
+    with pytest.raises(ValueError, match="stream"):
+        codecs.decode_avi_mjpeg(bytes(tampered))
+
+    # empty payloads are rejected at encode time like the other codecs
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_avi_mjpeg(b"")

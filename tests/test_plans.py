@@ -1750,3 +1750,18 @@ def test_unigram_encode_no_rawtext_shuffle(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_multimodal_video_parallel_codec(spark, sf_dir):
+    """c05_multimodal_video: the per-frame JPEG machinery is the same
+    pure-Python codec as c05_multimodal_jpeg, so the same scale trap
+    applies — a compacted single-row-group fixture must be re-widened
+    by a NUMBERED repartition before the Arrow-batched container
+    encode/decode, and the documents scan must happen exactly once."""
+    from spark_dynamodb_spark.operators.multimodal import multimodal_video
+
+    df = multimodal_video(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan

@@ -555,3 +555,27 @@ def test_flac_roundtrip_property(payload):
     d = codecs.decode_flac(codecs.encode_flac(payload))
     assert d["md5_verified"]
     assert codecs.wav_payload_bytes(d["sample_data"]) == payload
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    payload=st.binary(min_size=1, max_size=1500),
+    fps=st.integers(min_value=1, max_value=60),
+)
+def test_avi_mjpeg_roundtrip_property(payload, fps):
+    """Any payload, any frame rate: the AVI container walk + idx1
+    cross-check + per-frame JPEG decode must invert the frame packing
+    byte-exactly, with the declared geometry (constant 64x80 frames,
+    ceil(n/64) frames, rate/scale fps) holding for every size —
+    including the zero-padded final frame."""
+    from spark_dynamodb_spark.functions import codecs
+
+    v = codecs.decode_avi_mjpeg(codecs.encode_avi_mjpeg(payload, fps=fps))
+    assert (v["width"], v["height"]) == (64, 80)
+    assert v["fps"] == fps
+    assert v["n_frames"] == -(-len(payload) // codecs.AVI_FRAME_PAYLOAD)
+    rec = b"".join(
+        codecs.avi_frame_payload_bytes(v, i, len(payload))
+        for i in range(v["n_frames"])
+    )
+    assert rec == payload
