@@ -107,6 +107,8 @@ EXTRA = [
     # the video modality: MJPEG-in-AVI container walk + idx1
     # cross-check + per-frame baseline-JPEG decode, stride-2 sampling
     "c05_multimodal_video",
+    # from-scratch LZW (dictionary coder, LSB-first bit order)
+    "c05_multimodal_gif",
 ]
 
 

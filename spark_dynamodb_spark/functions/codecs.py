@@ -1707,3 +1707,281 @@ def avi_frame_payload_bytes(video: dict, frame_idx: int, total_len: int,
     if n <= 0:
         raise ValueError("avi: frame_idx beyond payload")
     return jpeg_payload_bytes(video["frames"][frame_idx], n)
+
+
+# --- GIF (GIF89a): LZW dictionary coding, LSB-first bit packing -------------
+#
+# The dictionary-coder family member: every other codec here is either
+# uncompressed (BMP/WAV), Huffman (JPEG), DEFLATE (PNG, via stdlib
+# zlib) or Rice (FLAC) — GIF's LZW is implemented from scratch, with
+# the full variable-code-width protocol: clear/EOI codes, width growth
+# at table-size boundaries, the KwKwK same-as-next-code case, and
+# dictionary reset at 4096 entries. GIF also packs bits LSB-FIRST
+# (JPEG/FLAC are MSB-first), so a decoder that reuses the other bit
+# readers cannot pass. Payload bytes ride as 8-bit pixel indices over
+# a 256-entry grayscale palette (index == gray level).
+
+GIF_WIDTH = 32
+_GIF_MAX_CODE_WIDTH = 12
+
+
+def _gif_lzw_compress(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-flavor LZW: emits an initial clear code, grows the code
+    width when the next free code would not fit, and emits clear +
+    resets the dictionary when the table reaches 4096 entries."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w], width)
+        # giflib Output-order width bump: the check uses the PRE-insert
+        # free-code counter, so the first wider code is the one after
+        # the table has actually filled the current code space — one
+        # step LATER than the naive post-insert check (the decoder's
+        # one-code construction lag makes the naive timing desync)
+        if next_code >= (1 << width) and width < _GIF_MAX_CODE_WIDTH:
+            width += 1
+        if next_code < (1 << _GIF_MAX_CODE_WIDTH):
+            table[c] = next_code
+            next_code += 1
+        else:
+            # table full: reset (the deferred-clear variant would keep
+            # coding with a frozen table; we take the classic reset)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        if next_code >= (1 << width) and width < _GIF_MAX_CODE_WIDTH:
+            width += 1
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, min_code: int = 8) -> bytes:
+    """Inverse of _gif_lzw_compress, in lockstep: the decoder's table
+    length equals the encoder's next_code, so the width-growth points
+    coincide; handles clear at any position and the KwKwK case (code
+    == table length). Raises ValueError on out-of-range codes or a
+    stream that ends without EOI."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nacc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nacc
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream ended without EOI")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        return v
+
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]  # clear/eoi slots
+    table = list(base)
+    width = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: first code after clear out of range")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("gif: LZW code out of range")
+            if len(table) < (1 << _GIF_MAX_CODE_WIDTH):
+                table.append(prev + entry[:1])
+            # bump AFTER the append (giflib slot/top_slot order): the
+            # next READ sees the wider code exactly when the encoder
+            # first WROTE one; a frozen 4096 table keeps width 12,
+            # which also decodes deferred-clear encoders for free
+            if len(table) >= (1 << width) and width < _GIF_MAX_CODE_WIDTH:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif(data: bytes, width: int = GIF_WIDTH) -> bytes:
+    """Pack a byte payload as a spec-compliant GIF89a: one payload
+    byte per pixel index over a 256-entry grayscale global color
+    table (index == gray), LZW-compressed image data in 255-byte
+    sub-blocks, plus a Graphics Control Extension so decoders must
+    implement the extension-skip path. The last row is zero-padded."""
+    if not data:
+        raise ValueError("encode_gif: empty payload")
+    height = -(-len(data) // width)
+    if width > 65535 or height > 65535:
+        raise ValueError("encode_gif: payload too large for 16-bit dimensions")
+    pixels = data + b"\x00" * (width * height - len(data))
+
+    out = bytearray()
+    out += b"GIF89a"
+    # logical screen descriptor: GCT present, 8 bits/channel, size 256
+    out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
+    for i in range(256):  # grayscale GCT
+        out += bytes([i, i, i])
+    # graphics control extension (no transparency, zero delay)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # image descriptor: full frame, no local table, not interlaced
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([8])  # LZW minimum code size
+    out += _gif_subblocks(_gif_lzw_compress(pixels, min_code=8))
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """Parse a GIF87a/89a from raw bytes: header + logical screen
+    descriptor, global color table, extension-block skipping via
+    sub-block chains, image descriptor, then a full LZW decompression
+    (variable code width, clear/EOI, KwKwK, dictionary reset). Returns
+    {width, height, file_size, pixel_data (one byte per pixel index),
+    gray (True when the palette maps index -> (i,i,i))}. Raises
+    ValueError on non-GIF input, truncation, or LZW protocol
+    violations; NotImplementedError for interlaced images or local
+    color tables (out of scope, like PNG interlacing)."""
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF payload (missing GIF87a/GIF89a signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("gif: truncated global color table")
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("gif: truncated sub-block chain")
+            n = payload[p]
+            p += 1 + n
+            if n == 0:
+                return p
+
+    while True:
+        if pos >= len(payload):
+            raise ValueError("gif: truncated stream (no trailer)")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("gif: truncated image descriptor")
+            left, top, iw, ih, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if ipacked & 0x40:
+                raise NotImplementedError(
+                    "gif: interlaced images are out of scope here"
+                )
+            if ipacked & 0x80:
+                raise NotImplementedError(
+                    "gif: local color tables are out of scope here"
+                )
+            if (left, top) != (0, 0) or (iw, ih) != (sw, sh):
+                raise ValueError("gif: image does not cover the logical screen")
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 8:
+                raise ValueError(f"gif: invalid LZW minimum code size {min_code}")
+            blocks = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("gif: truncated image sub-blocks")
+                n = payload[pos]
+                pos += 1
+                if n == 0:
+                    break
+                if pos + n > len(payload):
+                    raise ValueError("gif: truncated image sub-blocks")
+                blocks += payload[pos : pos + n]
+                pos += n
+            pixels = _gif_lzw_decompress(bytes(blocks), min_code=min_code)
+            if len(pixels) != iw * ih:
+                raise ValueError(
+                    f"gif: decoded {len(pixels)} pixels for a {iw}x{ih} image"
+                )
+            if pos >= len(payload) or payload[pos] != 0x3B:
+                # allow trailing extensions before the trailer
+                while pos < len(payload) and payload[pos] == 0x21:
+                    pos = skip_subblocks(pos + 2)
+                if pos >= len(payload) or payload[pos] != 0x3B:
+                    raise ValueError("gif: missing trailer")
+            gray = gct is not None and all(
+                gct[3 * i] == gct[3 * i + 1] == gct[3 * i + 2] == i
+                for i in range(len(gct) // 3)
+            )
+            return {
+                "width": sw,
+                "height": sh,
+                "file_size": len(payload),
+                "pixel_data": pixels,
+                "gray": gray,
+            }
+        raise ValueError(f"gif: unknown block introducer 0x{block:02X}")

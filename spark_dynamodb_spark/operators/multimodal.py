@@ -1275,3 +1275,118 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assert AVI_FRAME_PAYLOAD == 64  # the oracle's substr stride is pinned to it
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id", "frame_idx")
+
+
+def with_gif_columns(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload: REAL LZW-compressed GIF89a bytes,
+    meta). Same ingest shape as with_png_columns; payload bytes ride
+    as 8-bit pixel indices over a grayscale palette."""
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_dynamodb_spark.functions.codecs import encode_gif
+
+    _ensure_worker_imports(docs.sparkSession)
+
+    @pandas_udf(T.BinaryType())
+    def to_gif(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_gif(t.encode()))
+
+    return docs.select(
+        "doc_id",
+        to_gif("text").alias("payload"),
+        F.struct(
+            F.lit("image/gif").alias("mime"),
+            F.col("source").alias("origin"),
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("content_length"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "c05_multimodal_gif",
+    f"""
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS height,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) * {BMP_WIDTH} AS BIGINT)
+             AS pixel_bytes,
+           TRUE AS grayscale,
+           md5(text) AS payload_md5,
+           'image/gif' AS mime,
+           source AS origin
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-gif: REAL dictionary-coded image decode — GIF89a whose LZW
+    is implemented from scratch (functions/codecs.py): variable code
+    width with the giflib bump timing, clear/EOI protocol, the KwKwK
+    same-as-next-code case, dictionary reset at 4096 entries, and
+    LSB-first bit packing (the opposite bit order from the JPEG/FLAC
+    readers, so no bit machinery is shared). The extractor walks the
+    block structure (extension sub-block chains, image descriptor),
+    LZW-decompresses the pixel indices, and verifies the grayscale
+    palette maps index == gray. The oracle recomputes width/height/
+    pixel-stream size from the layout formulas and md5s the recovered
+    payload — a decoder that mistimes the width bump, drops the KwKwK
+    case, or misreads the sub-block framing fails the hash. The
+    decoder's bit order and code semantics are additionally anchored
+    to a REAL external GIF (the canonical 1x1 transparent pixel) in
+    tests, so encoder+decoder cannot be wrong-but-consistent.
+
+    100 TB shape: identical to the other c05 codec entries — the
+    pure-Python LZW is CPU-heavy and embarrassingly parallel, so the
+    scan is re-widened by a NUMBERED repartition (the measured
+    b137/JPEG one-task lesson); media bytes never pass through the
+    driver.
+    """
+    _ensure_worker_imports(spark)
+    from spark_dynamodb_spark.functions.codecs import decode_gif
+
+    docs = with_gif_columns(
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("pixel_bytes", T.LongType()),
+            T.StructField("grayscale", T.BooleanType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_gif(bytes(payload))
+                data = img["pixel_data"][: meta["content_length"]]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["pixel_bytes"].append(len(img["pixel_data"]))
+                out["grayscale"].append(img["gray"])
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append(meta["mime"])
+                out["origin"].append(meta["origin"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id")

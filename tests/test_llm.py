@@ -902,3 +902,52 @@ def test_avi_mjpeg_container_checks_reject_corruption():
     # empty payloads are rejected at encode time like the other codecs
     with pytest.raises(ValueError, match="empty"):
         codecs.encode_avi_mjpeg(b"")
+
+
+def test_gif_decodes_external_file_and_rejects_corruption():
+    """The GIF decoder is anchored to a REAL external file — the
+    canonical 1x1 transparent GIF every web tool emits — so the
+    encoder/decoder pair cannot be wrong-but-self-consistent about
+    bit order, width-bump timing, or block framing. Corruption and
+    out-of-scope paths raise the documented error classes."""
+    from spark_dynamodb_spark.functions import codecs
+
+    onepx = bytes.fromhex(
+        "474946383961"  # GIF89a
+        "010001008000" "00"  # 1x1, GCT of 2 entries
+        "ffffff" "000000"  # white / black palette
+        "21f90401000000" "00"  # graphics control extension
+        "2c000000000100010000"  # image descriptor
+        "02024401003b"  # min code 2, LZW data, trailer
+    )
+    img = codecs.decode_gif(onepx)
+    assert (img["width"], img["height"]) == (1, 1)
+    assert img["pixel_data"] == b"\x00"
+    assert not img["gray"]  # its 2-entry palette is black/white, not identity
+
+    base = codecs.encode_gif(b"dictionary coding " * 40)
+
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_gif(b"JFIF" + base[4:])
+    with pytest.raises(ValueError, match="truncated|EOI"):
+        codecs.decode_gif(base[: len(base) - 30])
+    # flip the interlace flag in the image descriptor -> honest refusal
+    ipos = base.index(b"\x2c", 13 + 768)
+    tampered = bytearray(base)
+    tampered[ipos + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        codecs.decode_gif(bytes(tampered))
+    # corrupt a byte inside the LZW stream: either the protocol breaks
+    # (ValueError) or the output differs from the true payload — LZW
+    # has no CRC, so VALUE corruption with intact geometry is possible
+    # and is exactly what the entry's payload-md5 oracle exists for
+    tampered = bytearray(base)
+    tampered[ipos + 30] ^= 0xFF
+    true_pixels = codecs.decode_gif(base)["pixel_data"]
+    try:
+        out = codecs.decode_gif(bytes(tampered))
+        assert out["pixel_data"] != true_pixels
+    except ValueError:
+        pass
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_gif(b"")

@@ -1765,3 +1765,15 @@ def test_multimodal_video_parallel_codec(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_multimodal_gif_parallel_codec(spark, sf_dir):
+    """c05_multimodal_gif: the pure-Python LZW codec gets the same
+    numbered-repartition treatment as the JPEG/FLAC/video entries."""
+    from spark_dynamodb_spark.operators.multimodal import multimodal_gif
+
+    df = multimodal_gif(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan

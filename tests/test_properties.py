@@ -579,3 +579,19 @@ def test_avi_mjpeg_roundtrip_property(payload, fps):
         for i in range(v["n_frames"])
     )
     assert rec == payload
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=6000))
+def test_gif_roundtrip_property(payload):
+    """Any payload: the LZW protocol (variable width, clear/EOI,
+    KwKwK, dictionary reset at 4096) must invert the pixel packing
+    byte-exactly under the LSB-first bit order."""
+    from spark_dynamodb_spark.functions import codecs
+
+    d = codecs.decode_gif(codecs.encode_gif(payload))
+    assert d["pixel_data"][: len(payload)] == payload
+    assert set(d["pixel_data"][len(payload):]) <= {0}
+    assert d["gray"]
+    assert d["width"] == codecs.GIF_WIDTH
+    assert d["height"] == -(-len(payload) // codecs.GIF_WIDTH)
