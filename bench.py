@@ -109,6 +109,9 @@ EXTRA = [
     "c05_multimodal_video",
     # from-scratch LZW (dictionary coder, LSB-first bit order)
     "c05_multimodal_gif",
+    # ingest-time decontamination (bench state bootstrapped once,
+    # per-batch broadcast check, append-only hit ledger)
+    "s30_stream_decontamination",
 ]
 
 

@@ -2656,3 +2656,142 @@ def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_s27_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S30 — streaming decontamination (ingest-time train/benchmark check)
+# ---------------------------------------------------------------------------
+
+
+def _finalize_s30_oracle() -> None:
+    """Oracle: literally c10's SQL (shared string, the s28/s29
+    discipline) — the ingest-time ledger must reproduce the one-shot
+    corpus-wide decontamination exactly."""
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s30_stream_decontamination").oracle = REGISTRY.resolve(
+        "c10_decontamination"
+    ).oracle
+
+
+@query(
+    "s30_stream_decontamination",
+    None,  # oracle patched below (shared with c10)
+)
+def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S30: decontamination at INGEST time — the streaming twin the
+    dedup shelf (s25/s26/s28) had and the train/benchmark check (c10)
+    lacked. The operational contract matches real pretraining
+    pipelines: the held-out benchmark is FIXED before ingestion
+    starts (an eval suite is versioned, not streamed), so its
+    distinct-shingle relation is bootstrapped ONCE into state; then
+    each arriving micro-batch of training documents is checked
+    against it on arrival — a contaminated doc is flagged before it
+    ever enters the training set, instead of by a corpus-wide join
+    months later. Benchmark docs appearing in the arrival stream are
+    ignored (they are already state).
+
+    Per batch: distinct shingles of the batch's train docs, one
+    broadcast join against the bench state, one combinable count per
+    (train_doc, bench_doc), appended to the hit ledger. Each train
+    doc arrives in exactly one batch (the staging splits rows
+    disjointly), so appends never overlap and the final ledger equals
+    the one-shot hit relation — which is what the shared c10 oracle
+    checks, value-level. Finalization joins per-bench shingle counts
+    and applies the >= 20% coverage threshold.
+
+    100 TB shape: bench state is bounded by the EVAL SUITE size
+    (thousands of docs, small by nature — it broadcasts), never by
+    the corpus; the ledger holds only actual hit pairs; per-batch
+    cost is O(batch shingles + hits), and the training corpus is
+    never re-scanned. The one contract this spelling gives up —
+    retroactively adding a NEW benchmark after ingestion — is a
+    batch backfill (run c10 over the already-landed corpus), not a
+    streaming-state problem.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.dedup import (
+        BENCH_SOURCE,
+        CONTAM_T,
+        _distinct_shingles,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    state_root = tempfile.mkdtemp(prefix="decon_state_")
+    bench_dir = os.path.join(state_root, "bench")
+    ledger_dir = os.path.join(state_root, "ledger")
+
+    # bootstrap: the benchmark's distinct-shingle state, built once
+    docs = load_table(spark, sf_dir, "documents")
+    _distinct_shingles(docs.filter(F.col("source") == BENCH_SOURCE)).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    ).write.mode("overwrite").parquet(bench_dir)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        train = batch.filter(F.col("source") != BENCH_SOURCE)
+        tsh = _distinct_shingles(train).select(
+            F.col("doc_id").alias("train_doc"), "shingle"
+        )
+        bench = sess.read.parquet(bench_dir)
+        hits = (
+            tsh.join(F.broadcast(bench), "shingle")
+            .groupBy("train_doc", "bench_doc")
+            .agg(F.count("*").alias("c"))
+        )
+        hits.write.mode("append").parquet(ledger_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="decon_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ledger = spark.read.parquet(ledger_dir)
+        bn = (
+            spark.read.parquet(bench_dir)
+            .groupBy("bench_doc")
+            .agg(F.count("*").alias("n"))
+        )
+        frac = F.col("c") / F.col("n")
+        rows = (
+            ledger.join(bn, "bench_doc")
+            .filter(frac >= CONTAM_T)
+            .select(
+                "train_doc",
+                "bench_doc",
+                F.round(frac, 6).alias("bench_overlap"),
+            )
+            .orderBy("train_doc", "bench_doc")
+        )
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+_finalize_s30_oracle()

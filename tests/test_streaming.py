@@ -1087,3 +1087,19 @@ def test_s28_rep_shrinks_when_smaller_replica_arrives_late(spark):
     # doc 5 == floor -> keeper (exactly the c110 semantics, streamed)
     floor = min(r2["rep_id"], r2["gid"])
     assert floor == 5
+
+
+def test_s30_matches_one_shot_decontamination(spark, sf_dir):
+    """The ingest-time ledger, finalized, must equal the one-shot c10
+    corpus-wide decontamination row-for-row (same discipline as
+    test_s28_matches_s26_verdicts: the streaming spelling is an
+    execution strategy, not new semantics)."""
+    from spark_dynamodb_spark.operators.dedup import decontamination
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        stream_decontamination,
+    )
+
+    got = [tuple(r) for r in stream_decontamination(spark, sf_dir).collect()]
+    want = [tuple(r) for r in decontamination(spark, sf_dir).collect()]
+    assert got == want
+    assert len(got) > 0  # the fixture must actually exercise the path
