@@ -479,12 +479,60 @@ class QueryRegistry:
 REGISTRY = QueryRegistry()
 
 
+_PLAN_STRING_CAP = 8 * 1024 * 1024  # bytes; typical plan strings are KBs
+_HARDENED_APPS: set[str] = set()
+
+
+def _harden_session(spark: SparkSession) -> None:
+    """Cap plan-string rendering on sessions we did not build.
+
+    QueryExecution renders an explain string for every executed query
+    (SQL listener/UI path) even when nobody reads it; on a
+    deep-lineage plan the tree string can cost hundreds of MB of
+    driver heap. Measured: a 351-query sweep in ONE default session
+    (1 GiB driver heap) OOMed inside ``generateTreeString`` on the
+    BPE entries around query ~250, while each entry alone is green in
+    a fresh default session — the accumulated listener state plus one
+    giant string tipped the heap. ``spark.sql.maxPlanStringLength``
+    is a dynamic SQLConf and only truncates DEBUG strings, never
+    results; the repo's own tuned session (16 GiB, UI off) never hit
+    this, so the cap exists for the driver's default session."""
+    app = spark.sparkContext.applicationId
+    if app in _HARDENED_APPS:
+        return
+
+    def parse_bytes(s: str) -> int:
+        # bytesConf values render with a unit suffix ("2147483632b")
+        s = s.strip().lower()
+        for suf, mult in (
+            ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+            ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1),
+        ):
+            if s.endswith(suf):
+                return int(s[: -len(suf)]) * mult
+        return int(s)
+
+    try:
+        cur = parse_bytes(spark.conf.get("spark.sql.maxPlanStringLength"))
+        if cur > _PLAN_STRING_CAP:
+            spark.conf.set("spark.sql.maxPlanStringLength", str(_PLAN_STRING_CAP))
+    except Exception:
+        pass  # hardening must never break a query
+    _HARDENED_APPS.add(app)
+
+
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
+    import functools
 
     def wrap(fn: QueryFn) -> QueryFn:
-        REGISTRY.register(name, fn, oracle, doc or (fn.__doc__ or ""))
-        return fn
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _harden_session(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY.register(name, run, oracle, doc or (fn.__doc__ or ""))
+        return run
 
     return wrap
 

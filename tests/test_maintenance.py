@@ -85,3 +85,17 @@ def test_scratch_stage_path_sweeps_once_per_app(spark, tmp_path, monkeypatch):
     assert os.path.basename(p).startswith("c110_sigs_")
     # second call: no sweep state change, same path
     assert tables.scratch_stage_path(spark, "c110", "/root/testdata/sf0.001") == p
+
+
+def test_registry_wrapper_caps_plan_string_length(spark, sf_dir):
+    """Every registered query hardens its session once: the plan-string
+    render cap protects long default-memory sessions (a 351-query
+    sweep OOMed in generateTreeString; see registry._harden_session).
+    The wrapper must preserve the callable's identity metadata."""
+    from spark_dynamodb_spark.registry import _PLAN_STRING_CAP, load_all
+
+    spec = load_all().resolve("c01_dedup_exact")
+    assert spec.fn.__name__  # functools.wraps preserved
+    spec.fn(spark, sf_dir).count()
+    got = spark.conf.get("spark.sql.maxPlanStringLength").lower().rstrip("b")
+    assert int(got) <= _PLAN_STRING_CAP
