@@ -808,6 +808,8 @@ def decode_jpeg(payload: bytes) -> dict:
                 "need real codec libs"
             )
         if marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("jpeg: truncated stream (DRI segment)")
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDB:  # DQT
             p = 0
@@ -1278,6 +1280,15 @@ def decode_flac(payload: bytes) -> dict:
     if streaminfo["nch"] != 1:
         raise NotImplementedError("only mono FLAC is supported here")
     bps = streaminfo["bps"]
+    if bps != 16:
+        # the sample reconstruction and the final MD5 check both pack
+        # int16; an 8-bit stream would decode correctly but fail the
+        # STREAMINFO MD5 (computed over 1-byte samples) with a
+        # misleading "decode is wrong", and a 24-bit stream would leak
+        # struct.error past the documented contract (code review r12)
+        raise NotImplementedError(
+            f"only 16-bit FLAC is supported here (STREAMINFO bps {bps})"
+        )
     rd = _FlacBitReader(payload, pos)
     samples = []
     total = streaminfo["total"]
@@ -1561,19 +1572,28 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(payload: bytes) -> dict:
+def decode_avi_mjpeg(payload: bytes, frame_stride: int = 1) -> dict:
     """Parse an MJPEG AVI from raw bytes: RIFF tree walk, header
     validation (avih / strh 'vids'+'MJPG' / strf BITMAPINFOHEADER),
     '00dc' frame extraction from the movi list, idx1 cross-checking
     (every index entry must point at the frame actually found at that
-    offset, VfW 'movi'-relative convention), then a full decode_jpeg of
-    every frame with dimension checks against strf.
+    offset, VfW 'movi'-relative convention), then decode_jpeg of the
+    SAMPLED frames with dimension checks against strf.
+
+    ``frame_stride`` > 1 skips the JPEG stage for non-sampled frames
+    (their ``frames`` slots are None) — container walking, header
+    validation, and the idx1 cross-check still cover EVERY chunk, so
+    sampling saves exactly the per-frame codec CPU and nothing else
+    (code review r12: the stride-2 consumer was paying 2x decode).
 
     Returns {width, height, fps, n_frames, file_size, frames: [the
-    decode_jpeg dict per frame, in stream order]}. Raises ValueError on
-    non-AVI input, truncation, header/index/frame inconsistencies, or
-    frame dimensions that contradict the declared stream format.
+    decode_jpeg dict per sampled frame, None for skipped, in stream
+    order]}. Raises ValueError on non-AVI input, truncation,
+    header/index/frame inconsistencies, or frame dimensions that
+    contradict the declared stream format.
     """
+    if frame_stride < 1:
+        raise ValueError("avi: frame_stride must be >= 1")
     def need(n: int, what: str) -> None:
         if n > len(payload):
             raise ValueError(f"avi: truncated stream ({what})")
@@ -1680,7 +1700,10 @@ def decode_avi_mjpeg(payload: bytes) -> dict:
             raise ValueError("avi: idx1 entry does not match movi chunk layout")
 
     frames = []
-    for fjpeg in frames_raw:
+    for i, fjpeg in enumerate(frames_raw):
+        if i % frame_stride:
+            frames.append(None)
+            continue
         img = decode_jpeg(fjpeg[1])
         if (img["width"], img["height"]) != (width, height):
             raise ValueError(

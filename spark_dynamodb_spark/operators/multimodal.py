@@ -356,7 +356,8 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS md5_verified,
            md5(text) AS payload_md5
     FROM documents
-    WHERE length(text) > 0
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
     ORDER BY doc_id
     """,
 )
@@ -1259,7 +1260,7 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
-                video = decode_avi_mjpeg(bytes(payload))
+                video = decode_avi_mjpeg(bytes(payload), frame_stride=2)
                 total = meta["content_length"]
                 for idx in range(0, video["n_frames"], 2):
                     chunk = avi_frame_payload_bytes(video, idx, total)

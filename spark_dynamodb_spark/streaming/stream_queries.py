@@ -1923,6 +1923,77 @@ def _s28_group_merge(prev: DataFrame | None, batch_sigs: DataFrame) -> DataFrame
     )
 
 
+def _neardup_verdict_finalize(
+    spark: SparkSession,
+    docs_all: DataFrame,
+    groups_final: DataFrame,
+    bands_final: DataFrame,
+    prov_dir: str,
+    gpairs_dir: str,
+) -> DataFrame:
+    """Shared s28/s29 finalization: fold the exact-verified GROUP-pair
+    ledger into per-group floors (only pairs still justified by an
+    alive, cap-respecting bucket count), then emit the per-doc verdict
+    triple. Factored because the two entries share ONE oracle and the
+    two copies of this block had already drifted apart in nothing but
+    whitespace — a fix to the alive-bucket filter or the ext_min union
+    applied to one would silently miss the other (code review r12)."""
+    import os
+
+    from spark_dynamodb_spark.operators.dedup import MAX_BUCKET_DOCS
+
+    have_pairs = os.path.isdir(gpairs_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(gpairs_dir)
+    )
+    if have_pairs:
+        prov = spark.read.parquet(prov_dir)
+        gpairs = spark.read.parquet(gpairs_dir)
+        alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
+            "band", "key"
+        )
+        justified = (
+            prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
+        )
+        vg = gpairs.join(justified, ["doc_a", "doc_b"])
+        g = groups_final.select("gid", "rep_id")
+        e = vg.join(
+            g.select(F.col("gid").alias("doc_a"), F.col("rep_id").alias("rep_a")),
+            "doc_a",
+        ).join(
+            g.select(F.col("gid").alias("doc_b"), F.col("rep_id").alias("rep_b")),
+            "doc_b",
+        )
+        ext = (
+            e.select(F.col("doc_a").alias("gid"), F.col("rep_b").alias("p"))
+            .unionByName(
+                e.select(F.col("doc_b").alias("gid"), F.col("rep_a").alias("p"))
+            )
+            .groupBy("gid")
+            .agg(F.min("p").alias("ext_min"))
+        )
+        flr = groups_final.join(ext, "gid", "left").select(
+            "sarr",
+            F.least(
+                F.col("rep_id"), F.coalesce("ext_min", "rep_id")
+            ).alias("g_floor"),
+        )
+    else:
+        flr = groups_final.select("sarr", F.col("rep_id").alias("g_floor"))
+    v = docs_all.join(flr, "sarr", "left")
+    rows = v.select(
+        F.col("doc_id").cast("long"),
+        F.coalesce(F.col("doc_id") > F.col("g_floor"), F.lit(False)).alias(
+            "is_dup"
+        ),
+        F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
+        .otherwise(F.col("doc_id"))
+        .cast("long")
+        .alias("canon_id"),
+    ).orderBy("doc_id")
+    # materialize before the temp state dirs vanish
+    return rows.localCheckpoint(eager=True)
+
+
 def _finalize_s28_oracle() -> None:
     """Same oracle as s26 — the verdict CONTRACT is identical (exact
     one-shot near-dup semantics); only the state machinery differs.
@@ -2082,59 +2153,14 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        docs_all = spark.read.parquet(sigs_dir)
-        groups_final = spark.read.parquet(last_groups[0])
-        bands_final = spark.read.parquet(last_bands[0])
-        have_pairs = os.path.isdir(gpairs_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(gpairs_dir)
+        return _neardup_verdict_finalize(
+            spark,
+            docs_all=spark.read.parquet(sigs_dir),
+            groups_final=spark.read.parquet(last_groups[0]),
+            bands_final=spark.read.parquet(last_bands[0]),
+            prov_dir=prov_dir,
+            gpairs_dir=gpairs_dir,
         )
-        if have_pairs:
-            prov = spark.read.parquet(prov_dir)
-            gpairs = spark.read.parquet(gpairs_dir)
-            alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
-                "band", "key"
-            )
-            justified = (
-                prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
-            )
-            vg = gpairs.join(justified, ["doc_a", "doc_b"])
-            g = groups_final.select("gid", "rep_id")
-            e = vg.join(
-                g.select(F.col("gid").alias("doc_a"), F.col("rep_id").alias("rep_a")),
-                "doc_a",
-            ).join(
-                g.select(F.col("gid").alias("doc_b"), F.col("rep_id").alias("rep_b")),
-                "doc_b",
-            )
-            ext = (
-                e.select(F.col("doc_a").alias("gid"), F.col("rep_b").alias("p"))
-                .unionByName(
-                    e.select(F.col("doc_b").alias("gid"), F.col("rep_a").alias("p"))
-                )
-                .groupBy("gid")
-                .agg(F.min("p").alias("ext_min"))
-            )
-            flr = groups_final.join(ext, "gid", "left").select(
-                "sarr",
-                F.least(
-                    F.col("rep_id"), F.coalesce("ext_min", "rep_id")
-                ).alias("g_floor"),
-            )
-        else:
-            flr = groups_final.select("sarr", F.col("rep_id").alias("g_floor"))
-        v = docs_all.join(flr, "sarr", "left")
-        rows = v.select(
-            F.col("doc_id").cast("long"),
-            F.coalesce(F.col("doc_id") > F.col("g_floor"), F.lit(False)).alias(
-                "is_dup"
-            ),
-            F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
-            .otherwise(F.col("doc_id"))
-            .cast("long")
-            .alias("canon_id"),
-        ).orderBy("doc_id")
-        # materialize before the temp state dirs vanish
-        return rows.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
@@ -2262,11 +2288,19 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         m = gb.join(store, "sig64", "left").localCheckpoint(eager=True)
         # collision guard: same 64-bit key, different signature array
-        # -> refuse loudly instead of silently merging two cliques
+        # -> refuse loudly instead of silently merging two cliques.
+        # Checked BOTH ways: batch-vs-stored AND batch-internal — two
+        # distinct sarr in one batch sharing a sig64 would otherwise
+        # slip past the stored comparison and the batch-put's
+        # put-replace would silently drop one clique's group row
+        # (code review r12).
         bad = m.filter(
             F.col("sarr_stored").isNotNull()
             & (F.col("sarr") != F.col("sarr_stored"))
         ).count()
+        bad += (
+            m.groupBy("sig64").agg(F.count("*").alias("k")).filter("k > 1").count()
+        )
         if bad:
             raise ValueError(
                 f"s29: xxhash64 signature-key collision on {bad} group(s) — "
@@ -2330,61 +2364,16 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        docs_all = spark.read.parquet(sigs_dir)
-        groups_final = read_dynamo(spark, store_table).select(
-            "sarr", "gid", "rep_id", "cnt"
-        )
-        bands_final = spark.read.parquet(last_bands[0])
-        have_pairs = os.path.isdir(gpairs_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(gpairs_dir)
-        )
-        if have_pairs:
-            prov = spark.read.parquet(prov_dir)
-            gpairs = spark.read.parquet(gpairs_dir)
-            alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
-                "band", "key"
-            )
-            justified = (
-                prov.join(alive, ["band", "key"]).select("doc_a", "doc_b").distinct()
-            )
-            vg = gpairs.join(justified, ["doc_a", "doc_b"])
-            g = groups_final.select("gid", "rep_id")
-            e = vg.join(
-                g.select(F.col("gid").alias("doc_a"), F.col("rep_id").alias("rep_a")),
-                "doc_a",
-            ).join(
-                g.select(F.col("gid").alias("doc_b"), F.col("rep_id").alias("rep_b")),
-                "doc_b",
-            )
-            ext = (
-                e.select(F.col("doc_a").alias("gid"), F.col("rep_b").alias("p"))
-                .unionByName(
-                    e.select(F.col("doc_b").alias("gid"), F.col("rep_a").alias("p"))
-                )
-                .groupBy("gid")
-                .agg(F.min("p").alias("ext_min"))
-            )
-            flr = groups_final.join(ext, "gid", "left").select(
-                "sarr",
-                F.least(
-                    F.col("rep_id"), F.coalesce("ext_min", "rep_id")
-                ).alias("g_floor"),
-            )
-        else:
-            flr = groups_final.select("sarr", F.col("rep_id").alias("g_floor"))
-        v = docs_all.join(flr, "sarr", "left")
-        rows = v.select(
-            F.col("doc_id").cast("long"),
-            F.coalesce(F.col("doc_id") > F.col("g_floor"), F.lit(False)).alias(
-                "is_dup"
+        return _neardup_verdict_finalize(
+            spark,
+            docs_all=spark.read.parquet(sigs_dir),
+            groups_final=read_dynamo(spark, store_table).select(
+                "sarr", "gid", "rep_id", "cnt"
             ),
-            F.when(F.col("doc_id") > F.col("g_floor"), F.col("g_floor"))
-            .otherwise(F.col("doc_id"))
-            .cast("long")
-            .alias("canon_id"),
-        ).orderBy("doc_id")
-        # materialize before the temp state dirs vanish
-        return rows.localCheckpoint(eager=True)
+            bands_final=spark.read.parquet(last_bands[0]),
+            prov_dir=prov_dir,
+            gpairs_dir=gpairs_dir,
+        )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)

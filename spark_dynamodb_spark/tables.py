@@ -131,6 +131,16 @@ def scratch_stage_path(spark: SparkSession, entry: str, sf_dir: str) -> str:
     tag = hashlib.md5(f"{entry}:{sf_dir}:{app}".encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"{entry}_sigs_{tag}")
     _SESSION_STAGE_PATHS.add(path)
+    # freshen the mtime on every ACCESS, not just on write: the sweep's
+    # liveness heuristic is "touched within the last hour", and a query
+    # that re-READS a stage for longer than that (large-SF verify
+    # phases) would otherwise look dead to a concurrently starting
+    # session (code review r12)
+    if os.path.isdir(path):
+        try:
+            os.utime(path)
+        except OSError:
+            pass
     if app not in _SWEPT_APPS:
         _SWEPT_APPS.add(app)
         from spark_dynamodb_spark.maintenance import sweep_scratch

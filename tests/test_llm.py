@@ -951,3 +951,29 @@ def test_gif_decodes_external_file_and_rejects_corruption():
         pass
     with pytest.raises(ValueError, match="empty"):
         codecs.encode_gif(b"")
+
+
+def test_avi_frame_stride_skips_codec_but_not_container_checks():
+    """frame_stride must save exactly the per-frame JPEG CPU: skipped
+    slots are None, sampled frames decode identically to a full-stride
+    pass, and container corruption is still caught because the idx1
+    cross-check covers every chunk regardless of stride."""
+    from spark_dynamodb_spark.functions import codecs
+
+    payload = b"stride sampling saves codec cpu " * 8  # 4 frames
+    base = codecs.encode_avi_mjpeg(payload)
+    full = codecs.decode_avi_mjpeg(base)
+    sampled = codecs.decode_avi_mjpeg(base, frame_stride=2)
+    assert sampled["n_frames"] == full["n_frames"] == 4
+    assert sampled["frames"][1] is None and sampled["frames"][3] is None
+    for i in (0, 2):
+        assert sampled["frames"][i] == full["frames"][i]
+        assert codecs.avi_frame_payload_bytes(
+            sampled, i, len(payload)
+        ) == codecs.avi_frame_payload_bytes(full, i, len(payload))
+    # index corruption is caught even for a chunk whose frame is skipped
+    ipos = base.rindex(b"idx1")
+    tampered = bytearray(base)
+    tampered[ipos + 8 + 16 + 8] ^= 0x04  # second entry's offset (a skipped frame)
+    with pytest.raises(ValueError, match="idx1"):
+        codecs.decode_avi_mjpeg(bytes(tampered), frame_stride=2)
