@@ -112,6 +112,8 @@ EXTRA = [
     # ingest-time decontamination (bench state bootstrapped once,
     # per-batch broadcast check, append-only hit ledger)
     "s30_stream_decontamination",
+    # windowed audio features (integer-exact energy/peak/variation)
+    "c05_audio_features",
 ]
 
 

@@ -1391,3 +1391,101 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
+AUDIO_WIN = 64  # samples per feature window
+
+
+@query(
+    "c05_audio_features",
+    f"""
+    WITH e AS (
+      SELECT doc_id, unnest(generate_series(1, length(text))) AS i
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        AND length(text) > 0
+    ),
+    s AS (
+      SELECT e.doc_id, e.i,
+             CAST((e.i - 1) // {AUDIO_WIN} AS BIGINT) AS win_idx,
+             ascii(substr(d.text, CAST(e.i AS BIGINT), 1)) * 16 AS smp
+      FROM e JOIN documents d USING (doc_id)
+    ),
+    l AS (
+      SELECT *, lag(smp) OVER (PARTITION BY doc_id, win_idx ORDER BY i)
+               AS prev_smp
+      FROM s
+    )
+    SELECT doc_id, win_idx,
+           CAST(count(*) AS BIGINT) AS n_win_samples,
+           CAST(sum(smp * smp) AS BIGINT) AS energy,
+           CAST(max(smp) AS BIGINT) AS peak,
+           CAST(coalesce(sum(abs(smp - prev_smp)), 0) AS BIGINT) AS total_variation
+    FROM l
+    GROUP BY doc_id, win_idx
+    ORDER BY doc_id, win_idx
+    """,
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5d-features: audio FEATURE EXTRACTION through the real codec
+    path — the brief's decode/feature-extract/resize/frame-sample
+    quartet had decode (WAV/FLAC), resize (c05_multimodal_resize) and
+    frame sampling (c05_multimodal_frames/video) but no feature stage.
+    Documents ride as PCM16 RIFF/WAVE; the extractor re-parses the
+    container (chunk walk) and computes per-64-sample-window features
+    from the DECODED int16 stream in vectorized numpy: energy
+    (sum of squares), peak amplitude, and total variation (sum of
+    |s_i - s_{{i-1}}| within the window — the roughness measure;
+    zero-crossing rate is degenerate here because the byte->sample
+    mapping is non-negative). All three are INTEGER-exact, so the
+    oracle recomputes them from the text bytes via ascii()/lag()
+    window SQL and the hash match proves the decode+feature pipeline
+    end-to-end — no float tolerance anywhere.
+
+    100 TB shape: same as every c05 entry — Arrow-batched mapInPandas,
+    features are per-window-bounded (a window never spans documents,
+    so no shuffle is needed beyond the final presentation sort); the
+    numpy kernel is vectorized per batch, not per sample.
+    """
+    _ensure_worker_imports(spark)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("win_idx", T.LongType()),
+            T.StructField("n_win_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("total_variation", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
+                s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
+                for w in range(0, len(s), AUDIO_WIN):
+                    win = s[w : w + AUDIO_WIN]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(w // AUDIO_WIN)
+                    out["n_win_samples"].append(len(win))
+                    out["energy"].append(int((win * win).sum()))
+                    out["peak"].append(int(win.max()))
+                    out["total_variation"].append(
+                        int(np.abs(np.diff(win)).sum()) if len(win) > 1 else 0
+                    )
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(extract, out_schema)
+        .orderBy("doc_id", "win_idx")
+    )

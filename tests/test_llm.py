@@ -977,3 +977,19 @@ def test_avi_frame_stride_skips_codec_but_not_container_checks():
     tampered[ipos + 8 + 16 + 8] ^= 0x04  # second entry's offset (a skipped frame)
     with pytest.raises(ValueError, match="idx1"):
         codecs.decode_avi_mjpeg(bytes(tampered), frame_stride=2)
+
+
+def test_audio_features_integer_exact_on_known_signal():
+    """Pin the feature arithmetic on a hand-computable signal: bytes
+    [0, 1, 2, 255] -> samples [0, 16, 32, 4080]; energy = 16^2 + 32^2
+    + 4080^2, tv = 16 + 16 + 4048, peak = 4080 (single window)."""
+    import numpy as np
+
+    from spark_dynamodb_spark.functions import codecs
+
+    wav = codecs.decode_wav(codecs.encode_wav(bytes([0, 1, 2, 255])))
+    s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
+    assert list(s) == [0, 16, 32, 4080]
+    assert int((s * s).sum()) == 16**2 + 32**2 + 4080**2
+    assert int(np.abs(np.diff(s)).sum()) == 16 + 16 + 4048
+    assert int(s.max()) == 4080
