@@ -114,6 +114,8 @@ EXTRA = [
     "s30_stream_decontamination",
     # windowed audio features (integer-exact energy/peak/variation)
     "c05_audio_features",
+    # pixel-row features through the real PNG decode
+    "c05_image_features",
 ]
 
 

@@ -1489,3 +1489,99 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(extract, out_schema)
         .orderBy("doc_id", "win_idx")
     )
+
+
+ROW_BYTES = BMP_WIDTH * 3  # RGB bytes per pixel row
+
+
+@query(
+    "c05_image_features",
+    f"""
+    WITH r AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(generate_series(
+               0, CAST(ceil(length(text) / {ROW_BYTES}.0) AS BIGINT) - 1))
+               AS row_idx
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        AND length(text) > 0
+    ),
+    s AS (
+      SELECT r.doc_id, r.row_idx, t.i,
+             CASE WHEN r.row_idx * {ROW_BYTES} + t.i <= r.n
+                  THEN ascii(substr(d.text,
+                       CAST(r.row_idx * {ROW_BYTES} + t.i AS BIGINT), 1))
+                  ELSE 0 END AS px
+      FROM r
+      JOIN documents d USING (doc_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {ROW_BYTES})) AS i) t
+    )
+    SELECT doc_id, row_idx,
+           CAST(sum(px) // {ROW_BYTES} AS BIGINT) AS row_mean,
+           CAST(max(px) AS BIGINT) AS row_peak,
+           CAST(sum(CASE WHEN px = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS row_zeros
+    FROM s
+    GROUP BY doc_id, row_idx
+    ORDER BY doc_id, row_idx
+    """,
+)
+def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-features: image feature extraction through the REAL
+    compressed decode path — the audio-features twin (c05_audio_
+    features) on the pixel side. Documents ride as zlib-deflated PNGs
+    (cycled scanline filters); the extractor CRC-checks chunks,
+    inflates IDAT, undoes all five filters, and computes per-pixel-row
+    statistics from the DECODED byte stream: integer mean (floor),
+    peak, and zero count (zeros double as the padding measure on the
+    final row — the decoder must reproduce the spec's zero-fill
+    exactly or the count drifts). All integer-exact, so the oracle
+    recomputes them from text bytes with ascii() window SQL including
+    the explicit beyond-length-is-zero padding rule, and the hash
+    match proves inflate + unfilter + row reassembly end-to-end.
+
+    100 TB shape: identical to c05_audio_features — rows never span
+    documents (no shuffle beyond the presentation sort), numpy kernel
+    vectorized per Arrow batch, media bytes never touch the driver.
+    """
+    _ensure_worker_imports(spark)
+
+    docs = with_png_columns(
+        load_table(spark, sf_dir, "documents").filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("row_idx", T.LongType()),
+            T.StructField("row_mean", T.LongType()),
+            T.StructField("row_peak", T.LongType()),
+            T.StructField("row_zeros", T.LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                px = np.frombuffer(img["pixel_data"], dtype=np.uint8).astype(
+                    np.int64
+                )
+                rows = px.reshape(-1, ROW_BYTES)
+                means = rows.sum(axis=1) // ROW_BYTES
+                peaks = rows.max(axis=1)
+                zeros = (rows == 0).sum(axis=1)
+                for ri in range(rows.shape[0]):
+                    out["doc_id"].append(doc_id)
+                    out["row_idx"].append(ri)
+                    out["row_mean"].append(int(means[ri]))
+                    out["row_peak"].append(int(peaks[ri]))
+                    out["row_zeros"].append(int(zeros[ri]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id", "row_idx")

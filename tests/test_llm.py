@@ -993,3 +993,22 @@ def test_audio_features_integer_exact_on_known_signal():
     assert int((s * s).sum()) == 16**2 + 32**2 + 4080**2
     assert int(np.abs(np.diff(s)).sum()) == 16 + 16 + 4048
     assert int(s.max()) == 4080
+
+
+def test_image_features_pin_padding_rule():
+    """The per-row zero count must reproduce the spec's zero-fill on
+    the final row exactly: a 100-byte payload in 96-byte rows leaves
+    92 pad zeros in row 1 (plus any genuine zero bytes)."""
+    import numpy as np
+
+    from spark_dynamodb_spark.functions import codecs
+    from spark_dynamodb_spark.operators.multimodal import ROW_BYTES
+
+    payload = bytes(range(1, 101))  # 100 bytes, none zero
+    img = codecs.decode_png(codecs.encode_png(payload, width=32))
+    px = np.frombuffer(img["pixel_data"], dtype=np.uint8).astype(int)
+    rows = px.reshape(-1, ROW_BYTES)
+    assert rows.shape[0] == 2
+    assert int((rows[0] == 0).sum()) == 0
+    assert int((rows[1] == 0).sum()) == 2 * ROW_BYTES - 100
+    assert int(rows[0].sum()) // ROW_BYTES == sum(range(1, 97)) // ROW_BYTES
