@@ -116,6 +116,8 @@ EXTRA = [
     "c05_audio_features",
     # pixel-row features through the real PNG decode
     "c05_image_features",
+    # tokenize-at-ingest per-source token ledger
+    "s31_stream_tokenize_state",
 ]
 
 

@@ -2784,3 +2784,228 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_s30_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S31 — tokenize at ingest: per-source token-budget state (serving + stream)
+# ---------------------------------------------------------------------------
+
+
+def _finalize_s31_oracle() -> None:
+    """Oracle: c115's unrolled train+encode CTE chain, rolled up per
+    source — the incrementally merged accounting must equal the
+    one-shot corpus figures exactly (integer counts, no tolerance)."""
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _bpe_train_ctes,
+        _BPE_FOLD_SQL,
+        _BPE_MERGES,
+    )
+    from spark_dynamodb_spark.functions.text import sql_simple_tokens
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    ctes = _bpe_train_ctes()
+    ctes.append(
+        f"""wd AS (SELECT doc_id, tok AS word, COUNT(*) AS wcnt
+          FROM (SELECT doc_id, unnest({sql_simple_tokens('text')}) AS tok
+                FROM documents)
+          GROUP BY doc_id, tok)"""
+    )
+    ctes.append(
+        """d0 AS (SELECT doc_id, word, wcnt,
+                list_transform(generate_series(1, length(word)),
+                               i -> substr(word, i, 1)) AS syms
+          FROM wd)"""
+    )
+    for k in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""d{k} AS (
+      SELECT doc_id, word, wcnt,
+             string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
+      FROM d{k - 1} CROSS JOIN b{k} b
+    )"""
+        )
+    last = f"d{_BPE_MERGES}"
+    REGISTRY.resolve("s31_stream_tokenize_state").oracle = (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , stats AS (
+      SELECT doc_id,
+             CAST(SUM(wcnt) AS BIGINT) AS n_words,
+             CAST(SUM(wcnt * len(syms)) AS BIGINT) AS n_tokens,
+             CAST(SUM(wcnt * length(word)) AS BIGINT) AS n_chars
+      FROM {last}
+      GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(coalesce(s.n_words, 0)) AS BIGINT) AS n_words,
+           CAST(SUM(coalesce(s.n_tokens, 0)) AS BIGINT) AS n_tokens,
+           CAST(SUM(coalesce(s.n_chars, 0)) AS BIGINT) AS n_chars
+    FROM documents d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+    )
+
+
+@query(
+    "s31_stream_tokenize_state",
+    None,  # oracle patched below (c115's chain, per-source rollup)
+)
+def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S31: tokenize at INGEST — the serving-path encoder (c115)
+    composed with the streaming state shelf. The operational shape:
+    a tokenizer is trained and VERSIONED before ingestion starts (the
+    s27-centroids / s30-benchmark bootstrap discipline; here the c112
+    trainer provides it so the final state is oracle-matchable), then
+    every arriving micro-batch of documents is encoded on arrival and
+    a per-source token-budget ledger (n_docs / n_words / n_tokens /
+    n_chars) is sum-merged — the accounting a data team watches to
+    track each source's token contribution as data lands, BEFORE
+    mixture weighting (c82/c84 consume exactly these figures).
+
+    Per batch: the bounded model (six merge rules, collected once)
+    rides an Arrow mapInPandas closure with a per-partition distinct-
+    word cache; the batch's per-source partial aggregate unions the
+    previous state and re-sums (associative+commutative, the s25
+    merge algebra), so the final state is bit-identical to the
+    one-shot corpus rollup — which the oracle (c115's unrolled
+    train+encode CTE chain, grouped by source) checks value-level.
+
+    100 TB shape: state is one row per SOURCE (bounded by the catalog,
+    not the corpus); raw text never crosses a shuffle — each batch's
+    exchange carries five counters per source; the encode cost rides
+    the scan's own parallelism (PLANS.md:972 — the c115 lesson)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        _bpe_apply_merge_py,
+        _bpe_train_rules,
+        _ascii_guard,
+    )
+    from spark_dynamodb_spark.sources.dynamo import _ship_package
+
+    _ship_package(spark)
+    rules = _bpe_train_rules(spark, sf_dir)
+    merges = [(r["lhs"], r["rhs"]) for df in rules for r in df.collect()]
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        cache: dict[str, tuple[int, int]] = {}
+
+        def word_stats(w: str) -> tuple[int, int]:
+            hit = cache.get(w)
+            if hit is None:
+                syms = [ch for ch in w]
+                for l, r in merges:
+                    syms = _bpe_apply_merge_py(syms, l, r)
+                hit = (len(syms), len(w))
+                cache[w] = hit
+            return hit
+
+        for pdf in batches:
+            agg: dict[str, list[int]] = {}
+            for text, source in zip(pdf["text"], pdf["source"]):
+                _ascii_guard(text, "s31_stream_tokenize_state")
+                toks = [t for t in (text or "").lower().split(" ") if t]
+                n_tokens = 0
+                n_chars = 0
+                for w in toks:
+                    s, c = word_stats(w)
+                    n_tokens += s
+                    n_chars += c
+                a = agg.setdefault(source, [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += len(toks)
+                a[2] += n_tokens
+                a[3] += n_chars
+            yield pd.DataFrame(
+                [(src, *v) for src, v in agg.items()],
+                columns=out_schema.fieldNames(),
+            )
+
+    state_root = tempfile.mkdtemp(prefix="toklg_state_")
+    last_path: list[str | None] = [None]
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        part = (
+            batch.select("doc_id", "text", "lang", "source", "n_chars")
+            .mapInPandas(encode, out_schema)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("n_words").alias("n_words"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_chars").alias("n_chars"),
+            )
+        )
+        if last_path[0] is not None:
+            part = part.unionByName(sess.read.parquet(last_path[0]))
+        merged = part.groupBy("source").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        last_path[0] = out
+
+    ckpt = tempfile.mkdtemp(prefix="toklg_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(last_path[0])
+            .select(
+                "source",
+                F.col("n_docs").cast("long"),
+                F.col("n_words").cast("long"),
+                F.col("n_tokens").cast("long"),
+                F.col("n_chars").cast("long"),
+            )
+            .orderBy("source")
+        )
+        # materialize before the temp state dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+_finalize_s31_oracle()

@@ -1103,3 +1103,35 @@ def test_s30_matches_one_shot_decontamination(spark, sf_dir):
     want = [tuple(r) for r in decontamination(spark, sf_dir).collect()]
     assert got == want
     assert len(got) > 0  # the fixture must actually exercise the path
+
+
+def test_s31_matches_one_shot_serving_rollup(spark, sf_dir):
+    """The incrementally merged per-source token ledger must equal the
+    per-source rollup of c115's one-shot per-doc serving output —
+    streaming is an execution strategy, not new semantics."""
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators.text_analysis import tokenizer_encode
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        stream_tokenize_state,
+    )
+    from spark_dynamodb_spark.tables import load_table
+
+    got = [tuple(r) for r in stream_tokenize_state(spark, sf_dir).collect()]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    want = [
+        tuple(r)
+        for r in tokenizer_encode(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("source")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 1  # multiple sources actually exercised
