@@ -118,6 +118,8 @@ EXTRA = [
     "c05_image_features",
     # tokenize-at-ingest per-source token ledger
     "s31_stream_tokenize_state",
+    # the early-change LZW + IFD container (the other convention)
+    "c05_multimodal_tiff",
 ]
 
 

@@ -2008,3 +2008,308 @@ def decode_gif(payload: bytes) -> dict:
                 "gray": gray,
             }
         raise ValueError(f"gif: unknown block introducer 0x{block:02X}")
+
+
+# --- TIFF 6.0 (LZW compression 5): early-change LZW, MSB-first --------------
+#
+# The OTHER LZW convention: TIFF's LZW (spec section 13) packs bits
+# MSB-FIRST and bumps the code width one entry EARLY (at table size
+# 2^w - 1, because the decoder must be able to read the encoder's
+# next code before constructing its own pending entry) — the exact
+# opposite timing from GIF's, and the classic cross-format interop
+# bug (libtiff's "early change" flag exists because real files got
+# this wrong both ways). Sharing an implementation with the GIF coder
+# would be wrong by construction, which is the point: the decoder
+# must carry BOTH conventions, and a test pins that decoding a
+# boundary-crossing TIFF stream with GIF timing actually diverges.
+# Container-wise TIFF is an IFD tag directory + strip layout — the
+# third container family here (RIFF chunks, PNG/GIF block streams,
+# now tag directories).
+
+TIFF_WIDTH = 32
+_TIFF_ROWS_PER_STRIP = 8  # small so multi-strip walking is always real
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF-flavor LZW: 256=Clear, 257=EOI, MSB-first, EARLY width
+    change (encoder bumps when the next free code is 2^w - 1)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for b in data:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w], width)
+        table[c] = next_code
+        next_code += 1
+        # libtiff lockstep: the ENCODER bumps when the free-code
+        # counter reaches 2^w, the DECODER when ITS table (one entry
+        # behind, the construction lag) reaches 2^w - 1 — that
+        # decoder-side early change is what the TIFF spec names, and
+        # the first draft's (1<<w)-1 here was the classic off-by-one
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:  # spec: reset before the table fills
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        # libtiff LZWPostEncode increments the free-code counter after
+        # the final pending symbol even though nothing is inserted —
+        # the decoder APPENDS on that code, so without the phantom
+        # increment the EOI is written one bit-width behind the
+        # decoder's read (bit 12/200 random 256-byte blocks)
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decompress(data: bytes) -> bytes:
+    """Inverse of _tiff_lzw_compress: MSB-first reads, width bump when
+    the decoder's next free slot is 2^w - 1 (one early — in lockstep
+    with the encoder BECAUSE of the one-entry construction lag that
+    GIF instead absorbs by bumping late)."""
+    clear, eoi = 256, 257
+    pos = 0
+    acc = 0
+    nacc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nacc
+        while nacc < width:
+            if pos >= len(data):
+                raise ValueError("tiff: LZW stream ended without EOI")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nacc += 8
+        v = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
+        return v
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        code = read(width)
+        if code == clear:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("tiff: first code after clear out of range")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("tiff: LZW code out of range")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+
+
+def encode_tiff_lzw(data: bytes, width: int = TIFF_WIDTH) -> bytes:
+    """Pack a byte payload as a little-endian TIFF 6.0: 8-bit
+    grayscale (BlackIsZero), LZW compression (tag 259 = 5), one byte
+    per pixel, zero-padded last row, strip layout with
+    {_TIFF_ROWS_PER_STRIP} rows per strip so multi-strip walking is
+    exercised on every non-trivial payload."""
+    if not data:
+        raise ValueError("encode_tiff_lzw: empty payload")
+    height = -(-len(data) // width)
+    if width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("encode_tiff_lzw: payload too large for 16-bit dims")
+    pixels = data + b"\x00" * (width * height - len(data))
+
+    strips = []
+    for r0 in range(0, height, _TIFF_ROWS_PER_STRIP):
+        rows = pixels[r0 * width : (r0 + _TIFF_ROWS_PER_STRIP) * width]
+        strips.append(_tiff_lzw_compress(rows))
+
+    # layout: header(8) | strip data | IFD
+    strip_offsets = []
+    off = 8
+    for s in strips:
+        strip_offsets.append(off)
+        off += len(s)
+    if off % 2:
+        off += 1  # IFD must be word-aligned
+    ifd_offset = off
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    n_strips = len(strips)
+    # multi-value offset/bytecount arrays live after the IFD entries
+    tail = bytearray()
+    tail_base = ifd_offset + 2 + 12 * 9 + 4
+    if n_strips == 1:
+        off_value = strip_offsets[0]
+        cnt_value = len(strips[0])
+    else:
+        off_value = tail_base + len(tail)
+        tail += struct.pack(f"<{n_strips}I", *strip_offsets)
+        cnt_value = tail_base + len(tail)
+        tail += struct.pack(f"<{n_strips}I", *[len(s) for s in strips])
+
+    ifd = bytearray()
+    ifd += struct.pack("<H", 9)
+    ifd += entry(256, 3, 1, width)  # ImageWidth SHORT
+    ifd += entry(257, 3, 1, height)  # ImageLength
+    ifd += entry(258, 3, 1, 8)  # BitsPerSample
+    ifd += entry(259, 3, 1, 5)  # Compression = LZW
+    ifd += entry(262, 3, 1, 1)  # Photometric = BlackIsZero
+    ifd += entry(273, 4, n_strips, off_value)  # StripOffsets
+    ifd += entry(277, 3, 1, 1)  # SamplesPerPixel
+    ifd += entry(278, 3, 1, _TIFF_ROWS_PER_STRIP)  # RowsPerStrip
+    ifd += entry(279, 4, n_strips, cnt_value)  # StripByteCounts
+    ifd += struct.pack("<I", 0)  # next IFD
+    ifd += tail
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += ifd
+    return bytes(out)
+
+
+def decode_tiff_lzw(payload: bytes) -> dict:
+    """Parse a TIFF 6.0 from raw bytes: byte-order header (II and MM
+    both supported), IFD tag-directory walk, strip layout resolution
+    (inline vs. offset-array values), per-strip early-change LZW
+    decompression, and geometry validation (every strip must decode
+    to exactly its rows' bytes; total must be width*height).
+
+    Returns {width, height, file_size, n_strips, pixel_data}. Raises
+    ValueError on non-TIFF input, truncation, or LZW/geometry
+    violations; NotImplementedError for non-grayscale, non-8-bit, or
+    non-LZW compression (out of scope here, like progressive JPEG)."""
+    if len(payload) < 8:
+        raise ValueError("tiff: truncated stream (header)")
+    order = payload[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (missing II/MM byte order)")
+    magic, ifd_offset = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+
+    def read_ifd(off: int) -> dict[int, tuple[int, int, int]]:
+        if off + 2 > len(payload):
+            raise ValueError("tiff: truncated stream (IFD)")
+        (n,) = struct.unpack(e + "H", payload[off : off + 2])
+        if off + 2 + 12 * n + 4 > len(payload):
+            raise ValueError("tiff: truncated stream (IFD entries)")
+        tags = {}
+        for i in range(n):
+            tag, typ, count, value = struct.unpack(
+                e + "HHII", payload[off + 2 + 12 * i : off + 14 + 12 * i]
+            )
+            tags[tag] = (typ, count, value)
+        return tags
+
+    tags = read_ifd(ifd_offset)
+
+    def scalar(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"tiff: missing required tag {tag}")
+            return default
+        typ, count, value = tags[tag]
+        if count != 1:
+            raise ValueError(f"tiff: tag {tag} expected one value")
+        if typ == 3 and e == ">":
+            value >>= 16  # SHORT is left-justified in the value slot
+        return value
+
+    def array(tag: int) -> list[int]:
+        typ, count, value = tags[tag]
+        if count == 1:
+            return [scalar(tag)]
+        size = 2 if typ == 3 else 4
+        if value + size * count > len(payload):
+            raise ValueError(f"tiff: tag {tag} value array truncated")
+        fmt = e + ("H" if typ == 3 else "I") * count
+        return list(struct.unpack(fmt, payload[value : value + size * count]))
+
+    width = scalar(256)
+    height = scalar(257)
+    if scalar(258, 8) != 8 or scalar(277, 1) != 1 or scalar(262, 1) != 1:
+        raise NotImplementedError(
+            "tiff: only 8-bit single-sample grayscale (BlackIsZero) here"
+        )
+    if scalar(259, 1) != 5:
+        raise NotImplementedError(
+            "tiff: only LZW (compression 5) is supported here"
+        )
+    rows_per_strip = scalar(278, height)
+    offsets = array(273)
+    counts = array(279)
+    if len(offsets) != len(counts):
+        raise ValueError("tiff: StripOffsets/StripByteCounts length mismatch")
+    expected_strips = -(-height // rows_per_strip)
+    if len(offsets) != expected_strips:
+        raise ValueError(
+            f"tiff: {len(offsets)} strips for {height} rows at "
+            f"{rows_per_strip} rows/strip (expected {expected_strips})"
+        )
+
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("tiff: truncated stream (strip data)")
+        rows = min(rows_per_strip, height - si * rows_per_strip)
+        strip = _tiff_lzw_decompress(payload[off : off + cnt])
+        if len(strip) != rows * width:
+            raise ValueError(
+                f"tiff: strip {si} decoded {len(strip)} bytes for "
+                f"{rows}x{width} rows"
+            )
+        out += strip
+    return {
+        "width": width,
+        "height": height,
+        "file_size": len(payload),
+        "n_strips": len(offsets),
+        "pixel_data": bytes(out),
+    }

@@ -1585,3 +1585,96 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id", "row_idx")
+
+
+@query(
+    "c05_multimodal_tiff",
+    f"""
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS height,
+           CAST(ceil(ceil(length(text) / {BMP_WIDTH}.0) / 8.0) AS BIGINT)
+             AS n_strips,
+           md5(text) AS payload_md5,
+           'image/tiff' AS mime,
+           source AS origin
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-tiff: the OTHER LZW — TIFF 6.0 with compression 5, whose
+    dictionary coder packs bits MSB-first and changes code width one
+    entry EARLY (the decoder's construction lag absorbed on the
+    encoder side — the exact opposite convention from the GIF coder
+    in this repo, and the classic cross-format interop bug; a test
+    pins that decoding a boundary-crossing TIFF stream with GIF
+    timing actually diverges, so the two implementations cannot be
+    quietly unified wrong). Container-wise this adds the third
+    container family: an IFD tag directory (typed entries, inline vs.
+    offset-array values, word alignment, II/MM byte orders) with a
+    multi-strip pixel layout — every non-trivial document exercises
+    the strip walk because rows-per-strip is 8. The oracle recomputes
+    width/height/strip-count from the layout formulas and md5s the
+    recovered payload; a decoder that mistimes the early change,
+    misreads the tag directory, or mis-seams strips fails the hash.
+
+    100 TB shape: identical to the other c05 codec entries — Arrow-
+    batched mapInPandas behind a numbered repartition, media bytes
+    never through the driver.
+    """
+    _ensure_worker_imports(spark)
+    from spark_dynamodb_spark.functions.codecs import (
+        decode_tiff_lzw,
+        encode_tiff_lzw,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_strips", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                payload = text.encode()
+                img = decode_tiff_lzw(encode_tiff_lzw(payload))
+                data = img["pixel_data"][: len(payload)]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_strips"].append(img["n_strips"])
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append("image/tiff")
+                out["origin"].append(source)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text", "source")
+        .mapInPandas(extract, out_schema)
+        .orderBy("doc_id")
+    )

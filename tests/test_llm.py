@@ -1012,3 +1012,79 @@ def test_image_features_pin_padding_rule():
     assert int((rows[0] == 0).sum()) == 0
     assert int((rows[1] == 0).sum()) == 2 * ROW_BYTES - 100
     assert int(rows[0].sum()) // ROW_BYTES == sum(range(1, 97)) // ROW_BYTES
+
+
+def test_tiff_early_change_is_load_bearing_and_container_validates():
+    """TIFF's LZW changes code width one entry EARLIER than GIF's —
+    decode a boundary-crossing TIFF stream with the late-change (GIF)
+    timing and it must diverge, proving the two conventions in this
+    repo are genuinely distinct implementations. Container corruption
+    raises the documented error classes."""
+    import random
+
+    from spark_dynamodb_spark.functions import codecs
+
+    rng = random.Random(600)
+    payload = bytes(rng.randrange(256) for _ in range(600))  # crosses 511
+    stream = codecs._tiff_lzw_compress(payload)
+    assert codecs._tiff_lzw_decompress(stream) == payload
+
+    def late_change(data):  # the GIF bump timing on the same bits
+        clear, eoi = 256, 257
+        pos = acc = nacc = 0
+
+        def read(width):
+            nonlocal pos, acc, nacc
+            while nacc < width:
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nacc += 8
+            v = (acc >> (nacc - width)) & ((1 << width) - 1)
+            nacc -= width
+            return v
+
+        base = [bytes([i]) for i in range(256)] + [b"", b""]
+        table = list(base)
+        width = 9
+        prev = None
+        out = bytearray()
+        while True:
+            code = read(width)
+            if code == clear:
+                table = list(base)
+                width = 9
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            else:
+                if code > len(table):
+                    raise ValueError("range")
+                entry = table[code] if code < len(table) else prev + prev[:1]
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1  # LATE (GIF) — must desync on TIFF streams
+            out += entry
+            prev = entry
+
+    try:
+        assert late_change(stream) != payload
+    except (ValueError, IndexError):
+        pass  # desync may also surface as a protocol error
+
+    base = codecs.encode_tiff_lzw(b"tag directories and strips " * 20)
+    with pytest.raises(ValueError, match="byte order"):
+        codecs.decode_tiff_lzw(b"XX" + base[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_tiff_lzw(base[:40])
+    # claim a non-LZW compression -> honest refusal (tag 259 lives in
+    # the IFD; find it by its little-endian tag bytes)
+    tampered = bytearray(base)
+    tpos = tampered.rindex(b"\x03\x01\x03\x00")  # tag 259, type SHORT
+    tampered[tpos + 8] = 1  # Compression = none
+    with pytest.raises(NotImplementedError, match="LZW"):
+        codecs.decode_tiff_lzw(bytes(tampered))
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_tiff_lzw(b"")

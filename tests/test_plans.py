@@ -1777,3 +1777,15 @@ def test_multimodal_gif_parallel_codec(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_multimodal_tiff_parallel_codec(spark, sf_dir):
+    """c05_multimodal_tiff: same numbered-repartition treatment as the
+    other pure-Python codec entries."""
+    from spark_dynamodb_spark.operators.multimodal import multimodal_tiff
+
+    df = multimodal_tiff(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan

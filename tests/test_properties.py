@@ -595,3 +595,18 @@ def test_gif_roundtrip_property(payload):
     assert d["gray"]
     assert d["width"] == codecs.GIF_WIDTH
     assert d["height"] == -(-len(payload) // codecs.GIF_WIDTH)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=6000))
+def test_tiff_roundtrip_property(payload):
+    """Any payload: the IFD walk + multi-strip layout + early-change
+    MSB-first LZW must invert the pixel packing byte-exactly."""
+    from spark_dynamodb_spark.functions import codecs
+
+    t = codecs.decode_tiff_lzw(codecs.encode_tiff_lzw(payload))
+    assert t["pixel_data"][: len(payload)] == payload
+    assert set(t["pixel_data"][len(payload):]) <= {0}
+    assert t["width"] == codecs.TIFF_WIDTH
+    assert t["height"] == -(-len(payload) // codecs.TIFF_WIDTH)
+    assert t["n_strips"] == -(-t["height"] // 8)
