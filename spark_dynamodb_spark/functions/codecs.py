@@ -2234,7 +2234,7 @@ def decode_tiff_lzw(payload: bytes) -> dict:
     if magic != 42:
         raise ValueError("not a TIFF payload (bad magic)")
 
-    def read_ifd(off: int) -> dict[int, tuple[int, int, int]]:
+    def read_ifd(off: int) -> dict[int, tuple[int, int, int, bytes]]:
         if off + 2 > len(payload):
             raise ValueError("tiff: truncated stream (IFD)")
         (n,) = struct.unpack(e + "H", payload[off : off + 2])
@@ -2242,10 +2242,12 @@ def decode_tiff_lzw(payload: bytes) -> dict:
             raise ValueError("tiff: truncated stream (IFD entries)")
         tags = {}
         for i in range(n):
-            tag, typ, count, value = struct.unpack(
-                e + "HHII", payload[off + 2 + 12 * i : off + 14 + 12 * i]
-            )
-            tags[tag] = (typ, count, value)
+            ent = payload[off + 2 + 12 * i : off + 14 + 12 * i]
+            tag, typ, count, value = struct.unpack(e + "HHII", ent)
+            # keep the raw 4-byte value slot: arrays whose total size
+            # fits in it are stored INLINE per the spec (code review
+            # r12 #2 — real writers emit 2 inline SHORT strip counts)
+            tags[tag] = (typ, count, value, ent[8:12])
         return tags
 
     tags = read_ifd(ifd_offset)
@@ -2255,7 +2257,7 @@ def decode_tiff_lzw(payload: bytes) -> dict:
             if default is None:
                 raise ValueError(f"tiff: missing required tag {tag}")
             return default
-        typ, count, value = tags[tag]
+        typ, count, value, _raw = tags[tag]
         if count != 1:
             raise ValueError(f"tiff: tag {tag} expected one value")
         if typ == 3 and e == ">":
@@ -2263,13 +2265,17 @@ def decode_tiff_lzw(payload: bytes) -> dict:
         return value
 
     def array(tag: int) -> list[int]:
-        typ, count, value = tags[tag]
+        typ, count, value, raw = tags[tag]
         if count == 1:
             return [scalar(tag)]
         size = 2 if typ == 3 else 4
+        fmt = e + ("H" if typ == 3 else "I") * count
+        if size * count <= 4:
+            # spec: value arrays that FIT the 4-byte slot are inline
+            # (code review r12 — e.g. two SHORT strip counts)
+            return list(struct.unpack(fmt, raw[: size * count]))
         if value + size * count > len(payload):
             raise ValueError(f"tiff: tag {tag} value array truncated")
-        fmt = e + ("H" if typ == 3 else "I") * count
         return list(struct.unpack(fmt, payload[value : value + size * count]))
 
     width = scalar(256)
@@ -2283,6 +2289,10 @@ def decode_tiff_lzw(payload: bytes) -> dict:
             "tiff: only LZW (compression 5) is supported here"
         )
     rows_per_strip = scalar(278, height)
+    if rows_per_strip == 0 or height == 0 or width == 0:
+        # a zero here would raise ZeroDivisionError / decode nothing —
+        # keep the documented ValueError contract (code review r12)
+        raise ValueError("tiff: zero width/height/RowsPerStrip")
     offsets = array(273)
     counts = array(279)
     if len(offsets) != len(counts):

@@ -1472,16 +1472,28 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
                 s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
-                for w in range(0, len(s), AUDIO_WIN):
-                    win = s[w : w + AUDIO_WIN]
-                    out["doc_id"].append(doc_id)
-                    out["win_idx"].append(w // AUDIO_WIN)
-                    out["n_win_samples"].append(len(win))
-                    out["energy"].append(int((win * win).sum()))
-                    out["peak"].append(int(win.max()))
-                    out["total_variation"].append(
-                        int(np.abs(np.diff(win)).sum()) if len(win) > 1 else 0
-                    )
+                # one reshape, all windows at once (code review r12:
+                # the per-window Python loop was the dominant cost).
+                # Zero-padding is exact here: samples are >= 0, so the
+                # pad never changes a max, never adds energy, and its
+                # single nonzero diff (s[-1] -> 0) is subtracted back.
+                n = len(s)
+                nw = -(-n // AUDIO_WIN)
+                pad = nw * AUDIO_WIN - n
+                wins = np.pad(s, (0, pad)).reshape(nw, AUDIO_WIN)
+                energy = (wins * wins).sum(axis=1)
+                peak = wins.max(axis=1)
+                tv = np.abs(np.diff(wins, axis=1)).sum(axis=1)
+                if pad:
+                    tv[-1] -= s[-1]
+                counts = np.full(nw, AUDIO_WIN, dtype=np.int64)
+                counts[-1] = AUDIO_WIN - pad
+                out["doc_id"].extend([doc_id] * nw)
+                out["win_idx"].extend(range(nw))
+                out["n_win_samples"].extend(counts.tolist())
+                out["energy"].extend(energy.tolist())
+                out["peak"].extend(peak.tolist())
+                out["total_variation"].extend(tv.tolist())
             yield pd.DataFrame(out)
 
     return (
@@ -1576,24 +1588,33 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 means = rows.sum(axis=1) // ROW_BYTES
                 peaks = rows.max(axis=1)
                 zeros = (rows == 0).sum(axis=1)
-                for ri in range(rows.shape[0]):
-                    out["doc_id"].append(doc_id)
-                    out["row_idx"].append(ri)
-                    out["row_mean"].append(int(means[ri]))
-                    out["row_peak"].append(int(peaks[ri]))
-                    out["row_zeros"].append(int(zeros[ri]))
+                nr = rows.shape[0]
+                out["doc_id"].extend([doc_id] * nr)
+                out["row_idx"].extend(range(nr))
+                out["row_mean"].extend(means.tolist())
+                out["row_peak"].extend(peaks.tolist())
+                out["row_zeros"].extend(zeros.tolist())
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id", "row_idx")
 
 
+from spark_dynamodb_spark.functions.codecs import (  # noqa: E402
+    _TIFF_ROWS_PER_STRIP,
+    TIFF_WIDTH,
+)
+
+
 @query(
     "c05_multimodal_tiff",
+    # geometry constants come from the CODEC module (code review r12:
+    # the first draft hardcoded BMP_WIDTH/8.0, two unlinked constants
+    # away from the encoder's actual TIFF_WIDTH/_TIFF_ROWS_PER_STRIP)
     f"""
     SELECT doc_id,
-           CAST({BMP_WIDTH} AS BIGINT) AS width,
-           CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS height,
-           CAST(ceil(ceil(length(text) / {BMP_WIDTH}.0) / 8.0) AS BIGINT)
+           CAST({TIFF_WIDTH} AS BIGINT) AS width,
+           CAST(ceil(length(text) / {TIFF_WIDTH}.0) AS BIGINT) AS height,
+           CAST(ceil(ceil(length(text) / {TIFF_WIDTH}.0) / {_TIFF_ROWS_PER_STRIP}.0) AS BIGINT)
              AS n_strips,
            md5(text) AS payload_md5,
            'image/tiff' AS mime,

@@ -2067,7 +2067,11 @@ def _bpe_apply_merge_py(syms: list[str], l: str, r: str) -> list[str]:
     return out
 
 
-def _bpe_encode_rawtext_sql() -> str:
+def _bpe_doc_stats_ctes() -> tuple[list[str], str]:
+    """The train chain + per-doc encode chain (wd/d0..dN), shared by
+    c115's oracle and s31's per-source rollup oracle (code review r12:
+    the streaming entry had copy-pasted these ~30 lines; one source of
+    truth means a fold-SQL fix cannot drift between the two)."""
     ctes = _bpe_train_ctes()
     ctes.append(
         f"""wd AS (SELECT doc_id, tok AS word, COUNT(*) AS wcnt
@@ -2089,7 +2093,30 @@ def _bpe_encode_rawtext_sql() -> str:
       FROM d{k - 1} CROSS JOIN b{k} b
     )"""
         )
-    last = f"d{_BPE_MERGES}"
+    return ctes, f"d{_BPE_MERGES}"
+
+
+def _bpe_word_stats_factory(merges: list[tuple[str, str]]):
+    """A per-partition cached word -> (n_syms, n_chars) closure over
+    the collected merge rules — the serving-path kernel shared by
+    c115's encoder and s31's ingest ledger (code review r12)."""
+    cache: dict[str, tuple[int, int]] = {}
+
+    def word_stats(w: str) -> tuple[int, int]:
+        hit = cache.get(w)
+        if hit is None:
+            syms = [ch for ch in w]
+            for l, r in merges:
+                syms = _bpe_apply_merge_py(syms, l, r)
+            hit = (len(syms), len(w))
+            cache[w] = hit
+        return hit
+
+    return word_stats
+
+
+def _bpe_encode_rawtext_sql() -> str:
+    ctes, last = _bpe_doc_stats_ctes()
     return (
         "WITH " + ",\n    ".join(ctes) + f"""
     , stats AS (
@@ -2154,17 +2181,7 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(r["lhs"], r["rhs"]) for df in rules for r in df.collect()]
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, tuple[int, int]] = {}  # word -> (n_syms, n_chars)
-
-        def word_stats(w: str) -> tuple[int, int]:
-            hit = cache.get(w)
-            if hit is None:
-                syms = [ch for ch in w]
-                for l, r in merges:
-                    syms = _bpe_apply_merge_py(syms, l, r)
-                hit = (len(syms), len(w))
-                cache[w] = hit
-            return hit
+        word_stats = _bpe_word_stats_factory(merges)
 
         for pdf in batches:
             rows = []

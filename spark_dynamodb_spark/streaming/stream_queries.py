@@ -2792,39 +2792,14 @@ _finalize_s30_oracle()
 
 
 def _finalize_s31_oracle() -> None:
-    """Oracle: c115's unrolled train+encode CTE chain, rolled up per
-    source — the incrementally merged accounting must equal the
+    """Oracle: c115's unrolled train+encode CTE chain (the SHARED
+    builder — code review r12 replaced a copy-paste of it), rolled up
+    per source — the incrementally merged accounting must equal the
     one-shot corpus figures exactly (integer counts, no tolerance)."""
-    from spark_dynamodb_spark.operators.text_analysis import (
-        _bpe_train_ctes,
-        _BPE_FOLD_SQL,
-        _BPE_MERGES,
-    )
-    from spark_dynamodb_spark.functions.text import sql_simple_tokens
+    from spark_dynamodb_spark.operators.text_analysis import _bpe_doc_stats_ctes
     from spark_dynamodb_spark.registry import REGISTRY
 
-    ctes = _bpe_train_ctes()
-    ctes.append(
-        f"""wd AS (SELECT doc_id, tok AS word, COUNT(*) AS wcnt
-          FROM (SELECT doc_id, unnest({sql_simple_tokens('text')}) AS tok
-                FROM documents)
-          GROUP BY doc_id, tok)"""
-    )
-    ctes.append(
-        """d0 AS (SELECT doc_id, word, wcnt,
-                list_transform(generate_series(1, length(word)),
-                               i -> substr(word, i, 1)) AS syms
-          FROM wd)"""
-    )
-    for k in range(1, _BPE_MERGES + 1):
-        ctes.append(
-            f"""d{k} AS (
-      SELECT doc_id, word, wcnt,
-             string_split(replace({_BPE_FOLD_SQL}, chr(2), ''), chr(31)) AS syms
-      FROM d{k - 1} CROSS JOIN b{k} b
-    )"""
-        )
-    last = f"d{_BPE_MERGES}"
+    ctes, last = _bpe_doc_stats_ctes()
     REGISTRY.resolve("s31_stream_tokenize_state").oracle = (
         "WITH " + ",\n    ".join(ctes) + f"""
     , stats AS (
@@ -2880,9 +2855,9 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from spark_dynamodb_spark.operators.text_analysis import (
-        _bpe_apply_merge_py,
-        _bpe_train_rules,
         _ascii_guard,
+        _bpe_train_rules,
+        _bpe_word_stats_factory,
     )
     from spark_dynamodb_spark.sources.dynamo import _ship_package
 
@@ -2920,17 +2895,7 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         import pandas as pd
 
-        cache: dict[str, tuple[int, int]] = {}
-
-        def word_stats(w: str) -> tuple[int, int]:
-            hit = cache.get(w)
-            if hit is None:
-                syms = [ch for ch in w]
-                for l, r in merges:
-                    syms = _bpe_apply_merge_py(syms, l, r)
-                hit = (len(syms), len(w))
-                cache[w] = hit
-            return hit
+        word_stats = _bpe_word_stats_factory(merges)
 
         for pdf in batches:
             agg: dict[str, list[int]] = {}

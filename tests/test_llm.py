@@ -1088,3 +1088,40 @@ def test_tiff_early_change_is_load_bearing_and_container_validates():
         codecs.decode_tiff_lzw(bytes(tampered))
     with pytest.raises(ValueError, match="empty"):
         codecs.encode_tiff_lzw(b"")
+
+
+def test_tiff_inline_value_arrays_and_zero_dims_reject():
+    """Spec conformance (code review r12): value arrays of <= 4 bytes
+    are stored INLINE in the IFD value slot — a 2-strip file with two
+    inline SHORT byte counts must decode identically to the
+    offset-array spelling; zero RowsPerStrip raises the documented
+    ValueError, not ZeroDivisionError."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    data = bytes(range(256)) * 2  # 512 bytes -> 16 rows -> 2 strips
+    base = bytearray(codecs.encode_tiff_lzw(data))
+    want = codecs.decode_tiff_lzw(bytes(base))["pixel_data"]
+    ifd = struct.unpack("<I", base[4:8])[0]
+    (nent,) = struct.unpack("<H", base[ifd : ifd + 2])
+    for i in range(nent):
+        p = ifd + 2 + 12 * i
+        tag, _typ, _count, value = struct.unpack("<HHII", base[p : p + 12])
+        if tag == 279:
+            counts = struct.unpack("<2I", base[value : value + 8])
+            struct.pack_into("<HHI", base, p, 279, 3, 2)  # SHORT x2, inline
+            struct.pack_into("<2H", base, p + 8, *counts)
+        if tag == 278:
+            rps_entry = p
+    assert codecs.decode_tiff_lzw(bytes(base))["pixel_data"] == want
+
+    bad = bytearray(codecs.encode_tiff_lzw(b"abc"))
+    ifd = struct.unpack("<I", bad[4:8])[0]
+    (nent,) = struct.unpack("<H", bad[ifd : ifd + 2])
+    for i in range(nent):
+        p = ifd + 2 + 12 * i
+        if struct.unpack("<H", bad[p : p + 2])[0] == 278:
+            struct.pack_into("<I", bad, p + 8, 0)
+    with pytest.raises(ValueError, match="zero"):
+        codecs.decode_tiff_lzw(bytes(bad))
