@@ -120,6 +120,8 @@ EXTRA = [
     "s31_stream_tokenize_state",
     # the early-change LZW + IFD container (the other convention)
     "c05_multimodal_tiff",
+    # run-length family floor (cheapest codec: dispatch overhead)
+    "c05_multimodal_bmp_rle",
 ]
 
 

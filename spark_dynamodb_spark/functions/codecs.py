@@ -2323,3 +2323,140 @@ def decode_tiff_lzw(payload: bytes) -> dict:
         "n_strips": len(offsets),
         "pixel_data": bytes(out),
     }
+
+
+# --- BMP RLE8 (BI_RLE8): run-length coding, the remaining coder family ------
+#
+# The codec shelf now spans Huffman (JPEG), DEFLATE (PNG), Rice
+# (FLAC), and both LZW conventions (GIF/TIFF); RLE8 adds the
+# run-length family — trivial per byte but protocol-rich: encoded
+# runs, absolute literal blocks with word-alignment padding, and the
+# three escapes (end-of-line, end-of-bitmap, delta skip whose skipped
+# pixels are DEFINED as zero by the spec). The encoder emits runs AND
+# absolute blocks (and 1-runs for short literals) so a decoder that
+# implements only one mode cannot pass; delta is decoder-only here
+# and pinned by a hand-crafted stream in tests.
+
+def encode_bmp_rle8(data: bytes, width: int = 32) -> bytes:
+    """Pack a byte payload as an 8bpp BI_RLE8 BMP over the identity
+    grayscale palette (index == gray), rows bottom-up, zero-padded
+    last row; runs >= 3 become encoded pairs, literal stretches >= 3
+    become absolute blocks (word-aligned), shorter literals 1-runs."""
+    if not data:
+        raise ValueError("encode_bmp_rle8: empty payload")
+    height = -(-len(data) // width)
+    pixels = data + b"\x00" * (width * height - len(data))
+    rows = [pixels[r * width : (r + 1) * width] for r in range(height)]
+
+    out = bytearray()
+    for ri, row in enumerate(reversed(rows)):  # stored bottom-up
+        i = 0
+        while i < len(row):
+            j = i
+            while j < len(row) and row[j] == row[i] and j - i < 255:
+                j += 1
+            if j - i >= 3:
+                out += bytes([j - i, row[i]])
+                i = j
+                continue
+            k = i
+            while k < len(row) and k - i < 254:
+                if k + 2 < len(row) and row[k] == row[k + 1] == row[k + 2]:
+                    break
+                k += 1
+            lit = row[i:k]
+            if len(lit) >= 3:
+                out += bytes([0, len(lit)]) + lit
+                if len(lit) % 2:
+                    out += b"\x00"  # absolute runs are word-aligned
+            else:
+                for b in lit:
+                    out += bytes([1, b])
+            i = k
+        out += b"\x00\x00" if ri < height - 1 else b"\x00\x01"  # EOL / EOB
+
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    data_offset = 14 + 40 + len(palette)
+    file_size = data_offset + len(out)
+    hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(out), 0, 0, 256, 0
+    )
+    return hdr + palette + bytes(out)
+
+
+def decode_bmp_rle8(payload: bytes) -> dict:
+    """Parse an 8bpp BI_RLE8 BMP: header + palette validation, then
+    the full RLE protocol — encoded runs, absolute blocks with their
+    alignment pad, end-of-line, delta (skipped pixels are zero, per
+    spec), end-of-bitmap. Returns {width, height, file_size, gray,
+    pixel_data (top-down payload order)}. Raises ValueError on
+    non-BMP input, truncation, or runs overrunning a row;
+    NotImplementedError for non-RLE8 compressed variants."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    _magic, _fsize, _r1, _r2, data_offset = struct.unpack("<2sIHHI", payload[:14])
+    bi_size, width, height, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if bpp != 8 or compression != 1:
+        raise NotImplementedError(
+            f"decode_bmp_rle8: expected 8bpp BI_RLE8 (got {bpp}bpp "
+            f"compression {compression})"
+        )
+    if height <= 0 or width <= 0:
+        raise ValueError("bmp-rle8: top-down or degenerate dimensions")
+    pal_off = 14 + bi_size
+    palette = payload[pal_off : pal_off + 1024]
+    if len(palette) < 1024:
+        raise ValueError("bmp-rle8: truncated palette")
+    gray = all(
+        palette[4 * i] == palette[4 * i + 1] == palette[4 * i + 2] == i
+        for i in range(256)
+    )
+
+    rows = [bytearray(width) for _ in range(height)]
+    x = 0
+    y = 0  # bottom row first
+    pos = data_offset
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("bmp-rle8: truncated stream (no end-of-bitmap)")
+        b1, b2 = payload[pos], payload[pos + 1]
+        pos += 2
+        if b1 > 0:  # encoded run
+            if y >= height or x + b1 > width:
+                raise ValueError("bmp-rle8: run overruns row")
+            rows[y][x : x + b1] = bytes([b2]) * b1
+            x += b1
+        elif b2 == 0:  # end of line
+            x = 0
+            y += 1
+        elif b2 == 1:  # end of bitmap
+            break
+        elif b2 == 2:  # delta: skipped pixels stay zero (spec-defined)
+            if pos + 2 > len(payload):
+                raise ValueError("bmp-rle8: truncated delta")
+            dx, dy = payload[pos], payload[pos + 1]
+            pos += 2
+            x += dx
+            y += dy
+            if y > height or x > width:
+                raise ValueError("bmp-rle8: delta escapes the bitmap")
+        else:  # absolute block
+            n = b2
+            if pos + n > len(payload):
+                raise ValueError("bmp-rle8: truncated absolute block")
+            if y >= height or x + n > width:
+                raise ValueError("bmp-rle8: absolute block overruns row")
+            rows[y][x : x + n] = payload[pos : pos + n]
+            pos += n + (n % 2)
+            x += n
+    return {
+        "width": width,
+        "height": height,
+        "file_size": len(payload),
+        "gray": gray,
+        # payload order: first payload row is the BOTTOM stored row
+        "pixel_data": b"".join(bytes(r) for r in reversed(rows)),
+    }

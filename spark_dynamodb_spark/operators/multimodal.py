@@ -1699,3 +1699,91 @@ def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(extract, out_schema)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c05_multimodal_bmp_rle",
+    f"""
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS height,
+           TRUE AS grayscale,
+           md5(text) AS payload_md5,
+           'image/bmp' AS mime,
+           source AS origin
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-rle: the run-length coder family — BI_RLE8 BMP completes
+    the codec shelf's enumeration (Huffman / DEFLATE / Rice / both
+    LZW conventions / now RLE). Trivial per byte, protocol-rich: the
+    encoder emits encoded runs AND word-aligned absolute literal
+    blocks AND 1-runs (so a decoder implementing only one mode cannot
+    pass); the decoder also implements the delta escape whose skipped
+    pixels the spec defines as zero (pinned by a hand-crafted stream
+    in tests). Payload bytes ride as palette indices over the
+    identity grayscale table, rows bottom-up; the oracle recomputes
+    geometry and md5s the recovered payload.
+
+    100 TB shape: same as every c05 codec entry — Arrow-batched
+    mapInPandas behind a numbered repartition; the RLE codec is the
+    cheapest on the shelf, so this entry doubles as the floor
+    measurement for per-doc codec dispatch overhead.
+    """
+    _ensure_worker_imports(spark)
+    from spark_dynamodb_spark.functions.codecs import (
+        decode_bmp_rle8,
+        encode_bmp_rle8,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("grayscale", T.BooleanType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                payload = text.encode()
+                img = decode_bmp_rle8(encode_bmp_rle8(payload))
+                data = img["pixel_data"][: len(payload)]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["grayscale"].append(img["gray"])
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append("image/bmp")
+                out["origin"].append(source)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text", "source")
+        .mapInPandas(extract, out_schema)
+        .orderBy("doc_id")
+    )

@@ -1125,3 +1125,39 @@ def test_tiff_inline_value_arrays_and_zero_dims_reject():
             struct.pack_into("<I", bad, p + 8, 0)
     with pytest.raises(ValueError, match="zero"):
         codecs.decode_tiff_lzw(bytes(bad))
+
+
+def test_bmp_rle8_delta_and_corruption():
+    """The delta escape's skipped pixels are spec-defined zero (pinned
+    by a hand-crafted 4x2 stream); corruption raises the documented
+    error classes."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    rle = bytes([2, ord("A"), 0, 2, 0, 1, 2, ord("C"), 0, 1])
+    hdr = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + 1024 + len(rle), 0, 0, 14 + 40 + 1024
+    )
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle), 0, 0, 256, 0
+    )
+    img = codecs.decode_bmp_rle8(hdr + palette + rle)
+    # top-down payload order: delta-skipped pixels are zero
+    assert img["pixel_data"] == b"\x00\x00CC" + b"AA\x00\x00"
+
+    base = codecs.encode_bmp_rle8(b"runs and literals " * 30)
+    with pytest.raises(ValueError, match="magic"):
+        codecs.decode_bmp_rle8(b"XX" + base[2:])
+    with pytest.raises(ValueError, match="truncated|end-of-bitmap"):
+        codecs.decode_bmp_rle8(base[: len(base) - 6])
+    # a run overrunning its row is rejected, not wrapped
+    tampered = bytearray(base)
+    tampered[14 + 40 + 1024] = 255  # first pair becomes a 255-run on a 32-wide row
+    with pytest.raises(ValueError, match="overruns"):
+        codecs.decode_bmp_rle8(bytes(tampered))
+    with pytest.raises(NotImplementedError, match="RLE8"):
+        codecs.decode_bmp_rle8(codecs.encode_bmp(b"abc"))  # 24bpp uncompressed
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_bmp_rle8(b"")

@@ -1789,3 +1789,15 @@ def test_multimodal_tiff_parallel_codec(spark, sf_dir):
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "MapInPandas" in plan, plan
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_multimodal_bmp_rle_parallel_codec(spark, sf_dir):
+    """c05_multimodal_bmp_rle: same numbered-repartition shape as the
+    other codec entries."""
+    from spark_dynamodb_spark.operators.multimodal import multimodal_bmp_rle
+
+    df = multimodal_bmp_rle(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("documents.parquet") == 1, plan

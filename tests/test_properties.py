@@ -610,3 +610,17 @@ def test_tiff_roundtrip_property(payload):
     assert t["width"] == codecs.TIFF_WIDTH
     assert t["height"] == -(-len(payload) // codecs.TIFF_WIDTH)
     assert t["n_strips"] == -(-t["height"] // 8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=4000))
+def test_bmp_rle8_roundtrip_property(payload):
+    """Any payload: the mixed run/absolute/1-run encoding must invert
+    byte-exactly through the bottom-up row order."""
+    from spark_dynamodb_spark.functions import codecs
+
+    d = codecs.decode_bmp_rle8(codecs.encode_bmp_rle8(payload))
+    assert d["pixel_data"][: len(payload)] == payload
+    assert set(d["pixel_data"][len(payload):]) <= {0}
+    assert d["gray"]
+    assert d["height"] == -(-len(payload) // 32)
