@@ -122,6 +122,8 @@ EXTRA = [
     "c05_multimodal_tiff",
     # run-length family floor (cheapest codec: dispatch overhead)
     "c05_multimodal_bmp_rle",
+    # prefix-dimension recall (the MRL axis of the compression ladder)
+    "c120_matryoshka_recall",
 ]
 
 

@@ -3209,3 +3209,128 @@ def ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c105 composes oracles of entries defined across the whole module (incl.
 # c114) — finalize once everything is registered.
 _finalize_c105_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C120 — matryoshka (truncated-prefix) recall: what each dimension
+# budget costs
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_sql() -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    dims AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}]) AS d),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT dims.d, q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(list_slice(q.qvec, 1, dims.d), list_slice(v.vec, 1, dims.d))
+               / (sqrt(list_dot_product(list_slice(q.qvec, 1, dims.d), list_slice(q.qvec, 1, dims.d)))
+                  * sqrt(list_dot_product(list_slice(v.vec, 1, dims.d), list_slice(v.vec, 1, dims.d))))
+               AS cos
+      FROM q CROSS JOIN v CROSS JOIN dims
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT d, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY d, query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ),
+    kept AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rnk <= {TOP_K}),
+    full_set AS (SELECT query_id, neighbor_id FROM kept WHERE d = {max(_MRL_DIMS)})
+    SELECT k.d AS dim,
+           CAST(COUNT(f.neighbor_id) AS BIGINT) AS hits,
+           CAST({N_QUERIES * TOP_K} AS BIGINT) AS total,
+           CAST(COUNT(f.neighbor_id) * 1000000 // {N_QUERIES * TOP_K} AS BIGINT)
+             AS recall_ppm
+    FROM kept k
+    LEFT JOIN full_set f
+      ON f.query_id = k.query_id AND f.neighbor_id = k.neighbor_id
+    GROUP BY k.d
+    ORDER BY dim
+    """
+
+
+@query("c120_matryoshka_recall", _matryoshka_sql())
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C120: matryoshka-representation recall — rank with only the
+    FIRST d dimensions of each embedding (d in {_MRL_DIMS}) and
+    measure top-{TOP_K} recall against the full-dimension exact
+    ranking. This is the eval behind prefix-truncation serving (MRL /
+    "shortening" embeddings): a deployment that scans 16 of 64 dims
+    reads a quarter of the bytes per vector — this table says what
+    that buys and costs in recall, the same integer-ppm contract as
+    c105's index matrix. The d = 64 row is a built-in sanity floor
+    (recall exactly 1e6 ppm by construction).
+
+    Engine notes: cosine over a PREFIX slice needs the norms of the
+    slice, not the full vector — both engines slice first, then one
+    pass of dot products; ties broken by neighbor_id exactly like
+    c03 (whose hash-green status is what makes the float rank
+    boundary safe to compare across engines).
+
+    100 TB shape: the query set and the dims table broadcast; the
+    corpus is scanned ONCE with all dims evaluated per row (a dims
+    crossJoin of 4 literals, not 4 scans); per-query state is the
+    top-{TOP_K} heap per dim. The serving-path variants of this idea
+    are the c100/c106/c118 compression rungs — this entry is their
+    missing axis: dimension truncation instead of code quantization.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    dims = spark.createDataFrame([(d,) for d in _MRL_DIMS], "d int")
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(dims))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "d",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(
+                F.slice("qvec", 1, F.col("d")), F.slice("vec", 1, F.col("d"))
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("d", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    kept = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("d", "query_id", "neighbor_id")
+    )
+    full_set = kept.filter(F.col("d") == max(_MRL_DIMS)).select(
+        "query_id", F.col("neighbor_id").alias("full_neighbor")
+    )
+    total = N_QUERIES * TOP_K
+    return (
+        kept.join(
+            full_set,
+            (kept.query_id == full_set.query_id)
+            & (kept.neighbor_id == full_set.full_neighbor),
+            "left",
+        )
+        .groupBy(kept.d.alias("dim"))
+        .agg(
+            F.count("full_neighbor").cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            (F.floor(F.count("full_neighbor") * 1000000 / total))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("dim")
+        .select(
+            F.col("dim").cast("long"),
+            "hits",
+            "total",
+            "recall_ppm",
+        )
+    )

@@ -1161,3 +1161,19 @@ def test_bmp_rle8_delta_and_corruption():
         codecs.decode_bmp_rle8(codecs.encode_bmp(b"abc"))  # 24bpp uncompressed
     with pytest.raises(ValueError, match="empty"):
         codecs.encode_bmp_rle8(b"")
+
+
+def test_matryoshka_full_dim_row_is_exact_floor(spark, sf_dir):
+    """The d=64 row of c120 compares the full ranking against itself —
+    recall must be exactly 1e6 ppm, and recall must be monotone
+    non-decreasing in dimension (more prefix dims can only help on a
+    fixed corpus... up to rank-boundary ties, so assert the endpoints
+    and the total-count invariants rather than strict monotonicity)."""
+    from spark_dynamodb_spark.operators.similarity import matryoshka_recall
+
+    rows = {r["dim"]: r for r in matryoshka_recall(spark, sf_dir).collect()}
+    assert rows[64]["recall_ppm"] == 1_000_000
+    assert rows[64]["hits"] == rows[64]["total"]
+    for d in (8, 16, 32):
+        assert 0 <= rows[d]["hits"] <= rows[d]["total"]
+    assert rows[8]["recall_ppm"] <= rows[64]["recall_ppm"]
