@@ -238,12 +238,20 @@ ROTATED_GREEN_R1 = frozenset(
         "c04_text_tfidf",
         "c04_text_token_bpe",
         "c04_text_token_stats",
+        "c05_audio_features",
         "c05_audio_resample",
+        "c05_image_features",
+        "c05_multimodal_bmp_rle",
         "c05_multimodal_features",
+        "c05_multimodal_flac",
         "c05_multimodal_frames",
+        "c05_multimodal_gif",
+        "c05_multimodal_jpeg",
         "c05_multimodal_png",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
+        "c05_multimodal_tiff",
+        "c05_multimodal_video",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",
@@ -253,6 +261,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c08_sessionization",
         "c09_sequence_packing",
         "c100_ann_int8_topk",
+        "c101_dedup_edit_distance",
         "c102_kmv_sketch_rollup",
         "c103_kmv_source_overlap",
         "c104_sq8_recall_eval",
@@ -262,12 +271,18 @@ ROTATED_GREEN_R1 = frozenset(
         "c108_simhash_hamming_pairs",
         "c109_ann_ivf_pq",
         "c10_decontamination",
+        "c110_edit_distance_verdict",
         "c111_corpus_profile",
         "c112_bpe_train",
         "c113_bpe_encode",
         "c114_ann_ivf_pq_rerank",
+        "c115_tokenizer_encode",
+        "c116_unigram_lm_train",
+        "c117_tokenizer_fertility_compare",
         "c118_ann_binary_hamming",
+        "c119_unigram_encode",
         "c11_domain_mixture",
+        "c120_matryoshka_recall",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
         "c14_ts_interpolate",
@@ -382,6 +397,10 @@ ROTATED_GREEN_R1 = frozenset(
         "s25_stream_dedup_state",
         "s26_stream_neardup_state",
         "s27_stream_ivf_assign_state",
+        "s28_stream_neardup_verdict",
+        "s29_stream_neardup_dynamo_state",
+        "s30_stream_decontamination",
+        "s31_stream_tokenize_state",
     }
 )
 
