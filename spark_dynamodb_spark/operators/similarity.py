@@ -3228,8 +3228,10 @@ def _matryoshka_sql() -> str:
     scored AS (
       SELECT dims.d, q.query_id, v.vec_id AS neighbor_id,
              list_dot_product(list_slice(q.qvec, 1, dims.d), list_slice(v.vec, 1, dims.d))
-               / (sqrt(list_dot_product(list_slice(q.qvec, 1, dims.d), list_slice(q.qvec, 1, dims.d)))
-                  * sqrt(list_dot_product(list_slice(v.vec, 1, dims.d), list_slice(v.vec, 1, dims.d))))
+               / greatest(
+                   sqrt(list_dot_product(list_slice(q.qvec, 1, dims.d), list_slice(q.qvec, 1, dims.d)))
+                   * sqrt(list_dot_product(list_slice(v.vec, 1, dims.d), list_slice(v.vec, 1, dims.d))),
+                   1e-12)
                AS cos
       FROM q CROSS JOIN v CROSS JOIN dims
       WHERE v.vec_id <> q.query_id
@@ -3294,8 +3296,19 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine_similarity(
-                F.slice("qvec", 1, F.col("d")), F.slice("vec", 1, F.col("d"))
+            # zero-norm-guarded prefix cosine (ADVICE r12): an
+            # all-zero d-dim prefix must score a deterministic 0.0 in
+            # both engines, not NaN / engine-dependent div-by-zero —
+            # the oracle mirrors the same greatest(.., 1e-12) floor.
+            (
+                dot(
+                    F.slice("qvec", 1, F.col("d")), F.slice("vec", 1, F.col("d"))
+                )
+                / F.greatest(
+                    l2_norm(F.slice("qvec", 1, F.col("d")))
+                    * l2_norm(F.slice("vec", 1, F.col("d"))),
+                    F.lit(1e-12),
+                )
             ).alias("cos"),
         )
     )

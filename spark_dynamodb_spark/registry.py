@@ -516,7 +516,13 @@ def _harden_session(spark: SparkSession) -> None:
     is a dynamic SQLConf and only truncates DEBUG strings, never
     results; the repo's own tuned session (16 GiB, UI off) never hit
     this, so the cap exists for the driver's default session."""
-    app = spark.sparkContext.applicationId
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        # Connect-style sessions expose no classic SparkContext; fall
+        # back to a per-session sentinel so hardening never breaks a
+        # query (ADVICE r12).
+        app = f"no-sc-{id(spark)}"
     if app in _HARDENED_APPS:
         return
 

@@ -2748,7 +2748,13 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("train_doc", "bench_doc")
             .agg(F.count("*").alias("c"))
         )
-        hits.write.mode("append").parquet(ledger_dir)
+        # Idempotent per-batch landing (ADVICE r12): foreachBatch has
+        # at-least-once semantics, so a replayed micro-batch must
+        # overwrite ITS OWN subdirectory rather than append duplicate
+        # (train_doc, bench_doc) rows into a shared ledger.
+        hits.write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch_{batch_id:06d}")
+        )
 
     ckpt = tempfile.mkdtemp(prefix="decon_ckpt_")
     try:
@@ -2759,7 +2765,9 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        ledger = spark.read.parquet(ledger_dir)
+        ledger = (
+            spark.read.option("recursiveFileLookup", "true").parquet(ledger_dir)
+        )
         bn = (
             spark.read.parquet(bench_dir)
             .groupBy("bench_doc")
