@@ -75,7 +75,8 @@ EXTRA = [
     # edit-distance verify, mergeable KMV sketch + its pairwise
     # overlap algebra
     "c100_ann_int8_topk",
-    "c101_dedup_edit_distance",
+    # c101_dedup_edit_distance: parked zz_diag_ (superseded by c110,
+    # 34x wall at 10x data) — dropped from bench extras per VERDICT r12
     "c102_kmv_sketch_rollup",
     "c103_kmv_source_overlap",
     "c108_simhash_hamming_pairs",

@@ -33,10 +33,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-_TOKEN = re.compile(r"`((?:zz_|[xz]_)?[abcs]\d{2}[0-9a-z]*_[a-z0-9_]+)`")
+_TOKEN = re.compile(r"`((?:zz_diag_|zz_|[xz]_)?[abcs]\d{2}[0-9a-z]*_[a-z0-9_]+)`")
 
 
 def strip(n: str) -> str:
+    if n.startswith("zz_diag_"):
+        return n[8:]
     return n[3:] if n.startswith("zz_") else (n[2:] if n.startswith(("x_", "z_")) else n)
 
 

@@ -2435,7 +2435,15 @@ def _ed_verified_pairs(prep: DataFrame) -> DataFrame:
     the kept distances are integers — no float-tolerance caveat.""",
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C101: fuzzy near-dup pairs by edit distance — the verify family
+    """C101: DIAGNOSTIC / SUPERSEDED (parked ``zz_diag_`` per VERDICT
+    r12) — the pair-list contract is quadratic in replica-heavy
+    corpora (measured 34.16x wall at 10x data). Production
+    edit-distance dedup routes through C110's verdict contract
+    (rep-collapse before pairwise work, 1.51x at 10x; semantics
+    equality-pinned in tests/test_scale_patterns.py). Kept for ad-hoc
+    pair inspection; dropped from bench extras.
+
+    Original contract: fuzzy near-dup pairs by edit distance — the verify family
     member that catches small in-place edits (typo fixes, template
     variable swaps) that token-shingle Jaccard (c02) under-weights.
 

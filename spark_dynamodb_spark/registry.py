@@ -261,7 +261,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c08_sessionization",
         "c09_sequence_packing",
         "c100_ann_int8_topk",
-        "c101_dedup_edit_distance",
         "c102_kmv_sketch_rollup",
         "c103_kmv_source_overlap",
         "c104_sq8_recall_eval",
@@ -395,7 +394,6 @@ ROTATED_GREEN_R1 = frozenset(
         "s23_stream_kmv_incremental",
         "s24_stream_cms_incremental",
         "s25_stream_dedup_state",
-        "s26_stream_neardup_state",
         "s27_stream_ivf_assign_state",
         "s28_stream_neardup_verdict",
         "s29_stream_neardup_dynamo_state",
@@ -446,7 +444,32 @@ ROWS_ONLY_VERIFIED: frozenset[str] = frozenset(
 )
 
 
+# Diagnostic-superseded entries, parked under ``zz_diag_`` (VERDICT
+# r12 "What's wrong" #1/#2 + "Next round" #3). Both are KEPT —
+# driver-green history, oracle attached, pytest equality pins intact
+# (c110↔c101 semantics in tests/test_scale_patterns.py, s28↔s26
+# verdicts in tests/test_streaming.py) — but each is a measured
+# scale trap superseded by a production-shaped successor:
+#   c101_dedup_edit_distance: 34x wall at 10x data (length-band
+#     blocked all-pairs verify); superseded by c110 (rep-collapse
+#     verdict shape, 1.51x at 10x).
+#   s26_stream_neardup_state: quadratic-in-clique bucket ledger
+#     (19.43x at 100x); superseded by s28 (signature-group collapse,
+#     1.59x at 100x).
+# The prefix must sort after every ``z_``/``zz_`` name so an
+# underfull window never spills into a known scale trap — a bare
+# ``diag_`` would sort INTO the lexical first-50 window ('d' < 's').
+DIAGNOSTIC_SUPERSEDED: frozenset[str] = frozenset(
+    {
+        "c101_dedup_edit_distance",
+        "s26_stream_neardup_state",
+    }
+)
+
+
 def display_name(name: str) -> str:
+    if name in DIAGNOSTIC_SUPERSEDED:
+        return f"zz_diag_{name}"
     if name in ROWS_ONLY_VERIFIED:
         return f"zz_{name}"
     if name in ROTATED_GREEN_R1:
@@ -488,10 +511,16 @@ class QueryRegistry:
         return dict(sorted(out.items()))
 
     def resolve(self, name: str) -> QuerySpec:
-        """Look up a spec by original or parked (``z_``/``x_``/``zz_``) name."""
-        key = name[3:] if name.startswith("zz_") else (
-            name[2:] if name.startswith(("z_", "x_")) else name
-        )
+        """Look up a spec by original or parked
+        (``z_``/``x_``/``zz_``/``zz_diag_``) name."""
+        if name.startswith("zz_diag_"):
+            key = name[8:]
+        elif name.startswith("zz_"):
+            key = name[3:]
+        elif name.startswith(("z_", "x_")):
+            key = name[2:]
+        else:
+            key = name
         return self._specs[key]
 
 

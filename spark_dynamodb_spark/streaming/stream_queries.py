@@ -1721,7 +1721,15 @@ def _finalize_s26_oracle() -> None:
     None,  # oracle patched below (shares dedup.py's exact-Jaccard CTE)
 )
 def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S26: MinHash-LSH NEAR-dup verdicts under INCREMENTAL arrival —
+    """S26: DIAGNOSTIC / SUPERSEDED (parked ``zz_diag_`` per VERDICT
+    r12) — the doc-level reference spelling whose pair ledger is
+    quadratic in clique size (measured 19.43x wall at 100x data).
+    Production streaming near-dup routes through S28 (signature-group
+    collapse, 1.59x at 100x; equality-pinned to this entry's verdicts
+    in tests/test_streaming.py) or S29 (store-backed state). Kept for
+    ad-hoc inspection and as the semantic anchor for those pins.
+
+    Original contract: MinHash-LSH NEAR-dup verdicts under INCREMENTAL arrival —
     the fourth streaming merge-algebra entry, completing the dedup
     shelf (s25: exact ledger; s23/s24: sketches; here: the landing-zone
     near-dup state a 100 TB crawler actually maintains). As document
