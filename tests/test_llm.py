@@ -995,6 +995,43 @@ def test_audio_features_integer_exact_on_known_signal():
     assert int(s.max()) == 4080
 
 
+def test_audio_spectral_fixed_point_exact_on_known_signal():
+    """Pin the fixed-point DFT on hand-computable signals. (1) A
+    constant signal has zero power in every k>0 bin ONLY if the
+    quantized trig table sums to zero per bin — verify the table's
+    column sums directly, then (2) a pure bin-4 cosine (built from
+    the quantized table itself) must dominate bin 4, and (3) the
+    numpy kernel must equal a literal per-sample Python loop on an
+    arbitrary signal (no vectorization drift)."""
+    import numpy as np
+
+    from spark_dynamodb_spark.operators.multimodal import (
+        AUDIO_WIN,
+        _SPECTRAL_BINS,
+        _spectral_trig_rows,
+    )
+
+    tbl = np.array(_spectral_trig_rows(), dtype=np.int64)
+    assert tbl.shape == (AUDIO_WIN, 1 + 2 * len(_SPECTRAL_BINS))
+    coefs = tbl[:, 1:]
+    # (1) each quantized cos/sin column sums to ~0 (exact 0 for full
+    # periods of the symmetric table; allow the +-1-per-row rounding
+    # residue a quantized table can carry)
+    assert all(abs(int(c)) <= AUDIO_WIN for c in coefs.sum(axis=0))
+    # (2) signal = quantized cos at k=4, offset to stay non-negative
+    sig = coefs[:, 2] + _SPECTRAL_BINS[1] * 0 + 4096
+    comps = sig @ coefs
+    powers = comps[0::2] ** 2 + comps[1::2] ** 2
+    assert int(np.argmax(powers)) == 1  # bin k=4 dominates
+    # (3) kernel == literal loop
+    rng = np.random.RandomState(13)
+    s = rng.randint(0, 4081, size=AUDIO_WIN).astype(np.int64)
+    fast = s @ coefs
+    slow = [sum(int(s[n]) * int(coefs[n, j]) for n in range(AUDIO_WIN))
+            for j in range(coefs.shape[1])]
+    assert fast.tolist() == slow
+
+
 def test_image_features_pin_padding_rule():
     """The per-row zero count must reproduce the spec's zero-fill on
     the final row exactly: a 100-byte payload in 96-byte rows leaves
