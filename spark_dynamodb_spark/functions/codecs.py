@@ -18,10 +18,12 @@ here): its only compression is zlib DEFLATE, which stdlib provides;
 the filters are plain byte arithmetic. Baseline JPEG (round 11:
 Annex K Huffman entropy decode, IDCT, 4:2:0 upsampling; round 12
 added DRI/RSTn restart intervals) and FLAC (round 12: fixed
-predictors + Rice coding, STREAMINFO-MD5 self-verification) are
-implemented here too, stdlib+numpy only. Still honestly out of
-scope with NotImplementedError: MP3/non-PCM audio, progressive or
-arithmetic JPEG, stereo/wasted-bits FLAC.
+predictors + Rice coding, STREAMINFO-MD5 self-verification;
+round 13: stereo with all four channel assignments — independent,
+left/side, right/side, mid/side) are implemented here too,
+stdlib+numpy only. Still honestly out of scope with
+NotImplementedError: MP3/non-PCM audio, arithmetic JPEG,
+wasted-bits FLAC, >2-channel FLAC.
 """
 
 from __future__ import annotations
@@ -951,8 +953,10 @@ def jpeg_payload_bytes(img: dict, n: int) -> bytes:
 # per payload byte (the encode_wav mapping) into 256-sample frames and
 # CYCLES the subframe type per frame (constant / verbatim / fixed order
 # 1-3 / quantized-coefficient LPC, all with Rice-coded residuals) so
-# decode must implement every subframe family. Out of scope, honest
-# NotImplementedError: stereo decorrelation, wasted bits. Frame header
+# decode must implement every subframe family; channels=2 additionally
+# cycles all four stereo channel assignments (independent, left/side,
+# right/side, mid/side — round 13). Out of scope, honest
+# NotImplementedError: wasted bits, >2 channels. Frame header
 # CRC-8 and frame CRC-16 are real and enforced.
 
 FLAC_BLOCK = 256
@@ -1164,19 +1168,39 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     _flac_write_residual(wr, resid)
 
 
-def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
-    """Pack a byte payload as a real mono 16-bit FLAC stream (the
+def encode_flac(data: bytes, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Pack a byte payload as a real 16-bit FLAC stream (the
     encode_wav byte -> sample mapping, byte << 4): fLaC magic,
     STREAMINFO with the spec-mandated MD5 of the decoded samples,
     then 256-sample fixed-blocksize frames whose subframe type CYCLES
     by frame index (constant when possible, verbatim, fixed orders
     1-3, quantized-coefficient LPC — all with Rice-coded residuals)
     so a decoder must implement every subframe family. Header CRC-8 +
-    frame CRC-16 per RFC 9639."""
+    frame CRC-16 per RFC 9639.
+
+    channels=2 (round 13, VERDICT r12 "Next round" #2): even payload
+    bytes become the LEFT channel, odd bytes the RIGHT (an odd-length
+    payload is padded with one zero sample); the frame's CHANNEL
+    ASSIGNMENT cycles all four stereo modes by frame index —
+    independent L/R, left/side, right/side, mid/side — with the
+    spec's bps+1-bit side channel (side = L - R needs 17 bits), so a
+    decoder must implement every decorrelation family. STREAMINFO's
+    MD5 is over the interleaved L0 R0 L1 R1 ... stream, the same
+    self-oracle as mono."""
     if not data:
         raise ValueError("encode_flac: empty payload")
+    if channels not in (1, 2):
+        raise ValueError("encode_flac: only 1 or 2 channels supported")
     samples = [b << 4 for b in data]
     bps = 16
+    if channels == 2:
+        if len(samples) % 2:
+            samples.append(0)  # pad the right channel of the last time
+        left = samples[0::2]
+        right = samples[1::2]
+        ntimes = len(left)
+    else:
+        ntimes = len(samples)
     raw = struct.pack(f"<{len(samples)}h", *samples)
     md5 = hashlib.md5(raw).digest()
     out = bytearray(b"fLaC")
@@ -1187,27 +1211,49 @@ def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
     si.write(0, 24)
     si.write(0, 24)
     si.write(sample_rate, 20)
-    si.write(0, 3)  # channels - 1
+    si.write(channels - 1, 3)
     si.write(bps - 1, 5)
-    si.write(len(samples), 36)
+    si.write(ntimes, 36)  # interchannel samples, not channel-samples
     body = si.bytes() + md5
     out += bytes([0x80 | 0x00]) + struct.pack(">I", len(body))[1:] + body
     # frames
-    nframes = -(-len(samples) // FLAC_BLOCK)
+    nframes = -(-ntimes // FLAC_BLOCK)
     for f in range(nframes):
-        blk = samples[f * FLAC_BLOCK : (f + 1) * FLAC_BLOCK]
+        lo, hi = f * FLAC_BLOCK, (f + 1) * FLAC_BLOCK
+        if channels == 1:
+            chans = [(samples[lo:hi], bps)]
+            ch_code = 0b0000
+        else:
+            l, r = left[lo:hi], right[lo:hi]
+            mode = f % 4
+            if mode == 0:  # independent stereo
+                ch_code = 0b0001
+                chans = [(l, bps), (r, bps)]
+            elif mode == 1:  # left/side
+                ch_code = 0b1000
+                chans = [(l, bps), ([a - b for a, b in zip(l, r)], bps + 1)]
+            elif mode == 2:  # right/side
+                ch_code = 0b1001
+                chans = [([a - b for a, b in zip(l, r)], bps + 1), (r, bps)]
+            else:  # mid/side
+                ch_code = 0b1010
+                chans = [
+                    ([(a + b) >> 1 for a, b in zip(l, r)], bps),
+                    ([a - b for a, b in zip(l, r)], bps + 1),
+                ]
+        bs = len(chans[0][0])
         hdr = _FlacBitWriter()
         hdr.write(0x3FFE, 14)
         hdr.write(0, 1)  # reserved
         hdr.write(0, 1)  # fixed blocksize strategy
-        if len(blk) == FLAC_BLOCK:
+        if bs == FLAC_BLOCK:
             hdr.write(0b1000, 4)  # 256
             bs_tail = None
         else:
             hdr.write(0b0110, 4)  # 8-bit blocksize-1 at end
-            bs_tail = len(blk) - 1
+            bs_tail = bs - 1
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(0b0000, 4)  # mono
+        hdr.write(ch_code, 4)
         hdr.write(0b100, 3)  # 16 bps
         hdr.write(0, 1)  # reserved
         hdr.align()
@@ -1217,7 +1263,8 @@ def encode_flac(data: bytes, sample_rate: int = 8000) -> bytes:
             hbytes.append(bs_tail)
         hbytes.append(_flac_crc8(bytes(hbytes)))
         fw = _FlacBitWriter()
-        _flac_write_subframe(fw, blk, bps, f % 6)
+        for ci, (sig, sbps) in enumerate(chans):
+            _flac_write_subframe(fw, sig, sbps, (f + ci) % 6)
         fw.align()
         frame = bytes(hbytes) + fw.bytes()
         frame += struct.pack(">H", _flac_crc16(frame))
@@ -1240,8 +1287,11 @@ def decode_flac(payload: bytes) -> dict:
     samples must equal STREAMINFO's. Returns {sample_rate,
     n_channels, bits_per_sample, n_samples, duration_ms, sample_data,
     md5_verified, file_size}. Raises ValueError on corrupt/truncated
-    streams or MD5 mismatch, NotImplementedError for stereo and
-    wasted bits (out of scope here)."""
+    streams or MD5 mismatch, NotImplementedError for wasted bits and
+    >2 channels (out of scope here). Stereo (round 13): all four
+    channel assignments decode — independent L/R and the three
+    decorrelated modes (left/side, right/side, mid/side, side channel
+    bps+1 bits) — and sample_data interleaves L0 R0 L1 R1 ..."""
     if len(payload) < 8 or payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload (missing fLaC magic)")
     pos = 4
@@ -1277,8 +1327,9 @@ def decode_flac(payload: bytes) -> dict:
         pos += 4 + size
     if streaminfo is None:
         raise ValueError("flac: missing STREAMINFO")
-    if streaminfo["nch"] != 1:
-        raise NotImplementedError("only mono FLAC is supported here")
+    nch = streaminfo["nch"]
+    if nch not in (1, 2):
+        raise NotImplementedError("only mono/stereo FLAC is supported here")
     bps = streaminfo["bps"]
     if bps != 16:
         # the sample reconstruction and the final MD5 check both pack
@@ -1293,7 +1344,7 @@ def decode_flac(payload: bytes) -> dict:
     samples = []
     total = streaminfo["total"]
     expected_frame = 0
-    while len(samples) < total:
+    while len(samples) < total * nch:
         frame_start = rd.pos
         sync = rd.read(14)
         if sync != 0x3FFE:
@@ -1323,8 +1374,18 @@ def decode_flac(payload: bytes) -> dict:
                 rd.read(8 if sr_code == 0b1100 else 16)
             elif sr_code == 0b1111:
                 raise ValueError("flac: invalid sample rate code")
-        if ch_code != 0:
-            raise NotImplementedError("only mono channel assignment supported")
+        if ch_code == 0:
+            frame_nch = 1
+        elif ch_code == 0b0001 or ch_code in (0b1000, 0b1001, 0b1010):
+            frame_nch = 2
+        else:
+            raise NotImplementedError(
+                "only mono/stereo channel assignments supported"
+            )
+        if frame_nch != nch:
+            raise ValueError(
+                "flac: frame channel assignment disagrees with STREAMINFO"
+            )
         if ss_code == 0b100:
             fbps = 16
         elif ss_code == 0:
@@ -1340,24 +1401,59 @@ def decode_flac(payload: bytes) -> dict:
         crc_got = rd.read(8)
         if _flac_crc8(payload[frame_start:hdr_end]) != crc_got:
             raise ValueError("flac: frame header CRC mismatch")
-        blk = _flac_read_subframe(rd, bs, fbps)
+        if ch_code == 0:
+            blk = _flac_read_subframe(rd, bs, fbps)
+        else:
+            # Stereo (round 13): subframes are stored sequentially per
+            # channel; the SIDE channel carries one extra bit (side =
+            # L - R spans bps+1). Reconstruct per the spec's
+            # decorrelation, then interleave L0 R0 L1 R1 ...
+            if ch_code == 0b0001:  # independent
+                ch0 = _flac_read_subframe(rd, bs, fbps)
+                ch1 = _flac_read_subframe(rd, bs, fbps)
+                lr = zip(ch0, ch1)
+            elif ch_code == 0b1000:  # left/side
+                ch0 = _flac_read_subframe(rd, bs, fbps)
+                ch1 = _flac_read_subframe(rd, bs, fbps + 1)
+                lr = ((left, left - side) for left, side in zip(ch0, ch1))
+            elif ch_code == 0b1001:  # right/side (side stored first)
+                ch0 = _flac_read_subframe(rd, bs, fbps + 1)
+                ch1 = _flac_read_subframe(rd, bs, fbps)
+                lr = ((side + right, right) for side, right in zip(ch0, ch1))
+            else:  # 0b1010 mid/side
+                ch0 = _flac_read_subframe(rd, bs, fbps)
+                ch1 = _flac_read_subframe(rd, bs, fbps + 1)
+
+                def _ms(mid, side):
+                    # (L+R) parity rides in side's low bit: L+R and
+                    # L-R share parity, so m2 = (mid<<1)|(side&1)
+                    # restores the exact sum (libFLAC's rule)
+                    m2 = (mid << 1) | (side & 1)
+                    return (m2 + side) >> 1, (m2 - side) >> 1
+
+                lr = (_ms(m, s) for m, s in zip(ch0, ch1))
+            blk = [v for pair in lr for v in pair]
         rd.align()
         fcrc = rd.read(16)
         if _flac_crc16(payload[frame_start : rd.pos - 2]) != fcrc:
             raise ValueError("flac: frame CRC mismatch")
         samples.extend(blk)
         expected_frame += 1
-    samples = samples[:total]
+    samples = samples[: total * nch]
     raw = struct.pack(f"<{len(samples)}h", *samples)
     computed = hashlib.md5(raw).digest()
     if computed != streaminfo["md5"]:
         raise ValueError("flac: STREAMINFO MD5 mismatch (decode is wrong)")
     return {
         "sample_rate": streaminfo["rate"],
-        "n_channels": streaminfo["nch"],
+        "n_channels": nch,
         "bits_per_sample": bps,
+        # channel-samples (interleaved count) — for mono this is the
+        # payload length, the contract existing callers rely on;
+        # duration uses INTERCHANNEL samples (total) per the spec
         "n_samples": len(samples),
-        "duration_ms": len(samples) * 1000 // streaminfo["rate"],
+        "n_times": total,
+        "duration_ms": total * 1000 // streaminfo["rate"],
         "sample_data": raw,
         "md5_verified": True,
         "file_size": len(payload),

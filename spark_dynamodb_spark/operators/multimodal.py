@@ -354,7 +354,13 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(CAST(text AS BLOB)) * 1000 // {WAV_RATE} AS duration_ms,
            CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_frames,
            TRUE AS md5_verified,
-           md5(text) AS payload_md5
+           md5(text) AS payload_md5,
+           CAST((octet_length(CAST(text AS BLOB)) + 1) // 2 AS BIGINT)
+             AS stereo_n_times,
+           CAST(ceil(((octet_length(CAST(text AS BLOB)) + 1) // 2) / 256.0)
+             AS BIGINT) AS stereo_n_frames,
+           TRUE AS stereo_md5_verified,
+           md5(text) AS stereo_payload_md5
     FROM documents
     WHERE octet_length(CAST(text AS BLOB)) = length(text)
       AND length(text) > 0
@@ -411,6 +417,10 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("n_frames", T.LongType()),
             T.StructField("md5_verified", T.BooleanType()),
             T.StructField("payload_md5", T.StringType()),
+            T.StructField("stereo_n_times", T.LongType()),
+            T.StructField("stereo_n_frames", T.LongType()),
+            T.StructField("stereo_md5_verified", T.BooleanType()),
+            T.StructField("stereo_payload_md5", T.StringType()),
         ]
     )
 
@@ -431,6 +441,23 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["payload_md5"].append(
                     hashlib.md5(wav_payload_bytes(flac["sample_data"])).hexdigest()
                 )
+                # Stereo cycle (round 13): the same payload as a
+                # 2-channel stream — even bytes LEFT, odd bytes RIGHT,
+                # frames cycling all four channel assignments
+                # (independent, left/side, right/side, mid/side).
+                # STREAMINFO-MD5 stays the per-doc decode proof;
+                # de-interleaving the decoded samples and dropping the
+                # odd-length pad must recover the payload bytes, so
+                # stereo_payload_md5 == oracle md5(text) proves the
+                # decorrelation arithmetic end-to-end.
+                st = decode_flac(
+                    encode_flac(payload, sample_rate=WAV_RATE, channels=2)
+                )
+                rec = wav_payload_bytes(st["sample_data"])[: len(payload)]
+                out["stereo_n_times"].append(st["n_times"])
+                out["stereo_n_frames"].append(-(-st["n_times"] // FLAC_BLOCK))
+                out["stereo_md5_verified"].append(st["md5_verified"])
+                out["stereo_payload_md5"].append(hashlib.md5(rec).hexdigest())
             yield pd.DataFrame(out)
 
     return (

@@ -243,7 +243,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_image_features",
         "c05_multimodal_bmp_rle",
         "c05_multimodal_features",
-        "c05_multimodal_flac",
         "c05_multimodal_frames",
         "c05_multimodal_gif",
         "c05_multimodal_jpeg",

@@ -816,13 +816,59 @@ def test_flac_rejects_corrupt_and_out_of_scope_streams():
     corrupt[-10] ^= 0xFF
     with pytest.raises(ValueError, match="CRC|MD5|sync|truncated|residual|blocksize"):
         codecs.decode_flac(bytes(corrupt))
-    # claim a left/right stereo channel assignment in the first frame
-    # header (byte 3's top nibble; the check fires before the CRC-8)
+    # claim a left/side stereo channel assignment in the first frame
+    # header of a MONO stream (byte 3's top nibble; the consistency
+    # check fires before the CRC-8) — round 13: stereo itself is
+    # supported now, so the failure class is the STREAMINFO/frame
+    # disagreement, not NotImplementedError
     meta_end = 4 + 4 + 34
     stereo = bytearray(f)
     stereo[meta_end + 3] = (0b1000 << 4) | (stereo[meta_end + 3] & 0x0F)
-    with pytest.raises(NotImplementedError, match="mono"):
+    with pytest.raises(ValueError, match="disagrees"):
         codecs.decode_flac(bytes(stereo))
+    # >2-channel assignments stay an honest refusal
+    multi = bytearray(f)
+    multi[meta_end + 3] = (0b0100 << 4) | (multi[meta_end + 3] & 0x0F)
+    with pytest.raises(NotImplementedError, match="mono/stereo"):
+        codecs.decode_flac(bytes(multi))
+
+
+def test_flac_stereo_all_four_channel_assignments_roundtrip():
+    """Round 13 (VERDICT r12 #2): stereo decorrelation. The encoder
+    cycles independent / left/side / right/side / mid/side by frame
+    index; a >=4-frame payload therefore exercises every assignment,
+    and STREAMINFO-MD5 (computed over the interleaved L0 R0 ...
+    stream) self-verifies each one's reconstruction. De-interleaving
+    must recover the payload bytes exactly; the odd-length pad sample
+    is dropped by truncation. Mid/side parity: L+R and L-R share
+    parity, so (mid<<1)|(side&1) restores the exact sum — pinned with
+    an adversarial odd-sum pair."""
+    from spark_dynamodb_spark.functions import codecs
+
+    # 2100 bytes -> 1050 times -> 5 frames: modes 0,1,2,3,0 all hit
+    payload = bytes((i * 37 + 11) % 256 for i in range(2100))
+    st = codecs.decode_flac(codecs.encode_flac(payload, channels=2))
+    assert st["md5_verified"] and st["n_channels"] == 2
+    assert st["n_times"] == 1050 and st["n_samples"] == 2100
+    assert codecs.wav_payload_bytes(st["sample_data"]) == payload
+    # odd-length payload: right channel of the last time is padded
+    odd = payload + b"\x07"  # 2101 bytes
+    so = codecs.decode_flac(codecs.encode_flac(odd, channels=2))
+    assert so["md5_verified"] and so["n_times"] == 1051
+    assert codecs.wav_payload_bytes(so["sample_data"])[:2101] == odd
+    # adversarial mid/side parity: (L,R)=(16, 4080) byte pair (1,255)
+    # has odd (L+R)>>4 sum classes across the whole block; frame 3 of
+    # a 4-frame stream is mid/side, so craft >=1792 bytes of the pair
+    pp = bytes([1, 255]) * 1024  # 1024 times -> frames 0..3
+    sp = codecs.decode_flac(codecs.encode_flac(pp, channels=2))
+    assert sp["md5_verified"]
+    assert codecs.wav_payload_bytes(sp["sample_data"]) == pp
+    # constant-per-channel stereo payload routes constant subframes
+    # through every assignment
+    cc = bytes([7, 200]) * 600
+    sc = codecs.decode_flac(codecs.encode_flac(cc, channels=2))
+    assert sc["md5_verified"]
+    assert codecs.wav_payload_bytes(sc["sample_data"]) == cc
 
 
 def test_flac_lpc_subframes_decode():
