@@ -1171,6 +1171,112 @@ def multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
 
 
+@query(
+    "c05_multimodal_jpeg_progressive",
+    f"""
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST((ceil(octet_length(CAST(text AS BLOB)) / 16.0) + 1) * 16 AS BIGINT)
+             AS height,
+           CAST(7 AS BIGINT) AS n_scans,
+           md5(text) AS payload_md5,
+           'image/jpeg' AS mime,
+           source AS origin
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-jpeg-progressive: PROGRESSIVE (SOF2) JPEG decode — the
+    biggest remaining honest codec refusal real web corpora hit
+    (VERDICT r12 "Next round" #7). Document bytes ride as the DC luma
+    constants of a REAL progressive JPEG delivered over SEVEN scans:
+    DC first at point transform Al=1, a raw-bit DC refinement, an AC
+    first scan over spectral band 1..31 at Al=1 (multi-block EOB
+    runs), a second band 32..63 scan, an AC refinement scan
+    (correction bits + a newly-significant −1 probe coefficient a
+    lazy refinement decoder would skip), and the two non-interleaved
+    chroma scans. The decoder accumulates coefficients across scans
+    and runs dequant/IDCT once at EOI — so a hash match proves
+    spectral selection, successive approximation, EOB-run carry
+    across blocks, and the G.1.2.3 refinement algorithm end-to-end.
+    The payload region stays DC-only and exactly recoverable (same
+    all-ones-quant argument as c05_multimodal_jpeg), which is what
+    makes the payload-md5 oracle possible.
+
+    100 TB shape: identical to the other c05 entries — Arrow-batched
+    mapInPandas behind the numbered repartition; media bytes never
+    pass through the driver.
+    """
+    _ensure_worker_imports(spark)
+    from spark_dynamodb_spark.functions.codecs import encode_jpeg_progressive
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def to_prog(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_jpeg_progressive(t.encode()))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            to_prog("text").alias("payload"),
+            F.struct(
+                F.lit("image/jpeg").alias("mime"),
+                F.col("source").alias("origin"),
+                F.length(F.encode("text", "UTF-8")).cast("long").alias(
+                    "content_length"
+                ),
+            ).alias("meta"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_scans", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_jpeg(bytes(payload))
+                if not img.get("progressive"):
+                    raise ValueError("expected the progressive decode path")
+                data = jpeg_payload_bytes(img, meta["content_length"])
+                n_scans = bytes(payload).count(b"\xff\xda")
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_scans"].append(n_scans)
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append(meta["mime"])
+                out["origin"].append(meta["origin"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
 def with_avi_columns(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload: REAL MJPEG-AVI bytes, meta). Same
     ingest shape as with_bmp_columns/with_jpeg_columns; the encoder

@@ -571,15 +571,23 @@ def test_jpeg_trailer_pins_ac_and_subsampling_machinery():
 
 
 def test_jpeg_rejects_out_of_scope_variants():
-    """Progressive (SOF2), 16-bit quant tables -> honest
-    NotImplementedError; corrupt entropy stream -> ValueError."""
+    """Hierarchical (SOF3) / arithmetic (SOF9), 16-bit quant tables ->
+    honest NotImplementedError; corrupt entropy stream -> ValueError.
+    (Round 13: SOF2 progressive is SUPPORTED now — a baseline stream
+    relabeled SOF2 routes to the progressive decoder and dies on its
+    scan-header validation instead of being refused.)"""
     from spark_dynamodb_spark.functions import codecs
 
     j = bytearray(codecs.encode_jpeg(b"abcdef"))
     sof = j.find(b"\xff\xc0")
+    for bad_sof in (0xC3, 0xC9):  # lossless-sequential, arithmetic
+        jx = bytearray(j)
+        jx[sof + 1] = bad_sof
+        with pytest.raises(NotImplementedError):
+            codecs.decode_jpeg(bytes(jx))
     j2 = bytearray(j)
-    j2[sof + 1] = 0xC2  # claim progressive
-    with pytest.raises(NotImplementedError):
+    j2[sof + 1] = 0xC2  # relabel baseline as progressive
+    with pytest.raises(ValueError, match="Se=0|interleaved"):
         codecs.decode_jpeg(bytes(j2))
     # flip the quant-table precision nibble
     dqt = j.find(b"\xff\xdb")
@@ -1039,6 +1047,56 @@ def test_audio_features_integer_exact_on_known_signal():
     assert int((s * s).sum()) == 16**2 + 32**2 + 4080**2
     assert int(np.abs(np.diff(s)).sum()) == 16 + 16 + 4048
     assert int(s.max()) == 4080
+
+
+def test_jpeg_progressive_decode_paths():
+    """Round 13 (VERDICT r12 #7): progressive (SOF2) decode. The
+    7-scan schedule exercises DC first (Al=1) + DC refine + AC first
+    with multi-block EOB runs + a second spectral band + AC
+    refinement + chroma scans; payload bytes must round-trip exactly
+    through coefficient accumulation and the single EOI-time IDCT.
+    The newly-significant −1 probe (zigzag 28 in trailer block Y2) is
+    delivered ONLY by the refinement scan, so its pixel effect proves
+    G.1.2.3 ran; outside that block progressive and baseline decodes
+    of the same payload must agree pixel-exactly."""
+    import numpy as np
+
+    from spark_dynamodb_spark.functions import codecs
+
+    payload = bytes((i * 31 + 7) % 256 for i in range(500))
+    prog = codecs.encode_jpeg_progressive(payload)
+    assert prog.count(b"\xff\xda") == 7 and b"\xff\xc2" in prog
+    img = codecs.decode_jpeg(prog)  # auto-routes on SOF2
+    assert img.get("progressive")
+    assert codecs.jpeg_payload_bytes(img, 500) == payload
+
+    base = codecs.decode_jpeg(codecs.encode_jpeg(payload))
+    h, w = base["height"], base["width"]
+    assert (img["height"], img["width"]) == (h, w)
+    bl = np.frombuffer(base["planes"][0], dtype=np.uint8).reshape(h, w)
+    pl = np.frombuffer(img["planes"][0], dtype=np.uint8).reshape(h, w)
+    diffs = np.argwhere(bl != pl)
+    # probe block Y2 = rows 8..15, cols 0..7 of the trailer MCU row
+    blk, zz, val = codecs._JPEG_PROG_PROBE
+    assert (blk, zz, val) == (2, 28, -1)
+    trailer_top = (h // 16 - 1) * 16
+    assert len(diffs) > 0, "refinement probe must perturb pixels"
+    assert all(
+        trailer_top + 8 <= r < trailer_top + 16 and 0 <= c < 8
+        for r, c in diffs.tolist()
+    )
+    # chroma planes agree everywhere (identical coefficient patterns)
+    for ci in (1, 2):
+        assert base["planes"][ci] == img["planes"][ci]
+    # long all-zero stretches force EOB runs > 1 across blocks; a
+    # constant payload maximizes them
+    const = codecs.decode_jpeg(codecs.encode_jpeg_progressive(bytes(900)))
+    assert codecs.jpeg_payload_bytes(const, 900) == bytes(900)
+    # corrupt a scan's entropy data -> loud failure, not silence
+    bad = bytearray(prog)
+    bad[-40] ^= 0x5A
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(bad))
 
 
 def test_audio_spectral_fixed_point_exact_on_known_signal():
