@@ -1801,6 +1801,122 @@ def audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# C122 — MFCC: the first genuinely-float feature entry (rows-only)
+# (VERDICT r12 "Next round" #10: the zz_ discipline extended to float
+# ops via the tests/float_compare.py tolerance harness)
+# ---------------------------------------------------------------------------
+
+N_MEL = 8  # triangular mel filters over the 33 rfft bins of a 64-pt window
+N_MFCC = 4  # cepstral coefficients kept
+_MFCC_LOG_FLOOR = 1e-10
+
+
+def _mel_filterbank() -> "list[list[float]]":
+    """N_MEL triangular filters over the rfft bins (0..32) of an
+    AUDIO_WIN-sample window at WAV_RATE Hz, mel-spaced between 0 and
+    the Nyquist with the standard mel(f) = 2595*log10(1+f/700) scale.
+    Pure-Python and deterministic — the ONE spec both the Spark
+    kernel and the pytest reference share (the DFT itself is what the
+    two sides compute independently)."""
+    import math
+
+    n_bins = AUDIO_WIN // 2 + 1
+
+    def mel(f: float) -> float:
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m: float) -> float:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    nyq = WAV_RATE / 2.0
+    pts = [imel(mel(0.0) + (mel(nyq) - mel(0.0)) * i / (N_MEL + 1))
+           for i in range(N_MEL + 2)]
+    bin_hz = [j * WAV_RATE / AUDIO_WIN for j in range(n_bins)]
+    fb = []
+    for m in range(1, N_MEL + 1):
+        lo, mid, hi = pts[m - 1], pts[m], pts[m + 1]
+        row = []
+        for f in bin_hz:
+            if lo < f <= mid:
+                row.append((f - lo) / (mid - lo))
+            elif mid < f < hi:
+                row.append((hi - f) / (hi - mid))
+            else:
+                row.append(0.0)
+        fb.append(row)
+    return fb
+
+
+@query("c122_audio_mfcc", None)
+def audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C122: MFCC features — the first GENUINELY FLOAT feature entry
+    (VERDICT r12 "What's missing" #1 second half). Per 64-sample
+    window of the decoded int16 stream: rfft power spectrum -> {N_MEL}
+    triangular mel filters -> log -> DCT-II -> the first {N_MFCC}
+    cepstral coefficients, float64 end to end.
+
+    NO oracle_sql on purpose: two correct float implementations
+    differ in the last ulps by summation order alone, so the driver's
+    stringified hash cannot express the contract — the driver records
+    the weaker rows+schema check (the zz_ rows-only discipline). The
+    STRONG verification is local: tests/test_llm.py compares this
+    kernel (numpy rfft) against an INDEPENDENT O(n^2) explicit-loop
+    DFT reference under explicit tolerance bands
+    (tests/float_compare.py: atol/rtol/ULP), so an algorithmic error
+    fails loudly while legitimate last-ulp drift passes.
+
+    100 TB shape: identical to c05_audio_features — Arrow-batched
+    mapInPandas, windows never span documents, one rfft+2 matmuls per
+    doc batch, no shuffle before the presentation sort.
+    """
+    _ensure_worker_imports(spark)
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+    )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("win_idx", T.LongType())]
+        + [T.StructField(f"mfcc{c}", T.DoubleType()) for c in range(N_MFCC)]
+    )
+
+    fb_rows = _mel_filterbank()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        fb = np.array(fb_rows)  # (N_MEL, 33)
+        # DCT-II basis (N_MFCC, N_MEL)
+        m = np.arange(N_MEL)
+        dct = np.array(
+            [np.cos(np.pi * c * (m + 0.5) / N_MEL) for c in range(N_MFCC)]
+        )
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
+                s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.float64)
+                n = len(s)
+                nw = -(-n // AUDIO_WIN)
+                pad = nw * AUDIO_WIN - n
+                wins = np.pad(s, (0, pad)).reshape(nw, AUDIO_WIN)
+                spec = np.abs(np.fft.rfft(wins, axis=1)) ** 2  # (nw, 33)
+                mel_e = np.log(spec @ fb.T + _MFCC_LOG_FLOOR)  # (nw, N_MEL)
+                cc = mel_e @ dct.T  # (nw, N_MFCC)
+                out["doc_id"].extend([doc_id] * nw)
+                out["win_idx"].extend(range(nw))
+                for c in range(N_MFCC):
+                    out[f"mfcc{c}"].extend(cc[:, c].tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(extract, out_schema)
+        .orderBy("doc_id", "win_idx")
+    )
+
+
 ROW_BYTES = BMP_WIDTH * 3  # RGB bytes per pixel row
 
 

@@ -1136,6 +1136,98 @@ def test_audio_spectral_fixed_point_exact_on_known_signal():
     assert fast.tolist() == slow
 
 
+def test_audio_mfcc_against_independent_dft_reference(spark, sf_dir):
+    """c122 (VERDICT r12 #10): the float MFCC entry has no SQL oracle
+    by design — its strong check is HERE. The Spark kernel computes
+    the spectrum with numpy's rfft; this reference recomputes every
+    window with an explicit O(n^2) complex-exponential DFT loop (a
+    genuinely independent algorithm), then the same mel/log/DCT spec,
+    and the two must agree inside explicit tolerance bands
+    (tests/float_compare.py). Algorithmic errors (wrong bin scaling,
+    off-by-one windows, filterbank drift) blow past the bands; last-
+    ulp summation-order drift does not."""
+    import math
+
+    import numpy as np
+
+    from spark_dynamodb_spark.functions import codecs
+    from spark_dynamodb_spark.operators.multimodal import (
+        AUDIO_WIN,
+        N_MEL,
+        N_MFCC,
+        WAV_RATE,
+        _MFCC_LOG_FLOOR,
+        _mel_filterbank,
+        audio_mfcc,
+    )
+    from tests.float_compare import assert_frames_close, ulp_distance
+
+    # ulp sanity pins
+    assert ulp_distance(1.0, 1.0) == 0
+    assert ulp_distance(1.0, np.nextafter(1.0, 2.0)) == 1
+    assert ulp_distance(-0.0, 0.0) == 0
+
+    got = audio_mfcc(spark, sf_dir).toPandas()
+    assert len(got) > 0
+
+    import duckdb
+
+    from spark_dynamodb_spark.tables import table_path
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM read_parquet(?) "
+            "WHERE octet_length(CAST(text AS BLOB)) = length(text) "
+            "AND length(text) > 0 ORDER BY doc_id",
+            [table_path(sf_dir, "documents")],
+        )
+        .fetchall()
+    )
+    fb = np.array(_mel_filterbank())
+    mgrid = np.arange(N_MEL)
+    dct = np.array(
+        [np.cos(np.pi * c * (mgrid + 0.5) / N_MEL) for c in range(N_MFCC)]
+    )
+    rows = {k: [] for k in got.columns}
+    n_bins = AUDIO_WIN // 2 + 1
+    for doc_id, text in docs:
+        wav = codecs.decode_wav(codecs.encode_wav(text.encode(), sample_rate=WAV_RATE))
+        s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.float64)
+        nw = -(-len(s) // AUDIO_WIN)
+        s = np.pad(s, (0, nw * AUDIO_WIN - len(s)))
+        for wi in range(nw):
+            win = s[wi * AUDIO_WIN : (wi + 1) * AUDIO_WIN]
+            # explicit-loop DFT: X[j] = sum_n w[n] * e^{-2πi jn/N}
+            spec = np.empty(n_bins)
+            for j in range(n_bins):
+                re = sum(
+                    win[k] * math.cos(2 * math.pi * j * k / AUDIO_WIN)
+                    for k in range(AUDIO_WIN)
+                )
+                im = sum(
+                    -win[k] * math.sin(2 * math.pi * j * k / AUDIO_WIN)
+                    for k in range(AUDIO_WIN)
+                )
+                spec[j] = re * re + im * im
+            cc = (np.log(spec @ fb.T + _MFCC_LOG_FLOOR)) @ dct.T
+            rows["doc_id"].append(doc_id)
+            rows["win_idx"].append(wi)
+            for c in range(N_MFCC):
+                rows[f"mfcc{c}"].append(cc[c])
+    import pandas as pd
+
+    want = pd.DataFrame(rows)
+    # bands: the O(n^2) loop accumulates ~64 rounding steps against
+    # rfft's ~log2(64); 1e-6 relative with a small absolute floor for
+    # near-zero cepstra covers that honestly — far below any
+    # algorithmic error (wrong bin ~ O(1) change in log-mel space)
+    report = assert_frames_close(
+        got, want, ["doc_id", "win_idx"], atol=1e-7, rtol=1e-6, max_ulps=0
+    )
+    assert report.n_rows == len(want)
+
+
 def test_image_features_pin_padding_rule():
     """The per-row zero count must reproduce the spec's zero-fill on
     the final row exactly: a 100-byte payload in 96-byte rows leaves
