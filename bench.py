@@ -125,6 +125,16 @@ EXTRA = [
     "c05_multimodal_bmp_rle",
     # prefix-dimension recall (the MRL axis of the compression ladder)
     "c120_matryoshka_recall",
+    # round-13 design-depth entries: fixed-point spectral features
+    # (quantized-trig DFT, hash-exact), and the landing-zone capstone
+    # (decontaminate -> dedup -> tokenize -> pack, single-scan staged)
+    "c05_audio_spectral",
+    "c121_train_shards_capstone",
+    # progressive JPEG (7-scan SOF2; the linear-CPU codec class —
+    # dearest extra, priced by its codec not its plan)
+    "c05_multimodal_jpeg_progressive",
+    # float MFCC (rows-only contract; banded pytest is its oracle)
+    "c122_audio_mfcc",
 ]
 
 
