@@ -21,9 +21,10 @@ added DRI/RSTn restart intervals) and FLAC (round 12: fixed
 predictors + Rice coding, STREAMINFO-MD5 self-verification;
 round 13: stereo with all four channel assignments — independent,
 left/side, right/side, mid/side) are implemented here too,
-stdlib+numpy only. Still honestly out of scope with
-NotImplementedError: MP3/non-PCM audio, arithmetic JPEG,
-wasted-bits FLAC, >2-channel FLAC.
+stdlib+numpy only (round 13 also: wasted-bits FLAC subframes and
+progressive SOF2 JPEG). Still honestly out of scope with
+NotImplementedError: MP3/non-PCM audio, arithmetic/hierarchical
+JPEG, >2-channel FLAC.
 """
 
 from __future__ import annotations
@@ -1528,9 +1529,10 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
 # 1-3 / quantized-coefficient LPC, all with Rice-coded residuals) so
 # decode must implement every subframe family; channels=2 additionally
 # cycles all four stereo channel assignments (independent, left/side,
-# right/side, mid/side — round 13). Out of scope, honest
-# NotImplementedError: wasted bits, >2 channels. Frame header
-# CRC-8 and frame CRC-16 are real and enforced.
+# right/side, mid/side — round 13) and mode-3 frames emit WASTED BITS
+# when the block supports them (round 13, RFC 9639 §9.2.2). Out of
+# scope, honest NotImplementedError: >2 channels, non-16-bit. Frame
+# header CRC-8 and frame CRC-16 are real and enforced.
 
 FLAC_BLOCK = 256
 
@@ -1686,13 +1688,56 @@ def _flac_write_residual(wr: _FlacBitWriter, resid) -> None:
             wr.write(u & ((1 << p) - 1), p)
 
 
+def _flac_wasted_k(samples, bps: int, cap: int = 4) -> int:
+    """Shared trailing-zero count for the wasted-bits decision
+    (RFC 9639 §9.2.2): the largest k (<= cap, < bps) such that every
+    sample is a multiple of 2^k. Zero samples impose no constraint;
+    an all-zero block returns 0 (encode it plainly)."""
+    k = cap
+    seen_nonzero = False
+    for s in samples:
+        if s == 0:
+            continue
+        seen_nonzero = True
+        tz = (s & -s).bit_length() - 1
+        if tz < k:
+            k = tz
+            if k == 0:
+                return 0
+    return k if seen_nonzero and k < bps else 0
+
+
 def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     """mode: 0=constant(if possible else verbatim), 1=verbatim,
     2..4=fixed order mode-1, 5=LPC order 2 (quantized (2,-1)<<4
     coefficients — numerically the fixed-2 predictor, but routed
     through the full LPC header/coefficient/shift machinery so decode
-    must implement it)."""
+    must implement it). Mode 3 (fixed order 2) additionally emits
+    WASTED BITS when the block supports them (round 13): the byte<<4
+    sample mapping leaves 4 zero low bits in every sample, so the
+    subframe codes samples>>k at bps-k with the unary-coded k in the
+    header — a decoder that ignores the wasted flag misparses the
+    whole frame and dies on CRC/MD5."""
     n = len(samples)
+    if mode == 3 and n > 2:
+        k = _flac_wasted_k(samples, bps)
+        if k:
+            order = 2
+            wr.write(0, 1)
+            wr.write(0b001000 | order, 6)
+            wr.write(1, 1)  # wasted flag
+            wr.write(1, k)  # unary (k-1): k-1 zeros then the 1
+            sub = [s >> k for s in samples]
+            sbps = bps - k
+            for s in sub[:order]:
+                wr.write(s & ((1 << sbps) - 1), sbps)
+            coefs = _FIXED_COEFS[order]
+            resid = [
+                sub[i] - sum(c * sub[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, n)
+            ]
+            _flac_write_residual(wr, resid)
+            return
     if mode == 0 and all(s == samples[0] for s in samples):
         wr.write(0, 1)
         wr.write(0b000000, 6)
@@ -1860,8 +1905,10 @@ def decode_flac(payload: bytes) -> dict:
     samples must equal STREAMINFO's. Returns {sample_rate,
     n_channels, bits_per_sample, n_samples, duration_ms, sample_data,
     md5_verified, file_size}. Raises ValueError on corrupt/truncated
-    streams or MD5 mismatch, NotImplementedError for wasted bits and
-    >2 channels (out of scope here). Stereo (round 13): all four
+    streams or MD5 mismatch, NotImplementedError for >2 channels
+    (out of scope here). Wasted bits (round 13): the subframe's
+    unary-coded k narrows the coded width to bps-k and every
+    reconstructed sample shifts left by k. Stereo (round 13): all four
     channel assignments decode — independent L/R and the three
     decorrelated modes (left/side, right/side, mid/side, side channel
     bps+1 bits) — and sample_data interleaves L0 R0 L1 R1 ..."""
@@ -2067,16 +2114,24 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
         raise ValueError("flac: subframe padding bit set")
     stype = rd.read(6)
     wasted = rd.read(1)
+    k = 0
     if wasted:
-        raise NotImplementedError("wasted bits not supported here")
+        # unary-coded (k-1): zeros until the terminating 1 (RFC 9639)
+        k = rd.read_unary() + 1
+        if k >= bps:
+            raise ValueError("flac: wasted bits exceed sample width")
+        bps -= k
 
     signed = _flac_signed
 
+    def out(samples):
+        return [s << k for s in samples] if k else samples
+
     if stype == 0b000000:
         v = signed(rd.read(bps), bps)
-        return [v] * bs
+        return out([v] * bs)
     if stype == 0b000001:
-        return [signed(rd.read(bps), bps) for _ in range(bs)]
+        return out([signed(rd.read(bps), bps) for _ in range(bs)])
     if 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
         samples = [signed(rd.read(bps), bps) for _ in range(order)]
@@ -2084,7 +2139,7 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
         for r in _flac_read_residual(rd, bs, order):
             pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
             samples.append(pred + r)
-        return samples
+        return out(samples)
     if stype & 0b100000:
         # LPC subframe (round 12): order-1 in the low 5 bits, warmup,
         # quantized coefficient precision/shift, coefficients, then the
@@ -2105,7 +2160,7 @@ def _flac_read_subframe(rd: _FlacBitReader, bs: int, bps: int):
         for r in _flac_read_residual(rd, bs, order):
             pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
             samples.append(pred + r)
-        return samples
+        return out(samples)
     raise ValueError("flac: reserved subframe type")
 
 

@@ -841,6 +841,54 @@ def test_flac_rejects_corrupt_and_out_of_scope_streams():
         codecs.decode_flac(bytes(multi))
 
 
+def test_flac_wasted_bits_roundtrip():
+    """Round 13: wasted bits (RFC 9639 §9.2.2) — the byte<<4 sample
+    mapping leaves 4 zero low bits, so mode-3 (fixed order 2) frames
+    emit samples>>4 at bps-4 with the unary-coded k in the subframe
+    header. A decoder that ignores the flag misparses the frame and
+    dies on CRC/MD5, so a green round-trip proves the path; the
+    header byte itself (0x15 = pad 0, type 001010, wasted 1) is
+    pinned at the subframe level."""
+    import random
+
+    from spark_dynamodb_spark.functions import codecs
+
+    samples = [16 * v for v in (5, 9, 2, 250, 7, 7, 120, 3)]
+    wr = codecs._FlacBitWriter()
+    codecs._flac_write_subframe(wr, samples, 16, 3)
+    wr.align()
+    buf = wr.bytes()
+    assert buf[0] == 0x15, hex(buf[0])
+    rd = codecs._FlacBitReader(buf, 0)
+    assert codecs._flac_read_subframe(rd, len(samples), 16) == samples
+    # the k-gate: mixed trailing zeros pick the minimum; zeros impose
+    # no constraint; all-zero and odd blocks encode plainly
+    wk = codecs._flac_wasted_k
+    assert wk([16, 32, 4080], 16) == 4
+    assert wk([16, 8], 16) == 3
+    assert wk([0, 0], 16) == 0
+    assert wk([1], 16) == 0
+    # end-to-end: >= 4 frames so a mode-3 frame is present, both
+    # channel layouts stay MD5-green with byte-exact payload recovery
+    rng = random.Random(3)
+    payload = bytes(rng.randrange(1, 256) for _ in range(1024))
+    for ch in (1, 2):
+        d = codecs.decode_flac(codecs.encode_flac(payload, channels=ch))
+        assert d["md5_verified"]
+        assert codecs.wav_payload_bytes(d["sample_data"]) == payload
+    # wasted bits claiming the whole sample width must be refused
+    wr2 = codecs._FlacBitWriter()
+    wr2.write(0, 1)
+    wr2.write(0b001010, 6)
+    wr2.write(1, 1)
+    wr2.write(1, 16)  # k = 16 == bps
+    wr2.align()
+    with pytest.raises(ValueError, match="wasted"):
+        codecs._flac_read_subframe(
+            codecs._FlacBitReader(wr2.bytes(), 0), 4, 16
+        )
+
+
 def test_flac_stereo_all_four_channel_assignments_roundtrip():
     """Round 13 (VERDICT r12 #2): stereo decorrelation. The encoder
     cycles independent / left/side / right/side / mid/side by frame
