@@ -280,7 +280,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c118_ann_binary_hamming",
         "c119_unigram_encode",
         "c11_domain_mixture",
-        "c120_matryoshka_recall",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
         "c14_ts_interpolate",
@@ -396,12 +395,15 @@ ROTATED_GREEN_R1 = frozenset(
         "s27_stream_ivf_assign_state",
         "s28_stream_neardup_verdict",
         "s29_stream_neardup_dynamo_state",
-        "s30_stream_decontamination",
         "s31_stream_tokenize_state",
     }
 )
 
 
+# Round-13 note: two r12-rotated names (c120_matryoshka_recall,
+# s30_stream_decontamination) were UN-rotated again because the r12
+# ADVICE fixes changed their implementations (zero-norm cosine floor;
+# idempotent per-batch ledger) — the driver must re-verify them.
 # Round-12 note: seven previously-rotated names were deliberately
 # UN-rotated back into the window (removed from ROTATED_GREEN_R1)
 # because this round changed their implementation or semantics and
