@@ -1786,7 +1786,12 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     _flac_write_residual(wr, resid)
 
 
-def encode_flac(data: bytes, sample_rate: int = 8000, channels: int = 1) -> bytes:
+def encode_flac(
+    data: bytes,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits_per_sample: int = 16,
+) -> bytes:
     """Pack a byte payload as a real 16-bit FLAC stream (the
     encode_wav byte -> sample mapping, byte << 4): fLaC magic,
     STREAMINFO with the spec-mandated MD5 of the decoded samples,
@@ -1809,8 +1814,15 @@ def encode_flac(data: bytes, sample_rate: int = 8000, channels: int = 1) -> byte
         raise ValueError("encode_flac: empty payload")
     if channels not in (1, 2):
         raise ValueError("encode_flac: only 1 or 2 channels supported")
-    samples = [b << 4 for b in data]
-    bps = 16
+    if bits_per_sample not in (8, 16):
+        raise ValueError("encode_flac: only 8/16-bit samples supported")
+    bps = bits_per_sample
+    # 16-bit keeps the encode_wav byte<<4 mapping; 8-bit (round 13,
+    # the non-16-bit refusal) maps byte-128 into the signed int8 range
+    # — both exactly invertible, so payload-md5 oracles hold for both
+    samples = (
+        [b << 4 for b in data] if bps == 16 else [b - 128 for b in data]
+    )
     if channels == 2:
         if len(samples) % 2:
             samples.append(0)  # pad the right channel of the last time
@@ -1819,7 +1831,8 @@ def encode_flac(data: bytes, sample_rate: int = 8000, channels: int = 1) -> byte
         ntimes = len(left)
     else:
         ntimes = len(samples)
-    raw = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = "h" if bps == 16 else "b"
+    raw = struct.pack(f"<{len(samples)}{fmt}", *samples)
     md5 = hashlib.md5(raw).digest()
     out = bytearray(b"fLaC")
     # STREAMINFO, last-metadata-block flag set
@@ -1872,7 +1885,7 @@ def encode_flac(data: bytes, sample_rate: int = 8000, channels: int = 1) -> byte
             bs_tail = bs - 1
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(ch_code, 4)
-        hdr.write(0b100, 3)  # 16 bps
+        hdr.write(0b100 if bps == 16 else 0b001, 3)  # 16 / 8 bps
         hdr.write(0, 1)  # reserved
         hdr.align()
         hbytes = bytearray(hdr.bytes())
@@ -1951,14 +1964,12 @@ def decode_flac(payload: bytes) -> dict:
     if nch not in (1, 2):
         raise NotImplementedError("only mono/stereo FLAC is supported here")
     bps = streaminfo["bps"]
-    if bps != 16:
-        # the sample reconstruction and the final MD5 check both pack
-        # int16; an 8-bit stream would decode correctly but fail the
-        # STREAMINFO MD5 (computed over 1-byte samples) with a
-        # misleading "decode is wrong", and a 24-bit stream would leak
-        # struct.error past the documented contract (code review r12)
+    if bps not in (8, 16):
+        # the final MD5 packs 1-byte (8-bit) or 2-byte (16-bit)
+        # samples; a 12/20/24-bit stream would leak struct.error past
+        # the documented contract (code review r12; 8-bit added r13)
         raise NotImplementedError(
-            f"only 16-bit FLAC is supported here (STREAMINFO bps {bps})"
+            f"only 8/16-bit FLAC is supported here (STREAMINFO bps {bps})"
         )
     rd = _FlacBitReader(payload, pos)
     samples = []
@@ -2008,10 +2019,14 @@ def decode_flac(payload: bytes) -> dict:
             )
         if ss_code == 0b100:
             fbps = 16
+        elif ss_code == 0b001:
+            fbps = 8
         elif ss_code == 0:
             fbps = bps
         else:
-            raise NotImplementedError("only 16-bit samples supported here")
+            raise NotImplementedError("only 8/16-bit samples supported here")
+        if fbps != bps:
+            raise ValueError("flac: frame sample size disagrees with STREAMINFO")
         # CRC-8 over the header bytes (everything since frame_start is
         # byte-aligned: sync..reserved is exactly 32 bits, the coded
         # number and tail fields are whole bytes)
@@ -2060,7 +2075,7 @@ def decode_flac(payload: bytes) -> dict:
         samples.extend(blk)
         expected_frame += 1
     samples = samples[: total * nch]
-    raw = struct.pack(f"<{len(samples)}h", *samples)
+    raw = struct.pack(f"<{len(samples)}{'h' if bps == 16 else 'b'}", *samples)
     computed = hashlib.md5(raw).digest()
     if computed != streaminfo["md5"]:
         raise ValueError("flac: STREAMINFO MD5 mismatch (decode is wrong)")

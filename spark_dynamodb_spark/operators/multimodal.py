@@ -360,7 +360,9 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(((octet_length(CAST(text AS BLOB)) + 1) // 2) / 256.0)
              AS BIGINT) AS stereo_n_frames,
            TRUE AS stereo_md5_verified,
-           md5(text) AS stereo_payload_md5
+           md5(text) AS stereo_payload_md5,
+           TRUE AS bps8_md5_verified,
+           md5(text) AS bps8_payload_md5
     FROM documents
     WHERE octet_length(CAST(text AS BLOB)) = length(text)
       AND length(text) > 0
@@ -421,6 +423,8 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("stereo_n_frames", T.LongType()),
             T.StructField("stereo_md5_verified", T.BooleanType()),
             T.StructField("stereo_payload_md5", T.StringType()),
+            T.StructField("bps8_md5_verified", T.BooleanType()),
+            T.StructField("bps8_payload_md5", T.StringType()),
         ]
     )
 
@@ -458,6 +462,17 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["stereo_n_frames"].append(-(-st["n_times"] // FLAC_BLOCK))
                 out["stereo_md5_verified"].append(st["md5_verified"])
                 out["stereo_payload_md5"].append(hashlib.md5(rec).hexdigest())
+                # 8-bit cycle (round 13, the non-16-bit refusal):
+                # byte-128 signed int8 mapping; STREAMINFO MD5 packs
+                # 1-byte samples, and the inverse (+128) must recover
+                # the payload exactly
+                d8 = decode_flac(
+                    encode_flac(payload, sample_rate=WAV_RATE, bits_per_sample=8)
+                )
+                rec8 = bytes((b + 128) & 0xFF for b in
+                             memoryview(d8["sample_data"]).cast("b"))
+                out["bps8_md5_verified"].append(d8["md5_verified"])
+                out["bps8_payload_md5"].append(hashlib.md5(rec8).hexdigest())
             yield pd.DataFrame(out)
 
     return (

@@ -876,6 +876,16 @@ def test_flac_wasted_bits_roundtrip():
         d = codecs.decode_flac(codecs.encode_flac(payload, channels=ch))
         assert d["md5_verified"]
         assert codecs.wav_payload_bytes(d["sample_data"]) == payload
+    # 8-bit width (round 13): byte-128 signed mapping, 1-byte MD5
+    # packing, frame ss_code 0b001 cross-checked against STREAMINFO
+    d8 = codecs.decode_flac(codecs.encode_flac(payload, bits_per_sample=8))
+    assert d8["md5_verified"] and d8["bits_per_sample"] == 8
+    rec8 = bytes((b + 128) & 0xFF for b in memoryview(d8["sample_data"]).cast("b"))
+    assert rec8 == payload
+    s8 = codecs.decode_flac(
+        codecs.encode_flac(payload, channels=2, bits_per_sample=8)
+    )
+    assert s8["md5_verified"]  # 9-bit side channels decode
     # wasted bits claiming the whole sample width must be refused
     wr2 = codecs._FlacBitWriter()
     wr2.write(0, 1)
