@@ -3,7 +3,8 @@
 Real, byte-exact parsers for three self-describing formats —
 Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp bottom-up
 rows with 4-byte stride padding), RIFF/WAVE (fmt + data chunks,
-PCM16), and non-interlaced 8-bit PNG (zlib-deflated IDAT +
+PCM16), and 8-bit PNG — sequential AND Adam7-interlaced
+(round 13) — (zlib-deflated IDAT +
 per-scanline None/Sub/Up/Average/Paeth filters, CRC-checked chunks)
 — written against the public format specifications with ``struct``
 and stdlib ``zlib``. No image/audio libraries exist in this
@@ -227,6 +228,112 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid (PNG spec 8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_filter_row(raw: bytes, prior: bytes, bpp: int, ftype: int) -> bytearray:
+    """Apply PNG filter `ftype` to one scanline (shared by the
+    sequential and Adam7 encoders — within a pass, `prior` is the
+    previous row OF THAT PASS, zeroed at pass start per spec 8.2)."""
+    n = len(raw)
+    filt = bytearray(n)
+    for i in range(n):
+        left = raw[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        else:
+            pred = _paeth(left, up, ul)
+        filt[i] = (raw[i] - pred) & 0xFF
+    return filt
+
+
+def _png_unfilter_row(line: bytes, prior: bytes, bpp: int, ftype: int) -> bytearray:
+    n = len(line)
+    recon = bytearray(n)
+    for i in range(n):
+        left = recon[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = left
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (left + up) >> 1
+        elif ftype == 4:
+            pred = _paeth(left, up, ul)
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        recon[i] = (line[i] + pred) & 0xFF
+    return recon
+
+
+def encode_png_adam7(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
+    """Pack a byte payload as an Adam7-INTERLACED 8-bit PNG (round 13,
+    the interlaced refusal): the full raster (payload + zero-padded
+    final row) is split into the spec's seven passes, each pass
+    filtered independently (prior row resets per pass; the filter
+    type keeps cycling 0..4 across pass rows so all five unfilter
+    paths stay load-bearing), all passes concatenated into ONE zlib
+    stream. De-interlacing the decode must reproduce the identical
+    pixel raster as the sequential encoding — that equality is what
+    the payload-md5 oracle proves."""
+    if color_type not in _PNG_BPP:
+        raise NotImplementedError(f"color type {color_type} not supported")
+    if not data:
+        raise ValueError("encode_png_adam7: empty payload (spec requires height > 0)")
+    bpp = _PNG_BPP[color_type]
+    row_bytes = width * bpp
+    height = -(-len(data) // row_bytes)
+    raster = data + b"\x00" * (height * row_bytes - len(data))
+    scanlines = bytearray()
+    r_global = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        prior = bytes(pw * bpp)
+        for py in range(ph):
+            y = y0 + py * dy
+            raw = bytearray()
+            for px in range(pw):
+                x = x0 + px * dx
+                o = (y * width + x) * bpp
+                raw += raster[o : o + bpp]
+            ftype = r_global % 5
+            scanlines.append(ftype)
+            scanlines += _png_filter_row(bytes(raw), prior, bpp, ftype)
+            prior = bytes(raw)
+            r_global += 1
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
     """Pack a byte payload as a spec-compliant non-interlaced 8-bit
     PNG (color type 2 = RGB or 6 = RGBA).
@@ -322,8 +429,8 @@ def decode_png(payload: bytes) -> dict:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if bit_depth != 8 or color_type not in _PNG_BPP:
         raise NotImplementedError(
             f"only 8-bit RGB/RGBA PNG is supported here (bit_depth="
@@ -332,6 +439,43 @@ def decode_png(payload: bytes) -> dict:
     bpp = _PNG_BPP[color_type]
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        # Adam7 (round 13): each pass is an independently-filtered
+        # sub-image; unfilter within the pass, then scatter the pass
+        # pixels back onto the full raster per the spec 8.2 grid
+        out = bytearray(height * row_bytes)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prb = pw * bpp
+            prior = bytes(prb)
+            for py in range(ph):
+                if pos2 + 1 + prb > len(raw):
+                    raise ValueError("PNG pixel stream length mismatch")
+                ftype = raw[pos2]
+                line = raw[pos2 + 1 : pos2 + 1 + prb]
+                pos2 += 1 + prb
+                recon = _png_unfilter_row(line, prior, bpp, ftype)
+                y = y0 + py * dy
+                for px in range(pw):
+                    x = x0 + px * dx
+                    o = (y * width + x) * bpp
+                    out[o : o + bpp] = recon[px * bpp : (px + 1) * bpp]
+                prior = bytes(recon)
+        if pos2 != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
+        return {
+            "width": width,
+            "height": height,
+            "bit_depth": bit_depth,
+            "color_type": color_type,
+            "file_size": len(payload),
+            "pixel_data": bytes(out),
+            "interlaced": True,
+        }
     if len(raw) != height * (row_bytes + 1):
         raise ValueError("PNG pixel stream length mismatch")
     out = bytearray(height * row_bytes)

@@ -290,6 +290,124 @@ def multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c05_multimodal_png_adam7",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / {BMP_WIDTH * 3}.0)
+               AS BIGINT) AS h,
+             md5(text) AS payload_md5
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           h AS height,
+           h * {BMP_WIDTH * 3} AS pixel_bytes,
+           CAST(4 + CAST(h > 4 AS BIGINT) + CAST(h > 2 AS BIGINT)
+                + CAST(h > 1 AS BIGINT) AS BIGINT) AS n_passes,
+           payload_md5,
+           'image/png' AS mime,
+           source AS origin
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-png-adam7: Adam7-INTERLACED PNG decode (round 13, closing
+    the interlaced refusal). Document bytes are packed as interlaced
+    8-bit RGB PNGs — the raster split into the spec's seven passes,
+    each filtered independently with the prior row reset per pass and
+    the filter type still cycling all five kinds — and the decoder
+    must unfilter each pass and SCATTER its pixels back through the
+    8.2 grid. De-interlacing must reproduce the exact raster of the
+    sequential encoding, so the payload-md5 oracle proves the whole
+    pass geometry; n_passes is recomputed by the oracle from the
+    spec's emptiness rule (passes 1/2/4/6 always exist at width 32;
+    pass 7 needs h>1, pass 5 h>2, pass 3 h>4) — a decoder or encoder
+    that drops or merges a pass shifts every downstream byte and
+    fails the hash.
+
+    100 TB shape: identical to c05_multimodal_png — embarrassingly
+    parallel Arrow-batched mapInPandas behind the numbered
+    repartition; media bytes never pass through the driver.
+    """
+    _ensure_worker_imports(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_dynamodb_spark.functions.codecs import _ADAM7, encode_png_adam7
+
+    @pandas_udf(T.BinaryType())
+    def to_png(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_png_adam7(t.encode()))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            to_png("text").alias("payload"),
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.col("source").alias("origin"),
+                F.length(F.encode("text", "UTF-8")).cast("long").alias(
+                    "content_length"
+                ),
+            ).alias("meta"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("pixel_bytes", T.LongType()),
+            T.StructField("n_passes", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_png(bytes(payload))
+                if not img.get("interlaced"):
+                    raise ValueError("expected the Adam7 decode path")
+                w, h = img["width"], img["height"]
+                n_passes = sum(
+                    1
+                    for x0, y0, dx, dy in _ADAM7
+                    if w > x0 and h > y0
+                )
+                data = img["pixel_data"][: meta["content_length"]]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_bytes"].append(len(img["pixel_data"]))
+                out["n_passes"].append(n_passes)
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append(meta["mime"])
+                out["origin"].append(meta["origin"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
+@query(
     "c05_multimodal_wav",
     f"""
     SELECT doc_id,

@@ -352,15 +352,26 @@ def test_png_codec_rejects_corruption_and_unsupported():
     with _pytest.raises(ValueError):
         codecs.decode_png(bytes(png))
 
-    # interlaced flag -> NotImplementedError (with IHDR CRC re-signed)
+    # round 13: Adam7 is SUPPORTED now — a sequential stream relabeled
+    # interlaced misparses under the pass geometry and must die loudly
+    # (filter-type / length ValueError), never silently misdecode
     png = bytearray(codecs.encode_png(b"zz" * 40, width=4))
     ihdr_body = bytearray(png[16:29])
     ihdr_body[12] = 1  # interlace = Adam7
     crc = codecs.zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
     png[16:29] = ihdr_body
     struct.pack_into(">I", png, 29, crc)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         codecs.decode_png(bytes(png))
+    # an unknown interlace method stays a refusal
+    png2 = bytearray(codecs.encode_png(b"zz" * 40, width=4))
+    ihdr_body = bytearray(png2[16:29])
+    ihdr_body[12] = 2
+    crc = codecs.zlib.crc32(b"IHDR" + bytes(ihdr_body)) & 0xFFFFFFFF
+    png2[16:29] = ihdr_body
+    struct.pack_into(">I", png2, 29, crc)
+    with _pytest.raises(ValueError, match="interlace"):
+        codecs.decode_png(bytes(png2))
 
 
 def test_bpe_training_semantics(spark):
@@ -1468,3 +1479,44 @@ def test_matryoshka_full_dim_row_is_exact_floor(spark, sf_dir):
     for d in (8, 16, 32):
         assert 0 <= rows[d]["hits"] <= rows[d]["total"]
     assert rows[8]["recall_ppm"] <= rows[64]["recall_ppm"]
+
+
+def test_png_adam7_interlace_geometry():
+    """Round 13: Adam7. The interlaced decode must reproduce the
+    sequential raster byte-exactly at every height class that changes
+    the pass census (h=1: 4 passes; h=2: +pass7; h=3..4: +pass5;
+    h>=5: all 7), and a stream missing its final pass bytes must fail
+    loudly, not truncate silently."""
+    from spark_dynamodb_spark.functions import codecs
+
+    for n in (40, 100, 96 * 2, 96 * 4 + 7, 96 * 9):
+        payload = bytes((i * 13 + 5) % 256 for i in range(n))
+        seq = codecs.decode_png(codecs.encode_png(payload))
+        il = codecs.decode_png(codecs.encode_png_adam7(payload))
+        assert il.get("interlaced") and il["pixel_data"] == seq["pixel_data"]
+    # truncate the inflated stream: rebuild IDAT with the last pass
+    # row dropped -> length-mismatch ValueError
+    import struct
+    import zlib
+
+    f = codecs.encode_png_adam7(bytes(range(200)))
+    pos = len(codecs.PNG_SIG)
+    idat = b""
+    chunks = []
+    while pos + 12 <= len(f):
+        (length,) = struct.unpack(">I", f[pos : pos + 4])
+        ctype = f[pos + 4 : pos + 8]
+        body = f[pos + 8 : pos + 8 + length]
+        chunks.append((ctype, body))
+        if ctype == b"IDAT":
+            idat = body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    short = zlib.compress(raw[:-10], 6)
+    out = bytearray(codecs.PNG_SIG)
+    for ctype, body in chunks:
+        if ctype == b"IDAT":
+            body = short
+        out += codecs._png_chunk(ctype, body)
+    with pytest.raises(ValueError, match="length mismatch"):
+        codecs.decode_png(bytes(out))
