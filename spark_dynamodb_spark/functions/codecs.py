@@ -2761,18 +2761,35 @@ def _gif_subblocks(data: bytes) -> bytes:
     return bytes(out)
 
 
-def encode_gif(data: bytes, width: int = GIF_WIDTH) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """Display-row order of an interlaced GIF's stored rows (spec
+    appendix E): pass 1 every 8th row from 0, pass 2 every 8th from
+    4, pass 3 every 4th from 2, pass 4 every 2nd from 1."""
+    rows = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def encode_gif(data: bytes, width: int = GIF_WIDTH, interlace: bool = False) -> bytes:
     """Pack a byte payload as a spec-compliant GIF89a: one payload
     byte per pixel index over a 256-entry grayscale global color
     table (index == gray), LZW-compressed image data in 255-byte
     sub-blocks, plus a Graphics Control Extension so decoders must
-    implement the extension-skip path. The last row is zero-padded."""
+    implement the extension-skip path. The last row is zero-padded.
+    ``interlace=True`` (round 13) stores the rows in the spec's
+    4-pass order and sets the image-descriptor interlace flag."""
     if not data:
         raise ValueError("encode_gif: empty payload")
     height = -(-len(data) // width)
     if width > 65535 or height > 65535:
         raise ValueError("encode_gif: payload too large for 16-bit dimensions")
     pixels = data + b"\x00" * (width * height - len(data))
+    if interlace:
+        pixels = b"".join(
+            pixels[r * width : (r + 1) * width]
+            for r in _gif_interlace_rows(height)
+        )
 
     out = bytearray()
     out += b"GIF89a"
@@ -2782,8 +2799,10 @@ def encode_gif(data: bytes, width: int = GIF_WIDTH) -> bytes:
         out += bytes([i, i, i])
     # graphics control extension (no transparency, zero delay)
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    # image descriptor: full frame, no local table, not interlaced
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    # image descriptor: full frame, no local table
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     out += bytes([8])  # LZW minimum code size
     out += _gif_subblocks(_gif_lzw_compress(pixels, min_code=8))
     out += b"\x3b"  # trailer
@@ -2798,8 +2817,9 @@ def decode_gif(payload: bytes) -> dict:
     {width, height, file_size, pixel_data (one byte per pixel index),
     gray (True when the palette maps index -> (i,i,i))}. Raises
     ValueError on non-GIF input, truncation, or LZW protocol
-    violations; NotImplementedError for interlaced images or local
-    color tables (out of scope, like PNG interlacing)."""
+    violations; NotImplementedError for local color tables (out of
+    scope). Interlaced images de-interlace through the spec's 4-pass
+    row order (round 13)."""
     if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload (missing GIF87a/GIF89a signature)")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -2840,10 +2860,7 @@ def decode_gif(payload: bytes) -> dict:
                 "<HHHHB", payload[pos : pos + 9]
             )
             pos += 9
-            if ipacked & 0x40:
-                raise NotImplementedError(
-                    "gif: interlaced images are out of scope here"
-                )
+            interlaced = bool(ipacked & 0x40)
             if ipacked & 0x80:
                 raise NotImplementedError(
                     "gif: local color tables are out of scope here"
@@ -2873,6 +2890,13 @@ def decode_gif(payload: bytes) -> dict:
                 raise ValueError(
                     f"gif: decoded {len(pixels)} pixels for a {iw}x{ih} image"
                 )
+            if interlaced:
+                # de-interlace (round 13): stored row j is display row
+                # _gif_interlace_rows(ih)[j]
+                disp = bytearray(len(pixels))
+                for j, r in enumerate(_gif_interlace_rows(ih)):
+                    disp[r * iw : (r + 1) * iw] = pixels[j * iw : (j + 1) * iw]
+                pixels = bytes(disp)
             if pos >= len(payload) or payload[pos] != 0x3B:
                 # allow trailing extensions before the trailer
                 while pos < len(payload) and payload[pos] == 0x21:

@@ -1659,6 +1659,110 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
 
 
+@query(
+    "c05_multimodal_gif_interlaced",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS h,
+             md5(text) AS payload_md5
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           h AS height,
+           CAST(1 + CAST(h > 4 AS BIGINT) + CAST(h > 2 AS BIGINT)
+                + CAST(h > 1 AS BIGINT) AS BIGINT) AS n_passes,
+           payload_md5,
+           'image/gif' AS mime,
+           source AS origin
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-gif-interlaced: INTERLACED GIF decode (round 13) — the rows
+    ride in the spec's 4-pass order (appendix E: every 8th row from 0,
+    every 8th from 4, every 4th from 2, every 2nd from 1) and the
+    decoder must LZW-decompress then de-interlace back to display
+    order. The payload-md5 oracle proves the permutation: a decoder
+    that skips de-interlacing (or gets any pass boundary wrong) hands
+    back scrambled rows and fails the hash on every multi-row doc.
+    n_passes is recomputed by the oracle from the pass-emptiness
+    inequalities (pass 1 always; pass 4 needs h>1, pass 3 h>2,
+    pass 2 h>4).
+
+    100 TB shape: identical to c05_multimodal_gif — pure-Python LZW
+    behind the numbered repartition, embarrassingly parallel.
+    """
+    _ensure_worker_imports(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_dynamodb_spark.functions.codecs import decode_gif, encode_gif
+
+    @pandas_udf(T.BinaryType())
+    def to_gif(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_gif(t.encode(), interlace=True))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            to_gif("text").alias("payload"),
+            F.struct(
+                F.lit("image/gif").alias("mime"),
+                F.col("source").alias("origin"),
+                F.length(F.encode("text", "UTF-8")).cast("long").alias(
+                    "content_length"
+                ),
+            ).alias("meta"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_passes", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_gif(bytes(payload))
+                h = img["height"]
+                n_passes = 1 + (h > 4) + (h > 2) + (h > 1)
+                data = img["pixel_data"][: meta["content_length"]]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(h)
+                out["n_passes"].append(n_passes)
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append(meta["mime"])
+                out["origin"].append(meta["origin"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
 AUDIO_WIN = 64  # samples per feature window
 
 

@@ -1054,11 +1054,14 @@ def test_gif_decodes_external_file_and_rejects_corruption():
         codecs.decode_gif(b"JFIF" + base[4:])
     with pytest.raises(ValueError, match="truncated|EOI"):
         codecs.decode_gif(base[: len(base) - 30])
-    # flip the interlace flag in the image descriptor -> honest refusal
+    # round 13: interlace is SUPPORTED — flipping the flag on a
+    # sequential stream decodes "successfully" but returns scrambled
+    # rows (GIF has no CRC; the de-interlace permutation is covered by
+    # test_gif_interlace_row_order). Local color tables stay a refusal:
     ipos = base.index(b"\x2c", 13 + 768)
     tampered = bytearray(base)
-    tampered[ipos + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    tampered[ipos + 9] |= 0x80  # claim a local color table
+    with pytest.raises((NotImplementedError, ValueError)):
         codecs.decode_gif(bytes(tampered))
     # corrupt a byte inside the LZW stream: either the protocol breaks
     # (ValueError) or the output differs from the true payload — LZW
@@ -1520,3 +1523,35 @@ def test_png_adam7_interlace_geometry():
         out += codecs._png_chunk(ctype, body)
     with pytest.raises(ValueError, match="length mismatch"):
         codecs.decode_png(bytes(out))
+
+
+def test_gif_interlace_row_order():
+    """Round 13: interlaced GIF. The 4-pass row order is pinned on a
+    hand-computable height (appendix E), round-trips are display-
+    identical to the sequential encoding at every pass-census height
+    class, and the interlace flag is genuinely load-bearing: decoding
+    the interlaced STREAM with the flag cleared must hand back
+    scrambled rows (same bytes, different order)."""
+    import struct
+
+    from spark_dynamodb_spark.functions import codecs
+
+    assert codecs._gif_interlace_rows(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    for n in (1, 64, 65, 64 * 3, 64 * 5, 64 * 9 + 17):
+        payload = bytes((i * 29 + 3) % 256 for i in range(n))
+        plain = codecs.decode_gif(codecs.encode_gif(payload))
+        il = codecs.decode_gif(codecs.encode_gif(payload, interlace=True))
+        assert il["pixel_data"] == plain["pixel_data"], n
+    # clear the interlace flag on a 5-row interlaced stream: rows come
+    # back in stored (pass) order, not display order
+    payload = bytes(range(64)) * 5
+    f = bytearray(codecs.encode_gif(payload, interlace=True))
+    idesc = 13 + 768 + 8  # header + GCT + graphics-control extension
+    assert f[idesc] == 0x2C and f[idesc + 9] == 0x40
+    f[idesc + 9] = 0
+    scrambled = codecs.decode_gif(bytes(f))["pixel_data"]
+    ordered = codecs.decode_gif(
+        codecs.encode_gif(payload, interlace=True)
+    )["pixel_data"]
+    assert scrambled != ordered
+    assert sorted(scrambled) == sorted(ordered)
