@@ -205,7 +205,10 @@ def wav_payload_bytes(sample_data: bytes) -> bytes:
 # --- PNG (ISO/IEC 15948): zlib IDAT + per-scanline filters ------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_BPP = {2: 3, 6: 4}  # color type -> bytes/pixel at bit depth 8
+_PNG_BPP = {2: 3, 3: 1, 6: 4}  # color type -> bytes/pixel at bit depth 8
+# identity grayscale palette for color type 3 (round 13): index i ->
+# (i, i, i), the same mapping the GIF entry uses
+_PNG_GRAY_PLTE = bytes(b for i in range(256) for b in (i, i, i))
 
 
 def _png_chunk(ctype: bytes, body: bytes) -> bytes:
@@ -326,9 +329,11 @@ def encode_png_adam7(data: bytes, width: int = 32, color_type: int = 2) -> bytes
             prior = bytes(raw)
             r_global += 1
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    plte = _png_chunk(b"PLTE", _PNG_GRAY_PLTE) if color_type == 3 else b""
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -382,9 +387,11 @@ def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
         scanlines += filt
         prior = raw
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = _png_chunk(b"PLTE", _PNG_GRAY_PLTE) if color_type == 3 else b""
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -404,6 +411,7 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError("not a PNG payload (missing signature)")
     pos = len(PNG_SIG)
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -421,6 +429,10 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError("PNG invalid PLTE length")
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -433,9 +445,11 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if bit_depth != 8 or color_type not in _PNG_BPP:
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG is supported here (bit_depth="
+            f"only 8-bit paletted/RGB/RGBA PNG is supported here (bit_depth="
             f"{bit_depth}, color_type={color_type})"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
     bpp = _PNG_BPP[color_type]
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
@@ -474,6 +488,7 @@ def decode_png(payload: bytes) -> dict:
             "color_type": color_type,
             "file_size": len(payload),
             "pixel_data": bytes(out),
+            "palette": plte,
             "interlaced": True,
         }
     if len(raw) != height * (row_bytes + 1):
@@ -511,6 +526,7 @@ def decode_png(payload: bytes) -> dict:
         "color_type": color_type,
         "file_size": len(payload),
         "pixel_data": bytes(out),
+        "palette": plte,
     }
 
 
@@ -2771,14 +2787,22 @@ def _gif_interlace_rows(height: int) -> list[int]:
     return rows
 
 
-def encode_gif(data: bytes, width: int = GIF_WIDTH, interlace: bool = False) -> bytes:
+def encode_gif(
+    data: bytes,
+    width: int = GIF_WIDTH,
+    interlace: bool = False,
+    local_table: bool = False,
+) -> bytes:
     """Pack a byte payload as a spec-compliant GIF89a: one payload
     byte per pixel index over a 256-entry grayscale global color
     table (index == gray), LZW-compressed image data in 255-byte
     sub-blocks, plus a Graphics Control Extension so decoders must
     implement the extension-skip path. The last row is zero-padded.
     ``interlace=True`` (round 13) stores the rows in the spec's
-    4-pass order and sets the image-descriptor interlace flag."""
+    4-pass order and sets the image-descriptor interlace flag;
+    ``local_table=True`` (round 13) moves the 256-entry grayscale
+    palette into the image descriptor's LOCAL color table and omits
+    the global one."""
     if not data:
         raise ValueError("encode_gif: empty payload")
     height = -(-len(data) // width)
@@ -2793,16 +2817,21 @@ def encode_gif(data: bytes, width: int = GIF_WIDTH, interlace: bool = False) -> 
 
     out = bytearray()
     out += b"GIF89a"
-    # logical screen descriptor: GCT present, 8 bits/channel, size 256
-    out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
-    for i in range(256):  # grayscale GCT
-        out += bytes([i, i, i])
+    if local_table:
+        # logical screen descriptor WITHOUT a global color table
+        out += struct.pack("<HHBBB", width, height, 0b0_111_0_111, 0, 0)
+    else:
+        # logical screen descriptor: GCT present, 8 bits/ch, size 256
+        out += struct.pack("<HHBBB", width, height, 0b1_111_0_111, 0, 0)
+        for i in range(256):  # grayscale GCT
+            out += bytes([i, i, i])
     # graphics control extension (no transparency, zero delay)
     out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-    # image descriptor: full frame, no local table
-    out += b"\x2c" + struct.pack(
-        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
-    )
+    ipacked = (0x40 if interlace else 0) | (0x80 | 0x07 if local_table else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if local_table:
+        for i in range(256):  # grayscale LCT (size bits 7 -> 256)
+            out += bytes([i, i, i])
     out += bytes([8])  # LZW minimum code size
     out += _gif_subblocks(_gif_lzw_compress(pixels, min_code=8))
     out += b"\x3b"  # trailer
@@ -2817,9 +2846,9 @@ def decode_gif(payload: bytes) -> dict:
     {width, height, file_size, pixel_data (one byte per pixel index),
     gray (True when the palette maps index -> (i,i,i))}. Raises
     ValueError on non-GIF input, truncation, or LZW protocol
-    violations; NotImplementedError for local color tables (out of
-    scope). Interlaced images de-interlace through the spec's 4-pass
-    row order (round 13)."""
+    violations. Interlaced images de-interlace through the spec's
+    4-pass row order, and a local color table overrides the global
+    palette for its image (both round 13)."""
     if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload (missing GIF87a/GIF89a signature)")
     sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
@@ -2861,10 +2890,15 @@ def decode_gif(payload: bytes) -> dict:
             )
             pos += 9
             interlaced = bool(ipacked & 0x40)
+            act = gct  # active palette for this image
             if ipacked & 0x80:
-                raise NotImplementedError(
-                    "gif: local color tables are out of scope here"
-                )
+                # local color table (round 13): overrides the global
+                # palette for THIS image, size 2^(bits+1)
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("gif: truncated local color table")
+                act = payload[pos : pos + 3 * n]
+                pos += 3 * n
             if (left, top) != (0, 0) or (iw, ih) != (sw, sh):
                 raise ValueError("gif: image does not cover the logical screen")
             if pos >= len(payload):
@@ -2903,9 +2937,9 @@ def decode_gif(payload: bytes) -> dict:
                     pos = skip_subblocks(pos + 2)
                 if pos >= len(payload) or payload[pos] != 0x3B:
                     raise ValueError("gif: missing trailer")
-            gray = gct is not None and all(
-                gct[3 * i] == gct[3 * i + 1] == gct[3 * i + 2] == i
-                for i in range(len(gct) // 3)
+            gray = act is not None and all(
+                act[3 * i] == act[3 * i + 1] == act[3 * i + 2] == i
+                for i in range(len(act) // 3)
             )
             return {
                 "width": sw,

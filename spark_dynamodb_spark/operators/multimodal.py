@@ -408,6 +408,107 @@ def multimodal_png_adam7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "c05_multimodal_png_paletted",
+    f"""
+    SELECT doc_id,
+           CAST({BMP_WIDTH} AS BIGINT) AS width,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) AS BIGINT) AS height,
+           CAST(ceil(length(text) / {BMP_WIDTH}.0) * {BMP_WIDTH} AS BIGINT)
+             AS pixel_bytes,
+           TRUE AS palette_gray,
+           md5(text) AS payload_md5,
+           'image/png' AS mime,
+           source AS origin
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_png_paletted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-png-paletted: PALETTED PNG decode (color type 3, round 13)
+    — the indexed-color family web corpora are full of. Document
+    bytes ride as palette INDICES (1 byte/pixel, so the geometry is
+    width-not-3*width — a decoder that assumes RGB row stride fails
+    the height/pixel_bytes columns immediately), the PLTE chunk
+    carries the identity grayscale palette, and the decoder must
+    CRC-verify and parse PLTE (a paletted stream without it is
+    refused), unfilter the 1-byte-bpp scanlines (filter left-distance
+    is bpp=1 now, a different arithmetic than the RGB entries), and
+    hand back the index stream. payload-md5 == oracle md5(text)
+    proves all of it; palette_gray pins the PLTE content.
+
+    100 TB shape: identical to c05_multimodal_png.
+    """
+    _ensure_worker_imports(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from spark_dynamodb_spark.functions.codecs import _PNG_GRAY_PLTE
+
+    @pandas_udf(T.BinaryType())
+    def to_png3(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: encode_png(t.encode(), color_type=3))
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+        .select(
+            "doc_id",
+            to_png3("text").alias("payload"),
+            F.struct(
+                F.lit("image/png").alias("mime"),
+                F.col("source").alias("origin"),
+                F.length(F.encode("text", "UTF-8")).cast("long").alias(
+                    "content_length"
+                ),
+            ).alias("meta"),
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("pixel_bytes", T.LongType()),
+            T.StructField("palette_gray", T.BooleanType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("origin", T.StringType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                img = decode_png(bytes(payload))
+                if img["color_type"] != 3:
+                    raise ValueError("expected a paletted decode")
+                data = img["pixel_data"][: meta["content_length"]]
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["pixel_bytes"].append(len(img["pixel_data"]))
+                out["palette_gray"].append(img["palette"] == _PNG_GRAY_PLTE)
+                out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["mime"].append(meta["mime"])
+                out["origin"].append(meta["origin"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, out_schema).orderBy("doc_id")
+
+
+@query(
     "c05_multimodal_wav",
     f"""
     SELECT doc_id,
@@ -1676,6 +1777,8 @@ def multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + CAST(h > 4 AS BIGINT) + CAST(h > 2 AS BIGINT)
                 + CAST(h > 1 AS BIGINT) AS BIGINT) AS n_passes,
            payload_md5,
+           TRUE AS lct_gray,
+           payload_md5 AS lct_payload_md5,
            'image/gif' AS mime,
            source AS origin
     FROM g
@@ -1734,6 +1837,8 @@ def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("height", T.LongType()),
             T.StructField("n_passes", T.LongType()),
             T.StructField("payload_md5", T.StringType()),
+            T.StructField("lct_gray", T.BooleanType()),
+            T.StructField("lct_payload_md5", T.StringType()),
             T.StructField("mime", T.StringType()),
             T.StructField("origin", T.StringType()),
         ]
@@ -1741,6 +1846,8 @@ def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        from spark_dynamodb_spark.functions.codecs import encode_gif as _enc
 
         for pdf in batches:
             out = {k: [] for k in out_schema.fieldNames()}
@@ -1751,11 +1858,24 @@ def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
                 h = img["height"]
                 n_passes = 1 + (h > 4) + (h > 2) + (h > 1)
                 data = img["pixel_data"][: meta["content_length"]]
+                # LCT cycle (round 13): re-encode the RECOVERED bytes
+                # as an interlaced image whose palette lives in the
+                # image descriptor's LOCAL color table (no global
+                # table at all) and decode again — the decoder must
+                # parse the LCT, use it for the gray check, and hand
+                # back the identical pixel stream. Running it on the
+                # recovered data makes the column a decode->re-encode
+                # ->decode composition, so a first-stage error
+                # propagates into BOTH md5 columns.
+                lct = decode_gif(_enc(data, interlace=True, local_table=True))
+                lct_data = lct["pixel_data"][: meta["content_length"]]
                 out["doc_id"].append(doc_id)
                 out["width"].append(img["width"])
                 out["height"].append(h)
                 out["n_passes"].append(n_passes)
                 out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["lct_gray"].append(lct["gray"])
+                out["lct_payload_md5"].append(hashlib.md5(lct_data).hexdigest())
                 out["mime"].append(meta["mime"])
                 out["origin"].append(meta["origin"])
             yield pd.DataFrame(out)

@@ -1555,3 +1555,34 @@ def test_gif_interlace_row_order():
     )["pixel_data"]
     assert scrambled != ordered
     assert sorted(scrambled) == sorted(ordered)
+
+
+def test_png_paletted_and_gif_lct():
+    """Round 13: paletted PNG (color type 3, 1 byte/px stride, PLTE
+    required + CRC'd) and GIF local color tables (override the global
+    palette; a GCT-less stream with an LCT still gray-checks). Both
+    encode/decode pairs round-trip byte-exactly and refuse the
+    degenerate forms loudly."""
+    from spark_dynamodb_spark.functions import codecs
+
+    p = bytes((i * 7 + 1) % 256 for i in range(500))
+    img = codecs.decode_png(codecs.encode_png(p, color_type=3))
+    assert img["color_type"] == 3 and img["pixel_data"][:500] == p
+    assert img["palette"] == codecs._PNG_GRAY_PLTE
+    assert img["height"] == -(-500 // 32)  # 1 byte/px stride
+    # Adam7 + paletted compose
+    il = codecs.decode_png(codecs.encode_png_adam7(p, color_type=3))
+    assert il["pixel_data"] == img["pixel_data"]
+    # paletted without PLTE is refused
+    f = bytearray(codecs.encode_png(p, color_type=3))
+    assert f[8 + 25 + 4 : 8 + 25 + 8] == b"PLTE"
+    del f[8 + 25 : 8 + 25 + 12 + 768]
+    with pytest.raises(ValueError, match="PLTE"):
+        codecs.decode_png(bytes(f))
+    # GIF LCT: gray-checked from the LOCAL table, global absent
+    g = codecs.decode_gif(codecs.encode_gif(p, interlace=True, local_table=True))
+    assert g["gray"] and g["pixel_data"][:500] == p
+    # truncating the LCT is a loud failure
+    gb = bytearray(codecs.encode_gif(p, local_table=True))
+    with pytest.raises(ValueError):
+        codecs.decode_gif(bytes(gb[: 13 + 8 + 10 + 100]))
