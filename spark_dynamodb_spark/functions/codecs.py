@@ -1697,6 +1697,17 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
 FLAC_BLOCK = 256
 
 
+def _flac_pack_samples(samples, bps: int) -> bytes:
+    """Little-endian sample packing for the STREAMINFO MD5 (RFC 9639:
+    MD5 is over the unencoded samples, bps/8 bytes each, LE, signed).
+    struct has no 3-byte code, so 24-bit packs via int.to_bytes."""
+    if bps == 16:
+        return struct.pack(f"<{len(samples)}h", *samples)
+    if bps == 8:
+        return struct.pack(f"<{len(samples)}b", *samples)
+    return b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
+
+
 class _FlacBitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -1820,12 +1831,12 @@ _FIXED_COEFS = {
 }
 
 
-def _rice_param(resid):
+def _rice_param(resid, cap: int = 14):
     if not resid:
         return 0
     mean = sum(abs(r) for r in resid) / len(resid)
     p = 0
-    while (1 << p) < mean + 1 and p < 14:
+    while (1 << p) < mean + 1 and p < cap:
         p += 1
     return p
 
@@ -1833,12 +1844,15 @@ def _rice_param(resid):
 _LPC_SHIFT = 4  # encoder's LPC mode: coeffs (2, -1) << 4, exact order-2
 
 
-def _flac_write_residual(wr: _FlacBitWriter, resid) -> None:
-    """Rice residual, method 00 (4-bit params), partition order 0."""
-    wr.write(0b00, 2)
+def _flac_write_residual(wr: _FlacBitWriter, resid, pbits: int = 4) -> None:
+    """Rice residual, partition order 0. ``pbits=4`` is method 00;
+    ``pbits=5`` (method 01, round 13) carries parameters up to 30 —
+    needed for 24-bit samples whose residuals overflow the 4-bit
+    parameter range into degenerate unary runs."""
+    wr.write(0b00 if pbits == 4 else 0b01, 2)
     wr.write(0, 4)
-    p = min(_rice_param(resid), 14)
-    wr.write(p, 4)
+    p = min(_rice_param(resid, cap=(1 << pbits) - 2), (1 << pbits) - 2)
+    wr.write(p, pbits)
     for r in resid:
         u = _flac_zigzag(r)
         for _ in range(u >> p):
@@ -1878,6 +1892,7 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     subframe codes samples>>k at bps-k with the unary-coded k in the
     header — a decoder that ignores the wasted flag misparses the
     whole frame and dies on CRC/MD5."""
+    pbits = 5 if bps > 16 else 4  # method 01 for wide samples (round 13)
     n = len(samples)
     if mode == 3 and n > 2:
         k = _flac_wasted_k(samples, bps)
@@ -1896,7 +1911,7 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
                 sub[i] - sum(c * sub[i - 1 - j] for j, c in enumerate(coefs))
                 for i in range(order, n)
             ]
-            _flac_write_residual(wr, resid)
+            _flac_write_residual(wr, resid, pbits)
             return
     if mode == 0 and all(s == samples[0] for s in samples):
         wr.write(0, 1)
@@ -1922,7 +1937,7 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
             - ((coefs[0] * samples[i - 1] + coefs[1] * samples[i - 2]) >> _LPC_SHIFT)
             for i in range(order, n)
         ]
-        _flac_write_residual(wr, resid)
+        _flac_write_residual(wr, resid, pbits)
         return
     order = 0 if mode <= 1 else min(mode - 1, 4, n - 1)
     if mode == 1 or n <= order:
@@ -1943,7 +1958,7 @@ def _flac_write_subframe(wr: _FlacBitWriter, samples, bps: int, mode: int):
     for i in range(order, n):
         pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
         resid.append(samples[i] - pred)
-    _flac_write_residual(wr, resid)
+    _flac_write_residual(wr, resid, pbits)
 
 
 def encode_flac(
@@ -1974,15 +1989,19 @@ def encode_flac(
         raise ValueError("encode_flac: empty payload")
     if channels not in (1, 2):
         raise ValueError("encode_flac: only 1 or 2 channels supported")
-    if bits_per_sample not in (8, 16):
-        raise ValueError("encode_flac: only 8/16-bit samples supported")
+    if bits_per_sample not in (8, 16, 24):
+        raise ValueError("encode_flac: only 8/16/24-bit samples supported")
     bps = bits_per_sample
-    # 16-bit keeps the encode_wav byte<<4 mapping; 8-bit (round 13,
-    # the non-16-bit refusal) maps byte-128 into the signed int8 range
-    # — both exactly invertible, so payload-md5 oracles hold for both
-    samples = (
-        [b << 4 for b in data] if bps == 16 else [b - 128 for b in data]
-    )
+    # 16-bit keeps the encode_wav byte<<4 mapping; 8-bit maps byte-128
+    # into the signed int8 range; 24-bit (round 13) scales byte-128 by
+    # 2^16 into the studio-width range — all exactly invertible, so
+    # payload-md5 oracles hold for every width
+    if bps == 16:
+        samples = [b << 4 for b in data]
+    elif bps == 8:
+        samples = [b - 128 for b in data]
+    else:
+        samples = [(b - 128) << 16 for b in data]
     if channels == 2:
         if len(samples) % 2:
             samples.append(0)  # pad the right channel of the last time
@@ -1991,8 +2010,7 @@ def encode_flac(
         ntimes = len(left)
     else:
         ntimes = len(samples)
-    fmt = "h" if bps == 16 else "b"
-    raw = struct.pack(f"<{len(samples)}{fmt}", *samples)
+    raw = _flac_pack_samples(samples, bps)
     md5 = hashlib.md5(raw).digest()
     out = bytearray(b"fLaC")
     # STREAMINFO, last-metadata-block flag set
@@ -2045,7 +2063,7 @@ def encode_flac(
             bs_tail = bs - 1
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(ch_code, 4)
-        hdr.write(0b100 if bps == 16 else 0b001, 3)  # 16 / 8 bps
+        hdr.write({16: 0b100, 8: 0b001, 24: 0b110}[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         hbytes = bytearray(hdr.bytes())
@@ -2124,12 +2142,11 @@ def decode_flac(payload: bytes) -> dict:
     if nch not in (1, 2):
         raise NotImplementedError("only mono/stereo FLAC is supported here")
     bps = streaminfo["bps"]
-    if bps not in (8, 16):
-        # the final MD5 packs 1-byte (8-bit) or 2-byte (16-bit)
-        # samples; a 12/20/24-bit stream would leak struct.error past
-        # the documented contract (code review r12; 8-bit added r13)
+    if bps not in (8, 16, 24):
+        # the final MD5 packs bps/8-byte samples; a 12/20-bit stream
+        # would mispack (code review r12; 8/24-bit added r13)
         raise NotImplementedError(
-            f"only 8/16-bit FLAC is supported here (STREAMINFO bps {bps})"
+            f"only 8/16/24-bit FLAC is supported here (STREAMINFO bps {bps})"
         )
     rd = _FlacBitReader(payload, pos)
     samples = []
@@ -2181,10 +2198,12 @@ def decode_flac(payload: bytes) -> dict:
             fbps = 16
         elif ss_code == 0b001:
             fbps = 8
+        elif ss_code == 0b110:
+            fbps = 24
         elif ss_code == 0:
             fbps = bps
         else:
-            raise NotImplementedError("only 8/16-bit samples supported here")
+            raise NotImplementedError("only 8/16/24-bit samples supported here")
         if fbps != bps:
             raise ValueError("flac: frame sample size disagrees with STREAMINFO")
         # CRC-8 over the header bytes (everything since frame_start is
@@ -2235,7 +2254,7 @@ def decode_flac(payload: bytes) -> dict:
         samples.extend(blk)
         expected_frame += 1
     samples = samples[: total * nch]
-    raw = struct.pack(f"<{len(samples)}{'h' if bps == 16 else 'b'}", *samples)
+    raw = _flac_pack_samples(samples, bps)
     computed = hashlib.md5(raw).digest()
     if computed != streaminfo["md5"]:
         raise ValueError("flac: STREAMINFO MD5 mismatch (decode is wrong)")

@@ -581,7 +581,9 @@ def multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS stereo_md5_verified,
            md5(text) AS stereo_payload_md5,
            TRUE AS bps8_md5_verified,
-           md5(text) AS bps8_payload_md5
+           md5(text) AS bps8_payload_md5,
+           TRUE AS bps24_md5_verified,
+           md5(text) AS bps24_payload_md5
     FROM documents
     WHERE octet_length(CAST(text AS BLOB)) = length(text)
       AND length(text) > 0
@@ -644,6 +646,8 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("stereo_payload_md5", T.StringType()),
             T.StructField("bps8_md5_verified", T.BooleanType()),
             T.StructField("bps8_payload_md5", T.StringType()),
+            T.StructField("bps24_md5_verified", T.BooleanType()),
+            T.StructField("bps24_payload_md5", T.StringType()),
         ]
     )
 
@@ -692,6 +696,20 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                              memoryview(d8["sample_data"]).cast("b"))
                 out["bps8_md5_verified"].append(d8["md5_verified"])
                 out["bps8_payload_md5"].append(hashlib.md5(rec8).hexdigest())
+                # 24-bit cycle (round 13): (byte-128)<<16 studio-width
+                # mapping, 3-byte-LE MD5 packing, method-01 Rice
+                # residuals (5-bit params) — the wide-sample path
+                d24 = decode_flac(
+                    encode_flac(payload, sample_rate=WAV_RATE, bits_per_sample=24)
+                )
+                raw24 = d24["sample_data"]
+                rec24 = bytes(
+                    (int.from_bytes(raw24[3 * i : 3 * i + 3], "little",
+                                    signed=True) >> 16) + 128
+                    for i in range(len(payload))
+                )
+                out["bps24_md5_verified"].append(d24["md5_verified"])
+                out["bps24_payload_md5"].append(hashlib.md5(rec24).hexdigest())
             yield pd.DataFrame(out)
 
     return (
