@@ -205,7 +205,7 @@ def wav_payload_bytes(sample_data: bytes) -> bytes:
 # --- PNG (ISO/IEC 15948): zlib IDAT + per-scanline filters ------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_BPP = {2: 3, 3: 1, 6: 4}  # color type -> bytes/pixel at bit depth 8
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 6: 4}  # color type -> bytes/pixel at bit depth 8
 # identity grayscale palette for color type 3 (round 13): index i ->
 # (i, i, i), the same mapping the GIF entry uses
 _PNG_GRAY_PLTE = bytes(b for i in range(256) for b in (i, i, i))
@@ -445,11 +445,12 @@ def decode_png(payload: bytes) -> dict:
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if bit_depth != 8 or color_type not in _PNG_BPP:
         raise NotImplementedError(
-            f"only 8-bit paletted/RGB/RGBA PNG is supported here (bit_depth="
+            f"only 8-bit gray/paletted/RGB/RGBA PNG is supported here (bit_depth="
             f"{bit_depth}, color_type={color_type})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
+    # color type 0 (round 13): grayscale-native, 1 byte/px, no PLTE
     bpp = _PNG_BPP[color_type]
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))

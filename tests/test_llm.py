@@ -1594,6 +1594,13 @@ def test_png_paletted_and_gif_lct():
     del f[8 + 25 : 8 + 25 + 12 + 768]
     with pytest.raises(ValueError, match="PLTE"):
         codecs.decode_png(bytes(f))
+    # grayscale-native PNG (color type 0, round 13): 1 byte/px, no
+    # PLTE, both sequential and Adam7
+    g0 = codecs.decode_png(codecs.encode_png(p, color_type=0))
+    assert g0["color_type"] == 0 and g0["pixel_data"][:500] == p
+    assert g0["palette"] is None
+    a0 = codecs.decode_png(codecs.encode_png_adam7(p, color_type=0))
+    assert a0["pixel_data"] == g0["pixel_data"]
     # GIF LCT: gray-checked from the LOCAL table, global absent
     g = codecs.decode_gif(codecs.encode_gif(p, interlace=True, local_table=True))
     assert g["gray"] and g["pixel_data"][:500] == p
