@@ -1903,6 +1903,51 @@ def multimodal_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIO_WIN = 64  # samples per feature window
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("n_win_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("total_variation", T.LongType()),
+    ]
+)
+
+
+def audio_features_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The c05_audio_features kernel, module-level so the streaming
+    ingest entry (s32) runs the IDENTICAL code path (round 13): WAV
+    round trip, one reshape, all windows per doc in one vectorized
+    pass. Zero-padding is exact: samples are >= 0, so the pad never
+    changes a max, never adds energy, and its single nonzero diff
+    (s[-1] -> 0) is subtracted back."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
+            s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
+            n = len(s)
+            nw = -(-n // AUDIO_WIN)
+            pad = nw * AUDIO_WIN - n
+            wins = np.pad(s, (0, pad)).reshape(nw, AUDIO_WIN)
+            energy = (wins * wins).sum(axis=1)
+            peak = wins.max(axis=1)
+            tv = np.abs(np.diff(wins, axis=1)).sum(axis=1)
+            if pad:
+                tv[-1] -= s[-1]
+            counts = np.full(nw, AUDIO_WIN, dtype=np.int64)
+            counts[-1] = AUDIO_WIN - pad
+            out["doc_id"].extend([doc_id] * nw)
+            out["win_idx"].extend(range(nw))
+            out["n_win_samples"].extend(counts.tolist())
+            out["energy"].extend(energy.tolist())
+            out["peak"].extend(peak.tolist())
+            out["total_variation"].extend(tv.tolist())
+        yield pd.DataFrame(out)
+
 
 @query(
     "c05_audio_features",
@@ -1960,53 +2005,9 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
     )
-
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("win_idx", T.LongType()),
-            T.StructField("n_win_samples", T.LongType()),
-            T.StructField("energy", T.LongType()),
-            T.StructField("peak", T.LongType()),
-            T.StructField("total_variation", T.LongType()),
-        ]
-    )
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            out = {k: [] for k in out_schema.fieldNames()}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                wav = decode_wav(encode_wav(text.encode(), sample_rate=WAV_RATE))
-                s = np.frombuffer(wav["sample_data"], dtype="<i2").astype(np.int64)
-                # one reshape, all windows at once (code review r12:
-                # the per-window Python loop was the dominant cost).
-                # Zero-padding is exact here: samples are >= 0, so the
-                # pad never changes a max, never adds energy, and its
-                # single nonzero diff (s[-1] -> 0) is subtracted back.
-                n = len(s)
-                nw = -(-n // AUDIO_WIN)
-                pad = nw * AUDIO_WIN - n
-                wins = np.pad(s, (0, pad)).reshape(nw, AUDIO_WIN)
-                energy = (wins * wins).sum(axis=1)
-                peak = wins.max(axis=1)
-                tv = np.abs(np.diff(wins, axis=1)).sum(axis=1)
-                if pad:
-                    tv[-1] -= s[-1]
-                counts = np.full(nw, AUDIO_WIN, dtype=np.int64)
-                counts[-1] = AUDIO_WIN - pad
-                out["doc_id"].extend([doc_id] * nw)
-                out["win_idx"].extend(range(nw))
-                out["n_win_samples"].extend(counts.tolist())
-                out["energy"].extend(energy.tolist())
-                out["peak"].extend(peak.tolist())
-                out["total_variation"].extend(tv.tolist())
-            yield pd.DataFrame(out)
-
     return (
         docs.select("doc_id", "text")
-        .mapInPandas(extract, out_schema)
+        .mapInPandas(audio_features_extract, AUDIO_FEATURES_SCHEMA)
         .orderBy("doc_id", "win_idx")
     )
 

@@ -2990,3 +2990,119 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _finalize_s31_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S32 — media feature extraction AT INGEST (round 13): the streaming
+# landing-zone composition of the codec shelf — each arriving
+# micro-batch decodes its documents' audio and lands per-window
+# features; the final feature table must be IDENTICAL to the batch
+# c05_audio_features run, so that entry's oracle is this entry's
+# oracle (patched below).
+# ---------------------------------------------------------------------------
+
+
+@query("s32_stream_media_features", None)  # oracle patched below
+def stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S32: decode-at-ingest — documents arrive as 4 real micro-batches
+    (staged files + maxFilesPerTrigger=1) and EACH batch runs the
+    c05_audio_features codec kernel (WAV chunk walk -> vectorized
+    int64 window features) inside foreachBatch, landing its feature
+    rows in a batch_id-named subdirectory with mode('overwrite') —
+    the s30 idempotency lesson: a replayed micro-batch overwrites
+    ITS OWN landing, never duplicating rows. Finalization unions the
+    landings. Because features are per-document (no cross-batch
+    state), the streamed result must equal the batch entry
+    byte-for-byte — so this entry shares c05_audio_features' ORACLE,
+    and a hash match proves the streaming ingest path composes with
+    the codec shelf exactly.
+
+    100 TB shape: the ingest-time feature pass is the cheapest place
+    to decode media (bytes are hot in the page cache, never re-read);
+    per-batch cost is the codec on that batch's docs only, the
+    repartition inside the batch re-widens the single-file micro-batch
+    for codec parallelism (the measured one-task lesson), and the
+    landing is append-shaped with per-batch idempotency — the exact
+    contract of a production bronze->silver hop.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.operators.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        audio_features_extract,
+    )
+
+    staged = _docs_stream_staging(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    out_root = tempfile.mkdtemp(prefix="s32_feats_")
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        feats = (
+            batch.filter(
+                (F.octet_length("text") == F.length("text"))
+                & (F.length("text") > 0)
+            )
+            .repartition(
+                int(sess.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+            )
+            .select("doc_id", "text")
+            .mapInPandas(audio_features_extract, AUDIO_FEATURES_SCHEMA)
+        )
+        feats.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"batch_{batch_id:06d}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="s32_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_root)
+            .orderBy("doc_id", "win_idx")
+        )
+        # materialize before the temp landing dirs vanish
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+def _finalize_s32_oracle() -> None:
+    # the import registers c05_audio_features if this module loaded
+    # first (standalone imports must not depend on load_all's order)
+    import spark_dynamodb_spark.operators.multimodal  # noqa: F401
+
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    # streamed features must equal the batch entry exactly — ONE
+    # oracle, two execution paths
+    REGISTRY.resolve("s32_stream_media_features").oracle = REGISTRY.resolve(
+        "c05_audio_features"
+    ).oracle
+
+
+_finalize_s32_oracle()
