@@ -135,6 +135,11 @@ EXTRA = [
     "c05_multimodal_jpeg_progressive",
     # float MFCC (rows-only contract; banded pytest is its oracle)
     "c122_audio_mfcc",
+    # round-13 codec variants: Adam7 interlaced PNG, paletted PNG,
+    # interlaced+LCT GIF (decode->re-encode->decode lct cycle)
+    "c05_multimodal_png_adam7",
+    "c05_multimodal_png_paletted",
+    "c05_multimodal_gif_interlaced",
 ]
 
 

@@ -1700,12 +1700,17 @@ FLAC_BLOCK = 256
 
 def _flac_pack_samples(samples, bps: int) -> bytes:
     """Little-endian sample packing for the STREAMINFO MD5 (RFC 9639:
-    MD5 is over the unencoded samples, bps/8 bytes each, LE, signed).
-    struct has no 3-byte code, so 24-bit packs via int.to_bytes."""
-    if bps == 16:
+    each sample is stored in the SMALLEST whole number of bytes that
+    contains it, LE, signed two's complement — so 12-bit packs as 2
+    bytes and 20-bit as 3). struct has no 3-byte code, so those pack
+    via int.to_bytes."""
+    nbytes = (bps + 7) // 8
+    if nbytes == 2:
         return struct.pack(f"<{len(samples)}h", *samples)
-    if bps == 8:
+    if nbytes == 1:
         return struct.pack(f"<{len(samples)}b", *samples)
+    if nbytes == 4:
+        return struct.pack(f"<{len(samples)}i", *samples)
     return b"".join(s.to_bytes(3, "little", signed=True) for s in samples)
 
 
@@ -1990,19 +1995,17 @@ def encode_flac(
         raise ValueError("encode_flac: empty payload")
     if channels not in (1, 2):
         raise ValueError("encode_flac: only 1 or 2 channels supported")
-    if bits_per_sample not in (8, 16, 24):
-        raise ValueError("encode_flac: only 8/16/24-bit samples supported")
+    if bits_per_sample not in (8, 12, 16, 20, 24, 32):
+        raise ValueError("encode_flac: unsupported sample width")
     bps = bits_per_sample
-    # 16-bit keeps the encode_wav byte<<4 mapping; 8-bit maps byte-128
-    # into the signed int8 range; 24-bit (round 13) scales byte-128 by
-    # 2^16 into the studio-width range — all exactly invertible, so
-    # payload-md5 oracles hold for every width
+    # 16-bit keeps the encode_wav byte<<4 mapping; every other width
+    # (round 13) maps byte-128 scaled into its signed range — all
+    # exactly invertible, so payload-md5 oracles hold for every width
     if bps == 16:
         samples = [b << 4 for b in data]
-    elif bps == 8:
-        samples = [b - 128 for b in data]
     else:
-        samples = [(b - 128) << 16 for b in data]
+        shift = bps - 8
+        samples = [(b - 128) << shift for b in data]
     if channels == 2:
         if len(samples) % 2:
             samples.append(0)  # pad the right channel of the last time
@@ -2064,7 +2067,9 @@ def encode_flac(
             bs_tail = bs - 1
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
         hdr.write(ch_code, 4)
-        hdr.write({16: 0b100, 8: 0b001, 24: 0b110}[bps], 3)
+        hdr.write(
+            {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
+             32: 0b111}[bps], 3)
         hdr.write(0, 1)  # reserved
         hdr.align()
         hbytes = bytearray(hdr.bytes())
@@ -2143,11 +2148,9 @@ def decode_flac(payload: bytes) -> dict:
     if nch not in (1, 2):
         raise NotImplementedError("only mono/stereo FLAC is supported here")
     bps = streaminfo["bps"]
-    if bps not in (8, 16, 24):
-        # the final MD5 packs bps/8-byte samples; a 12/20-bit stream
-        # would mispack (code review r12; 8/24-bit added r13)
+    if bps not in (8, 12, 16, 20, 24, 32):
         raise NotImplementedError(
-            f"only 8/16/24-bit FLAC is supported here (STREAMINFO bps {bps})"
+            f"unsupported FLAC sample width (STREAMINFO bps {bps})"
         )
     rd = _FlacBitReader(payload, pos)
     samples = []
@@ -2195,16 +2198,14 @@ def decode_flac(payload: bytes) -> dict:
             raise ValueError(
                 "flac: frame channel assignment disagrees with STREAMINFO"
             )
-        if ss_code == 0b100:
-            fbps = 16
-        elif ss_code == 0b001:
-            fbps = 8
-        elif ss_code == 0b110:
-            fbps = 24
-        elif ss_code == 0:
+        _SS_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20,
+                     0b110: 24, 0b111: 32}
+        if ss_code == 0:
             fbps = bps
+        elif ss_code in _SS_CODES:
+            fbps = _SS_CODES[ss_code]
         else:
-            raise NotImplementedError("only 8/16/24-bit samples supported here")
+            raise ValueError(f"flac: reserved sample size code {ss_code:03b}")
         if fbps != bps:
             raise ValueError("flac: frame sample size disagrees with STREAMINFO")
         # CRC-8 over the header bytes (everything since frame_start is

@@ -696,16 +696,24 @@ def multimodal_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
                              memoryview(d8["sample_data"]).cast("b"))
                 out["bps8_md5_verified"].append(d8["md5_verified"])
                 out["bps8_payload_md5"].append(hashlib.md5(rec8).hexdigest())
-                # 24-bit cycle (round 13): (byte-128)<<16 studio-width
-                # mapping, 3-byte-LE MD5 packing, method-01 Rice
-                # residuals (5-bit params) — the wide-sample path
+                # wide-width cycle (round 13): doc_id picks one of the
+                # remaining spec widths (12/20/24/32 — deterministic,
+                # so the oracle's TRUE/md5(text) columns hold for
+                # every doc regardless of which width it drew), with
+                # (byte-128)<<(bps-8) mapping, smallest-whole-byte LE
+                # MD5 packing, and method-01 Rice residuals (5-bit
+                # params) on the wide samples
+                wbps = (12, 20, 24, 32)[int(doc_id) % 4]
                 d24 = decode_flac(
-                    encode_flac(payload, sample_rate=WAV_RATE, bits_per_sample=24)
+                    encode_flac(payload, sample_rate=WAV_RATE,
+                                bits_per_sample=wbps)
                 )
+                nb = (wbps + 7) // 8
+                sh = wbps - 8
                 raw24 = d24["sample_data"]
                 rec24 = bytes(
-                    (int.from_bytes(raw24[3 * i : 3 * i + 3], "little",
-                                    signed=True) >> 16) + 128
+                    (int.from_bytes(raw24[nb * i : nb * i + nb], "little",
+                                    signed=True) >> sh) + 128
                     for i in range(len(payload))
                 )
                 out["bps24_md5_verified"].append(d24["md5_verified"])

@@ -897,21 +897,26 @@ def test_flac_wasted_bits_roundtrip():
         codecs.encode_flac(payload, channels=2, bits_per_sample=8)
     )
     assert s8["md5_verified"]  # 9-bit side channels decode
-    # 24-bit width (round 13): (byte-128)<<16 mapping, 3-byte-LE MD5
-    # packing, frame ss_code 0b110, method-01 (5-bit-param) Rice
-    d24 = codecs.decode_flac(codecs.encode_flac(payload, bits_per_sample=24))
-    assert d24["md5_verified"] and d24["bits_per_sample"] == 24
-    raw24 = d24["sample_data"]
-    rec24 = bytes(
-        (int.from_bytes(raw24[3 * i : 3 * i + 3], "little", signed=True) >> 16)
-        + 128
-        for i in range(len(payload))
-    )
-    assert rec24 == payload
-    s24 = codecs.decode_flac(
-        codecs.encode_flac(payload, channels=2, bits_per_sample=24)
-    )
-    assert s24["md5_verified"]  # 25-bit side channels decode
+    # every remaining spec width (round 13): (byte-128)<<(bps-8)
+    # mapping, smallest-whole-byte LE MD5 packing (RFC 9639: 12-bit
+    # packs as 2 bytes, 20-bit as 3), per-width frame ss_codes,
+    # method-01 (5-bit-param) Rice for wide samples
+    for wbps in (12, 20, 24, 32):
+        dw = codecs.decode_flac(codecs.encode_flac(payload, bits_per_sample=wbps))
+        assert dw["md5_verified"] and dw["bits_per_sample"] == wbps
+        nb = (wbps + 7) // 8
+        sh = wbps - 8
+        raww = dw["sample_data"]
+        recw = bytes(
+            (int.from_bytes(raww[nb * i : nb * i + nb], "little",
+                            signed=True) >> sh) + 128
+            for i in range(len(payload))
+        )
+        assert recw == payload, wbps
+        sw = codecs.decode_flac(
+            codecs.encode_flac(payload, channels=2, bits_per_sample=wbps)
+        )
+        assert sw["md5_verified"], wbps  # bps+1-bit side channels
     # wasted bits claiming the whole sample width must be refused
     wr2 = codecs._FlacBitWriter()
     wr2.write(0, 1)
