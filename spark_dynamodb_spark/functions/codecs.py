@@ -339,9 +339,15 @@ def encode_png_adam7(data: bytes, width: int = 32, color_type: int = 2) -> bytes
     )
 
 
-def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
-    """Pack a byte payload as a spec-compliant non-interlaced 8-bit
-    PNG (color type 2 = RGB or 6 = RGBA).
+def encode_png(
+    data: bytes, width: int = 32, color_type: int = 2, bit_depth: int = 8
+) -> bytes:
+    """Pack a byte payload as a spec-compliant non-interlaced PNG
+    (color type 0 = gray, 2 = RGB, 3 = paletted, 6 = RGBA; bit depth
+    8, or 16 for the non-paletted types — round 13: the 16-bit
+    refusal. At depth 16 the payload bytes become the raw big-endian
+    sample stream and the filter left-distance doubles to
+    channels*2 bytes, exactly the spec's byte-wise filtering rule).
 
     The payload becomes the pixel stream (bpp bytes/pixel); height =
     ceil(len(data) / (width*bpp)), final row zero-padded. Scanline r
@@ -353,12 +359,14 @@ def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
     """
     if color_type not in _PNG_BPP:
         raise NotImplementedError(f"color type {color_type} not supported")
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise NotImplementedError("only depth 8 (any type) / 16 (non-paletted)")
     if not data:
         # The PNG spec (11.2.2) requires nonzero IHDR width/height; a
         # zero-height file would be internally round-trippable but
         # invalid to external decoders, so reject rather than emit it.
         raise ValueError("encode_png: empty payload (spec requires height > 0)")
-    bpp = _PNG_BPP[color_type]
+    bpp = _PNG_BPP[color_type] * (bit_depth // 8)
     row_bytes = width * bpp
     height = -(-len(data) // row_bytes)
     scanlines = bytearray()
@@ -386,7 +394,7 @@ def encode_png(data: bytes, width: int = 32, color_type: int = 2) -> bytes:
         scanlines.append(ftype)
         scanlines += filt
         prior = raw
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     plte = _png_chunk(b"PLTE", _PNG_GRAY_PLTE) if color_type == 3 else b""
     return (
         PNG_SIG
@@ -443,15 +451,18 @@ def decode_png(payload: bytes) -> dict:
     width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
-    if bit_depth != 8 or color_type not in _PNG_BPP:
+    if color_type not in _PNG_BPP or bit_depth not in (8, 16) or (
+        bit_depth == 16 and color_type == 3
+    ):
         raise NotImplementedError(
-            f"only 8-bit gray/paletted/RGB/RGBA PNG is supported here (bit_depth="
-            f"{bit_depth}, color_type={color_type})"
+            f"only 8/16-bit gray/paletted(8)/RGB/RGBA PNG is supported here "
+            f"(bit_depth={bit_depth}, color_type={color_type})"
         )
     if color_type == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE")
-    # color type 0 (round 13): grayscale-native, 1 byte/px, no PLTE
-    bpp = _PNG_BPP[color_type]
+    # color type 0 (round 13): grayscale-native, 1 byte/px, no PLTE;
+    # depth 16 (round 13): byte-wise filters at doubled bpp distance
+    bpp = _PNG_BPP[color_type] * (bit_depth // 8)
     row_bytes = width * bpp
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:

@@ -1606,6 +1606,13 @@ def test_png_paletted_and_gif_lct():
     assert g0["palette"] is None
     a0 = codecs.decode_png(codecs.encode_png_adam7(p, color_type=0))
     assert a0["pixel_data"] == g0["pixel_data"]
+    # 16-bit PNG (round 13): doubled byte stride per pixel, filters
+    # byte-wise at bpp = channels*2 (the spec rule); paletted-16 refused
+    for ct in (0, 2, 6):
+        w16 = codecs.decode_png(codecs.encode_png(p, color_type=ct, bit_depth=16))
+        assert w16["bit_depth"] == 16 and w16["pixel_data"][:500] == p, ct
+    with pytest.raises(NotImplementedError):
+        codecs.encode_png(p, color_type=3, bit_depth=16)
     # GIF LCT: gray-checked from the LOCAL table, global absent
     g = codecs.decode_gif(codecs.encode_gif(p, interlace=True, local_table=True))
     assert g["gray"] and g["pixel_data"][:500] == p
