@@ -1701,10 +1701,11 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
 # 1-3 / quantized-coefficient LPC, all with Rice-coded residuals) so
 # decode must implement every subframe family; channels=2 additionally
 # cycles all four stereo channel assignments (independent, left/side,
-# right/side, mid/side — round 13) and mode-3 frames emit WASTED BITS
-# when the block supports them (round 13, RFC 9639 §9.2.2). Out of
-# scope, honest NotImplementedError: >2 channels, non-16-bit. Frame
-# header CRC-8 and frame CRC-16 are real and enforced.
+# right/side, mid/side — round 13), 3..8 channels ride the
+# independent assignment, every spec sample width (8..32) encodes and
+# decodes, and mode-3 frames emit WASTED BITS when the block supports
+# them (round 13, RFC 9639 §9.2.2). Frame header CRC-8 and frame
+# CRC-16 are real and enforced. No FLAC feature class is refused.
 
 FLAC_BLOCK = 256
 
@@ -2004,8 +2005,8 @@ def encode_flac(
     self-oracle as mono."""
     if not data:
         raise ValueError("encode_flac: empty payload")
-    if channels not in (1, 2):
-        raise ValueError("encode_flac: only 1 or 2 channels supported")
+    if not 1 <= channels <= 8:
+        raise ValueError("encode_flac: 1..8 channels supported")
     if bits_per_sample not in (8, 12, 16, 20, 24, 32):
         raise ValueError("encode_flac: unsupported sample width")
     bps = bits_per_sample
@@ -2023,6 +2024,14 @@ def encode_flac(
         left = samples[0::2]
         right = samples[1::2]
         ntimes = len(left)
+    elif channels > 2:
+        # >2 channels (round 13): independent coding only (the spec's
+        # decorrelation modes are stereo-only); byte i rides channel
+        # i % nch, the last time zero-padded
+        while len(samples) % channels:
+            samples.append(0)
+        chans_data = [samples[c::channels] for c in range(channels)]
+        ntimes = len(chans_data[0])
     else:
         ntimes = len(samples)
     raw = _flac_pack_samples(samples, bps)
@@ -2047,6 +2056,9 @@ def encode_flac(
         if channels == 1:
             chans = [(samples[lo:hi], bps)]
             ch_code = 0b0000
+        elif channels > 2:
+            ch_code = channels - 1  # independent, nch = code + 1
+            chans = [(cd[lo:hi], bps) for cd in chans_data]
         else:
             l, r = left[lo:hi], right[lo:hi]
             mode = f % 4
@@ -2113,8 +2125,7 @@ def decode_flac(payload: bytes) -> dict:
     samples must equal STREAMINFO's. Returns {sample_rate,
     n_channels, bits_per_sample, n_samples, duration_ms, sample_data,
     md5_verified, file_size}. Raises ValueError on corrupt/truncated
-    streams or MD5 mismatch, NotImplementedError for >2 channels
-    (out of scope here). Wasted bits (round 13): the subframe's
+    streams or MD5 mismatch. Wasted bits (round 13): the subframe's
     unary-coded k narrows the coded width to bps-k and every
     reconstructed sample shifts left by k. Stereo (round 13): all four
     channel assignments decode — independent L/R and the three
@@ -2156,8 +2167,8 @@ def decode_flac(payload: bytes) -> dict:
     if streaminfo is None:
         raise ValueError("flac: missing STREAMINFO")
     nch = streaminfo["nch"]
-    if nch not in (1, 2):
-        raise NotImplementedError("only mono/stereo FLAC is supported here")
+    if not 1 <= nch <= 8:
+        raise ValueError(f"flac: invalid channel count {nch}")
     bps = streaminfo["bps"]
     if bps not in (8, 12, 16, 20, 24, 32):
         raise NotImplementedError(
@@ -2197,14 +2208,12 @@ def decode_flac(payload: bytes) -> dict:
                 rd.read(8 if sr_code == 0b1100 else 16)
             elif sr_code == 0b1111:
                 raise ValueError("flac: invalid sample rate code")
-        if ch_code == 0:
-            frame_nch = 1
-        elif ch_code == 0b0001 or ch_code in (0b1000, 0b1001, 0b1010):
-            frame_nch = 2
+        if ch_code <= 0b0111:
+            frame_nch = ch_code + 1  # independent channels
+        elif ch_code in (0b1000, 0b1001, 0b1010):
+            frame_nch = 2  # stereo decorrelation modes
         else:
-            raise NotImplementedError(
-                "only mono/stereo channel assignments supported"
-            )
+            raise ValueError(f"flac: reserved channel assignment {ch_code:04b}")
         if frame_nch != nch:
             raise ValueError(
                 "flac: frame channel assignment disagrees with STREAMINFO"
@@ -2230,6 +2239,11 @@ def decode_flac(payload: bytes) -> dict:
             raise ValueError("flac: frame header CRC mismatch")
         if ch_code == 0:
             blk = _flac_read_subframe(rd, bs, fbps)
+        elif 0b0010 <= ch_code <= 0b0111:
+            # >2 independent channels (round 13): subframes stored
+            # sequentially, interleave time-major
+            chs = [_flac_read_subframe(rd, bs, fbps) for _ in range(frame_nch)]
+            blk = [v for tup in zip(*chs) for v in tup]
         else:
             # Stereo (round 13): subframes are stored sequentially per
             # channel; the SIDE channel carries one extra bit (side =

@@ -845,11 +845,17 @@ def test_flac_rejects_corrupt_and_out_of_scope_streams():
     stereo[meta_end + 3] = (0b1000 << 4) | (stereo[meta_end + 3] & 0x0F)
     with pytest.raises(ValueError, match="disagrees"):
         codecs.decode_flac(bytes(stereo))
-    # >2-channel assignments stay an honest refusal
+    # round 13: >2-channel assignments are supported — relabeling a
+    # MONO stream as 5-channel disagrees with STREAMINFO (ValueError);
+    # a RESERVED assignment (0b1011..0b1111) stays refused
     multi = bytearray(f)
     multi[meta_end + 3] = (0b0100 << 4) | (multi[meta_end + 3] & 0x0F)
-    with pytest.raises(NotImplementedError, match="mono/stereo"):
+    with pytest.raises(ValueError, match="disagrees"):
         codecs.decode_flac(bytes(multi))
+    resv = bytearray(f)
+    resv[meta_end + 3] = (0b1011 << 4) | (resv[meta_end + 3] & 0x0F)
+    with pytest.raises(ValueError, match="reserved channel"):
+        codecs.decode_flac(bytes(resv))
 
 
 def test_flac_wasted_bits_roundtrip():
@@ -966,6 +972,14 @@ def test_flac_stereo_all_four_channel_assignments_roundtrip():
     sc = codecs.decode_flac(codecs.encode_flac(cc, channels=2))
     assert sc["md5_verified"]
     assert codecs.wav_payload_bytes(sc["sample_data"]) == cc
+    # >2 channels (round 13): independent assignment ch_code = nch-1,
+    # subframes sequential, interleave restores byte order exactly
+    for nch in (3, 6, 8):
+        m = codecs.decode_flac(codecs.encode_flac(payload, channels=nch))
+        assert m["md5_verified"] and m["n_channels"] == nch
+        assert codecs.wav_payload_bytes(m["sample_data"])[: len(payload)] == payload
+    with pytest.raises(ValueError, match="channels"):
+        codecs.encode_flac(payload, channels=9)
 
 
 def test_flac_lpc_subframes_decode():
