@@ -817,8 +817,11 @@ def test_flac_codec_roundtrip_and_md5_self_verification():
 
 def test_flac_rejects_corrupt_and_out_of_scope_streams():
     """Tampered sample data -> STREAMINFO MD5 mismatch; tampered
-    frame bytes -> CRC mismatch; truncation -> ValueError; a stereo
-    channel assignment -> honest NotImplementedError."""
+    frame bytes -> CRC mismatch; truncation -> ValueError;
+    STREAMINFO/frame channel disagreements and reserved channel
+    assignments -> ValueError (round 13: all real channel layouts
+    and widths decode, so the refusal tests moved to the genuinely
+    invalid forms)."""
     from spark_dynamodb_spark.functions import codecs
 
     f = bytearray(codecs.encode_flac(b"abcdefgh" * 100))
