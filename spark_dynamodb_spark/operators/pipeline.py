@@ -2443,3 +2443,109 @@ def train_shards_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C123 — pack boundary slices: the loader-facing detail of c09
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c123_pack_boundary_slices",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS prefix
+      FROM t
+      ),
+    spans AS (
+      SELECT doc_id, source, n_tokens, prefix,
+             CAST(prefix // {PACK_BUDGET} AS BIGINT) AS p0,
+             CAST((prefix + n_tokens - 1) // {PACK_BUDGET} AS BIGINT) AS p1
+      FROM pre WHERE n_tokens > 0
+    ),
+    seg AS (
+      SELECT s.source, s.doc_id, s.n_tokens, s.prefix,
+             unnest(generate_series(s.p0, s.p1)) AS pack_id
+      FROM spans s
+    )
+    SELECT source, CAST(pack_id AS BIGINT) AS pack_id, doc_id,
+           CAST(greatest(0, prefix - pack_id * {PACK_BUDGET}) AS BIGINT)
+             AS seg_start,
+           CAST(least({PACK_BUDGET}, prefix + n_tokens - pack_id * {PACK_BUDGET})
+                - greatest(0, prefix - pack_id * {PACK_BUDGET}) AS BIGINT)
+             AS seg_len,
+           CAST(pack_id * {PACK_BUDGET}
+                + greatest(0, prefix - pack_id * {PACK_BUDGET}) - prefix
+             AS BIGINT) AS doc_off
+    FROM seg
+    ORDER BY source, pack_id, seg_start, doc_id
+    """,
+)
+def pack_boundary_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C123: pack BOUNDARY SLICES (round 13) — the loader-facing
+    detail c09 stops short of: c09 assigns each doc the pack it
+    STARTS in, but a packed pretraining loader mounts, per pack, the
+    exact (doc, in-doc offset, length) slices that fill its
+    {PACK_BUDGET} tokens — including the tail of a doc that started
+    in the previous pack. One row per (doc, pack) segment:
+    ``seg_start``/``seg_len`` locate the slice inside the pack,
+    ``doc_off`` locates it inside the document, and per pack the
+    seg_len's sum to {PACK_BUDGET} (except the final partial pack) —
+    the invariant a data-loader smoke test checks first. Zero-token
+    docs contribute no segments (mirrored in both engines).
+
+    100 TB shape: inherits c09's per-source prefix-sum shuffle, then
+    the segment explode is NARROW (sequence() per doc, spillover
+    factor ~ mean doc length / pack budget); no second shuffle before
+    the presentation sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = t.withColumn("prefix", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    spans = pre.filter(F.col("n_tokens") > 0).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "prefix",
+        F.expr(f"prefix div {PACK_BUDGET}").alias("p0"),
+        F.expr(f"(prefix + n_tokens - 1) div {PACK_BUDGET}").alias("p1"),
+    )
+    seg = spans.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "prefix",
+        F.explode(F.sequence("p0", "p1")).alias("pack_id"),
+    )
+    B = PACK_BUDGET
+    seg_start = F.greatest(F.lit(0), F.col("prefix") - F.col("pack_id") * B)
+    seg_end = F.least(
+        F.lit(B), F.col("prefix") + F.col("n_tokens") - F.col("pack_id") * B
+    )
+    return (
+        seg.select(
+            "source",
+            F.col("pack_id").cast("long"),
+            "doc_id",
+            seg_start.cast("long").alias("seg_start"),
+            (seg_end - seg_start).cast("long").alias("seg_len"),
+            (F.col("pack_id") * B + seg_start - F.col("prefix"))
+            .cast("long")
+            .alias("doc_off"),
+        )
+        .orderBy("source", "pack_id", "seg_start", "doc_id")
+    )

@@ -1637,3 +1637,40 @@ def test_png_paletted_and_gif_lct():
     gb = bytearray(codecs.encode_gif(p, local_table=True))
     with pytest.raises(ValueError):
         codecs.decode_gif(bytes(gb[: 13 + 8 + 10 + 100]))
+
+
+def test_pack_boundary_slices_invariants(spark, sf_dir):
+    """c123: per pack, segment lengths tile the budget exactly —
+    every non-final pack sums to PACK_BUDGET with no gaps or
+    overlaps (segments sorted by seg_start are contiguous), and each
+    doc's segments tile the doc (doc_offs contiguous, lens sum to
+    n_tokens)."""
+    import pyspark.sql.functions as F
+
+    from spark_dynamodb_spark.operators.pipeline import (
+        PACK_BUDGET,
+        pack_boundary_slices,
+    )
+
+    df = pack_boundary_slices(spark, sf_dir).collect()
+    by_pack: dict = {}
+    by_doc: dict = {}
+    for r in df:
+        by_pack.setdefault((r.source, r.pack_id), []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for (src, pid), rows in by_pack.items():
+        rows.sort(key=lambda r: r.seg_start)
+        pos = 0
+        for r in rows:
+            assert r.seg_start == pos, (src, pid)  # contiguous, no overlap
+            assert r.seg_len > 0
+            pos += r.seg_len
+        last_pid = max(p for (s, p) in by_pack if s == src)
+        if pid < last_pid:
+            assert pos == PACK_BUDGET, (src, pid, pos)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_off)
+        pos = 0
+        for r in rows:
+            assert r.doc_off == pos, doc_id
+            pos += r.seg_len
