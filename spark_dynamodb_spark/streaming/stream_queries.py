@@ -3106,3 +3106,198 @@ def _finalize_s32_oracle() -> None:
 
 
 _finalize_s32_oracle()
+
+
+# ---------------------------------------------------------------------------
+# S33 — pack assignment AT INGEST (round 13): the c09 sequence-packing
+# contract computed as streaming state — per-source cumulative token
+# counts carry across micro-batches, each arriving batch assigns its
+# docs' pack ids from the carried base, and the final table must
+# equal the BATCH c09 answer exactly (oracle shared verbatim).
+# ---------------------------------------------------------------------------
+
+
+def _docs_stream_staging_ranged(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Range-staged variant of _docs_stream_staging: files hold
+    ASCENDING doc_id ranges (repartitionByRange) and their mtimes are
+    forced ascending in file order, so maxFilesPerTrigger=1 delivers
+    micro-batches in doc_id order — the property that makes
+    arrival-order state equal the batch prefix-sum (s33)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from spark_dynamodb_spark.tables import load_table
+
+    src = table_path(sf_dir, "documents")
+    parts = []
+    if os.path.isfile(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    for root, _, files in os.walk(src):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    tag = hashlib.md5(("ranged|" + "|".join(parts) + f"|{n_files}").encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"docs_stream_rng_{tag}")
+    if not os.path.isdir(out):
+        scratch = tempfile.mkdtemp(prefix=f"docs_stream_rng_{tag}_",
+                                   dir=tempfile.gettempdir())
+        stage = os.path.join(scratch, "stage")
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartitionByRange(n_files, "doc_id")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        # force ascending mtimes in part-file order (FileStreamSource
+        # processes oldest-first)
+        import time as _time
+
+        base = _time.time() - 3600
+        pfiles = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(pfiles):
+            p = os.path.join(stage, f)
+            os.utime(p, (base + 10 * i, base + 10 * i))
+        try:
+            os.rename(stage, out)
+        except OSError:
+            pass
+    return out
+
+
+@query("s33_stream_pack_assignment", None)  # oracle patched below
+def stream_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S33: sequence packing AT INGEST — the c09 contract as streaming
+    state. Documents arrive as 4 doc_id-RANGE micro-batches (range
+    staging + forced-ascending mtimes, so arrival order IS doc_id
+    order); per batch, docs sort by doc_id within source, take the
+    batch-local exclusive token prefix-sum, add the CARRIED per-source
+    base (summed from the prior batches' ledger landings, ids < this
+    batch — so a replayed batch recomputes the same base and its
+    overwrite landing stays idempotent, the s30 contract), and land
+    (doc_id, source, n_tokens, pack_id, pack_offset). Because the
+    carried base equals the batch prefix of everything earlier in
+    doc_id order, the final table must equal c09's answer EXACTLY —
+    the two entries share ONE oracle, pinning the streaming state
+    algebra to the batch window function.
+
+    100 TB shape: state is ONE counter per source; each batch
+    shuffles only its own (source, doc_id, n_tokens) triples; raw
+    text never crosses a batch boundary. This is the missing
+    streaming stage of the landing-zone chain (s30 decontaminate →
+    s28 dedup → s31 tokenize → HERE pack).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spark_dynamodb_spark.functions.text import tokens
+    from spark_dynamodb_spark.operators.pipeline import PACK_BUDGET
+
+    staged = _docs_stream_staging_ranged(spark, sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(staged)
+    )
+
+    root = tempfile.mkdtemp(prefix="s33_state_")
+    assign_dir = os.path.join(root, "assign")
+    ledger_dir = os.path.join(root, "ledger")
+    os.makedirs(assign_dir)
+    os.makedirs(ledger_dir)
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        sess = batch.sparkSession
+        t = batch.select(
+            "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+        )
+        # carried base: sum the ledgers of STRICTLY EARLIER batches
+        prior = [
+            os.path.join(ledger_dir, d)
+            for d in sorted(os.listdir(ledger_dir))
+            if d < f"batch_{batch_id:06d}"
+        ]
+        if prior:
+            base = (
+                sess.read.parquet(*prior)
+                .groupBy("source")
+                .agg(F.sum("batch_tokens").alias("base"))
+            )
+            t = t.join(F.broadcast(base), "source", "left").fillna(0, ["base"])
+        else:
+            t = t.withColumn("base", F.lit(0))
+        w = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        pre = t.withColumn(
+            "prefix",
+            F.col("base") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        out = pre.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"prefix div {PACK_BUDGET}").cast("long").alias("pack_id"),
+            (F.col("prefix") % PACK_BUDGET).cast("long").alias("pack_offset"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(assign_dir, f"batch_{batch_id:06d}")
+        )
+        pre.groupBy("source").agg(
+            F.sum("n_tokens").alias("batch_tokens")
+        ).write.mode("overwrite").parquet(
+            os.path.join(ledger_dir, f"batch_{batch_id:06d}")
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="s33_ckpt_")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(assign_dir)
+            .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset")
+            .orderBy("doc_id")
+        )
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _finalize_s33_oracle() -> None:
+    import spark_dynamodb_spark.operators.pipeline  # noqa: F401
+
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    # streamed pack assignment must equal the batch c09 answer — ONE
+    # oracle, two execution paths (the s32 discipline)
+    REGISTRY.resolve("s33_stream_pack_assignment").oracle = REGISTRY.resolve(
+        "c09_sequence_packing"
+    ).oracle
+
+
+_finalize_s33_oracle()

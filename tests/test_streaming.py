@@ -1135,3 +1135,46 @@ def test_s31_matches_one_shot_serving_rollup(spark, sf_dir):
     ]
     assert got == want
     assert len(got) > 1  # multiple sources actually exercised
+
+
+def test_s33_matches_batch_c09_exactly(spark, sf_dir):
+    """s33's streamed pack assignment must equal the batch c09 answer
+    row-for-row: the carried per-source base + range-ordered arrival
+    reproduces the global prefix-sum. Also pins the staging property
+    the equality depends on: ranged stage files carry ascending
+    doc_id ranges AND ascending mtimes (FileStreamSource processes
+    oldest-first)."""
+    import os
+
+    from spark_dynamodb_spark.operators.pipeline import sequence_packing
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        _docs_stream_staging_ranged,
+        stream_pack_assignment,
+    )
+
+    staged = _docs_stream_staging_ranged(spark, sf_dir)
+    pfiles = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(pfiles) >= 2
+    mtimes = [os.stat(os.path.join(staged, f)).st_mtime for f in pfiles]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    # ascending doc_id ranges across files
+    prev_max = -1
+    for f in pfiles:
+        ids = [
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(staged, f))
+            .select("doc_id")
+            .collect()
+        ]
+        assert min(ids) > prev_max
+        prev_max = max(ids)
+
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id, r.pack_offset)
+        for r in stream_pack_assignment(spark, sf_dir).collect()
+    }
+    want = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id, r.pack_offset)
+        for r in sequence_packing(spark, sf_dir).collect()
+    }
+    assert got == want
