@@ -244,9 +244,10 @@ _ADAM7 = (
 
 
 def _png_filter_row(raw: bytes, prior: bytes, bpp: int, ftype: int) -> bytearray:
-    """Apply PNG filter `ftype` to one scanline (shared by the
-    sequential and Adam7 encoders — within a pass, `prior` is the
-    previous row OF THAT PASS, zeroed at pass start per spec 8.2)."""
+    """Apply PNG filter `ftype` to one scanline — the ONE copy of the
+    five-filter arithmetic (code-review r13), shared by the sequential
+    and Adam7 encoders. For Adam7, `prior` is the previous row OF THAT
+    PASS, zeroed at pass start per spec 8.2."""
     n = len(raw)
     filt = bytearray(n)
     for i in range(n):
@@ -375,24 +376,8 @@ def encode_png(
         chunk = data[r * row_bytes : (r + 1) * row_bytes]
         raw = chunk + b"\x00" * (row_bytes - len(chunk))
         ftype = r % 5
-        filt = bytearray(row_bytes)
-        for i in range(row_bytes):
-            left = raw[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = left
-            elif ftype == 2:
-                pred = up
-            elif ftype == 3:
-                pred = (left + up) >> 1
-            else:
-                pred = _paeth(left, up, ul)
-            filt[i] = (raw[i] - pred) & 0xFF
         scanlines.append(ftype)
-        scanlines += filt
+        scanlines += _png_filter_row(raw, prior, bpp, ftype)
         prior = raw
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     plte = _png_chunk(b"PLTE", _PNG_GRAY_PLTE) if color_type == 3 else b""
@@ -511,24 +496,7 @@ def decode_png(payload: bytes) -> dict:
         base = r * (row_bytes + 1)
         ftype = raw[base]
         line = raw[base + 1 : base + 1 + row_bytes]
-        recon = bytearray(row_bytes)
-        for i in range(row_bytes):
-            left = recon[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                pred = 0
-            elif ftype == 1:
-                pred = left
-            elif ftype == 2:
-                pred = up
-            elif ftype == 3:
-                pred = (left + up) >> 1
-            elif ftype == 4:
-                pred = _paeth(left, up, ul)
-            else:
-                raise ValueError(f"invalid PNG filter type {ftype}")
-            recon[i] = (line[i] + pred) & 0xFF
+        recon = _png_unfilter_row(line, prior, bpp, ftype)
         out[r * row_bytes : (r + 1) * row_bytes] = recon
         prior = bytes(recon)
     return {
@@ -1248,11 +1216,11 @@ def _jpeg_prog_ac_refine(sw: _JpegProgScanWriter, blocks, ss, se, al) -> None:
             if t == 0:
                 r += 1
                 continue
-            if t > 1:
-                # nonzero history: one correction bit, run unaffected
-                br.append((abs(coefs[k]) >> al) & 1)
-                continue
-            # newly significant (t == 1)
+            # Emit required ZRLs at EVERY nonzero coefficient (jcphuff
+            # rule; code-review r13): deferring them past a
+            # nonzero-history coefficient desyncs the buffered
+            # correction bits from the decoder's position-ordered
+            # advance when >=16 zero-history positions precede it
             while r > 15 and k <= eob_k:
                 sw.flush_eob()
                 sw.sym(0xF0)
@@ -1260,6 +1228,11 @@ def _jpeg_prog_ac_refine(sw: _JpegProgScanWriter, blocks, ss, se, al) -> None:
                 for b in br:
                     sw.wr.write(b, 1)
                 br = []
+            if t > 1:
+                # nonzero history: one correction bit, run unaffected
+                br.append((abs(coefs[k]) >> al) & 1)
+                continue
+            # newly significant (t == 1)
             sw.flush_eob()
             sw.sym((r << 4) | 1)
             sw.wr.write(1 if coefs[k] > 0 else 0, 1)

@@ -2222,12 +2222,23 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _c121_sig_path(sf_dir: str) -> str:
+def _c121_sig_path(sf_dir: str, spark=None) -> str:
+    """Staging path for the capstone's signature parquet. Keyed by
+    sf_dir AND (when available) the Spark applicationId: the stage is
+    regenerated with mode('overwrite') on every call, so staleness is
+    impossible, but two CONCURRENT sessions on the same sf_dir must
+    not overwrite each other's stage mid-read (code-review r13)."""
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
-    tag = _hashlib.md5(f"c121:{sf_dir}".encode()).hexdigest()[:10]
+    app = ""
+    if spark is not None:
+        try:
+            app = spark.sparkContext.applicationId
+        except Exception:
+            app = f"pid{_os.getpid()}"
+    tag = _hashlib.md5(f"c121:{sf_dir}:{app}".encode()).hexdigest()[:10]
     return _os.path.join(_tempfile.gettempdir(), f"c121_sigs_{tag}")
 
 
@@ -2364,7 +2375,7 @@ def train_shards_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_verified_pairs,
     )
 
-    sig_path = _c121_sig_path(sf_dir)
+    sig_path = _c121_sig_path(sf_dir, spark)
     docs = load_table(spark, sf_dir, "documents")
     (
         docs.repartition(

@@ -238,19 +238,13 @@ ROTATED_GREEN_R1 = frozenset(
         "c04_text_tfidf",
         "c04_text_token_bpe",
         "c04_text_token_stats",
-        "c05_audio_features",
         "c05_audio_resample",
-        "c05_image_features",
         "c05_multimodal_bmp_rle",
         "c05_multimodal_features",
         "c05_multimodal_frames",
-        "c05_multimodal_gif",
-        "c05_multimodal_jpeg",
-        "c05_multimodal_png",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
         "c05_multimodal_tiff",
-        "c05_multimodal_video",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",
@@ -404,6 +398,12 @@ ROTATED_GREEN_R1 = frozenset(
 # s30_stream_decontamination) were UN-rotated again because the r12
 # ADVICE fixes changed their implementations (zero-norm cosine floor;
 # idempotent per-batch ledger) — the driver must re-verify them.
+# Code-review r13 widened the rule to the SHARED-code dependents of
+# this round's codec work: c05_multimodal_{gif,jpeg,png,video},
+# c05_{audio,image}_features all execute code paths edited this round
+# (decode_jpeg's SOF2 route, GIF interlace/LCT branches, PNG
+# PLTE/16-bit/Adam7 paths, the lifted audio kernel), so they return
+# to the window too.
 # Round-12 note: seven previously-rotated names were deliberately
 # UN-rotated back into the window (removed from ROTATED_GREEN_R1)
 # because this round changed their implementation or semantics and
@@ -457,9 +457,13 @@ ROWS_ONLY_VERIFIED: frozenset[str] = frozenset(
 #   s26_stream_neardup_state: quadratic-in-clique bucket ledger
 #     (19.43x at 100x); superseded by s28 (signature-group collapse,
 #     1.59x at 100x).
-# The prefix must sort after every ``z_``/``zz_`` name so an
-# underfull window never spills into a known scale trap — a bare
-# ``diag_`` would sort INTO the lexical first-50 window ('d' < 's').
+# The prefix must sort outside the driver's lexical first-50 window
+# — a bare ``diag_`` would sort INTO it ('d' < 's'). zz_diag_* sorts
+# after every ``z_`` name (so the window's z_ spill is exhausted
+# first) though between zz_b* and zz_s* among the rows-only parks;
+# with 350+ z_ entries ahead of it, the window can never reach any
+# zz_-class name (code-review r13 corrected this comment's earlier
+# stronger claim).
 DIAGNOSTIC_SUPERSEDED: frozenset[str] = frozenset(
     {
         "c101_dedup_edit_distance",
@@ -549,11 +553,13 @@ def _harden_session(spark: SparkSession) -> None:
     try:
         app = spark.sparkContext.applicationId
     except Exception:
-        # Connect-style sessions expose no classic SparkContext; fall
-        # back to a per-session sentinel so hardening never breaks a
-        # query (ADVICE r12).
-        app = f"no-sc-{id(spark)}"
-    if app in _HARDENED_APPS:
+        # Connect-style sessions expose no classic SparkContext; skip
+        # the memoization entirely (an id(spark) sentinel could collide
+        # after GC reuses the address — code-review r13) and just
+        # re-attempt the idempotent cap below on every call (ADVICE
+        # r12: hardening must never break a query).
+        app = None
+    if app is not None and app in _HARDENED_APPS:
         return
 
     def parse_bytes(s: str) -> int:
@@ -573,7 +579,8 @@ def _harden_session(spark: SparkSession) -> None:
             spark.conf.set("spark.sql.maxPlanStringLength", str(_PLAN_STRING_CAP))
     except Exception:
         pass  # hardening must never break a query
-    _HARDENED_APPS.add(app)
+    if app is not None:
+        _HARDENED_APPS.add(app)
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):

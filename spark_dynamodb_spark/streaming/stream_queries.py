@@ -1176,13 +1176,24 @@ def stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S23 — incremental KMV sketch maintenance (streaming corpus profiling)
 # ---------------------------------------------------------------------------
 
-def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Stage documents as ``n_files`` parquet files so availableNow +
-    maxFilesPerTrigger=1 yields ``n_files`` REAL micro-batches (the
-    fixture is a single file = a single batch otherwise). Tagged by a
-    content fingerprint of the source parquet (ivf_index_path
-    discipline) so a regenerated fixture can never hit a stale stage.
-    """
+def _stage_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int,
+    tag_prefix: str,
+    partition_fn,
+    post_fn=None,
+) -> str:
+    """Shared staging core (code-review r13 dedup): fingerprint the
+    source parquet (size+mtime of every file — the ivf_index_path
+    discipline, so a regenerated fixture can never hit a stale
+    stage), write ``partition_fn(documents)`` to a scratch dir, run
+    the optional ``post_fn(stage_dir)`` hook (s33's ascending-mtime
+    forcing), then atomically rename into the tagged path: a crash
+    mid-write can never leave a half-staged dir behind the tag, and
+    two concurrent sessions staging the same fingerprint race
+    benignly (the loser's rename fails on the existing dir and its
+    scratch is discarded) — ADVICE r9 / code-review r10."""
     import hashlib
     import os
     import tempfile
@@ -1198,23 +1209,20 @@ def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
         for f in sorted(files):
             st = os.stat(os.path.join(root, f))
             parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    tag = hashlib.md5(("|".join(parts) + f"|{n_files}").encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"docs_stream_{tag}")
+    tag = hashlib.md5(
+        (tag_prefix + "|".join(parts) + f"|{n_files}").encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"{tag_prefix}{tag}")
     if not os.path.isdir(out):
-        # Write to a unique scratch dir, then atomically rename into the
-        # tagged path: a crash mid-write can never leave a half-staged
-        # dir behind the tag, and two concurrent sessions staging the
-        # same fingerprint race benignly (the loser's rename fails on
-        # the existing dir and its scratch is discarded) — ADVICE r9;
-        # the previous _SUCCESS_DIR marker had a write->marker gap.
-        scratch = tempfile.mkdtemp(prefix=f"docs_stream_{tag}_", dir=tempfile.gettempdir())
-        stage = os.path.join(scratch, "stage")
-        (
-            load_table(spark, sf_dir, "documents")
-            .repartition(n_files, "doc_id")
-            .write.mode("overwrite")
-            .parquet(stage)
+        scratch = tempfile.mkdtemp(
+            prefix=f"{tag_prefix}{tag}_", dir=tempfile.gettempdir()
         )
+        stage = os.path.join(scratch, "stage")
+        partition_fn(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        if post_fn is not None:
+            post_fn(stage)
         try:
             os.rename(stage, out)
         except OSError:
@@ -1229,6 +1237,16 @@ def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> 
         if not os.path.isdir(out):
             raise OSError(f"stream staging failed: {out} does not exist")
     return out
+
+
+def _docs_stream_staging(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Stage documents as ``n_files`` parquet files so availableNow +
+    maxFilesPerTrigger=1 yields ``n_files`` REAL micro-batches (the
+    fixture is a single file = a single batch otherwise)."""
+    return _stage_docs(
+        spark, sf_dir, n_files, "docs_stream_",
+        lambda df: df.repartition(n_files, "doc_id"),
+    )
 
 
 @query(
@@ -3118,54 +3136,26 @@ _finalize_s32_oracle()
 
 
 def _docs_stream_staging_ranged(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Range-staged variant of _docs_stream_staging: files hold
-    ASCENDING doc_id ranges (repartitionByRange) and their mtimes are
-    forced ascending in file order, so maxFilesPerTrigger=1 delivers
-    micro-batches in doc_id order — the property that makes
-    arrival-order state equal the batch prefix-sum (s33)."""
-    import hashlib
+    """Range-staged variant: files hold ASCENDING doc_id ranges
+    (repartitionByRange) and their mtimes are forced ascending in
+    file order, so maxFilesPerTrigger=1 delivers micro-batches in
+    doc_id order — the property that makes arrival-order state equal
+    the batch prefix-sum (s33)."""
     import os
-    import tempfile
+    import time as _time
 
-    from spark_dynamodb_spark.tables import load_table
-
-    src = table_path(sf_dir, "documents")
-    parts = []
-    if os.path.isfile(src):
-        st = os.stat(src)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    for root, _, files in os.walk(src):
-        for f in sorted(files):
-            st = os.stat(os.path.join(root, f))
-            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    tag = hashlib.md5(("ranged|" + "|".join(parts) + f"|{n_files}").encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"docs_stream_rng_{tag}")
-    if not os.path.isdir(out):
-        scratch = tempfile.mkdtemp(prefix=f"docs_stream_rng_{tag}_",
-                                   dir=tempfile.gettempdir())
-        stage = os.path.join(scratch, "stage")
-        (
-            load_table(spark, sf_dir, "documents")
-            .repartitionByRange(n_files, "doc_id")
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        # force ascending mtimes in part-file order (FileStreamSource
-        # processes oldest-first)
-        import time as _time
-
+    def _ascending_mtimes(stage: str) -> None:
         base = _time.time() - 3600
-        pfiles = sorted(
-            f for f in os.listdir(stage) if f.endswith(".parquet")
-        )
+        pfiles = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
         for i, f in enumerate(pfiles):
             p = os.path.join(stage, f)
             os.utime(p, (base + 10 * i, base + 10 * i))
-        try:
-            os.rename(stage, out)
-        except OSError:
-            pass
-    return out
+
+    return _stage_docs(
+        spark, sf_dir, n_files, "docs_stream_rng_",
+        lambda df: df.repartitionByRange(n_files, "doc_id"),
+        post_fn=_ascending_mtimes,
+    )
 
 
 @query("s33_stream_pack_assignment", None)  # oracle patched below

@@ -1091,14 +1091,18 @@ def test_gif_decodes_external_file_and_rejects_corruption():
         codecs.decode_gif(b"JFIF" + base[4:])
     with pytest.raises(ValueError, match="truncated|EOI"):
         codecs.decode_gif(base[: len(base) - 30])
-    # round 13: interlace is SUPPORTED — flipping the flag on a
-    # sequential stream decodes "successfully" but returns scrambled
-    # rows (GIF has no CRC; the de-interlace permutation is covered by
-    # test_gif_interlace_row_order). Local color tables stay a refusal:
+    # round 13: interlace AND local color tables are SUPPORTED —
+    # flipping the interlace flag on a sequential stream decodes
+    # "successfully" but returns scrambled rows (GIF has no CRC; the
+    # de-interlace permutation is covered by
+    # test_gif_interlace_row_order). Claiming an LCT on a stream with
+    # no palette bytes makes the decoder consume image data as the
+    # table and die parsing what follows — a specific ValueError, not
+    # a refusal (code-review r13 tightened the two-exception catch):
     ipos = base.index(b"\x2c", 13 + 768)
     tampered = bytearray(base)
-    tampered[ipos + 9] |= 0x80  # claim a local color table
-    with pytest.raises((NotImplementedError, ValueError)):
+    tampered[ipos + 9] |= 0x80  # claim an LCT that is not there
+    with pytest.raises(ValueError):
         codecs.decode_gif(bytes(tampered))
     # corrupt a byte inside the LZW stream: either the protocol breaks
     # (ValueError) or the output differs from the true payload — LZW
@@ -1206,6 +1210,26 @@ def test_jpeg_progressive_decode_paths():
     bad[-40] ^= 0x5A
     with pytest.raises(ValueError):
         codecs.decode_jpeg(bytes(bad))
+    # jcphuff ZRL rule (code-review r13): ZRLs must be emitted at
+    # EVERY nonzero coefficient — a history-nonzero coefficient lying
+    # >=16 zero-history positions into a run, followed by a newly-
+    # significant one, desyncs the deferred-ZRL encoder (pre-fix:
+    # 'invalid refinement magnitude')
+    orig = codecs._JPEG_TRAILER_COEFS
+    try:
+        codecs._JPEG_TRAILER_COEFS = [
+            {0: 576, 20: 6, 25: -1},
+            {1: 25},
+            {9: -40, 30: 1},
+            {0: -256},
+            {1: 25, 10: 12},
+            {2: -25},
+        ]
+        adv = bytes((i * 31 + 7) % 256 for i in range(300))
+        img2 = codecs.decode_jpeg(codecs.encode_jpeg_progressive(adv))
+        assert codecs.jpeg_payload_bytes(img2, 300) == adv
+    finally:
+        codecs._JPEG_TRAILER_COEFS = orig
 
 
 def test_audio_spectral_fixed_point_exact_on_known_signal():

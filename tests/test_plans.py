@@ -1820,7 +1820,9 @@ def test_train_shards_capstone_single_corpus_scan(spark, sf_dir):
     # the staged signature table itself: hashes-only schema
     import pyspark.sql.functions as F  # noqa: F401
 
-    staged = df.sparkSession.read.parquet(p._c121_sig_path(sf_dir))
+    staged = df.sparkSession.read.parquet(
+        p._c121_sig_path(sf_dir, df.sparkSession)
+    )
     fields = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
     assert fields == {
         "doc_id": "bigint",
