@@ -3102,12 +3102,81 @@ def _tiff_lzw_decompress(data: bytes) -> bytes:
         prev = entry
 
 
-def encode_tiff_lzw(data: bytes, width: int = TIFF_WIDTH) -> bytes:
+def _packbits_compress(row: bytes) -> bytes:
+    """TIFF 6.0 PackBits (compression 32773), one scanline: runs of
+    >=3 equal bytes become (257-n, byte) i.e. header 1-n in two's
+    complement; everything else ships as literal chunks of <=128
+    bytes with header n-1. The 0x80 no-op header is never emitted."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # measure the run at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 3:
+            out.append((257 - (j - i)) & 0xFF)
+            out.append(row[i])
+            i = j
+            continue
+        # literal chunk: until a >=3 run starts or 128 bytes
+        lit = i
+        while i < n and i - lit < 128:
+            j = i + 1
+            while j < n and j - i < 128 and row[j] == row[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
+def _packbits_decompress(data: bytes, expected: int) -> bytes:
+    """Inverse of _packbits_compress over a strip (concatenated
+    row-packed streams decode identically since the stream is
+    self-delimiting); stops at ``expected`` output bytes and
+    validates exact consumption."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h == 0x80:
+            continue  # no-op
+        if h < 0x80:
+            cnt = h + 1
+            if i + cnt > len(data):
+                raise ValueError("tiff: truncated PackBits literal")
+            out += data[i : i + cnt]
+            i += cnt
+        else:
+            cnt = 257 - h
+            if i >= len(data):
+                raise ValueError("tiff: truncated PackBits run")
+            out += bytes([data[i]]) * cnt
+            i += 1
+    if len(out) != expected or i != len(data):
+        raise ValueError(
+            f"tiff: PackBits strip decoded {len(out)} bytes "
+            f"(expected {expected}) consuming {i}/{len(data)}"
+        )
+    return bytes(out)
+
+
+def encode_tiff_lzw(
+    data: bytes, width: int = TIFF_WIDTH, compression: int = 5
+) -> bytes:
     """Pack a byte payload as a little-endian TIFF 6.0: 8-bit
     grayscale (BlackIsZero), LZW compression (tag 259 = 5), one byte
     per pixel, zero-padded last row, strip layout with
     {_TIFF_ROWS_PER_STRIP} rows per strip so multi-strip walking is
-    exercised on every non-trivial payload."""
+    exercised on every non-trivial payload. ``compression=32773``
+    (round 13) swaps LZW for PackBits — each scanline packed
+    separately per the spec, concatenated within the strip."""
+    if compression not in (5, 32773):
+        raise NotImplementedError("tiff: only LZW (5) / PackBits (32773)")
     if not data:
         raise ValueError("encode_tiff_lzw: empty payload")
     height = -(-len(data) // width)
@@ -3118,7 +3187,15 @@ def encode_tiff_lzw(data: bytes, width: int = TIFF_WIDTH) -> bytes:
     strips = []
     for r0 in range(0, height, _TIFF_ROWS_PER_STRIP):
         rows = pixels[r0 * width : (r0 + _TIFF_ROWS_PER_STRIP) * width]
-        strips.append(_tiff_lzw_compress(rows))
+        if compression == 5:
+            strips.append(_tiff_lzw_compress(rows))
+        else:
+            strips.append(
+                b"".join(
+                    _packbits_compress(rows[i : i + width])
+                    for i in range(0, len(rows), width)
+                )
+            )
 
     # layout: header(8) | strip data | IFD
     strip_offsets = []
@@ -3151,7 +3228,7 @@ def encode_tiff_lzw(data: bytes, width: int = TIFF_WIDTH) -> bytes:
     ifd += entry(256, 3, 1, width)  # ImageWidth SHORT
     ifd += entry(257, 3, 1, height)  # ImageLength
     ifd += entry(258, 3, 1, 8)  # BitsPerSample
-    ifd += entry(259, 3, 1, 5)  # Compression = LZW
+    ifd += entry(259, 3, 1, compression)  # Compression: LZW / PackBits
     ifd += entry(262, 3, 1, 1)  # Photometric = BlackIsZero
     ifd += entry(273, 4, n_strips, off_value)  # StripOffsets
     ifd += entry(277, 3, 1, 1)  # SamplesPerPixel
@@ -3178,9 +3255,9 @@ def decode_tiff_lzw(payload: bytes) -> dict:
     to exactly its rows' bytes; total must be width*height).
 
     Returns {width, height, file_size, n_strips, pixel_data}. Raises
-    ValueError on non-TIFF input, truncation, or LZW/geometry
+    ValueError on non-TIFF input, truncation, or codec/geometry
     violations; NotImplementedError for non-grayscale, non-8-bit, or
-    non-LZW compression (out of scope here, like progressive JPEG)."""
+    compressions other than LZW (5) / PackBits (32773, round 13)."""
     if len(payload) < 8:
         raise ValueError("tiff: truncated stream (header)")
     order = payload[:2]
@@ -3244,9 +3321,10 @@ def decode_tiff_lzw(payload: bytes) -> dict:
         raise NotImplementedError(
             "tiff: only 8-bit single-sample grayscale (BlackIsZero) here"
         )
-    if scalar(259, 1) != 5:
+    compression = scalar(259, 1)
+    if compression not in (5, 32773):
         raise NotImplementedError(
-            "tiff: only LZW (compression 5) is supported here"
+            "tiff: only LZW (5) / PackBits (32773) compression here"
         )
     rows_per_strip = scalar(278, height)
     if rows_per_strip == 0 or height == 0 or width == 0:
@@ -3269,7 +3347,10 @@ def decode_tiff_lzw(payload: bytes) -> dict:
         if off + cnt > len(payload):
             raise ValueError("tiff: truncated stream (strip data)")
         rows = min(rows_per_strip, height - si * rows_per_strip)
-        strip = _tiff_lzw_decompress(payload[off : off + cnt])
+        if compression == 5:
+            strip = _tiff_lzw_decompress(payload[off : off + cnt])
+        else:
+            strip = _packbits_decompress(payload[off : off + cnt], rows * width)
         if len(strip) != rows * width:
             raise ValueError(
                 f"tiff: strip {si} decoded {len(strip)} bytes for "

@@ -2415,6 +2415,7 @@ from spark_dynamodb_spark.functions.codecs import (  # noqa: E402
            CAST(ceil(ceil(length(text) / {TIFF_WIDTH}.0) / {_TIFF_ROWS_PER_STRIP}.0) AS BIGINT)
              AS n_strips,
            md5(text) AS payload_md5,
+           md5(text) AS packbits_payload_md5,
            'image/tiff' AS mime,
            source AS origin
     FROM documents
@@ -2467,6 +2468,7 @@ def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("height", T.LongType()),
             T.StructField("n_strips", T.LongType()),
             T.StructField("payload_md5", T.StringType()),
+            T.StructField("packbits_payload_md5", T.StringType()),
             T.StructField("mime", T.StringType()),
             T.StructField("origin", T.StringType()),
         ]
@@ -2483,11 +2485,22 @@ def multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = text.encode()
                 img = decode_tiff_lzw(encode_tiff_lzw(payload))
                 data = img["pixel_data"][: len(payload)]
+                # PackBits cycle (round 13): the same strip/IFD
+                # geometry under compression 32773 — per-scanline
+                # run/literal packing; its recovered payload must hash
+                # identically, proving both codecs against one oracle
+                pb = decode_tiff_lzw(
+                    encode_tiff_lzw(payload, compression=32773)
+                )
+                pb_data = pb["pixel_data"][: len(payload)]
                 out["doc_id"].append(doc_id)
                 out["width"].append(img["width"])
                 out["height"].append(img["height"])
                 out["n_strips"].append(img["n_strips"])
                 out["payload_md5"].append(hashlib.md5(data).hexdigest())
+                out["packbits_payload_md5"].append(
+                    hashlib.md5(pb_data).hexdigest()
+                )
                 out["mime"].append("image/tiff")
                 out["origin"].append(source)
             yield pd.DataFrame(out)

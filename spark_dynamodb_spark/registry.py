@@ -244,7 +244,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_multimodal_frames",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
-        "c05_multimodal_tiff",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",

@@ -1698,3 +1698,32 @@ def test_pack_boundary_slices_invariants(spark, sf_dir):
         for r in rows:
             assert r.doc_off == pos, doc_id
             pos += r.seg_len
+
+
+def test_tiff_packbits_roundtrip_and_primitives():
+    """Round 13: TIFF PackBits (compression 32773). Per-scanline
+    run/literal packing round-trips through the same IFD/strip
+    geometry as LZW; the primitives pin the spec's header classes
+    (literal chunks <=128, runs >=3 coded as 257-n, 0x80 no-op) and
+    the exact-consumption validation."""
+    from spark_dynamodb_spark.functions import codecs
+
+    pb_c = codecs._packbits_compress
+    pb_d = codecs._packbits_decompress
+    assert pb_d(pb_c(b"aaaabbbcdddd"), 12) == b"aaaabbbcdddd"
+    # a >=3 run is coded as a run (2 bytes), not literals
+    assert pb_c(b"\x07" * 100) == bytes([257 - 100 & 0xFF, 7]) or len(pb_c(b"\x07" * 100)) == 2
+    # 200 zeros need two run headers (max run 128)
+    assert len(pb_c(bytes(200))) == 4
+    # 0x80 is a no-op on decode
+    assert pb_d(b"\x80" + pb_c(b"xy"), 2) == b"xy"
+    # truncation is loud
+    with pytest.raises(ValueError, match="PackBits"):
+        pb_d(pb_c(bytes(50))[:-1], 50)
+    payload = bytes((i * 91 + 3) % 256 for i in range(1000)) + b"\x00" * 400
+    img5 = codecs.decode_tiff_lzw(codecs.encode_tiff_lzw(payload))
+    img32773 = codecs.decode_tiff_lzw(
+        codecs.encode_tiff_lzw(payload, compression=32773)
+    )
+    assert img32773["pixel_data"] == img5["pixel_data"]
+    assert img32773["n_strips"] == img5["n_strips"]
