@@ -3127,7 +3127,10 @@ def _packbits_compress(row: bytes) -> bytes:
                 j += 1
             if j - i >= 3:
                 break
-            i = j
+            # Clamp so a 2-byte equal pair at literal offset 127 cannot
+            # advance i to lit+129 and emit the spec-invalid 0x80
+            # header (ADVICE r13: reachable at width >= 129).
+            i = min(j, lit + 128)
         out.append(i - lit - 1)
         out += row[lit:i]
     return bytes(out)

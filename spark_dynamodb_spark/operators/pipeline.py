@@ -2222,24 +2222,56 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _c121_sig_path(sf_dir: str, spark=None) -> str:
-    """Staging path for the capstone's signature parquet. Keyed by
-    sf_dir AND (when available) the Spark applicationId: the stage is
-    regenerated with mode('overwrite') on every call, so staleness is
-    impossible, but two CONCURRENT sessions on the same sf_dir must
-    not overwrite each other's stage mid-read (code-review r13)."""
-    import hashlib as _hashlib
-    import os as _os
+def _c121_sig_path() -> str:
+    """Staging path for the capstone's signature parquet: a fresh
+    mkdtemp per INVOCATION (ADVICE r13 — the old (sf_dir,
+    applicationId) key let two concurrent c121 runs in one session
+    clobber each other's stage mid-read, and the staged parquet
+    accumulated across sf_dirs/sessions). The caller localCheckpoints
+    the staged read and rmtree's this directory before returning, so
+    nothing outlives the call."""
     import tempfile as _tempfile
 
-    app = ""
-    if spark is not None:
-        try:
-            app = spark.sparkContext.applicationId
-        except Exception:
-            app = f"pid{_os.getpid()}"
-    tag = _hashlib.md5(f"c121:{sf_dir}:{app}".encode()).hexdigest()[:10]
-    return _os.path.join(_tempfile.gettempdir(), f"c121_sigs_{tag}")
+    return _tempfile.mkdtemp(prefix="c121_sigs_")
+
+
+def _c121_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone stage 1: the single documents scan, projected to the
+    narrow signature schema (doc_id, source, content_md5, hashed
+    shingle array, n_tokens), staged through a per-call parquet
+    directory to cut lineage, then localCheckpointed (eager) so the
+    directory can be removed before this function returns. The
+    returned DataFrame reads from block-manager RDD blocks
+    (ContextCleaner-GC'd when unreferenced), never from documents —
+    the plan gate asserts zero documents scans downstream."""
+    import shutil
+
+    from spark_dynamodb_spark.functions.text import normalize_text, shingles
+    from spark_dynamodb_spark.operators.dedup import SHINGLE_K
+
+    sig_path = _c121_sig_path()
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.repartition(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.md5(normalize_text("text")).alias("content_md5"),
+                F.transform(
+                    F.array_distinct(shingles("text", SHINGLE_K)),
+                    lambda s: F.xxhash64(s),
+                ).alias("sh"),
+                F.size(tokens("text")).cast("long").alias("n_tokens"),
+            )
+            .write.mode("overwrite")
+            .parquet(sig_path)
+        )
+        return spark.read.parquet(sig_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sig_path, ignore_errors=True)
 
 
 def _sql_c121() -> str:
@@ -2353,12 +2385,27 @@ def train_shards_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Single-scan discipline (the c99 pattern): stage 1 projects
     (doc_id, source, content_md5, hashed shingles, n_tokens) in ONE
-    documents scan and stages it as a narrow parquet side table; every
-    downstream stage reads ONLY the staged signatures — the manifest
-    plan has ZERO documents scans (both plan-gated). Decon + near-dup
-    run on xxhash64'd shingles; the oracle uses string shingles — the
-    same collision-freeness argument as c02/c99's verify (counts and
-    Jaccard values are identical on a collision-free hashed set).
+    documents scan, stages it as a narrow parquet side table, and
+    localCheckpoints the read-back so the per-call staging directory
+    can be deleted before return (ADVICE r13: unique mkdtemp per
+    invocation, no cross-run clobber, no tempdir accumulation); every
+    downstream stage reads ONLY the checkpointed signatures — the
+    manifest plan has ZERO documents scans (plan-gated). Decon +
+    near-dup run on xxhash64'd shingles; the oracle uses string
+    shingles — the same collision-freeness argument as c02/c99's
+    verify (counts and Jaccard values are identical on a
+    collision-free hashed set).
+
+    Oracle-recall assumption (ADVICE r13, inherited verbatim from
+    c02_dedup_minhash_lsh): stage 4's Spark side generates candidates
+    by 8x4 MinHash-LSH banding with the MAX_BUCKET_DOCS hot-bucket
+    cap, while the oracle enumerates exact all-pairs Jaccard. Equality
+    holds because at the fixture's duplicate level (J >= 0.8 pairs sit
+    at J ~ 0.98) band recall is 1-(1-J^4)^8 ~ 1-2e-9 and no true-pair
+    bucket approaches the 512-doc cap; on adversarial data a missed
+    candidate or capped bucket would diverge stage 4 AND shift every
+    downstream pack boundary. The cap is the documented 100 TB
+    skew-safety trade, not an equality guarantee.
 
     100 TB shape: the one text scan writes ~50 bytes + hashes per doc;
     the bench side of decon broadcasts (evals are small by nature);
@@ -2366,35 +2413,13 @@ def train_shards_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-capped single exchange; packing shuffles (source, doc_id,
     n_tokens) triples only. The heavy corpus bytes move exactly once.
     """
-    from spark_dynamodb_spark.functions.text import normalize_text, shingles
     from spark_dynamodb_spark.operators.dedup import (
         BENCH_SOURCE,
         CONTAM_T,
-        JACCARD_T,
-        SHINGLE_K,
         _minhash_verified_pairs,
     )
 
-    sig_path = _c121_sig_path(sf_dir, spark)
-    docs = load_table(spark, sf_dir, "documents")
-    (
-        docs.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
-        )
-        .select(
-            "doc_id",
-            "source",
-            F.md5(normalize_text("text")).alias("content_md5"),
-            F.transform(
-                F.array_distinct(shingles("text", SHINGLE_K)),
-                lambda s: F.xxhash64(s),
-            ).alias("sh"),
-            F.size(tokens("text")).cast("long").alias("n_tokens"),
-        )
-        .write.mode("overwrite")
-        .parquet(sig_path)
-    )
-    s = spark.read.parquet(sig_path)
+    s = _c121_stage(spark, sf_dir)
 
     # stage 2: decontamination on hashed shingles
     bench = s.filter(F.col("source") == BENCH_SOURCE).select(

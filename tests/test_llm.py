@@ -1727,3 +1727,36 @@ def test_tiff_packbits_roundtrip_and_primitives():
     )
     assert img32773["pixel_data"] == img5["pixel_data"]
     assert img32773["n_strips"] == img5["n_strips"]
+    # ADVICE r13 regression: a 2-byte equal pair straddling the
+    # 128-byte literal boundary must not emit the 0x80 no-op header
+    # (which the decoder skips, desyncing the stream). Build a row
+    # with no >=3 runs whose first equal pair starts at offset 127.
+    row = bytearray((i * 2 + (i // 2) % 3) % 251 for i in range(256))
+    row[127] = row[128] = 200
+    row[126] = 10
+    row[129] = 11  # pair exactly at 127..128, neighbours differ
+    row = bytes(row)
+    packed = pb_c(row)
+    assert 0x80 not in {
+        packed[k]
+        for k in _packbits_header_offsets(packed)
+    }
+    assert pb_d(packed, len(row)) == row
+    # and the full-width encode path that ADVICE reproduced with
+    for width in (129, 230, 256):
+        pay = bytes((i * 7 + 1) % 256 for i in range(width * 3))
+        enc = codecs.encode_tiff_lzw(pay, width=width, compression=32773)
+        dec5 = codecs.decode_tiff_lzw(codecs.encode_tiff_lzw(pay, width=width))
+        assert codecs.decode_tiff_lzw(enc)["pixel_data"] == dec5["pixel_data"]
+
+
+def _packbits_header_offsets(packed: bytes):
+    """Walk a PackBits stream yielding the offsets of header bytes."""
+    i = 0
+    while i < len(packed):
+        yield i
+        h = packed[i]
+        i += 1
+        if h == 0x80:
+            continue
+        i += (h + 1) if h < 0x80 else 1

@@ -1805,24 +1805,31 @@ def test_multimodal_bmp_rle_parallel_codec(spark, sf_dir):
 
 def test_train_shards_capstone_single_corpus_scan(spark, sf_dir):
     """c121 (round 13 capstone): the end-to-end pipeline touches raw
-    text exactly once. The manifest plan reads ONLY the staged
-    signature parquet (zero documents scans), all five stages compose
-    from it, and no cartesian product sneaks into the LSH or decon
-    joins. The staged schema is hashes + counters only — no text, no
-    shingle strings."""
+    text exactly once. The manifest plan reads ONLY the checkpointed
+    signature blocks (zero documents scans — since ADVICE r14 the
+    per-call staging parquet is localCheckpointed and deleted before
+    the entry returns, so the plan shows an ExistingRDD scan, never a
+    parquet path), all five stages compose from it, and no cartesian
+    product sneaks into the LSH or decon joins. The staged schema is
+    hashes + counters only — no text, no shingle strings."""
+    import glob
+    import os
+    import tempfile
+
     from spark_dynamodb_spark.operators import pipeline as p
 
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "c121_sigs_*")))
     df = p.train_shards_capstone(spark, sf_dir)
     vplan = physical_plan(df)
     assert vplan.count("documents.parquet") == 0, vplan
-    assert "c121_sigs_" in vplan, vplan
+    assert "c121_sigs_" not in vplan, vplan  # staging dir already gone
+    assert "ExistingRDD" in vplan, vplan
     assert "CartesianProduct" not in vplan, vplan
-    # the staged signature table itself: hashes-only schema
-    import pyspark.sql.functions as F  # noqa: F401
-
-    staged = df.sparkSession.read.parquet(
-        p._c121_sig_path(sf_dir, df.sparkSession)
-    )
+    # the per-call staging directory was removed (no accumulation)
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "c121_sigs_*")))
+    assert after == before, after - before
+    # the checkpointed signature relation itself: hashes-only schema
+    staged = p._c121_stage(spark, sf_dir)
     fields = {f.name: f.dataType.simpleString() for f in staged.schema.fields}
     assert fields == {
         "doc_id": "bigint",
