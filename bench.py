@@ -221,20 +221,45 @@ def main() -> None:
             )
         return mins, medians
 
+    # Calibration (VERDICT r13 #3): a fixed JVM-only query timed FIRST
+    # — no parquet, no Python workers, no shuffle — so its wall time
+    # moves only with host contention. CAL_REF pins a quiet-session
+    # reading on this box; value_calibrated = value * CAL_REF /
+    # calibration_sec rescales the headline total to quiet-host units
+    # so round-over-round comparisons can separate shared-host noise
+    # (uniform drift, calibration moves too) from plan regressions
+    # (calibration steady, one query moves). Normalization rule
+    # documented in PLANS.md §noise-calibration.
+    CAL_REF = 0.262  # min-of-5 sec on a quiet session, 2026-08-16
+    cal_samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        cal_samples.append(time.perf_counter() - t0)
+    calibration = round(min(cal_samples), 3)
+    print(f"# calibration: min {calibration:.3f}s median "
+          f"{statistics.median(cal_samples):.3f}s (ref {CAL_REF})",
+          file=sys.stderr)
+
     timings, med = measure(HEADLINE)
     extra, extra_med = measure(EXTRA)
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 BYTES of stdout (observed:
     # BENCH_r09's "tail" field is a 2000-byte capture whose front —
     # including "value" — was cut once the per-query median map grew
-    # the line past that). The stdout line therefore carries the
-    # headline fields + per-query MINS only; the full detail (per-query
-    # medians, the extras list) goes to BENCH_DETAIL.json next to this
-    # script and to stderr.
+    # the line past that; BENCH_r12/r13 lost the extras block the same
+    # way once EXTRA passed ~55 entries). Since round 14 the stdout
+    # line carries totals + the 15 HEADLINE mins ONLY — extras NEVER
+    # ride the compact line, so it cannot outgrow the cap again
+    # (VERDICT r13 #10). Full detail (per-query extras mins + medians)
+    # lives in BENCH_DETAIL.json next to this script and on stderr.
     detail = {
+        "queries_min": {**timings, **extra},
         "queries_median": {**med, **extra_med},
         "extra_queries": EXTRA,
         "headline_queries": HEADLINE,
+        "calibration_sec": calibration,
+        "calibration_ref": CAL_REF,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
@@ -246,24 +271,22 @@ def main() -> None:
             "metric": "headline_queries_total",
             "value": total,
             "unit": "sec",
-            "queries": {**timings, **extra},
+            "queries": timings,  # HEADLINE only — extras in BENCH_DETAIL.json
             "median_value": round(sum(med.values()), 3),
             "extra_total": round(sum(extra.values()), 3),
             "extra_median_total": round(sum(extra_med.values()), 3),
+            "calibration_sec": calibration,
+            "value_calibrated": round(total * CAL_REF / calibration, 3)
+            if calibration > 0
+            else total,
             "sf": sf_dir,
             "cpus": cpus,
             "runs_per_query": RUNS,
             "agg": "min",
         }
     )
-    if len(line) + 1 > 2000:  # keep the whole line inside the capture
-        print(f"# stdout line {len(line)} B > 2000, dropping extras from"
-              " 'queries' (full set in BENCH_DETAIL.json)", file=sys.stderr)
-        obj = json.loads(line)
-        obj["queries"] = timings
-        line = json.dumps(obj)
     if len(line) + 1 > 2000:  # headline set itself outgrew the capture
-        print(f"# stdout line still {len(line)} B > 2000, falling back to"
+        print(f"# stdout line {len(line)} B > 2000, falling back to"
               " totals-only (full map in BENCH_DETAIL.json)", file=sys.stderr)
         obj = json.loads(line)
         obj["queries"] = {}
