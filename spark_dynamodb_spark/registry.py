@@ -588,9 +588,12 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
     def wrap(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def run(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+            # kwargs pass through for test-only overrides (e.g. s33's
+            # ``staged`` arrival-order injection); the driver and the
+            # registry surface always call with the two positionals.
             _harden_session(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kwargs)
 
         REGISTRY.register(name, run, oracle, doc or (fn.__doc__ or ""))
         return run

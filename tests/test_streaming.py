@@ -1178,3 +1178,113 @@ def test_s33_matches_batch_c09_exactly(spark, sf_dir):
         for r in sequence_packing(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_s34_matches_batch_c121_exactly(spark, sf_dir):
+    """s34 (round 14): the streamed landing zone — ONE stream running
+    decontaminate -> exact dedup -> near-dup verdict -> tokenize ->
+    pack with four carried states — must emit the batch capstone
+    c121's train-shard manifest row-for-row. The two entries share
+    c121's composed five-stage CTE oracle; this test pins the
+    Spark-side equality directly so a divergence is attributable
+    without the oracle in the loop."""
+    from spark_dynamodb_spark.operators.pipeline import train_shards_capstone
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        stream_landing_zone_capstone,
+    )
+
+    got = [tuple(r) for r in stream_landing_zone_capstone(spark, sf_dir).collect()]
+    want = [tuple(r) for r in train_shards_capstone(spark, sf_dir).collect()]
+    assert len(got) > 0
+    assert got == want
+
+
+def test_s33_out_of_order_arrival_degrades_to_arrival_order_packing(
+    spark, sf_dir
+):
+    """The s33 docstring's degradation contract, demonstrated (VERDICT
+    r13 "What's wrong" #3): feed the SAME code reversed-mtime range
+    staging (arrival order = descending doc_id ranges) and the result
+    is a valid ARRIVAL-ORDER packing — equal to the c09 greedy applied
+    to the permuted order, with identical per-source token totals —
+    but a DIFFERENT assignment than the doc_id-ordered batch answer."""
+    import os
+
+    from spark_dynamodb_spark.operators.pipeline import (
+        PACK_BUDGET,
+        sequence_packing,
+    )
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        _stage_docs,
+        stream_pack_assignment,
+    )
+
+    def _descending_mtimes(stage: str) -> None:
+        import time as _time
+
+        base = _time.time() - 7200
+        pfiles = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f in enumerate(pfiles):
+            p = os.path.join(stage, f)
+            t = base + 10 * (len(pfiles) - i)
+            os.utime(p, (t, t))
+
+    staged = _stage_docs(
+        spark, sf_dir, 4, "docs_stream_rev_",
+        lambda df: df.repartitionByRange(4, "doc_id"),
+        post_fn=_descending_mtimes,
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id, r.pack_offset)
+        for r in stream_pack_assignment(spark, sf_dir, staged=staged).collect()
+    }
+    want_ordered = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id, r.pack_offset)
+        for r in sequence_packing(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want_ordered)  # same docs, nothing lost
+    # (a) the degraded result DIFFERS from the doc_id-ordered answer
+    assert got != want_ordered
+    # (b) it equals the c09 greedy applied to the ARRIVAL order:
+    # files oldest-mtime-first, doc_id within each file
+    arrival: list[tuple[int, str, int]] = []  # (doc_id, source, n_tokens)
+    pfiles = sorted(
+        (f for f in os.listdir(staged) if f.endswith(".parquet")),
+        key=lambda f: os.stat(os.path.join(staged, f)).st_mtime,
+    )
+    from spark_dynamodb_spark.functions.text import tokens as tok_fn
+
+    for f in pfiles:
+        rows = (
+            spark.read.parquet(os.path.join(staged, f))
+            .select(
+                "doc_id",
+                "source",
+                F.size(tok_fn("text")).cast("long").alias("n_tokens"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        arrival.extend((r.doc_id, r.source, r.n_tokens) for r in rows)
+    running: dict[str, int] = {}
+    expect: dict[int, tuple[str, int, int, int]] = {}
+    for doc_id, source, n_tokens in arrival:
+        pre = running.get(source, 0)
+        expect[doc_id] = (
+            source,
+            n_tokens,
+            pre // PACK_BUDGET,
+            pre % PACK_BUDGET,
+        )
+        running[source] = pre + n_tokens
+    assert got == expect
+    # (c) per-source token totals are permutation-invariant
+    totals_got: dict[str, int] = {}
+    totals_want: dict[str, int] = {}
+    for src, n, _, _ in got.values():
+        totals_got[src] = totals_got.get(src, 0) + n
+    for src, n, _, _ in want_ordered.values():
+        totals_want[src] = totals_want.get(src, 0) + n
+    assert totals_got == totals_want
+    # (d) still a VALID packing: offsets in range
+    assert all(0 <= off < PACK_BUDGET for (_, _, _, off) in got.values())
