@@ -140,6 +140,12 @@ EXTRA = [
     "c05_multimodal_png_adam7",
     "c05_multimodal_png_paletted",
     "c05_multimodal_gif_interlaced",
+    # round-14 design-depth entries: the streaming landing-zone
+    # capstone (one stream, four carried states, c121's manifest) and
+    # MPEG-1 Layer I audio (the closed-form MPEG layer; frame walk +
+    # requantizer self-inversion)
+    "s34_stream_landing_zone_capstone",
+    "c05_multimodal_mpeg_audio",
 ]
 
 

@@ -1760,3 +1760,139 @@ def _packbits_header_offsets(packed: bytes):
         if h == 0x80:
             continue
         i += (h + 1) if h < 0x80 else 1
+
+
+def test_mpeg_audio_layer1_roundtrip_and_walk():
+    """Round 14 MPEG audio, tier 1: the full closed-form MPEG-1
+    Layer I decode. Every bitstream field round-trips bit-exactly
+    (payload codes, filler widths 2..15, scalefactor cycle, the
+    44.1 kHz Bresenham padding rule), the requantizer's closed form
+    is pinned by inverting the float samples back to the integer
+    codes, and the walker agrees with the Layer I decoder on frame
+    geometry. Corruption and out-of-scope paths raise the documented
+    error classes; PCM synthesis and Layer II/III spectral decode
+    are the documented table-refusals."""
+    import pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    p = bytes((i * 37 + 5) % 256 for i in range(1000))
+    enc = codecs.encode_mpeg1_layer1(p)
+    d = codecs.decode_mpeg1_layer1(enc)
+    nf = -(-len(p) // codecs.MP1_BYTES_PER_FRAME)
+    assert d["n_frames"] == nf and d["n_samples"] == nf * 384
+    assert d["sample_rate"] == 44100 and d["bitrate_kbps"] == 256
+    # Bresenham padding: count equals the closed form the oracle uses
+    assert d["n_padded"] == nf * codecs._MP1_PAD_REM // codecs.MP1_RATE
+    assert d["total_bytes"] == len(enc)
+    assert len(enc) == nf * codecs._MP1_SLOTS * 4 + d["n_padded"] * 4
+    rec = bytearray()
+    for fr in d["frames"]:
+        for s in range(12):
+            for sb in range(codecs.MP1_PAYLOAD_SUBBANDS):
+                rec.append(fr["codes"][sb][s])
+    assert bytes(rec[: len(p)]) == p
+    # filler subband: cycling widths with the deterministic pattern
+    for fi, fr in enumerate(d["frames"]):
+        nb = fr["alloc"][codecs.MP1_FILLER_SB]
+        assert nb == 2 + (fi % 14)
+        for s in range(12):
+            assert fr["codes"][codecs.MP1_FILLER_SB][s] == (
+                fi * 12 + s + codecs.MP1_FILLER_SB
+            ) % ((1 << nb) - 1)
+    # requantizer closed form inverts float -> code exactly
+    for fr in d["frames"]:
+        for sb in (0, 7, 15, codecs.MP1_FILLER_SB):
+            nb = fr["alloc"][sb]
+            gain = 2.0 * 2.0 ** (-fr["scf"][sb] / 3.0)
+            for s in range(12):
+                code = round(
+                    (fr["samples"][sb][s] / gain * ((1 << nb) - 1) + (1 << nb) - 2)
+                    / 2
+                )
+                assert code == fr["codes"][sb][s]
+    # the generic walker agrees on geometry
+    w = codecs.walk_mpeg_frames(enc)
+    assert len(w) == nf and all(f["layer"] == 1 and f["samples"] == 384 for f in w)
+    assert sum(f["frame_len"] for f in w) == len(enc)
+    # corruption dies loudly
+    with pytest.raises(ValueError, match="sync"):
+        codecs.decode_mpeg1_layer1(b"\x00" + enc[1:])
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_mpeg1_layer1(enc[:-8])
+    bad = bytearray(enc)
+    bad[4] = 0xFF  # allocation index 15 in the first nibble
+    with pytest.raises(ValueError, match="allocation"):
+        codecs.decode_mpeg1_layer1(bytes(bad))
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_mpeg1_layer1(b"")
+    # the documented refusals
+    with pytest.raises(NotImplementedError, match="Table B.3"):
+        codecs.synthesize_mpeg1_pcm()
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        codecs.decode_mp3(b"")
+
+
+MP3_ANCHOR_EXCERPT = (  # ID3v2 header + first 3 frames of the real file
+        "49443304000000000016545353450000000c0000034c61766635332e352e3000"
+        "fff380c40000000348000000004c414d45332e39382e32555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555554c414d45332e39382e3255"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "55555555555555555555555555555555fff382c4c30000034800000000555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555554c414d45332e39382e3255555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "55fff382c4ff0000034800000000555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "5555555555555555555555555555555555555555555555555555555555555555"
+        "55555555555555555555555555555555555555555555554c414d45332e39382e"
+        "3255555555555555555555555555555555555555555555555555555555555555"
+        "555555555555555555555555555555555555"
+)
+
+
+def test_mpeg_walker_anchored_to_real_layer3_file():
+    """Tier 2 anchor: a REAL MPEG-2 LSF Layer III file (the gsutil
+    test fixture, produced by a real encoder). The inline excerpt
+    (ID3v2 + 3 frames) keeps the anchor self-contained; when the
+    full file is present on this host the walk must consume all 45
+    frames and land exactly on EOF. A wrong bitrate/samplerate
+    table, frame-length rule, ID3 skip, or side-info bit layout
+    breaks this loudly — the side-info check rides on the silence
+    encoder's characteristic reservoir saturation (main_data_begin
+    0 -> 195 -> 255 with every granule empty), a pattern a
+    misaligned bit parse cannot reproduce."""
+    import os
+
+    from spark_dynamodb_spark.functions import codecs
+
+    ex = bytes.fromhex(MP3_ANCHOR_EXCERPT)
+    frames = codecs.walk_mpeg_frames(ex)
+    assert len(frames) == 3
+    for f in frames:
+        assert (f["version"], f["layer"]) == ("2", 3)
+        assert f["sample_rate"] == 22050 and f["bitrate_kbps"] == 64
+        assert f["mode"] == 3 and f["samples"] == 576
+    assert [f["frame_len"] for f in frames] == [208, 209, 209]
+    si = [f["side_info"] for f in frames]
+    assert [s["main_data_begin"] for s in si] == [0, 195, 255]
+    for s in si:
+        g = s["granules"][0][0]
+        assert g["part2_3_length"] == 0 and g["big_values"] == 0
+        assert g["global_gain"] == 210  # the spec's unity-gain point
+    full = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+    if os.path.exists(full):
+        with open(full, "rb") as fh:
+            wf = codecs.walk_mpeg_frames(fh.read())
+        assert len(wf) == 45
+        assert all(f["side_info"]["granules"][0][0]["part2_3_length"] == 0 for f in wf)
+        mdb = [f["side_info"]["main_data_begin"] for f in wf]
+        caps = [f["frame_len"] - 4 - 9 for f in wf]  # mono LSF side info
+        assert all(mdb[i] <= min(255, sum(caps[:i])) for i in range(len(wf)))
