@@ -146,6 +146,8 @@ EXTRA = [
     # requantizer self-inversion)
     "s34_stream_landing_zone_capstone",
     "c05_multimodal_mpeg_audio",
+    # loader-side manifest consumer (hash-bucket assignment, no global rank)
+    "c124_shard_assignment",
 ]
 
 

@@ -2585,3 +2585,142 @@ def pack_boundary_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id", "seg_start", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C124 — shard->worker assignment: the LOADER-side consumer of c121's
+# manifest (round 14, VERDICT r13 #7)
+# ---------------------------------------------------------------------------
+
+N_LOADER_WORKERS = 8
+N_LOADER_EPOCHS = 2
+
+
+def _shard_assignment_cols(epoch_col, source_col, pack_col):
+    """The one spelling of the assignment keys, shared by the entry
+    and the synthetic-manifest balance pytest: ``key`` is the
+    epoch-seeded md5 order key (per-worker consumption order), and
+    ``worker`` the md5_64 hash-bucket assignment — the c06/c58
+    content-free-hash discipline, so both are reproducible across
+    runs, engines, and partitionings, and re-seeding the epoch
+    reshuffles both."""
+    key = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit("ep"),
+            epoch_col.cast("string"),
+            source_col,
+            pack_col.cast("string"),
+        )
+    )
+    worker = md5_64(F.concat(F.lit("w|"), key)) % N_LOADER_WORKERS
+    return key, worker
+
+
+@query(
+    "c124_shard_assignment",
+    f"""
+    WITH manifest AS (SELECT * FROM ({{c121}}) _m),
+    e AS (
+      SELECT m.*, ep.epoch
+      FROM manifest m, (VALUES (0), (1)) AS ep(epoch)
+    ),
+    k AS (
+      SELECT epoch, pack_tokens, n_docs,
+             md5(concat_ws('|', 'ep', CAST(epoch AS VARCHAR), source,
+                           CAST(pack_id AS VARCHAR))) AS key
+      FROM e
+    ),
+    a AS (
+      SELECT epoch, key, pack_tokens, n_docs,
+             {sql_md5_64("'w|' || key")} % {N_LOADER_WORKERS} AS worker
+      FROM k
+    ),
+    g AS (
+      SELECT epoch, worker,
+             CAST(COUNT(*) AS BIGINT) AS n_shards,
+             CAST(SUM(pack_tokens) AS BIGINT) AS worker_tokens,
+             CAST(SUM(n_docs) AS BIGINT) AS worker_docs,
+             MIN(key) AS first_key,
+             MAX(key) AS last_key
+      FROM a GROUP BY epoch, worker
+    ),
+    t AS (SELECT epoch, SUM(worker_tokens) AS tot FROM g GROUP BY epoch)
+    SELECT g.epoch, g.worker, g.n_shards, g.worker_tokens, g.worker_docs,
+           CAST(g.worker_tokens * 1000000 // t.tot AS BIGINT) AS share_ppm,
+           g.first_key, g.last_key
+    FROM g JOIN t USING (epoch)
+    ORDER BY g.epoch, g.worker
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C124: the loader-side twin of c121 (VERDICT r13 #7) — proves
+    the train-shard manifest is actually CONSUMABLE: a deterministic
+    shard->worker assignment plus an epoch-seeded per-worker
+    consumption order, emitting each worker's token/doc budget per
+    epoch. Assignment and order are both content-free md5 keys (the
+    c06/c58 governance discipline: no RAND(), reproducible across
+    runs/engines/partitionings; changing the epoch reshuffles both,
+    so epochs see different shard orders AND different worker maps
+    without any state). first_key/last_key pin the per-worker order
+    as aggregates — deliberately NO global row_number: a global rank
+    would funnel the manifest through one task per epoch, while
+    hash-bucket assignment stays narrow (the manifest at 100 TB is
+    billions of rows; hash balance is within O(1/sqrt(shards/worker))
+    of fair, and the share_ppm column IS the imbalance audit a
+    loader team watches — the synthetic-manifest pytest pins the
+    bound at 10k shards). share_ppm is integer ppm of the epoch's
+    total tokens (no float).
+
+    Composition: the manifest is c121's output (the entry runs the
+    full five-stage pipeline — its single-scan discipline carries
+    over); the oracle nests c121's composed CTE chain verbatim as a
+    derived table, so one answer covers ingest -> shards -> loader."""
+    manifest = train_shards_capstone(spark, sf_dir)
+    epochs = F.explode(
+        F.array(*[F.lit(i) for i in range(N_LOADER_EPOCHS)])
+    ).alias("epoch")
+    e = manifest.select("source", "pack_id", "pack_tokens", "n_docs", epochs)
+    key, worker = _shard_assignment_cols(
+        F.col("epoch"), F.col("source"), F.col("pack_id")
+    )
+    a = e.select(
+        "epoch",
+        key.alias("key"),
+        worker.alias("worker"),
+        "pack_tokens",
+        "n_docs",
+    )
+    g = a.groupBy("epoch", "worker").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("pack_tokens").cast("long").alias("worker_tokens"),
+        F.sum("n_docs").cast("long").alias("worker_docs"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+    )
+    t = g.groupBy("epoch").agg(F.sum("worker_tokens").alias("tot"))
+    return (
+        g.join(F.broadcast(t), "epoch")
+        .select(
+            "epoch",
+            "worker",
+            "n_shards",
+            "worker_tokens",
+            "worker_docs",
+            F.expr("worker_tokens * 1000000 div tot").alias("share_ppm"),
+            "first_key",
+            "last_key",
+        )
+        .orderBy("epoch", "worker")
+    )
+
+
+def _finalize_c124_oracle() -> None:
+    """The oracle nests c121's composed chain verbatim (one source of
+    truth for the manifest semantics — a drift in c121's oracle
+    automatically propagates here)."""
+    spec = _REGISTRY.resolve("c124_shard_assignment")
+    spec.oracle = spec.oracle.replace("{c121}", _sql_c121())
+
+
+_finalize_c124_oracle()

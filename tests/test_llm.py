@@ -1896,3 +1896,63 @@ def test_mpeg_walker_anchored_to_real_layer3_file():
         mdb = [f["side_info"]["main_data_begin"] for f in wf]
         caps = [f["frame_len"] - 4 - 9 for f in wf]  # mono LSF side info
         assert all(mdb[i] <= min(255, sum(caps[:i])) for i in range(len(wf)))
+
+
+def test_c124_shard_assignment_balance_and_epoch_reshuffle(spark, sf_dir):
+    """c124 invariants: (a) totals conservation — every epoch's worker
+    budgets sum to the manifest totals; (b) determinism — two runs
+    produce identical rows; (c) epoch seeding — epoch 0 and epoch 1
+    produce DIFFERENT worker maps/orders (the md5 key includes the
+    epoch); (d) statistical balance at scale — on a synthetic
+    10k-shard manifest the max worker token share stays within 15%
+    of fair (1/8), pinning the hash-bucket balance bound the entry's
+    docstring claims (all deterministic: md5 has no seed)."""
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators.pipeline import (
+        N_LOADER_WORKERS,
+        _shard_assignment_cols,
+        shard_assignment,
+        train_shards_capstone,
+    )
+
+    rows = shard_assignment(spark, sf_dir).collect()
+    manifest = train_shards_capstone(spark, sf_dir).collect()
+    tot_tokens = sum(r.pack_tokens for r in manifest)
+    tot_docs = sum(r.n_docs for r in manifest)
+    n_shards = len(manifest)
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {0, 1}
+    for ep, ws in by_epoch.items():
+        assert sum(w.worker_tokens for w in ws) == tot_tokens
+        assert sum(w.worker_docs for w in ws) == tot_docs
+        assert sum(w.n_shards for w in ws) == n_shards
+        assert all(0 <= w.worker < N_LOADER_WORKERS for w in ws)
+        assert all(w.first_key <= w.last_key for w in ws)
+    # determinism
+    again = shard_assignment(spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # epoch reshuffle: the per-worker budgets differ between epochs
+    sig = lambda ws: sorted((w.worker, w.worker_tokens, w.first_key) for w in ws)
+    assert sig(by_epoch[0]) != sig(by_epoch[1])
+    # (d) synthetic 10k-shard manifest: balance within 15% of fair
+    synth = spark.range(10_000).select(
+        F.lit("srcX").alias("source"),
+        F.col("id").alias("pack_id"),
+        (F.lit(2000) + (F.col("id") % 97)).alias("pack_tokens"),
+    )
+    key, worker = _shard_assignment_cols(
+        F.lit(0), F.col("source"), F.col("pack_id")
+    )
+    per_worker = (
+        synth.select(worker.alias("worker"), "pack_tokens")
+        .groupBy("worker")
+        .agg(F.sum("pack_tokens").alias("tok"))
+        .collect()
+    )
+    toks = [r.tok for r in per_worker]
+    assert len(toks) == N_LOADER_WORKERS
+    fair = sum(toks) / N_LOADER_WORKERS
+    assert max(toks) < 1.15 * fair and min(toks) > 0.85 * fair, toks
