@@ -3347,3 +3347,87 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C125 — TRUE-FLOAT cosine serving scores (round 14, VERDICT r13 #6):
+# the float-banded twin of the integer-ppm eval family.
+# ---------------------------------------------------------------------------
+
+
+@query("c125_ann_cosine_float_serving", None)  # rows-only BY DESIGN (float)
+def ann_cosine_float_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C125: the serving-path answer a similarity API actually
+    returns — raw float64 cosine scores, NOT the integer-ppm /
+    round(,6) spellings the hash-oracle family uses (c03/c105/c120
+    quantize precisely so DuckDB can hash-match them; a real serving
+    layer ships the floats). Per query (vec_id < N_QUERIES): the
+    exact top-K neighbors with their raw cosine, plus the float
+    serving diagnostics a ranking layer consumes — top1_margin (gap
+    to rank 2, a confidence proxy) and mean_topk_cos, both computed
+    in DETERMINISTIC rank order via F.aggregate over the collected
+    rank-sorted array (fixed summation order — IEEE-reproducible
+    across partitionings, unlike a bare SUM of doubles).
+
+    Driver contract: rows-only BY CONSTRUCTION — two correct engines
+    differ in last-ulp float cosines by summation order, so there is
+    no hashable SQL twin. The STRONG check is the banded pytest
+    (tests/float_compare.py, the c122 harness): an independent
+    reference recomputes every score with math.fsum over per-element
+    products (a different summation algorithm entirely) and the
+    results must agree within explicit ulp/rtol bands.
+
+    Scale shape: identical to c03 (broadcast query set, one corpus
+    scan, per-query window top-k)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity("qvec", "vec").alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    # rank-sorted struct array -> fixed-order float reductions
+    per_q = topk.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rnk", "neighbor_id", "cosine"))
+        ).alias("arr")
+    )
+    mean_expr = (
+        F.aggregate(
+            "arr", F.lit(0.0), lambda acc, x: acc + x["cosine"]
+        )
+        / TOP_K
+    )
+    return (
+        per_q.select(
+            "query_id",
+            F.explode("arr").alias("x"),
+            (F.element_at("arr", 1)["cosine"] - F.element_at("arr", 2)["cosine"]).alias(
+                "top1_margin"
+            ),
+            mean_expr.alias("mean_topk_cos"),
+        )
+        .select(
+            "query_id",
+            F.col("x.rnk").alias("rnk"),
+            F.col("x.neighbor_id").alias("neighbor_id"),
+            F.col("x.cosine").alias("cosine"),
+            "top1_margin",
+            "mean_topk_cos",
+        )
+        .orderBy("query_id", "rnk")
+    )

