@@ -238,12 +238,25 @@ ROTATED_GREEN_R1 = frozenset(
         "c04_text_tfidf",
         "c04_text_token_bpe",
         "c04_text_token_stats",
+        "c05_audio_features",
         "c05_audio_resample",
+        "c05_audio_spectral",
+        "c05_image_features",
         "c05_multimodal_bmp_rle",
         "c05_multimodal_features",
+        "c05_multimodal_flac",
         "c05_multimodal_frames",
+        "c05_multimodal_gif",
+        "c05_multimodal_gif_interlaced",
+        "c05_multimodal_jpeg",
+        "c05_multimodal_jpeg_progressive",
+        "c05_multimodal_png",
+        "c05_multimodal_png_adam7",
+        "c05_multimodal_png_paletted",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
+        "c05_multimodal_tiff",
+        "c05_multimodal_video",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",
@@ -273,6 +286,9 @@ ROTATED_GREEN_R1 = frozenset(
         "c118_ann_binary_hamming",
         "c119_unigram_encode",
         "c11_domain_mixture",
+        "c120_matryoshka_recall",
+        "c121_train_shards_capstone",
+        "c123_pack_boundary_slices",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
         "c14_ts_interpolate",
@@ -388,7 +404,10 @@ ROTATED_GREEN_R1 = frozenset(
         "s27_stream_ivf_assign_state",
         "s28_stream_neardup_verdict",
         "s29_stream_neardup_dynamo_state",
+        "s30_stream_decontamination",
         "s31_stream_tokenize_state",
+        "s32_stream_media_features",
+        "s33_stream_pack_assignment",
     }
 )
 
@@ -440,6 +459,14 @@ ROWS_ONLY_VERIFIED: frozenset[str] = frozenset(
     {
         "b13_agg_approx_distinct",
         "b56_distinct_over_window_approx",
+        # float MFCC (round 13): driver rows-checked green in r13
+        # (spark_rows 2576, err no_oracle by design); the STRONG check
+        # is the banded pytest vs an independent O(n^2) DFT
+        # (tests/float_compare.py) — parking is window bookkeeping,
+        # same as b13/b56. c125/c126 (round 14 float evals) stay IN
+        # the window until they earn their first rows-only driver row,
+        # then park here too.
+        "c122_audio_mfcc",
     }
 )
 
