@@ -148,6 +148,8 @@ EXTRA = [
     "c05_multimodal_mpeg_audio",
     # loader-side manifest consumer (hash-bucket assignment, no global rank)
     "c124_shard_assignment",
+    # 12-bit SOF1 JPEG (16-bit DQT path; same codec class as jpeg)
+    "c05_multimodal_jpeg12",
 ]
 
 

@@ -906,13 +906,17 @@ def decode_jpeg(payload: bytes) -> dict:
     float 2D IDCT (level shift, round, clamp), and chroma upsampling
     by sample replication to full resolution.
 
-    Returns {width, height, n_components, sampling, file_size,
-    planes: [bytes raster per component, full resolution]}. Restart
-    intervals (DRI/RSTn) are supported: predictors reset and the bit
-    reader re-aligns at each marker, with sequence checking. Raises
-    ValueError on non-JPEG input or corrupt/truncated streams,
-    NotImplementedError for progressive (SOF2), 12-bit, or arithmetic
-    coding (out of scope here).
+    Returns {width, height, n_components, precision, sampling,
+    file_size, planes: [bytes raster per component, full resolution —
+    1 byte/sample at precision 8, native-endian uint16 at 12]}.
+    Restart intervals (DRI/RSTn) are supported: predictors reset and
+    the bit reader re-aligns at each marker, with sequence checking.
+    Round 14: SOF1 extended-sequential streams decode through the
+    same path with 12-bit samples (level shift 2048, clamp 0..4095)
+    and Pq=1 16-bit DQT entries — the entropy decode was already
+    precision-agnostic. Raises ValueError on non-JPEG input or
+    corrupt/truncated streams, NotImplementedError for
+    hierarchical/arithmetic coding (out of scope here).
     """
     import numpy as np
 
@@ -953,11 +957,12 @@ def decode_jpeg(payload: bytes) -> dict:
             # progressive DCT (round 13): multi-scan coefficient
             # accumulation needs its own walk — restart the parse
             return _decode_jpeg_progressive(payload)
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG are "
-                f"supported here (marker 0xFF{marker:02X}); "
-                "hierarchical/arithmetic streams need real codec libs"
+                f"only baseline (SOF0), extended sequential (SOF1) and "
+                f"progressive (SOF2) JPEG are supported here (marker "
+                f"0xFF{marker:02X}); hierarchical/arithmetic streams "
+                "need real codec libs"
             )
         if marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -967,10 +972,19 @@ def decode_jpeg(payload: bytes) -> dict:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
-                qtabs[tq] = list(body[p + 1 : p + 65])
-                p += 65
+                if pq == 0:
+                    qtabs[tq] = list(body[p + 1 : p + 65])
+                    p += 65
+                elif pq == 1:  # 16-bit entries (round 14, 12-bit path)
+                    raw = body[p + 1 : p + 129]
+                    if len(raw) < 128:
+                        raise ValueError("jpeg: truncated 16-bit DQT")
+                    qtabs[tq] = [
+                        (raw[2 * i] << 8) | raw[2 * i + 1] for i in range(64)
+                    ]
+                    p += 129
+                else:
+                    raise ValueError(f"jpeg: illegal DQT precision {pq}")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(body):
@@ -980,17 +994,22 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(body[p + 17 : p + 17 + n])
                 htabs[(cls, tid)] = _jpeg_decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (extended sequential)
             prec = body[0]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            # SOF1 allows 12-bit samples (T.81 Table B.2); the entropy
+            # decode below is precision-agnostic (DC categories reach
+            # 15, AC 14 — the generic bits()/EXTEND path covers both)
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8/12-bit precision supported (got {prec})"
+                )
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-            sof = (w, h, nc)
+            sof = (w, h, nc, prec)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan = []
@@ -1002,7 +1021,10 @@ def decode_jpeg(payload: bytes) -> dict:
         pos = pos + 2 + size
     if sof is None or scan is None:
         raise ValueError("jpeg: missing SOF0 or SOS")
-    w, h, nc = sof
+    w, h, nc, prec = sof
+    shift = 1 << (prec - 1)
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1014,7 +1036,7 @@ def decode_jpeg(payload: bytes) -> dict:
     grids = []
     for _, ch, cv, _tq in comps:
         grids.append(
-            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.uint8)
+            np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=dtype)
         )
     rst_expect = 0
     for my in range(mcuy):
@@ -1058,7 +1080,9 @@ def decode_jpeg(payload: bytes) -> dict:
                             )
                             z += 1
                         block = idctm.T @ coefs.reshape(8, 8) @ idctm
-                        px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
+                        px = np.clip(
+                            np.round(block + shift), 0, maxval
+                        ).astype(dtype)
                         y0 = (my * cv + by) * 8
                         x0 = (mx * ch + bx) * 8
                         grids[ci][y0 : y0 + 8, x0 : x0 + 8] = px
@@ -1072,8 +1096,10 @@ def decode_jpeg(payload: bytes) -> dict:
         "width": w,
         "height": h,
         "n_components": nc,
+        "precision": prec,
         "sampling": [(c[1], c[2]) for c in comps],
         "file_size": len(payload),
+        # 8-bit: 1 byte/sample; 12-bit: native-endian uint16 pairs
         "planes": planes,
     }
 
@@ -3895,3 +3921,138 @@ def decode_mp3(*_args, **_kwargs):
         "unavailable offline; frame/side-info walk and full Layer I "
         "decode are the supported MPEG-audio surface"
     )
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended-sequential JPEG (SOF1, round 14): shrinks the JPEG
+# refusal surface to hierarchical/arithmetic only. Everything here is
+# closed-form or self-describing (our own canonical Huffman tables
+# ride in the DHT segment; the 16-bit quant table rides in a Pq=1
+# DQT), so nothing depends on unavailable committee data.
+# ---------------------------------------------------------------------------
+
+# DC table: all 16 magnitude categories (12-bit DC diffs reach
+# category 15) as a flat canonical code at length 5.
+_JPEG12_DC = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+# AC table: every (run, size) symbol 0x00..0xFF — wasteful but
+# canonical-legal and trivially correct; a DHT length-count byte caps
+# at 255 codes, so the 256 symbols split across lengths 9 and 10
+# (Kraft 128/512 + 128/1024 = 0.375). The decoder reads it from the
+# stream like any DHT.
+_JPEG12_AC = (
+    [0] * 8 + [128, 128] + [0] * 6,
+    list(range(128)) + list(range(128, 256)),
+)
+
+# Trailer-row coefficients (the 12-bit analogue of
+# _JPEG_TRAILER_COEFS): quantized values sized for the 16-bit AC
+# quant step below so dequantized samples stay inside 0..4095.
+_JPEG12_TRAILER_COEFS = [
+    {0: 16, 5: 3, 20: -2},  # Y0: DC + two ACs through the 300-step
+    {1: 2},                 # Y1
+    {9: -4},                # Y2
+    {0: -20},               # Y3
+    {1: 2, 10: 1},          # Cb
+    {2: -3},                # Cr
+]
+_JPEG12_Q_DC = 128  # divides 8 * 16 * (v - 128) exactly (see encode)
+_JPEG12_Q_AC = 300  # > 255: forces the Pq=1 16-bit DQT read path
+
+
+def encode_jpeg12(data: bytes, mcu_cols: int = _JPEG_MCU_COLS) -> bytes:
+    """Pack a byte payload as a 12-bit extended-sequential (SOF1)
+    JFIF JPEG: the encode_jpeg layout (4:2:0, constant payload luma
+    blocks, one nonzero-AC trailer MCU row), re-based for 12-bit
+    samples — payload byte v becomes the constant sample
+    16*(v - 128) + 2048 (exactly the quantized DC (v - 128) under the
+    q0 = 128 table entry, so recovery is exact), the quant table
+    ships 16-bit entries via a Pq=1 DQT (q_AC = 300 cannot fit 8
+    bits — the parse path is load-bearing), and the Huffman tables
+    cover the full 12-bit category range (DC to 15)."""
+    import struct as _struct
+
+    if not data:
+        raise ValueError("encode_jpeg12: empty payload")
+    per_row = 4 * mcu_cols
+    payload_mcu_rows = -(-len(data) // per_row)
+    mcu_rows = payload_mcu_rows + 1
+    width = 16 * mcu_cols
+    height = 16 * mcu_rows
+    if height > 65535:
+        raise ValueError(
+            "encode_jpeg12: payload too large for 16-bit height "
+            f"({len(data)} bytes at mcu_cols={mcu_cols})"
+        )
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + _struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    # DQT: Pq=1 (16-bit entries), tables 0 (luma) and 1 (chroma)
+    for tid in (0, 1):
+        q = [_JPEG12_Q_DC] + [_JPEG12_Q_AC] * 63
+        out += b"\xff\xdb" + _struct.pack(">H", 131) + bytes([(1 << 4) | tid])
+        for v in q:
+            out += _struct.pack(">H", v)
+    # SOF1: extended sequential, 12-bit precision
+    out += b"\xff\xc1" + _struct.pack(">H", 17) + bytes([12])
+    out += _struct.pack(">HH", height, width) + bytes([3])
+    out += bytes([1, 0x22, 0])
+    out += bytes([2, 0x11, 1])
+    out += bytes([3, 0x11, 1])
+    # DHT: one DC and one AC table shared by all components
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JPEG12_DC),
+        (1, 0, _JPEG12_AC),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + _struct.pack(">H", 12) + bytes([3])
+    out += bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    dc_tab = _jpeg_huff_codes(*_JPEG12_DC)
+    ac_tab = _jpeg_huff_codes(*_JPEG12_AC)
+    wr = _JpegBitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+    n_payload_mcus = payload_mcu_rows * mcu_cols
+    for m in range(mcu_rows * mcu_cols):
+        trailer_first = m == n_payload_mcus
+        for b in range(4):
+            if m < n_payload_mcus:
+                i = m * 4 + b
+                v = data[i] if i < len(data) else 0
+                coefs = {0: v - 128} if v != 128 else {}
+            elif trailer_first:
+                coefs = _JPEG12_TRAILER_COEFS[b]
+            else:
+                coefs = {}
+            pred["y"] = _jpeg_encode_block(wr, coefs, pred["y"], dc_tab, ac_tab)
+        cb = _JPEG12_TRAILER_COEFS[4] if trailer_first else {}
+        cr = _JPEG12_TRAILER_COEFS[5] if trailer_first else {}
+        pred["cb"] = _jpeg_encode_block(wr, cb, pred["cb"], dc_tab, ac_tab)
+        pred["cr"] = _jpeg_encode_block(wr, cr, pred["cr"], dc_tab, ac_tab)
+    out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg12_payload_bytes(img: dict, n: int) -> bytes:
+    """Invert encode_jpeg12's packing: sample = 16*(v - 128) + 2048
+    per constant luma block, read from the uint16 plane in MCU raster
+    block order."""
+    import numpy as np
+
+    w = img["width"]
+    y = np.frombuffer(img["planes"][0], dtype=np.uint16).reshape(-1, w)
+    out = bytearray()
+    mcu_cols = w // 16
+    for i in range(n):
+        m, b = divmod(i, 4)
+        my, mx = divmod(m, mcu_cols)
+        py = 16 * my + 8 * (b // 2)
+        px = 16 * mx + 8 * (b % 2)
+        out.append((int(y[py, px]) - 2048) // 16 + 128)
+    return bytes(out)

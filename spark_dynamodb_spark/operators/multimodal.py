@@ -2757,3 +2757,100 @@ def multimodal_mpeg_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(roundtrip, out_schema)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c05_multimodal_jpeg12",
+    """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST((ceil(octet_length(CAST(text AS BLOB)) / 16.0) + 1) * 16 AS BIGINT)
+             AS height,
+           CAST(12 AS BIGINT) AS precision,
+           md5(text) AS payload_md5,
+           TRUE AS trailer_nonflat,
+           'image/jpeg' AS mime
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-jpeg12: 12-BIT extended-sequential (SOF1) JPEG decode
+    (round 14) — the high-bit-depth JPEG variant medical/scientific
+    corpora carry, shrinking the JPEG refusal surface to
+    hierarchical/arithmetic only. Same discipline as the baseline
+    entry: payload bytes ride as constant luma blocks — here sample
+    16*(v-128)+2048, exactly the quantized DC (v-128) under the
+    q0=128 entry — through a stream whose quant table ships 16-bit
+    entries in a Pq=1 DQT (q_AC=300 cannot fit 8 bits, so the parse
+    path is load-bearing) and whose Huffman tables span the full
+    12-bit category range. The decoder runs the SAME
+    precision-agnostic entropy path with a 2048 level shift and
+    0..4095 clamp into uint16 planes; the trailer MCU row's nonzero
+    ACs (through the 300-step dequant) keep the IDCT machinery honest
+    — trailer_nonflat asserts its pixels are non-constant, and the
+    exact values are pinned against an independent direct-IDCT
+    reference in tests/test_llm.py.
+
+    100 TB shape: the c05 codec class (numbered repartition, Arrow
+    mapInPandas, media bytes never pass the driver)."""
+    _ensure_worker_imports(spark)
+    import numpy as np
+
+    from spark_dynamodb_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg12,
+        jpeg12_payload_bytes,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("precision", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("trailer_nonflat", T.BooleanType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode()
+                img = decode_jpeg(encode_jpeg12(payload))
+                rec = jpeg12_payload_bytes(img, len(payload))
+                y = np.frombuffer(img["planes"][0], dtype=np.uint16).reshape(
+                    -1, img["width"]
+                )
+                trailer = y[-16:-8, :8]  # first trailer block (Y0)
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["precision"].append(img["precision"])
+                out["payload_md5"].append(hashlib.md5(rec).hexdigest())
+                out["trailer_nonflat"].append(int(trailer.max()) > int(trailer.min()))
+                out["mime"].append("image/jpeg")
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(roundtrip, out_schema)
+        .orderBy("doc_id")
+    )

@@ -2879,17 +2879,25 @@ def unigram_perplexity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation call pattern, different summation algorithm) and
     the results must agree within explicit rtol/ulp bands.
 
-    Scale shape: two shuffles total — one word-count aggregation
-    (map-side combined; vocabulary-bounded output) and one per-source
-    rollup; the corpus is scanned once and raw text never moves."""
+    Scale shape: TEXT is scanned once — the (source, word, n)
+    relation is vocabulary-x-sources bounded, so it localCheckpoints
+    (the c121 staging discipline) and BOTH the corpus-wide model and
+    the per-source scoring derive from it; the only other documents
+    touch is the n_docs rollup, a source-column-only pruned scan
+    (empty-text docs must still count, so it cannot ride the token
+    relation). Plan-gated: exactly one text-bearing scan."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", "source", F.explode(simple_tokens("text")).alias("word")
+        "source", F.explode(simple_tokens("text")).alias("word")
     )
-    wc = tok.groupBy("word").agg(F.count("*").alias("cnt"))
+    # the one text scan: per-(source, word) counts, staged bounded
+    sw = (
+        tok.groupBy("source", "word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wc = sw.groupBy("word").agg(F.sum("n").alias("cnt"))
     total = wc.agg(F.sum("cnt").alias("t")).collect()[0][0]
-    # per (source, word) counts join the vocabulary-bounded model once
-    sw = tok.groupBy("source", "word").agg(F.count("*").alias("n"))
     per_src = (
         sw.join(wc, "word")
         .groupBy("source")

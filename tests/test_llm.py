@@ -2100,3 +2100,67 @@ def test_c126_perplexity_against_counter_fsum_reference(spark, sf_dir):
     # sanity: a unigram model's per-token perplexity is bounded by
     # the vocabulary-ish scale and must exceed 1
     assert (got["perplexity"] > 1.0).all()
+
+
+def test_jpeg12_roundtrip_and_trailer_against_direct_idct():
+    """12-bit SOF1 JPEG (round 14): payload bytes round-trip exactly
+    (constant blocks, q0=128 divisibility), the Pq=1 16-bit DQT path
+    is load-bearing (q_AC=300 cannot encode in 8 bits), and the
+    trailer block's pixels match an INDEPENDENT direct double-loop
+    IDCT of the dequantized coefficients — the machinery a stub
+    decoder would skip. Corruption and the remaining refusal markers
+    raise the documented error classes."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    p = bytes((i * 73 + 11) % 256 for i in range(500))
+    enc = codecs.encode_jpeg12(p)
+    img = codecs.decode_jpeg(enc)
+    assert img["precision"] == 12
+    assert codecs.jpeg12_payload_bytes(img, len(p)) == p
+    # the stream really carries a Pq=1 DQT with a >255 entry
+    dqt_at = enc.index(b"\xff\xdb")
+    assert enc[dqt_at + 4] >> 4 == 1  # Pq = 1
+    # independent IDCT of the Y0 trailer block: coefs are zigzag
+    # indexed quantized values; dequant with q0=128 / qac=300
+    coefs = np.zeros(64)
+    for z, v in codecs._JPEG12_TRAILER_COEFS[0].items():
+        q = codecs._JPEG12_Q_DC if z == 0 else codecs._JPEG12_Q_AC
+        coefs[codecs._JPEG_ZIGZAG[z]] = v * q
+    m = coefs.reshape(8, 8)
+    want = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = math.sqrt(0.5) if u == 0 else 1.0
+                    cv = math.sqrt(0.5) if v == 0 else 1.0
+                    acc += (
+                        cu * cv * m[u, v]
+                        * math.cos((2 * x + 1) * v * math.pi / 16)
+                        * math.cos((2 * y + 1) * u * math.pi / 16)
+                    )
+            want[y, x] = min(max(round(acc / 4 + 2048), 0), 4095)
+    yplane = np.frombuffer(img["planes"][0], dtype=np.uint16).reshape(
+        -1, img["width"]
+    )
+    got = yplane[-16:-8, :8].astype(np.float64)
+    assert np.array_equal(got, want), (got, want)
+    assert got.max() > got.min()  # nonflat — the entry's column
+    # corruption + refusals
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_jpeg(enc[:-20])
+    bad = bytearray(enc)
+    sof = bad.index(b"\xff\xc1")
+    bad[sof + 1] = 0xC3  # lossless sequential — still refused
+    with pytest.raises(NotImplementedError, match="hierarchical|arithmetic"):
+        codecs.decode_jpeg(bytes(bad))
+    bad[sof + 1] = 0xC1
+    bad[sof + 4] = 10  # precision 10: spec-illegal for SOF1 here
+    with pytest.raises(NotImplementedError, match="precision"):
+        codecs.decode_jpeg(bytes(bad))

@@ -1877,3 +1877,56 @@ def test_train_shards_capstone_stage_contracts(spark, sf_dir):
     # at least one duplicate-bearing group exists in the fixture, so
     # the dedup stages are genuinely load-bearing here
     assert dup_copies or contaminated
+
+
+def test_c124_shard_assignment_plan(spark, sf_dir):
+    """c124: the loader-side consumer must stay narrow — hash-bucket
+    assignment (NO global row_number: a per-epoch rank would funnel
+    the manifest through one task), the per-epoch totals broadcast
+    onto the budgets, and no cartesian beyond the 2-literal epoch
+    explode."""
+    from spark_dynamodb_spark.operators import pipeline as p
+
+    df = p.shard_assignment(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "row_number" not in plan.lower(), plan
+    assert "Window" not in plan, plan  # aggregates only, no rank
+    assert "BroadcastHashJoin" in plan, plan  # totals join
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_c125_float_serving_plan(spark, sf_dir):
+    """c125: the c03 serving shape — query set broadcast, one corpus
+    scan, per-query window top-k; the float diagnostics ride a
+    rank-sorted array fold, not a second scan."""
+    from spark_dynamodb_spark.operators.similarity import (
+        ann_cosine_float_serving,
+    )
+
+    df = ann_cosine_float_serving(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("embeddings.parquet") <= 2, plan  # corpus + query side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_c126_perplexity_single_text_scan(spark, sf_dir):
+    """c126: TEXT moves once — the vocabulary-bounded (source, word,
+    n) relation is checkpointed and everything downstream derives
+    from it; the only other documents touch is the n_docs rollup,
+    which must be a source-column-only pruned scan."""
+    import re
+
+    from spark_dynamodb_spark.operators.text_analysis import (
+        unigram_perplexity_eval,
+    )
+
+    df = unigram_perplexity_eval(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "ExistingRDD" in plan, plan  # the checkpointed token stats
+    # exactly one documents scan survives in the output plan (n_docs),
+    # and its ReadSchema must not carry text
+    scans = plan.count("documents.parquet")
+    assert scans == 1, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), plan
