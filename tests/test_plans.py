@@ -1889,8 +1889,10 @@ def test_c124_shard_assignment_plan(spark, sf_dir):
 
     df = p.shard_assignment(spark, sf_dir)
     plan = physical_plan(df)
+    # c121's manifest stages legitimately use min/sum windows; the
+    # ASSIGNMENT must add no rank — a row_number anywhere would be the
+    # one-task-per-epoch funnel this entry exists to avoid
     assert "row_number" not in plan.lower(), plan
-    assert "Window" not in plan, plan  # aggregates only, no rank
     assert "BroadcastHashJoin" in plan, plan  # totals join
     assert "CartesianProduct" not in plan, plan
 
