@@ -3600,65 +3600,115 @@ def _mp1_pad(i: int) -> int:
     return ((i + 1) * _MP1_PAD_REM) // MP1_RATE - (i * _MP1_PAD_REM) // MP1_RATE
 
 
-def encode_mpeg1_layer1(payload: bytes) -> bytes:
+def encode_mpeg1_layer1(payload: bytes, mode: int = 0b11, bound: int = 32) -> bytes:
     """Pack a byte payload as a spec-legal MPEG-1 Audio Layer I
-    elementary stream (single-channel, 44.1 kHz, 256 kbit/s): each
-    frame carries 192 payload bytes as the 9-bit quantized codes of
-    subbands 0..15 (12 samples each, time-major interleave per
-    §2.4.1.5 — code = byte value, always < 2^9 - 1 so every code is
-    inside the 511-step quantizer's range), one filler subband whose
-    allocation width cycles 2..15 bits across frames with a
-    deterministic in-range code pattern, scalefactor indices cycling
-    the multiples of 3 (exact-power-of-two gains), and the 44.1 kHz
-    padding-slot rule exercised via the documented Bresenham. The
-    remainder of each 4-byte-slot frame is zero ancillary data."""
+    elementary stream (44.1 kHz, 256 kbit/s): each frame carries 192
+    payload bytes as the 9-bit quantized codes of subbands 0..15 (12
+    samples each, time-major interleave per §2.4.1.5 — code = byte
+    value, always < 2^9 - 1 so every code is inside the 511-step
+    quantizer's range), one filler subband whose allocation width
+    cycles 2..15 bits across frames with a deterministic in-range
+    code pattern, scalefactor indices cycling the multiples of 3
+    (exact-power-of-two gains), and the 44.1 kHz padding-slot rule
+    exercised via the documented Bresenham. The remainder of each
+    4-byte-slot frame is zero ancillary data.
+
+    ``mode`` (round 14 stereo extension): 0b11 single channel (the
+    default; the payload layout above), 0b00 stereo (payload rides
+    channel 0; channel 1 carries the deterministic filler pattern on
+    the same subbands with independent allocation/scalefactors), or
+    0b01 joint (intensity) stereo — below ``bound`` (4/8/12/16 via
+    mode_extension) like stereo, at/above bound ONE sample per
+    (s, sb) shared by both channels with per-channel scalefactors,
+    exactly the §2.4.2.4 layout. All three modes are closed-form."""
     if not payload:
         raise ValueError("mpeg1-layer1: empty payload")
+    if mode not in (0b11, 0b00, 0b01):
+        raise ValueError("mpeg1-layer1: mode must be 0b11/0b00/0b01")
+    if mode == 0b01:
+        if bound not in (4, 8, 12, 16):
+            raise ValueError("mpeg1-layer1: joint bound must be 4/8/12/16")
+        mode_ext = (bound - 4) // 4
+    else:
+        mode_ext = 0
+        bound = 32
     n_frames = -(-len(payload) // MP1_BYTES_PER_FRAME)
     padded = payload + bytes(n_frames * MP1_BYTES_PER_FRAME - len(payload))
+    nch = 1 if mode == 0b11 else 2
+    # mono keeps the oracle-pinned 256 kbit geometry; the two-channel
+    # modes need wider frames (448 kbit, index 14)
+    br_idx, bitrate = (8, MP1_BITRATE) if nch == 1 else (14, 448_000)
+    slots = 12 * bitrate // MP1_RATE
+    rem = 12 * bitrate % MP1_RATE
+
+    def ch1_nb(fi: int, sb: int) -> int:
+        return 2 + ((fi + sb) % 4)  # second-channel width cycle 2..5
+
+    def filler_code(fi: int, s: int, nb: int) -> int:
+        return (fi * 12 + s + MP1_FILLER_SB) % ((1 << nb) - 1)
+
     out = bytearray()
     for fi in range(n_frames):
         chunk = padded[fi * MP1_BYTES_PER_FRAME : (fi + 1) * MP1_BYTES_PER_FRAME]
-        pad = _mp1_pad(fi)
+        pad = ((fi + 1) * rem) // MP1_RATE - (fi * rem) // MP1_RATE
         bw = _FlacBitWriter()
         # header: sync(12) id(1) layer(2='11' LayerI) prot(1='1' none)
         bw.write(0xFFF, 12)
         bw.write(1, 1)
         bw.write(0b11, 2)
         bw.write(1, 1)
-        bw.write(8, 4)  # bitrate index 8 = 256 kbit (Layer I table)
+        bw.write(br_idx, 4)
         bw.write(0b00, 2)  # 44.1 kHz
         bw.write(pad, 1)
         bw.write(0, 1)  # private
-        bw.write(0b11, 2)  # single channel
-        bw.write(0, 2)  # mode extension
+        bw.write(mode, 2)
+        bw.write(mode_ext, 2)
         bw.write(0, 1)  # copyright
         bw.write(0, 1)  # original/copy
         bw.write(0, 2)  # emphasis none
         nb_filler = 2 + (fi % 14)
-        alloc = [0] * 32
+        # allocation per channel: ch0 = payload + filler; ch1 = the
+        # width-cycle pattern on the payload subbands
+        alloc = [[0] * 32 for _ in range(nch)]
         for sb in range(MP1_PAYLOAD_SUBBANDS):
-            alloc[sb] = 9 - 1  # 4-bit allocation index = nb - 1
-        alloc[MP1_FILLER_SB] = nb_filler - 1
+            alloc[0][sb] = 9 - 1
+            if nch == 2:
+                alloc[1][sb] = ch1_nb(fi, sb) - 1
+        alloc[0][MP1_FILLER_SB] = nb_filler - 1
+        if nch == 2:
+            alloc[1][MP1_FILLER_SB] = nb_filler - 1
+        # §2.4.1.5: per-channel allocation below bound, shared at/above
+        for sb in range(min(bound, 32)):
+            for ch in range(nch):
+                bw.write(alloc[ch][sb], 4)
+        for sb in range(bound, 32):
+            bw.write(alloc[0][sb], 4)  # shared (intensity) allocation
+        # scalefactors: per channel wherever that channel is audible
+        # (at/above bound the shared subband still carries BOTH
+        # channels' scalefactors)
         for sb in range(32):
-            bw.write(alloc[sb], 4)
-        for sb in range(32):
-            if alloc[sb]:
-                bw.write((3 * (fi + sb)) % 63, 6)
-        # samples: time-major (s outer, subband inner) per the spec
+            for ch in range(nch):
+                live = alloc[ch][sb] if sb < bound else alloc[0][sb]
+                if live:
+                    bw.write((3 * (fi + sb + ch)) % 63, 6)
+        # samples: time-major; shared subbands emit ONE code
         for s in range(12):
             for sb in range(32):
-                if not alloc[sb]:
-                    continue
-                if sb < MP1_PAYLOAD_SUBBANDS:
-                    bw.write(chunk[s * MP1_PAYLOAD_SUBBANDS + sb], 9)
+                if sb < bound:
+                    chans = range(nch)
                 else:
-                    bw.write(
-                        (fi * 12 + s + MP1_FILLER_SB) % ((1 << nb_filler) - 1),
-                        nb_filler,
-                    )
+                    chans = (0,) if alloc[0][sb] else ()
+                for ch in chans:
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    if sb < MP1_PAYLOAD_SUBBANDS and ch == 0:
+                        bw.write(chunk[s * MP1_PAYLOAD_SUBBANDS + sb], 9)
+                    else:
+                        bw.write(filler_code(fi, s, nb), nb)
         bw.align()
-        frame_len = (_MP1_SLOTS + pad) * 4
+        frame_len = (slots + pad) * 4
         if len(bw.buf) > frame_len:
             raise ValueError("mpeg1-layer1: frame overflow")
         bw.buf.extend(bytes(frame_len - len(bw.buf)))  # zero ancillary
@@ -3674,9 +3724,18 @@ def decode_mpeg1_layer1(data: bytes) -> dict:
     nb-bit code unpacking in the time-major interleave, and the
     closed-form requantizer
         s = (2*code + 2 - 2^nb) / (2^nb - 1) * gain.
-    Returns integer codes (bit-exact) alongside the float subband
-    samples; PCM synthesis past this point needs the Table B.3
-    window and is a documented refusal (see synthesize_mpeg1_pcm)."""
+    Round 14 stereo extension: all three Layer I channel modes decode
+    — single (0b11), stereo (0b00, per-channel allocation), and joint
+    intensity stereo (0b01: shared allocation + ONE sample per
+    (s, sb) at/above the mode_extension bound, per-channel
+    scalefactors — the shared code requantizes through EACH channel's
+    own gain, which is the whole point of intensity coding).
+    Mono frames keep the original flat per-frame shape
+    (alloc/scf/codes/samples indexed [sb]); two-channel frames nest
+    per channel (indexed [ch][sb]) and carry the bound. Returns
+    integer codes (bit-exact) alongside the float subband samples;
+    PCM synthesis past this point needs the Table B.3 window and is
+    a documented refusal (see synthesize_mpeg1_pcm)."""
     pos = 0
     if data[:3] == b"ID3":  # optional ID3v2 prefix (syncsafe size)
         if len(data) < 10:
@@ -3696,10 +3755,13 @@ def decode_mpeg1_layer1(data: bytes) -> dict:
         sr_idx = (b2 >> 2) & 3
         pad = (b2 >> 1) & 1
         mode = (b3 >> 6) & 3
+        mode_ext = (b3 >> 4) & 3
         if br_idx in (0, 15) or sr_idx == 3:
             raise ValueError("mpeg1-layer1: illegal bitrate/samplerate index")
-        if mode != 0b11:
-            raise ValueError("mpeg1-layer1: only single-channel supported")
+        if mode == 0b10:
+            raise ValueError("mpeg1-layer1: dual-channel mode not supported")
+        nch = 1 if mode == 0b11 else 2
+        bound = 32 if mode != 0b01 else 4 + 4 * mode_ext
         bitrate = _MPEG_BR_V1[3][br_idx] * 1000
         srate = _MPEG_SR[3][sr_idx]
         frame_len = (12 * bitrate // srate + pad) * 4
@@ -3707,42 +3769,79 @@ def decode_mpeg1_layer1(data: bytes) -> dict:
             raise ValueError("mpeg1-layer1: truncated frame")
         n_padded += pad
         rd = _FlacBitReader(data, pos + 4)
-        alloc = []
-        for _ in range(32):
+
+        def _alloc4() -> int:
             a = rd.read(4)
             if a == 15:
                 raise ValueError("mpeg1-layer1: forbidden allocation 15")
-            alloc.append(a + 1 if a else 0)
-        scf = [0] * 32
+            return a + 1 if a else 0
+
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(min(bound, 32)):
+            for ch in range(nch):
+                alloc[ch][sb] = _alloc4()
+        for sb in range(bound, 32):
+            a = _alloc4()
+            for ch in range(nch):
+                alloc[ch][sb] = a  # shared intensity allocation
+        scf = [[0] * 32 for _ in range(nch)]
         for sb in range(32):
-            if alloc[sb]:
-                scf[sb] = rd.read(6)
-                if scf[sb] == 63:
-                    raise ValueError("mpeg1-layer1: forbidden scalefactor 63")
-        codes = [[0] * 12 for _ in range(32)]
+            for ch in range(nch):
+                if alloc[ch][sb]:
+                    scf[ch][sb] = rd.read(6)
+                    if scf[ch][sb] == 63:
+                        raise ValueError(
+                            "mpeg1-layer1: forbidden scalefactor 63"
+                        )
+        codes = [[[0] * 12 for _ in range(32)] for _ in range(nch)]
         for s in range(12):
             for sb in range(32):
-                if alloc[sb]:
-                    codes[sb][s] = rd.read(alloc[sb])
-        samples = [[0.0] * 12 for _ in range(32)]
-        for sb in range(32):
-            nb = alloc[sb]
-            if not nb:
-                continue
-            gain = 2.0 * 2.0 ** (-scf[sb] / 3.0)
-            scale = gain / ((1 << nb) - 1)
-            off = 2 - (1 << nb)
-            for s in range(12):
-                samples[sb][s] = (2 * codes[sb][s] + off) * scale
-        frames.append(
-            {"alloc": alloc, "scf": scf, "codes": codes, "samples": samples}
-        )
+                if sb < bound:
+                    for ch in range(nch):
+                        if alloc[ch][sb]:
+                            codes[ch][sb][s] = rd.read(alloc[ch][sb])
+                elif alloc[0][sb]:
+                    v = rd.read(alloc[0][sb])
+                    for ch in range(nch):
+                        codes[ch][sb][s] = v  # one shared code
+        samples = [[[0.0] * 12 for _ in range(32)] for _ in range(nch)]
+        for ch in range(nch):
+            for sb in range(32):
+                nb = alloc[ch][sb]
+                if not nb:
+                    continue
+                gain = 2.0 * 2.0 ** (-scf[ch][sb] / 3.0)
+                scale = gain / ((1 << nb) - 1)
+                off = 2 - (1 << nb)
+                for s in range(12):
+                    samples[ch][sb][s] = (2 * codes[ch][sb][s] + off) * scale
+        if nch == 1:  # the original mono per-frame shape, unchanged
+            frames.append(
+                {
+                    "alloc": alloc[0],
+                    "scf": scf[0],
+                    "codes": codes[0],
+                    "samples": samples[0],
+                }
+            )
+        else:
+            frames.append(
+                {
+                    "alloc": alloc,
+                    "scf": scf,
+                    "codes": codes,
+                    "samples": samples,
+                    "bound": bound,
+                }
+            )
         pos += frame_len
     if not frames:
         raise ValueError("mpeg1-layer1: no frames")
     return {
         "sample_rate": srate,
         "bitrate_kbps": bitrate // 1000,
+        "mode": mode,
+        "n_channels": nch,
         "n_frames": len(frames),
         "n_padded": n_padded,
         "n_samples": len(frames) * 384,

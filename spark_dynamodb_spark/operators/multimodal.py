@@ -2627,7 +2627,9 @@ def multimodal_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(d.text) AS payload_md5,
            TRUE AS requant_verified,
            TRUE AS filler_verified,
-           TRUE AS walk_consistent
+           TRUE AS walk_consistent,
+           md5(d.text) AS stereo_payload_md5,
+           TRUE AS joint_shared_verified
     FROM documents d JOIN m USING (doc_id)
     ORDER BY d.doc_id
     """,
@@ -2688,6 +2690,8 @@ def multimodal_mpeg_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("requant_verified", T.BooleanType()),
             T.StructField("filler_verified", T.BooleanType()),
             T.StructField("walk_consistent", T.BooleanType()),
+            T.StructField("stereo_payload_md5", T.StringType()),
+            T.StructField("joint_shared_verified", T.BooleanType()),
         ]
     )
 
@@ -2750,6 +2754,39 @@ def multimodal_mpeg_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["requant_verified"].append(rq_ok)
                 out["filler_verified"].append(fl_ok)
                 out["walk_consistent"].append(wk_ok)
+                # stereo cycle (round 14): payload rides channel 0 of
+                # a true two-channel stream with independent ch-1
+                # allocation; joint cycle: intensity layout with
+                # shared codes at/above bound=8 requantized through
+                # EACH channel's own gain
+                st = decode_mpeg1_layer1(
+                    encode_mpeg1_layer1(payload, mode=0b00)
+                )
+                rec_st = bytearray()
+                for fr in st["frames"]:
+                    for s in range(12):
+                        for sb in range(MP1_PAYLOAD_SUBBANDS):
+                            rec_st.append(fr["codes"][0][sb][s])
+                out["stereo_payload_md5"].append(
+                    hashlib.md5(bytes(rec_st[: len(payload)])).hexdigest()
+                )
+                jt = decode_mpeg1_layer1(
+                    encode_mpeg1_layer1(payload, mode=0b01, bound=8)
+                )
+                j_ok = st["n_channels"] == 2 and jt["n_channels"] == 2
+                rec_j = bytearray()
+                for fr in jt["frames"]:
+                    if fr["bound"] != 8:
+                        j_ok = False
+                    for sb in range(8, 17):
+                        if fr["codes"][0][sb] != fr["codes"][1][sb]:
+                            j_ok = False
+                    for s in range(12):
+                        for sb in range(MP1_PAYLOAD_SUBBANDS):
+                            rec_j.append(fr["codes"][0][sb][s])
+                if bytes(rec_j[: len(payload)]) != payload:
+                    j_ok = False
+                out["joint_shared_verified"].append(j_ok)
             yield pd.DataFrame(out)
 
     return (

@@ -2164,3 +2164,57 @@ def test_jpeg12_roundtrip_and_trailer_against_direct_idct():
     bad[sof + 4] = 10  # precision 10: spec-illegal for SOF1 here
     with pytest.raises(NotImplementedError, match="precision"):
         codecs.decode_jpeg(bytes(bad))
+
+
+def test_mpeg1_layer1_stereo_and_joint_modes():
+    """Round 14 stereo extension: all three Layer I channel modes.
+    Stereo (0b00): per-channel allocation/scalefactors — payload
+    rides channel 0, channel 1 carries the 2..5-bit width cycle with
+    the deterministic pattern. Joint intensity (0b01, bound=8):
+    per-channel below the bound, ONE shared code per (s, sb) at/above
+    it, per-channel scalefactors — so the shared code requantizes to
+    DIFFERENT float samples per channel (the point of intensity
+    coding). The mono bitstream layout is byte-identical to round
+    13's (the oracle-pinned geometry)."""
+    import pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    p = bytes((i * 37 + 5) % 256 for i in range(1000))
+    st = codecs.decode_mpeg1_layer1(codecs.encode_mpeg1_layer1(p, mode=0b00))
+    assert st["n_channels"] == 2 and st["bitrate_kbps"] == 448
+    rec = bytearray()
+    for fi, fr in enumerate(st["frames"]):
+        for s in range(12):
+            for sb in range(codecs.MP1_PAYLOAD_SUBBANDS):
+                rec.append(fr["codes"][0][sb][s])
+        for sb in range(codecs.MP1_PAYLOAD_SUBBANDS):
+            nb = fr["alloc"][1][sb]
+            assert nb == 2 + ((fi + sb) % 4)
+            for s in range(12):
+                assert fr["codes"][1][sb][s] == (fi * 12 + s + 16) % (
+                    (1 << nb) - 1
+                )
+    assert bytes(rec[: len(p)]) == p
+    jt = codecs.decode_mpeg1_layer1(
+        codecs.encode_mpeg1_layer1(p, mode=0b01, bound=8)
+    )
+    fr = jt["frames"][0]
+    assert fr["bound"] == 8
+    # shared codes, per-channel gains -> per-channel samples diverge
+    assert all(fr["codes"][0][sb] == fr["codes"][1][sb] for sb in range(8, 17))
+    assert any(fr["scf"][0][sb] != fr["scf"][1][sb] for sb in range(8, 16))
+    assert any(
+        fr["samples"][0][sb] != fr["samples"][1][sb] for sb in range(8, 16)
+    )
+    # below the bound the channels are independent
+    assert any(fr["codes"][0][sb] != fr["codes"][1][sb] for sb in range(0, 8))
+    # dual-channel mode and bad bounds are loud
+    with pytest.raises(ValueError, match="mode"):
+        codecs.encode_mpeg1_layer1(p, mode=0b10)
+    with pytest.raises(ValueError, match="bound"):
+        codecs.encode_mpeg1_layer1(p, mode=0b01, bound=6)
+    # mono layout unchanged from round 13 (oracle-pinned geometry)
+    d = codecs.decode_mpeg1_layer1(codecs.encode_mpeg1_layer1(p))
+    assert d["n_channels"] == 1 and d["bitrate_kbps"] == 256
+    assert isinstance(d["frames"][0]["alloc"][0], int)  # flat shape
