@@ -582,11 +582,16 @@ def test_jpeg_trailer_pins_ac_and_subsampling_machinery():
 
 
 def test_jpeg_rejects_out_of_scope_variants():
-    """Hierarchical (SOF3) / arithmetic (SOF9), 16-bit quant tables ->
-    honest NotImplementedError; corrupt entropy stream -> ValueError.
+    """Hierarchical (SOF3) / arithmetic (SOF9) -> honest
+    NotImplementedError; corrupt entropy stream -> ValueError.
     (Round 13: SOF2 progressive is SUPPORTED now — a baseline stream
     relabeled SOF2 routes to the progressive decoder and dies on its
-    scan-header validation instead of being refused.)"""
+    scan-header validation instead of being refused. Round 14: Pq=1
+    16-bit quant tables are SUPPORTED — flipping the nibble on an
+    8-bit-sized segment is now a CORRUPTION (the segment is 64 bytes
+    short of a 16-bit table), so it raises the truncation
+    ValueError, and a reserved Pq value raises its own
+    ValueError.)"""
     from spark_dynamodb_spark.functions import codecs
 
     j = bytearray(codecs.encode_jpeg(b"abcdef"))
@@ -600,12 +605,17 @@ def test_jpeg_rejects_out_of_scope_variants():
     j2[sof + 1] = 0xC2  # relabel baseline as progressive
     with pytest.raises(ValueError, match="Se=0|interleaved"):
         codecs.decode_jpeg(bytes(j2))
-    # flip the quant-table precision nibble
+    # flip the quant-table precision nibble: the 67-byte segment is
+    # 64 bytes short of a 16-bit table -> truncation, not refusal
     dqt = j.find(b"\xff\xdb")
     j3 = bytearray(j)
     j3[dqt + 4] = 0x10
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="truncated 16-bit DQT"):
         codecs.decode_jpeg(bytes(j3))
+    j4 = bytearray(j)
+    j4[dqt + 4] = 0x20  # reserved Pq
+    with pytest.raises(ValueError, match="DQT precision"):
+        codecs.decode_jpeg(bytes(j4))
     # spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2) and a
     # parameterless TEM marker must not derail the walk
     padded = bytes(j[:2]) + b"\xff\xff" + b"\xff\x01" + bytes(j[2:])

@@ -84,6 +84,9 @@ def test_rows_only_parked_names_never_rotate_or_unpark():
     assert ROWS_ONLY_VERIFIED == {
         "b13_agg_approx_distinct",
         "b56_distinct_over_window_approx",
+        # round 14: float MFCC parked after its r13 rows-only driver
+        # row (banded pytest is its strong check)
+        "c122_audio_mfcc",
     }
     assert not ROWS_ONLY_VERIFIED & ROTATED_GREEN_R1
     assert not ROWS_ONLY_VERIFIED & ROTATION_PENDING
