@@ -231,16 +231,19 @@ def main() -> None:
             )
         return mins, medians
 
-    # Calibration (VERDICT r13 #3): a fixed JVM-only query timed FIRST
-    # — no parquet, no Python workers, no shuffle — so its wall time
-    # moves only with host contention. CAL_REF pins a quiet-session
+    # Calibration (VERDICT r13 #3): a fixed JVM-only query timed at
+    # this exact point of the run (post-warmup, pre-measurement) — no
+    # parquet, no Python workers, no shuffle — so its wall time moves
+    # only with host contention. CAL_REF's provenance matters: it is
+    # pinned from THIS line's own output on a quiet session (the JIT
+    # state at the calibration point differs from a fresh session). CAL_REF pins a quiet-session
     # reading on this box; value_calibrated = value * CAL_REF /
     # calibration_sec rescales the headline total to quiet-host units
     # so round-over-round comparisons can separate shared-host noise
     # (uniform drift, calibration moves too) from plan regressions
     # (calibration steady, one query moves). Normalization rule
     # documented in PLANS.md §noise-calibration.
-    CAL_REF = 0.262  # min-of-5 sec on a quiet session, 2026-08-16
+    CAL_REF = 0.137  # min in-bench (post-warmup) on a quiet session, 2026-08-16
     cal_samples = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
