@@ -150,6 +150,8 @@ EXTRA = [
     "c124_shard_assignment",
     # 12-bit SOF1 JPEG (16-bit DQT path; same codec class as jpeg)
     "c05_multimodal_jpeg12",
+    # hierarchical DHP/EXP/SOF5 pyramid (two frames + expansion filter)
+    "c05_multimodal_jpeg_hier",
 ]
 
 

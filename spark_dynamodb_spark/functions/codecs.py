@@ -957,12 +957,21 @@ def decode_jpeg(payload: bytes) -> dict:
             # progressive DCT (round 13): multi-scan coefficient
             # accumulation needs its own walk — restart the parse
             return _decode_jpeg_progressive(payload)
-        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker == 0xDE:
+            # DHP (round 14): hierarchical pyramid — its multi-frame
+            # reference/EXP state needs its own walk
+            return decode_jpeg_hierarchical(payload)
+        if marker == 0xC5:
+            raise ValueError(
+                "jpeg: differential frame (SOF5) outside a hierarchical "
+                "stream (no preceding DHP)"
+            )
+        if marker in (0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline (SOF0), extended sequential (SOF1) and "
-                f"progressive (SOF2) JPEG are supported here (marker "
-                f"0xFF{marker:02X}); hierarchical/arithmetic streams "
-                "need real codec libs"
+                f"only baseline (SOF0), extended sequential (SOF1), "
+                f"progressive (SOF2) and hierarchical (DHP/SOF5) JPEG are "
+                f"supported here (marker 0xFF{marker:02X}); "
+                "lossless/arithmetic streams need real codec libs"
             )
         if marker == 0xDD:  # DRI
             if len(body) < 2:
@@ -4155,3 +4164,359 @@ def jpeg12_payload_bytes(img: dict, n: int) -> bytes:
         px = 16 * mx + 8 * (b % 2)
         out.append((int(y[py, px]) - 2048) // 16 + 128)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J, round 14): DHP/EXP/SOF5 — the
+# pyramid mode. Everything is structural/closed-form (the upsampling
+# filter is the spec's (a + b + 1) >> 1 with edge replication; the
+# Huffman layer is the self-describing DHT machinery above), so the
+# JPEG refusal surface shrinks to ARITHMETIC coding only (whose QM
+# state table is committee data unavailable offline).
+#
+# One documented convention: T.81's differential-frame DC prediction
+# rule cannot be re-checked offline — this implementation codes each
+# differential DC with PRED = 0 (no cross-block prediction), shared
+# by encoder and decoder and stated here so a future spec-side audit
+# has the exact claim to check.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_expand_2x(plane, rows: int, cols: int):
+    """T.81 J.1.1.2 reference expansion by 2 in both dimensions:
+    even outputs copy, odd outputs are (a + b + 1) >> 1 of the two
+    neighbours, last row/column replicate. ``plane`` is a list of
+    lists of ints; returns a (2*rows) x (2*cols) list of lists."""
+    wide = []
+    for r in range(rows):
+        row = plane[r]
+        w = [0] * (2 * cols)
+        for c in range(cols):
+            w[2 * c] = row[c]
+            nxt = row[c + 1] if c + 1 < cols else row[c]
+            w[2 * c + 1] = (row[c] + nxt + 1) >> 1
+        wide.append(w)
+    out = []
+    for r in range(rows):
+        out.append(wide[r])
+        nxt = wide[r + 1] if r + 1 < rows else wide[r]
+        out.append([(a + b + 1) >> 1 for a, b in zip(wide[r], nxt)])
+    return out
+
+
+def _jpeg_expand_2x_np(b):
+    """Vectorized twin of _jpeg_expand_2x (the decoder's hot path at
+    scale; tests/test_llm.py pins the two implementations equal, so
+    the list-based spelling stays the independent reference)."""
+    import numpy as np
+
+    b = b.astype(np.int32)
+    right = np.concatenate([b[:, 1:], b[:, -1:]], axis=1)
+    wide = np.empty((b.shape[0], 2 * b.shape[1]), dtype=np.int32)
+    wide[:, ::2] = b
+    wide[:, 1::2] = (b + right + 1) >> 1
+    down = np.concatenate([wide[1:, :], wide[-1:, :]], axis=0)
+    out = np.empty((2 * b.shape[0], wide.shape[1]), dtype=np.int32)
+    out[::2, :] = wide
+    out[1::2, :] = (wide + down + 1) >> 1
+    return out
+
+
+def encode_jpeg_hierarchical(data: bytes, bcols: int = 4) -> bytes:
+    """Pack a byte payload as a two-level HIERARCHICAL JPEG (T.81
+    Annex J): DHP declares the full-resolution frame, a
+    non-differential SOF0 base frame carries the payload at HALF
+    resolution (one byte per constant 8x8 luma block, the encode_jpeg
+    DC trick, 4:4:4 so the expansion math is exercised on every
+    component), an EXP marker expands the reference by 2x2 through
+    the spec's (a+b+1)>>1 filter, and a differential SOF5 frame adds
+    a deterministic per-block constant d = ((bx + by) % 5) - 2 coded
+    as DC-only differential blocks (PRED = 0 — see module comment).
+    Final image = clamp(expand(base) + d): even pixel positions
+    recover the payload exactly wherever the clamp is inactive, and
+    the decoder also returns the base frame so recovery never depends
+    on the clamp."""
+    import struct as _struct
+
+    if not data:
+        raise ValueError("encode_jpeg_hierarchical: empty payload")
+    brows = -(-len(data) // bcols)
+    bw_px, bh_px = 8 * bcols, 8 * brows  # base (half) resolution
+    fw, fh = 2 * bw_px, 2 * bh_px  # full resolution (DHP)
+    if fh > 65535:
+        raise ValueError("encode_jpeg_hierarchical: payload too large")
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0"
+        + _struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tid in (0, 1):
+        out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tid]) + bytes([1] * 64)
+    # DHP: hierarchical progression header (SOF syntax, full dims)
+    out += b"\xff\xde" + _struct.pack(">H", 17) + bytes([8])
+    out += _struct.pack(">HH", fh, fw) + bytes([3])
+    out += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    # shared DHT (Annex K tables, the encode_jpeg set)
+    for cls, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUM),
+        (1, 0, _JPEG_AC_LUM),
+        (0, 1, _JPEG_DC_CHR),
+        (1, 1, _JPEG_AC_CHR),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">H", 19 + len(vals))
+        out += bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+
+    dc_lum = _jpeg_huff_codes(*_JPEG_DC_LUM)
+    ac_lum = _jpeg_huff_codes(*_JPEG_AC_LUM)
+    dc_chr = _jpeg_huff_codes(*_JPEG_DC_CHR)
+    ac_chr = _jpeg_huff_codes(*_JPEG_AC_CHR)
+
+    def frame(sof_marker: int, w: int, h: int, coef_fn, differential: bool):
+        seg = bytearray()
+        seg += bytes([0xFF, sof_marker]) + _struct.pack(">H", 17) + bytes([8])
+        seg += _struct.pack(">HH", h, w) + bytes([3])
+        seg += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+        seg += b"\xff\xda" + _struct.pack(">H", 12) + bytes([3])
+        seg += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        wr = _JpegBitWriter()
+        pred = [0, 0, 0]
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for ci in range(3):
+                    coefs = coef_fn(ci, bx, by)
+                    dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
+                    if differential:
+                        # PRED = 0: code the DC directly each block
+                        pred[ci] = _jpeg_encode_block(wr, coefs, 0, dct, act)
+                    else:
+                        pred[ci] = _jpeg_encode_block(
+                            wr, coefs, pred[ci], dct, act
+                        )
+        seg += wr.flush()
+        return seg
+
+    # base frame: payload at half resolution, chroma neutral
+    def base_coefs(ci: int, bx: int, by: int) -> dict:
+        if ci != 0:
+            return {}
+        i = by * bcols + bx
+        v = data[i] if i < len(data) else 0
+        return {0: 8 * (v - 128)} if v != 128 else {}
+
+    out += frame(0xC0, bw_px, bh_px, base_coefs, differential=False)
+    # EXP: expand reference 1x horizontally and vertically
+    out += b"\xff\xdf" + _struct.pack(">H", 3) + bytes([0x11])
+    # differential frame: per-block constant d, DC-only
+    def diff_coefs(ci: int, bx: int, by: int) -> dict:
+        if ci != 0:
+            return {}
+        d = ((bx + by) % 5) - 2
+        return {0: 8 * d} if d else {}
+
+    out += frame(0xC5, fw, fh, diff_coefs, differential=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_hierarchical(payload: bytes) -> dict:
+    """Decode a two-level hierarchical JPEG (T.81 Annex J): marker
+    walk with DHP (full-resolution declaration), a non-differential
+    base frame (standard level shift + clamp), EXP reference
+    expansion via the spec's (a+b+1)>>1 filter, and a differential
+    SOF5 frame whose IDCT output (NO level shift, PRED = 0 — see
+    module comment) adds onto the expanded reference with a final
+    clamp to [0, 255]. 4:4:4 only (subsampled hierarchical pyramids
+    refuse loudly). Returns the full-resolution planes AND the base
+    frame's planes (payload recovery must not depend on the final
+    clamp), plus geometry and the frame census."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dhp = None
+    ref = None  # list of np arrays per component (int32)
+    base_planes = None
+    pending_exp = None
+    n_frames = 0
+    idctm = _jpeg_idct_matrix()
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        size = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("jpeg: truncated stream")
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "hierarchical: 8-bit quant tables only here"
+                    )
+                qtabs[tq] = list(body[p + 1 : p + 65])
+                p += 65
+            pos += 2 + size
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                htabs[(cls, tid)] = _jpeg_decode_table(
+                    bits, list(body[p + 17 : p + 17 + n])
+                )
+                p += 17 + n
+            pos += 2 + size
+        elif marker == 0xDE:  # DHP
+            fh, fw = struct.unpack(">HH", body[1:5])
+            dhp = (fw, fh, body[5])
+            pos += 2 + size
+        elif marker == 0xDF:  # EXP
+            if len(body) != 1:
+                raise ValueError("jpeg: malformed EXP segment")
+            pending_exp = (body[0] >> 4, body[0] & 0xF)
+            pos += 2 + size
+        elif marker in (0xC0, 0xC1, 0xC5):
+            if dhp is None:
+                raise ValueError("jpeg: frame before DHP in hierarchical path")
+            differential = marker == 0xC5
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "hierarchical: 4:4:4 frames only"
+                    )
+                comps.append((cid, tq))
+            pos += 2 + size
+            # expect SOS next (tables may intervene — handled above on
+            # the next loop pass; for simplicity require immediate SOS)
+            if payload[pos : pos + 2] != b"\xff\xda":
+                raise ValueError("jpeg: expected SOS after frame header")
+            ssize = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            sbody = payload[pos + 4 : pos + 2 + ssize]
+            ns = sbody[0]
+            scan = []
+            for i in range(ns):
+                cs, tabs = sbody[1 + 2 * i : 3 + 2 * i]
+                scan.append((cs, tabs >> 4, tabs & 0xF))
+            pos = pos + 2 + ssize
+            if differential and pending_exp is not None:
+                eh, ev = pending_exp
+                if (eh, ev) != (1, 1):
+                    raise NotImplementedError(
+                        "hierarchical: only 2x2 expansion supported"
+                    )
+                ref = [_jpeg_expand_2x_np(g) for g in ref]
+                pending_exp = None
+            rd = _JpegBitReader(payload, pos)
+            pred = [0] * nc
+            grids = [
+                np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.int32)
+                for _ in comps
+            ]
+            for by in range(-(-h // 8)):
+                for bx in range(-(-w // 8)):
+                    for ci, (cid, tq) in enumerate(comps):
+                        sc = next(s for s in scan if s[0] == cid)
+                        dct = htabs[(0, sc[1])]
+                        act = htabs[(1, sc[2])]
+                        q = qtabs[tq]
+                        coefs = np.zeros(64)
+                        s = rd.huff(dct)
+                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        if differential:
+                            dc = diff  # PRED = 0 (module comment)
+                        else:
+                            pred[ci] += diff
+                            dc = pred[ci]
+                        coefs[0] = dc * q[0]
+                        any_ac = False
+                        z = 1
+                        while z < 64:
+                            rs = rd.huff(act)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    z += 16
+                                    continue
+                                break
+                            z += r
+                            if z > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            coefs[_JPEG_ZIGZAG[z]] = (
+                                _jpeg_extend(rd.bits(sz), sz) * q[z]
+                            )
+                            any_ac = True
+                            z += 1
+                        if not any_ac:
+                            # DC-only fast path: the IDCT of a lone DC
+                            # is the constant DC/8 (identical rounding
+                            # to the matrix path — orthonormal DCT)
+                            c0 = coefs[0] / 8.0
+                            v = (
+                                int(round(c0))
+                                if differential
+                                else min(max(int(round(c0 + 128)), 0), 255)
+                            )
+                            grids[ci][
+                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                            ] = v
+                            continue
+                        block = idctm.T @ coefs.reshape(8, 8) @ idctm
+                        if differential:
+                            px = np.round(block).astype(np.int32)
+                        else:
+                            px = np.round(block + 128).astype(np.int32)
+                            px = np.clip(px, 0, 255)
+                        grids[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            # the writer byte-aligns each scan with pad bits, so the
+            # reader's byte cursor already sits on the next marker
+            pos = rd.pos
+            if differential:
+                if ref is None or ref[0].shape != grids[0].shape:
+                    raise ValueError(
+                        "jpeg: differential frame without matching reference"
+                    )
+                ref = [
+                    np.clip(r + g, 0, 255).astype(np.int32)
+                    for r, g in zip(ref, grids)
+                ]
+            else:
+                ref = grids
+                base_planes = [g[:h, :w].astype(np.uint8).tobytes() for g in grids]
+                base_dims = (w, h)
+            n_frames += 1
+        else:
+            pos += 2 + size
+    if dhp is None or ref is None or n_frames < 2:
+        raise ValueError("jpeg: incomplete hierarchical stream")
+    fw, fh, prec = dhp
+    return {
+        "width": fw,
+        "height": fh,
+        "precision": prec,
+        "n_frames": n_frames,
+        "base_width": base_dims[0],
+        "base_height": base_dims[1],
+        "file_size": len(payload),
+        "planes": [g[:fh, :fw].astype(np.uint8).tobytes() for g in ref],
+        "base_planes": base_planes,
+    }

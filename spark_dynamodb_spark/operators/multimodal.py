@@ -2891,3 +2891,114 @@ def multimodal_jpeg12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(roundtrip, out_schema)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "c05_multimodal_jpeg_hier",
+    """
+    SELECT doc_id,
+           CAST(64 AS BIGINT) AS width,
+           CAST(ceil(octet_length(CAST(text AS BLOB)) / 4.0) * 16 AS BIGINT)
+             AS height,
+           CAST(2 AS BIGINT) AS n_frames,
+           md5(text) AS payload_md5,
+           TRUE AS pyramid_verified,
+           'image/jpeg' AS mime
+    FROM documents
+    WHERE octet_length(CAST(text AS BLOB)) = length(text)
+      AND length(text) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5a-hier: HIERARCHICAL JPEG decode (T.81 Annex J, round 14) —
+    DHP full-resolution declaration, a half-resolution
+    non-differential base frame carrying the payload (the DC-constant
+    trick, exactly recoverable), an EXP 2x2 reference expansion
+    through the spec's (a+b+1)>>1 filter, and a differential SOF5
+    frame adding a deterministic per-block constant. This shrinks the
+    JPEG refusal surface to ARITHMETIC coding only (committee QM
+    tables). payload_md5 reads the BASE frame (recovery must not
+    depend on the final clamp); pyramid_verified recomputes
+    clamp(expand_2x(base) + d) with an independent vectorized numpy
+    expansion (cross-checked against the decoder's list-based filter
+    in pytest) and compares the ENTIRE final plane — a decoder that
+    botches the expansion filter, the differential add, the PRED=0
+    differential DC rule, or the clamp fails it.
+
+    100 TB shape: the c05 codec class (numbered repartition, Arrow
+    mapInPandas)."""
+    _ensure_worker_imports(spark)
+    import numpy as np
+
+    from spark_dynamodb_spark.functions.codecs import (
+        _jpeg_expand_2x_np,
+        decode_jpeg,
+        encode_jpeg_hierarchical,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            (F.octet_length("text") == F.length("text")) & (F.length("text") > 0)
+        )
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "doc_id"
+        )
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("pyramid_verified", T.BooleanType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in out_schema.fieldNames()}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = text.encode()
+                img = decode_jpeg(encode_jpeg_hierarchical(payload))
+                bw, bh = img["base_width"], img["base_height"]
+                base = np.frombuffer(
+                    img["base_planes"][0], dtype=np.uint8
+                ).reshape(bh, bw).astype(np.int32)
+                bcols = bw // 8
+                rec = bytearray()
+                for i in range(len(payload)):
+                    by, bx = divmod(i, bcols)
+                    rec.append(int(base[by * 8, bx * 8]))
+                full = np.frombuffer(
+                    img["planes"][0], dtype=np.uint8
+                ).reshape(img["height"], img["width"]).astype(np.int32)
+                dgrid = (
+                    np.add.outer(
+                        np.arange(img["height"] // 8),
+                        np.arange(img["width"] // 8),
+                    )
+                    % 5
+                ) - 2
+                d = np.kron(dgrid, np.ones((8, 8), dtype=np.int32))
+                want = np.clip(_jpeg_expand_2x_np(base) + d, 0, 255)
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["n_frames"].append(img["n_frames"])
+                out["payload_md5"].append(hashlib.md5(bytes(rec)).hexdigest())
+                out["pyramid_verified"].append(bool(np.array_equal(full, want)))
+                out["mime"].append("image/jpeg")
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(roundtrip, out_schema)
+        .orderBy("doc_id")
+    )

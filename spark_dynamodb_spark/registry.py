@@ -248,15 +248,11 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_multimodal_frames",
         "c05_multimodal_gif",
         "c05_multimodal_gif_interlaced",
-        "c05_multimodal_jpeg",
-        "c05_multimodal_jpeg_progressive",
         "c05_multimodal_png",
         "c05_multimodal_png_adam7",
         "c05_multimodal_png_paletted",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
-        "c05_multimodal_tiff",
-        "c05_multimodal_video",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",
@@ -287,7 +283,6 @@ ROTATED_GREEN_R1 = frozenset(
         "c119_unigram_encode",
         "c11_domain_mixture",
         "c120_matryoshka_recall",
-        "c121_train_shards_capstone",
         "c123_pack_boundary_slices",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
@@ -407,11 +402,21 @@ ROTATED_GREEN_R1 = frozenset(
         "s30_stream_decontamination",
         "s31_stream_tokenize_state",
         "s32_stream_media_features",
-        "s33_stream_pack_assignment",
     }
 )
 
 
+# Round-14 note (the code-review r13 un-rotation discipline): six
+# names whose implementations or SHARED code paths changed this round
+# were removed from ROTATED_GREEN_R1 so the driver re-verifies them:
+# c05_multimodal_jpeg / _jpeg_progressive / _video (decode_jpeg gained
+# the DHP dispatch, SOF1/12-bit, and Pq=1 DQT parsing),
+# c05_multimodal_tiff (the PackBits 0x80 literal-header fix),
+# c121_train_shards_capstone (per-call mkdtemp staging +
+# localCheckpoint), s33_stream_pack_assignment (staged-override
+# parameter). All six re-verified green by the out-of-repo driver-sim
+# at sf0.01 this session; they re-rotate via scripts/rotate_window.py
+# once CORRECTNESS_r14 is green.
 # Round-13 note: two r12-rotated names (c120_matryoshka_recall,
 # s30_stream_decontamination) were UN-rotated again because the r12
 # ADVICE fixes changed their implementations (zero-norm cosine floor;

@@ -2228,3 +2228,65 @@ def test_mpeg1_layer1_stereo_and_joint_modes():
     d = codecs.decode_mpeg1_layer1(codecs.encode_mpeg1_layer1(p))
     assert d["n_channels"] == 1 and d["bitrate_kbps"] == 256
     assert isinstance(d["frames"][0]["alloc"][0], int)  # flat shape
+
+
+def test_jpeg_hierarchical_pyramid_and_refusals():
+    """Hierarchical JPEG (round 14): the DHP/EXP/SOF5 pyramid decodes
+    end-to-end — payload from the base frame, final plane equal to
+    clamp(expand_2x(base) + d) with the expansion checked by TWO
+    independent implementations (the decoder's list-based spec filter
+    vs a vectorized numpy twin), differential DCs coded with the
+    documented PRED=0 convention. SOF5 without DHP is a ValueError;
+    arithmetic/lossless markers stay refused; decode_jpeg dispatches
+    DHP streams automatically."""
+    import numpy as np
+    import pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    p = bytes((i * 53 + 7) % 256 for i in range(300))
+    enc = codecs.encode_jpeg_hierarchical(p)
+    img = codecs.decode_jpeg(enc)  # dispatches on DHP
+    assert img["n_frames"] == 2
+    assert (img["width"], img["height"]) == (64, 16 * -(-300 // 4))
+    bw, bh = img["base_width"], img["base_height"]
+    base = np.frombuffer(img["base_planes"][0], dtype=np.uint8).reshape(
+        bh, bw
+    )
+    rec = bytes(
+        int(base[(i // (bw // 8)) * 8, (i % (bw // 8)) * 8])
+        for i in range(len(p))
+    )
+    assert rec == p
+    # two independent expansion implementations agree
+    lst = np.array(codecs._jpeg_expand_2x(base.astype(int).tolist(), bh, bw))
+    right = np.concatenate([base[:, 1:], base[:, -1:]], axis=1).astype(int)
+    wide = np.empty((bh, 2 * bw), dtype=int)
+    wide[:, ::2] = base
+    wide[:, 1::2] = (base.astype(int) + right + 1) >> 1
+    down = np.concatenate([wide[1:, :], wide[-1:, :]], axis=0)
+    vec = np.empty((2 * bh, 2 * bw), dtype=int)
+    vec[::2, :] = wide
+    vec[1::2, :] = (wide + down + 1) >> 1
+    assert np.array_equal(lst, vec)
+    # final plane = clamp(expansion + per-block d) everywhere
+    full = np.frombuffer(img["planes"][0], dtype=np.uint8).reshape(
+        img["height"], img["width"]
+    )
+    dgrid = (
+        np.add.outer(np.arange(img["height"] // 8), np.arange(img["width"] // 8))
+        % 5
+    ) - 2
+    d = np.kron(dgrid, np.ones((8, 8), dtype=int))
+    assert np.array_equal(full, np.clip(vec + d, 0, 255))
+    # the differential layer is genuinely nonzero somewhere
+    assert (d != 0).any() and not np.array_equal(full[::2, ::2], base)
+    # refusals / protocol errors
+    j = bytearray(codecs.encode_jpeg(b"abc"))
+    j[j.find(b"\xff\xc0") + 1] = 0xC5
+    with pytest.raises(ValueError, match="DHP"):
+        codecs.decode_jpeg(bytes(j))
+    with pytest.raises(ValueError, match="truncated|marker|sync"):
+        codecs.decode_jpeg(enc[:-30])
+    with pytest.raises(ValueError, match="empty"):
+        codecs.encode_jpeg_hierarchical(b"")
