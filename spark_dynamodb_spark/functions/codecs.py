@@ -1007,7 +1007,13 @@ def decode_jpeg(payload: bytes) -> dict:
             prec = body[0]
             # SOF1 allows 12-bit samples (T.81 Table B.2); the entropy
             # decode below is precision-agnostic (DC categories reach
-            # 15, AC 14 — the generic bits()/EXTEND path covers both)
+            # 15, AC 14 — the generic bits()/EXTEND path covers both).
+            # Baseline SOF0 is 8-bit ONLY per T.81 — a 12-bit SOF0 is
+            # a spec violation, not a missing feature (ADVICE r14).
+            if marker == 0xC0 and prec != 8:
+                raise ValueError(
+                    f"jpeg: baseline SOF0 requires 8-bit precision (got {prec})"
+                )
             if prec not in (8, 12):
                 raise NotImplementedError(
                     f"only 8/12-bit precision supported (got {prec})"
@@ -3824,6 +3830,16 @@ def decode_mpeg1_layer1(data: bytes) -> dict:
                 off = 2 - (1 << nb)
                 for s in range(12):
                     samples[ch][sb][s] = (2 * codes[ch][sb][s] + off) * scale
+        # Fail-loud bound (ADVICE r14): a corrupt frame whose
+        # allocations overrun frame_len would otherwise silently read
+        # bits from the NEXT frame's bytes and return plausible
+        # garbage (the walk realigns via pos += frame_len regardless).
+        if rd.pos > pos + frame_len:
+            raise ValueError(
+                "mpeg1-layer1: frame data overruns declared frame "
+                f"length at {pos} (read to {rd.pos}, frame ends at "
+                f"{pos + frame_len})"
+            )
         if nch == 1:  # the original mono per-frame shape, unchanged
             frames.append(
                 {
@@ -4383,8 +4399,11 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                 p += 17 + n
             pos += 2 + size
         elif marker == 0xDE:  # DHP
+            # DHP shares SOF syntax (T.81 B.3.2): P at body[0],
+            # Y/X at body[1:5], Nf at body[5]. (ADVICE r14: an
+            # earlier cut stored Nf as the precision.)
             fh, fw = struct.unpack(">HH", body[1:5])
-            dhp = (fw, fh, body[5])
+            dhp = (fw, fh, body[0], body[5])
             pos += 2 + size
         elif marker == 0xDF:  # EXP
             if len(body) != 1:
@@ -4508,11 +4527,12 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             pos += 2 + size
     if dhp is None or ref is None or n_frames < 2:
         raise ValueError("jpeg: incomplete hierarchical stream")
-    fw, fh, prec = dhp
+    fw, fh, prec, ncomp = dhp
     return {
         "width": fw,
         "height": fh,
         "precision": prec,
+        "n_components": ncomp,
         "n_frames": n_frames,
         "base_width": base_dims[0],
         "base_height": base_dims[1],

@@ -2623,7 +2623,9 @@ def _shard_assignment_cols(epoch_col, source_col, pack_col):
     WITH manifest AS (SELECT * FROM ({{c121}}) _m),
     e AS (
       SELECT m.*, ep.epoch
-      FROM manifest m, (VALUES (0), (1)) AS ep(epoch)
+      FROM manifest m,
+           (VALUES {', '.join(f'({i})' for i in range(N_LOADER_EPOCHS))})
+             AS ep(epoch)
     ),
     k AS (
       SELECT epoch, pack_tokens, n_docs,

@@ -2290,3 +2290,40 @@ def test_jpeg_hierarchical_pyramid_and_refusals():
         codecs.decode_jpeg(enc[:-30])
     with pytest.raises(ValueError, match="empty"):
         codecs.encode_jpeg_hierarchical(b"")
+
+
+def test_advice_r14_codec_fixes():
+    """ADVICE r14 regressions: (1) hierarchical DHP reports the SOF
+    precision field (body[0] = 8), not the component count that an
+    earlier cut stored, and now also surfaces n_components; (2) a
+    12-bit BASELINE SOF0 frame is a spec violation (T.81 restricts
+    SOF0 to 8-bit) and fails loud instead of decoding silently;
+    (3) a Layer I frame whose allocations overrun the declared frame
+    length raises instead of silently reading the next frame's
+    bytes."""
+    import pytest
+
+    from spark_dynamodb_spark.functions import codecs
+
+    # (1) DHP precision + component count
+    img = codecs.decode_jpeg(codecs.encode_jpeg_hierarchical(b"hier!"))
+    assert img["precision"] == 8
+    assert img["n_components"] == 3  # the encoder's Y/Cb/Cr pyramid
+    # (2) SOF0 must be 8-bit; flipping the precision byte to 12 on a
+    # baseline stream is spec-invalid, not a supported combination
+    enc = bytearray(codecs.encode_jpeg(b"abc"))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 4] = 12
+    with pytest.raises(ValueError, match="SOF0 requires 8-bit"):
+        codecs.decode_jpeg(bytes(enc))
+    # (3) Layer I allocation overrun: force every subband of frame 0
+    # to a 15-bit allocation (code 14) — the samples then need ~720
+    # bytes against a ~280-byte frame, and with real next-frame bytes
+    # available the old decoder read them silently
+    stream = bytearray(
+        codecs.encode_mpeg1_layer1(bytes(6 * 192))  # 6 frames of zeros
+    )
+    for i in range(16):  # 32 x 4-bit allocations right after the header
+        stream[4 + i] = 0xEE
+    with pytest.raises(ValueError, match="overruns declared frame"):
+        codecs.decode_mpeg1_layer1(bytes(stream))
