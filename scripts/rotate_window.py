@@ -17,8 +17,19 @@ Rules:
 - a window entry rotates to z_ iff its row is green (hash_match true,
   or rows_match true with no error for rows-only entries);
 - a red/erred window entry stays UNPREFIXED (it must be re-proven);
+- ``--keep a,b,c`` names stay UNPREFIXED even when green — the
+  un-rotation discipline for entries whose implementation (or a
+  shared code path) changed this round;
 - parked names unpark in lexical order until the window holds
-  ``--window`` unprefixed names (fewer if the parking set runs dry).
+  ``--window`` unprefixed names (fewer if the parking set runs dry);
+- STALEST-FIRST SPILL (VERDICT r14 "What's wrong" #1): when the
+  parking set runs dry and slots remain, the spill is no longer left
+  to the driver's lexical z_ order (which re-verifies the SAME
+  z_a*/z_b* names every round while z_c99-class entries never earn a
+  fresh row). Instead the script UN-rotates the rotated-green entries
+  whose last REAL driver row is OLDEST (age from CORRECTNESS_r*.json;
+  ties lexical), so every entry cycles through a real driver row
+  about every ceil(375/50) ≈ 8 rounds.
 
 After running: `python -m pytest tests/test_properties.py
 tests/test_coverage_sync.py -q` — the coverage-sync gate will flag
@@ -66,8 +77,39 @@ def green_names(correctness: dict) -> set[str]:
     return out
 
 
+def last_green_rounds(repo: str = REPO) -> dict[str, int]:
+    """base name -> the LAST round whose driver row was green (hash,
+    or rows-only-green for no-oracle entries). This is the staleness
+    metric for the spill: the smaller the round, the longer since the
+    entry earned a real driver row."""
+    import glob
+
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
+        with open(path, encoding="utf-8") as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            base = name[3:] if name.startswith("zz_") else (
+                name[2:] if name.startswith(("x_", "z_")) else name
+            )
+            green = row.get("hash_match") or (
+                row.get("rows_match") and not row.get("err")
+            ) or (
+                row.get("err") == "no_oracle"
+                and (row.get("spark_rows") or 0) > 0
+            )
+            if green:
+                out[base] = max(out.get(base, 0), rnd)
+    return out
+
+
 def plan_rotation(
-    src: str, greens: set[str], window: int
+    src: str,
+    greens: set[str],
+    window: int,
+    keep: frozenset[str] = frozenset(),
+    ages: dict[str, int] | None = None,
 ) -> tuple[set[str], set[str], dict]:
     rotated = _parse_set(_ROTATED_RE.search(src).group(2))
     pending = _parse_set(_PENDING_RE.search(src).group(2))
@@ -85,18 +127,31 @@ def plan_rotation(
     # never hash-match and never rotate through these sets.
     unprefixed = {n for n in specs if not n.startswith(("x_", "z_", "zz_"))}
 
-    to_rotate = {n for n in unprefixed if n in greens}
-    stay_red = unprefixed - to_rotate
+    to_rotate = {n for n in unprefixed if n in greens and n not in keep}
+    stay = unprefixed - to_rotate  # red/erred + explicitly kept
     new_rotated = rotated | to_rotate
-    free_slots = max(0, window - len(stay_red))
+    free_slots = max(0, window - len(stay))
     unpark = set(sorted(pending)[:free_slots])
     new_pending = pending - unpark
+    # stalest-first spill: parking ran dry and slots remain — cycle
+    # the oldest-proven z_ greens back through the window (names
+    # rotated THIS run are by definition the freshest; exclude them)
+    unrotate: list[str] = []
+    spare = free_slots - len(unpark)
+    if spare > 0 and ages is not None:
+        candidates = sorted(
+            new_rotated - to_rotate, key=lambda n: (ages.get(n, 0), n)
+        )
+        unrotate = candidates[:spare]
+        new_rotated -= set(unrotate)
     info = {
         "window_green_rotating": sorted(to_rotate),
-        "window_red_staying": sorted(stay_red),
+        "window_red_staying": sorted(stay - keep),
+        "window_kept": sorted(stay & keep),
         "unparking": sorted(unpark),
+        "unrotating_stalest": unrotate,
         "still_parked": len(new_pending),
-        "new_window_size": len(stay_red) + len(unpark),
+        "new_window_size": len(stay) + len(unpark) + len(unrotate),
     }
     return new_rotated, new_pending, info
 
@@ -115,13 +170,28 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--correctness", required=True)
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--keep",
+        default="",
+        help="comma-separated names that stay unprefixed even when "
+        "green (implementation changed this round)",
+    )
+    ap.add_argument(
+        "--no-stalest-spill",
+        action="store_true",
+        help="disable the stalest-first z_ un-rotation refill",
+    )
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args()
 
     with open(args.correctness, encoding="utf-8") as f:
         greens = green_names(json.load(f))
+    keep = frozenset(n for n in args.keep.split(",") if n)
+    ages = None if args.no_stalest_spill else last_green_rounds()
     src = open(REGISTRY, encoding="utf-8").read()
-    rotated, pending, info = plan_rotation(src, greens, args.window)
+    rotated, pending, info = plan_rotation(
+        src, greens, args.window, keep=keep, ages=ages
+    )
     print(json.dumps(info, indent=2))
     if args.dry_run:
         return

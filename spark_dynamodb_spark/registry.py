@@ -95,7 +95,6 @@ ROTATED_GREEN_R1 = frozenset(
         "b117_seasonal_anomaly",
         "b118_kcore_peel",
         "b119_udtf_variant_pipe",
-        "b11_agg_flagship_q1",
         "b120_quantile_normalization",
         "b121_delta_join_maintenance",
         "b122_write_audit_publish",
@@ -106,8 +105,6 @@ ROTATED_GREEN_R1 = frozenset(
         "b127_tpch_q16_supplier_count",
         "b128_tpch_q20_potential_promotion",
         "b129_multi_hop_reach",
-        "b12_agg_count_distinct",
-        "b12_agg_stats",
         "b130_topk_with_ties",
         "b131_corrupt_json_handling",
         "b132_time_travel_read",
@@ -120,40 +117,6 @@ ROTATED_GREEN_R1 = frozenset(
         "b139_cusum_changepoint",
         "b140_aqe_skew_join",
         "b141_aqe_coalesce_agg",
-        "b14_agg_cube",
-        "b14_agg_min_max",
-        "b14_agg_rollup",
-        "b14_grouping_sets_sql",
-        "b14_pivot",
-        "b15_window_rank",
-        "b16_window_analytic",
-        "b16_window_last_ignorenulls",
-        "b17_window_frames",
-        "b17_window_range_frame",
-        "b18_topk",
-        "b19_distinct",
-        "b19_except_all",
-        "b19_intersect",
-        "b19_union",
-        "b20_strings",
-        "b21_datetime",
-        "b22_math",
-        "b23_arrays",
-        "b23_explode",
-        "b23_maps",
-        "b24_from_json_struct",
-        "b24_json",
-        "b25_conditional",
-        "b26_apply_in_pandas",
-        "b26_grouped_agg_udaf",
-        "b26_pandas_udf_scalar",
-        "b26_python_udf_scalar",
-        "b26_udtf_split",
-        "b32_salted_skew_join",
-        "b33_asof_join",
-        "b34_cdc_latest_per_key",
-        "b35_approx_quantile",
-        "b36_unpivot",
         "b37_recursive_cte",
         "b38_exists_subquery",
         "b39_scalar_subquery",
@@ -216,12 +179,6 @@ ROTATED_GREEN_R1 = frozenset(
         "b97_parameterized_sql",
         "b98_pipe_syntax",
         "b99_running_distinct_count",
-        "c01_dedup_exact",
-        "c02_dedup_components",
-        "c02_dedup_minhash_lsh",
-        "c02_dedup_ngram_jaccard_baseline",
-        "c02_dedup_simhash",
-        "c02_embedding_neardup",
         "c03_ann_cosine_topk",
         "c03_ann_ivf",
         "c03_ann_ivf_pruned",
@@ -253,6 +210,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c05_multimodal_png_paletted",
         "c05_multimodal_resize",
         "c05_multimodal_roundtrip",
+        "c05_multimodal_tiff",
         "c05_multimodal_wav",
         "c06_group_quantiles",
         "c06_stratified_sample",
@@ -283,6 +241,7 @@ ROTATED_GREEN_R1 = frozenset(
         "c119_unigram_encode",
         "c11_domain_mixture",
         "c120_matryoshka_recall",
+        "c121_train_shards_capstone",
         "c123_pack_boundary_slices",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
@@ -402,6 +361,8 @@ ROTATED_GREEN_R1 = frozenset(
         "s30_stream_decontamination",
         "s31_stream_tokenize_state",
         "s32_stream_media_features",
+        "s33_stream_pack_assignment",
+        "s34_stream_landing_zone_capstone",
     }
 )
 
@@ -468,10 +429,15 @@ ROWS_ONLY_VERIFIED: frozenset[str] = frozenset(
         # (spark_rows 2576, err no_oracle by design); the STRONG check
         # is the banded pytest vs an independent O(n^2) DFT
         # (tests/float_compare.py) — parking is window bookkeeping,
-        # same as b13/b56. c125/c126 (round 14 float evals) stay IN
-        # the window until they earn their first rows-only driver row,
-        # then park here too.
+        # same as b13/b56.
         "c122_audio_mfcc",
+        # round 15: the two r14 float evals earned their rows-only
+        # driver rows in CORRECTNESS_r14 (err no_oracle BY DESIGN,
+        # spark_rows > 0); their strong checks are the fsum-referenced
+        # banded pytests (tests/test_llm.py) — parked per the same
+        # rule as c122.
+        "c125_ann_cosine_float_serving",
+        "c126_unigram_perplexity_eval",
     }
 )
 

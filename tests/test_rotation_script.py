@@ -87,6 +87,11 @@ def test_rows_only_parked_names_never_rotate_or_unpark():
         # round 14: float MFCC parked after its r13 rows-only driver
         # row (banded pytest is its strong check)
         "c122_audio_mfcc",
+        # round 15: the r14 float evals, parked after their r14
+        # rows-only driver rows (fsum-banded pytests are the strong
+        # checks)
+        "c125_ann_cosine_float_serving",
+        "c126_unigram_perplexity_eval",
     }
     assert not ROWS_ONLY_VERIFIED & ROTATED_GREEN_R1
     assert not ROWS_ONLY_VERIFIED & ROTATION_PENDING
@@ -106,3 +111,63 @@ def test_rows_only_parked_names_never_rotate_or_unpark():
     )
     assert not set(info["window_green_rotating"]) & ROWS_ONLY_VERIFIED
     assert not set(info["unparking"]) & ROWS_ONLY_VERIFIED
+
+
+def test_stalest_first_spill_and_keep(tmp_path):
+    """VERDICT r14 #1: when the parking set is dry and window slots
+    remain, the spill must cycle the z_ greens whose last REAL driver
+    row is OLDEST (ties lexical) back into the window — not the
+    lexically-first names the driver would otherwise re-verify every
+    round. --keep names stay unprefixed even when green."""
+    import json
+
+    # synthetic correctness history: a green in r2 and r5, b green in
+    # r3 only, c green in r5 only (rows-only), d never green
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a01_x": {"hash_match": True, "rows_match": True, "err": None},
+        "d04_x": {"hash_match": False, "rows_match": False, "err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "b02_x": {"hash_match": True, "rows_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "z_a01_x": {"hash_match": True, "rows_match": True, "err": None},
+        "c03_x": {"err": "no_oracle", "rows_match": None, "spark_rows": 7},
+    }))
+    ages = rw.last_green_rounds(str(tmp_path))
+    assert ages == {"a01_x": 5, "b02_x": 3, "c03_x": 5}
+
+    # registry-shaped source with 3 rotated greens, no pending
+    src = (
+        "ROTATED_GREEN_R1 = frozenset(\n    {\n"
+        '        "a01_x",\n        "b02_x",\n        "c03_x",\n'
+        "    }\n)\n"
+        "ROTATION_PENDING: frozenset[str] = frozenset(\n    {\n    }\n)\n"
+    )
+    import sys
+
+    sys.path.insert(0, rw.REPO)
+    from spark_dynamodb_spark.registry import load_all
+
+    window_names = sorted(
+        n for n in load_all().specs() if not n.startswith(("x_", "z_", "zz_"))
+    )
+    greens = set(window_names)
+    keep = frozenset(window_names[:2])
+    # window of 4: the 2 kept names stay, leaving exactly 2 spare
+    # slots for the stalest-first spill
+    rotated, pending, info = rw.plan_rotation(
+        src, greens, 4, keep=keep, ages=ages
+    )
+    # kept names never rotate, and are reported separately
+    assert info["window_kept"] == sorted(keep)
+    assert not set(info["window_green_rotating"]) & keep
+    # 2 spare slots -> the two STALEST z_ greens un-rotate:
+    # b02_x (r3) first, then the lexical tie-break among the r5 pair
+    assert info["unrotating_stalest"] == ["b02_x", "a01_x"]
+    assert "b02_x" not in rotated and "a01_x" not in rotated
+    assert "c03_x" in rotated
+    # without ages (legacy mode) the spill stays untouched
+    r2, _, info2 = rw.plan_rotation(src, greens, 4)
+    assert info2["unrotating_stalest"] == []
+    assert {"a01_x", "b02_x", "c03_x"} <= r2
