@@ -2274,7 +2274,11 @@ def _c121_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sig_path, ignore_errors=True)
 
 
-def _sql_c121() -> str:
+def _sql_c121(pack_budget: int = PACK_BUDGET) -> str:
+    """c121's composed five-stage CTE chain. ``pack_budget``
+    parameterizes ONLY the stage-5 bucket width (s35 consumes the
+    landing zone at a reduced budget so pack CLOSURE is exercisable
+    at fixture scale; c121/c124 use the production default)."""
     from spark_dynamodb_spark.functions.text import sql_normalize_text
     from spark_dynamodb_spark.operators.dedup import (
         BENCH_SOURCE,
@@ -2345,7 +2349,7 @@ def _sql_c121() -> str:
       FROM s3
     ),
     packed AS (
-      SELECT source, CAST(prefix // {PACK_BUDGET} AS BIGINT) AS pack_id,
+      SELECT source, CAST(prefix // {pack_budget} AS BIGINT) AS pack_id,
              doc_id, n_tokens
       FROM pre
     )

@@ -179,6 +179,8 @@ ROTATED_GREEN_R1 = frozenset(
         "b97_parameterized_sql",
         "b98_pipe_syntax",
         "b99_running_distinct_count",
+        "c02_dedup_simhash",
+        "c02_embedding_neardup",
         "c03_ann_cosine_topk",
         "c03_ann_ivf",
         "c03_ann_ivf_pruned",
@@ -362,7 +364,6 @@ ROTATED_GREEN_R1 = frozenset(
         "s31_stream_tokenize_state",
         "s32_stream_media_features",
         "s33_stream_pack_assignment",
-        "s34_stream_landing_zone_capstone",
     }
 )
 

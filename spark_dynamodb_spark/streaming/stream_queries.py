@@ -3327,66 +3327,21 @@ _finalize_s33_oracle()
 # ---------------------------------------------------------------------------
 
 
-@query("s34_stream_landing_zone_capstone", None)  # oracle patched below
-def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S34: the full landing zone as ONE stream. Documents arrive as 4
-    doc_id-RANGE micro-batches (the s33 ranged staging: arrival order
-    IS doc_id order — the property every carried state below leans
-    on); each foreachBatch invocation runs all five c121 stages over
-    its batch with four carried states:
-
-    1. DECONTAMINATE (s30 contract): the benchmark's hashed-shingle
-       state is bootstrapped ONCE before ingestion (an eval suite is
-       versioned, not streamed); each batch's train docs broadcast-join
-       it and a doc is contaminated iff it covers >= CONTAM_T of any
-       bench doc's shingles. Complete within the batch: a doc arrives
-       whole, and the bench side is static.
-    2. EXACT DEDUP (c01 rule: keep the min doc_id per content_md5
-       among decon survivors): carried state = the md5 ledger of all
-       survivor hashes landed by STRICTLY EARLIER batches. Because
-       arrival order is doc_id order, "md5 seen earlier OR by a
-       smaller doc_id in this batch" is exactly "doc_id > group min".
-    3. NEAR-DUP VERDICT (c121 stage-4 contract: every verified
-       J >= 0.8 pair among exact survivors drops its larger id,
-       one-hop): carried state = the survivor signature ledger
-       (doc_id, harr) plus the cumulative LSH band ledger. The batch's
-       survivors band (minhash_band_rows — the one shared spelling),
-       candidates come from (band, key) equi-buckets against the
-       cumulative ledger with partner < doc, and exact Jaccard on the
-       two hashed arrays verifies. Every smaller-id partner has
-       already arrived (ranged order), so the verdict for a doc is
-       FINAL in its own batch — which is what lets packing stream.
-       Cap note: the MAX_BUCKET_DOCS skew guard applies to the
-       CUMULATIVE bucket count at decision time; equality with c121
-       (cap on the final bucket) and with the all-pairs oracle holds
-       under the c02/c121-documented assumption that no true-pair
-       bucket ever crosses the cap (fixture max bucket << 512) and
-       LSH recall is ~1 at J >= 0.8.
-    4. TOKENIZE (c04/s31 rule): n_tokens = size(tokens(text)),
-       computed in the batch's single projection.
-    5. PACK (c09/s33 rule): carried state = per-source survivor token
-       totals of strictly earlier batches; the batch's survivors take
-       the batch-local exclusive prefix-sum over doc_id within source,
-       plus the carried base, and land (doc_id, source, n_tokens,
-       pack_id) idempotently (per-batch overwrite subdirectory — the
-       s30 replay contract: every carried read is "strictly earlier
-       batches only", so a replayed batch recomputes bit-identical
-       output).
-
-    Finalization aggregates the landed assignments into the manifest
-    (source, pack_id, n_docs, pack_tokens, first_doc, last_doc) —
-    which must equal c121's EXACTLY: this entry's oracle IS c121's
-    composed five-stage CTE chain.
-
-    100 TB shape: each stage inherits its proven entry's bound —
-    bench state is eval-suite-sized (broadcasts), md5 ledger rows are
-    16-byte hashes, band state is the s28 keyed-bucket shape (the
-    production variant adds s28's signature-group collapse; at the
-    fixture's clique sizes doc-level banding is the same work),
-    pack state is ONE counter per source, and raw text never crosses
-    a batch boundary — per batch the corpus bytes are read once,
-    exactly like c121's single scan, just spread over arrivals.
-    """
+def _landing_zone_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    post_batch=None,
+    pack_budget: int | None = None,
+) -> str:
+    """Shared s34/s35 engine (round 15, VERDICT r14 #2): stage the
+    documents as 4 doc_id-RANGE micro-batches and run the five-stage
+    landing-zone chain per batch (contract documented on s34), landing
+    per-batch (doc_id, source, n_tokens, pack_id) assignments under
+    <root>/assign/batch_NNNNNN. ``post_batch(sess, batch_id, root)``
+    runs after the batch's landings — the hook the streaming shard
+    CONSUMER (s35) uses to emit closures incrementally. Returns the
+    state root; the caller reads <root>/assign (and any hook ledgers)
+    and removes the root."""
     import os
     import shutil
     import tempfile
@@ -3403,6 +3358,8 @@ def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_dynamodb_spark.operators.pipeline import PACK_BUDGET
     from spark_dynamodb_spark.tables import load_table
 
+    if pack_budget is None:
+        pack_budget = PACK_BUDGET
     staged = _docs_stream_staging_ranged(spark, sf_dir)
     schema = T.StructType(
         [
@@ -3592,7 +3549,7 @@ def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id",
                 "source",
                 "n_tokens",
-                F.expr(f"prefix div {PACK_BUDGET}").cast("long").alias("pack_id"),
+                F.expr(f"prefix div {pack_budget}").cast("long").alias("pack_id"),
             ),
             assign_dir,
             batch_id,
@@ -3602,6 +3559,8 @@ def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             pack_dir,
             batch_id,
         )
+        if post_batch is not None:
+            post_batch(sess, batch_id, root)
 
     ckpt = tempfile.mkdtemp(prefix="s34_ckpt_")
     try:
@@ -3612,9 +3571,79 @@ def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return root
+
+
+@query("s34_stream_landing_zone_capstone", None)  # oracle patched below
+def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S34: the full landing zone as ONE stream. Documents arrive as 4
+    doc_id-RANGE micro-batches (the s33 ranged staging: arrival order
+    IS doc_id order — the property every carried state below leans
+    on); each foreachBatch invocation runs all five c121 stages over
+    its batch with four carried states:
+
+    1. DECONTAMINATE (s30 contract): the benchmark's hashed-shingle
+       state is bootstrapped ONCE before ingestion (an eval suite is
+       versioned, not streamed); each batch's train docs broadcast-join
+       it and a doc is contaminated iff it covers >= CONTAM_T of any
+       bench doc's shingles. Complete within the batch: a doc arrives
+       whole, and the bench side is static.
+    2. EXACT DEDUP (c01 rule: keep the min doc_id per content_md5
+       among decon survivors): carried state = the md5 ledger of all
+       survivor hashes landed by STRICTLY EARLIER batches. Because
+       arrival order is doc_id order, "md5 seen earlier OR by a
+       smaller doc_id in this batch" is exactly "doc_id > group min".
+    3. NEAR-DUP VERDICT (c121 stage-4 contract: every verified
+       J >= 0.8 pair among exact survivors drops its larger id,
+       one-hop): carried state = the survivor signature ledger
+       (doc_id, harr) plus the cumulative LSH band ledger. The batch's
+       survivors band (minhash_band_rows — the one shared spelling),
+       candidates come from (band, key) equi-buckets against the
+       cumulative ledger with partner < doc, and exact Jaccard on the
+       two hashed arrays verifies. Every smaller-id partner has
+       already arrived (ranged order), so the verdict for a doc is
+       FINAL in its own batch — which is what lets packing stream.
+       Cap note: the MAX_BUCKET_DOCS skew guard applies to the
+       CUMULATIVE bucket count at decision time; equality with c121
+       (cap on the final bucket) and with the all-pairs oracle holds
+       under the c02/c121-documented assumption that no true-pair
+       bucket ever crosses the cap (fixture max bucket << 512) and
+       LSH recall is ~1 at J >= 0.8.
+    4. TOKENIZE (c04/s31 rule): n_tokens = size(tokens(text)),
+       computed in the batch's single projection.
+    5. PACK (c09/s33 rule): carried state = per-source survivor token
+       totals of strictly earlier batches; the batch's survivors take
+       the batch-local exclusive prefix-sum over doc_id within source,
+       plus the carried base, and land (doc_id, source, n_tokens,
+       pack_id) idempotently (per-batch overwrite subdirectory — the
+       s30 replay contract: every carried read is "strictly earlier
+       batches only", so a replayed batch recomputes bit-identical
+       output).
+
+    Finalization aggregates the landed assignments into the manifest
+    (source, pack_id, n_docs, pack_tokens, first_doc, last_doc) —
+    which must equal c121's EXACTLY: this entry's oracle IS c121's
+    composed five-stage CTE chain.
+
+    100 TB shape: each stage inherits its proven entry's bound —
+    bench state is eval-suite-sized (broadcasts), md5 ledger rows are
+    16-byte hashes, band state is the s28 keyed-bucket shape (the
+    production variant adds s28's signature-group collapse; at the
+    fixture's clique sizes doc-level banding is the same work),
+    pack state is ONE counter per source, and raw text never crosses
+    a batch boundary — per batch the corpus bytes are read once,
+    exactly like c121's single scan, just spread over arrivals.
+    """
+    import os
+    import shutil
+
+    root = _landing_zone_stream_run(spark, sf_dir)
+    try:
         rows = (
             spark.read.option("recursiveFileLookup", "true")
-            .parquet(assign_dir)
+            .parquet(os.path.join(root, "assign"))
             .groupBy("source", "pack_id")
             .agg(
                 F.count("*").cast("long").alias("n_docs"),
@@ -3626,7 +3655,6 @@ def stream_landing_zone_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return rows.localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -3644,3 +3672,266 @@ def _finalize_s34_oracle() -> None:
 
 
 _finalize_s34_oracle()
+
+
+def _expand_shard_assignments(manifest: DataFrame) -> DataFrame:
+    """(source, pack_id, pack_tokens, n_docs) -> one assignment row
+    per epoch: the c124 spelling (epoch-seeded md5 order key +
+    md5_64 hash-bucket worker), shared so s35's incremental emission
+    and c124's batch answer can never drift."""
+    from spark_dynamodb_spark.operators.pipeline import (
+        N_LOADER_EPOCHS,
+        _shard_assignment_cols,
+    )
+
+    e = manifest.select(
+        "source",
+        "pack_id",
+        "pack_tokens",
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_LOADER_EPOCHS)])
+        ).alias("epoch"),
+    )
+    key, worker = _shard_assignment_cols(
+        F.col("epoch"), F.col("source"), F.col("pack_id")
+    )
+    return e.select(
+        "epoch",
+        key.alias("key"),
+        worker.alias("worker"),
+        "pack_tokens",
+        "n_docs",
+    )
+
+
+# s35's landing-zone pack budget: the production PACK_BUDGET (2048)
+# exceeds every source's TOTAL survivor tokens at the driver fixtures
+# (single pack per source -> nothing ever closes in-stream, a vacuous
+# driver row). The budget is a free parameter of the pack stage, not
+# a semantic: s35 runs the SAME five-stage chain at 64 tokens/pack so
+# the fixtures yield several packs per source and the closure rule is
+# actually exercised (~2-3 packs/source at sf0.001, ~20 at sf0.01).
+# The oracle is built at the same budget; the c124 equality pytest
+# overrides back to the production budget on both sides.
+S35_PACK_BUDGET = 64
+
+
+def _s35_manifest_agg(df: DataFrame) -> DataFrame:
+    """Re-fold partial per-(source, pack_id) manifest rows (sums
+    compose, min/max compose) — used when a pack spans batches."""
+    return df.groupBy("source", "pack_id").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("pack_tokens").cast("long").alias("pack_tokens"),
+        F.min("first_doc").alias("first_doc"),
+        F.max("last_doc").alias("last_doc"),
+    )
+
+
+def _s35_consumer(sess: SparkSession, batch_id: int, root: str) -> None:
+    """The per-batch shard-consumer hook (contract on s35): fold the
+    batch's landed assignments into the carried open-pack state, emit
+    newly-closed packs as per-epoch (key, worker) assignments."""
+    import os
+
+    open_dir = os.path.join(root, "open")
+    closed_dir = os.path.join(root, "closed")
+    os.makedirs(open_dir, exist_ok=True)
+    os.makedirs(closed_dir, exist_ok=True)
+    tag = f"batch_{batch_id:06d}"
+    batch_manifest = (
+        sess.read.parquet(os.path.join(root, "assign", tag))
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+    prior = sorted(d for d in os.listdir(open_dir) if d < tag)
+    merged = (
+        _s35_manifest_agg(
+            sess.read.parquet(os.path.join(open_dir, prior[-1])).unionByName(
+                batch_manifest
+            )
+        )
+        if prior
+        else batch_manifest
+    )
+    mx = merged.groupBy("source").agg(F.max("pack_id").alias("maxp"))
+    merged = merged.join(F.broadcast(mx), "source")
+    closed = merged.filter(F.col("pack_id") < F.col("maxp")).drop("maxp")
+    still_open = merged.filter(F.col("pack_id") == F.col("maxp")).drop("maxp")
+    _expand_shard_assignments(closed).write.mode("overwrite").parquet(
+        os.path.join(closed_dir, tag)
+    )
+    still_open.write.mode("overwrite").parquet(os.path.join(open_dir, tag))
+
+
+@query("s35_stream_shard_consumer", None)  # oracle patched below
+def stream_shard_consumer(
+    spark: SparkSession,
+    sf_dir: str,
+    with_final: bool = False,
+    pack_budget: int | None = None,
+) -> DataFrame:
+    """S35: the STREAMING twin of c124 (VERDICT r14 #2 / "What's
+    missing" #5) — a shard consumer that TAILS the s34 landing zone
+    and emits shard->worker assignments incrementally as packs CLOSE,
+    instead of waiting for the batch manifest.
+
+    Closure rule: a pack (source, pack_id) is CLOSED the moment any
+    LATER pack_id for its source has landed — arrival is doc_id order
+    (the s33/s34 ranged-staging property) and pack_id is a monotone
+    prefix-sum bucket within source, so once a later pack lands, the
+    earlier pack can never gain another doc and its manifest row is
+    FINAL. The set of in-stream-closed packs is therefore
+    BATCH-INDEPENDENT: exactly the packs with pack_id < max(pack_id)
+    of their source (each source's last pack only closes when the
+    stream ends). That batch independence is what makes a hashable
+    oracle possible: c124's composed CTE chain restricted to closed
+    packs.
+
+    Per batch (the post_batch hook on the shared s34 engine): fold
+    the batch's landed assignments into the carried OPEN-pack state
+    (per-(source, pack_id) partial aggregates — at most the one
+    still-open pack per source, O(sources) rows, never doc-level),
+    split on the closure rule, expand newly-closed packs to
+    per-epoch (key, worker) assignments via the c124 columns, and
+    land them to the closed ledger (emitted exactly ONCE per pack —
+    closure removes the pack from the open state). All carried reads
+    are strictly-earlier-batch (the s30 replay contract): a replayed
+    batch recomputes bit-identical emissions.
+
+    Entry answer: the c124 aggregation (per epoch x worker: n_shards
+    / worker_tokens / worker_docs / integer share_ppm / first_key /
+    last_key) over the IN-STREAM-CLOSED ledger only, at
+    S35_PACK_BUDGET (the production 2048-token budget exceeds every
+    source's total at fixture scale — nothing would ever close; the
+    budget is the pack stage's one free parameter and the oracle is
+    built at the same value). With ``with_final=True`` (the pytest
+    path) the finalization emission — each source's last open pack,
+    assigned when the stream ends — is unioned in first, and the
+    result must equal the full-manifest batch answer row-for-row:
+    vs c124 itself at the production budget, and vs the
+    unrestricted oracle twin at S35_PACK_BUDGET.
+
+    100 TB shape: consumer state is the open-pack row per source (not
+    the manifest, not the docs); each closure is emitted once;
+    assignment stays the c124 hash-bucket discipline — deliberately
+    NO global row_number (plan-gated, same as c124). Citation:
+    reference connector delegates all post-scan relational work to
+    Spark (SURVEY.md section 2); this entry is part of the
+    LLM-pipeline mandate, not connector parity."""
+    import os
+    import shutil
+
+    root = _landing_zone_stream_run(
+        spark,
+        sf_dir,
+        post_batch=_s35_consumer,
+        pack_budget=S35_PACK_BUDGET if pack_budget is None else pack_budget,
+    )
+    try:
+        ledger = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(root, "closed")
+        )
+        if with_final:
+            open_dir = os.path.join(root, "open")
+            last = sorted(os.listdir(open_dir))[-1]
+            final = _expand_shard_assignments(
+                spark.read.parquet(os.path.join(open_dir, last))
+            )
+            ledger = ledger.unionByName(final)
+        g = ledger.groupBy("epoch", "worker").agg(
+            F.count("*").cast("long").alias("n_shards"),
+            F.sum("pack_tokens").cast("long").alias("worker_tokens"),
+            F.sum("n_docs").cast("long").alias("worker_docs"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+        )
+        t = g.groupBy("epoch").agg(F.sum("worker_tokens").alias("tot"))
+        rows = (
+            g.join(F.broadcast(t), "epoch")
+            .select(
+                "epoch",
+                "worker",
+                "n_shards",
+                "worker_tokens",
+                "worker_docs",
+                F.expr("worker_tokens * 1000000 div tot").alias("share_ppm"),
+                "first_key",
+                "last_key",
+            )
+            .orderBy("epoch", "worker")
+        )
+        return rows.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _s35_oracle_sql(
+    closed_only: bool = True, pack_budget: int = S35_PACK_BUDGET
+) -> str:
+    """c124's composed CTE chain at s35's pack budget, restricted to
+    CLOSED packs (pack_id below the source's max). The
+    ``closed_only=False`` twin covers the FULL manifest — the pytest
+    compares it against the entry's ``with_final=True`` path, pinning
+    "incremental emissions + finalization == the batch answer"."""
+    from spark_dynamodb_spark.functions.text import sql_md5_64
+    from spark_dynamodb_spark.operators.pipeline import (
+        N_LOADER_EPOCHS,
+        N_LOADER_WORKERS,
+        _sql_c121,
+    )
+
+    values = ", ".join(f"({i})" for i in range(N_LOADER_EPOCHS))
+    closed_pred = "m.pack_id < mx.maxp" if closed_only else "TRUE"
+    return f"""
+    WITH manifest AS (SELECT * FROM ({_sql_c121(pack_budget)}) _m),
+    mx AS (SELECT source, MAX(pack_id) AS maxp FROM manifest GROUP BY source),
+    closed AS (
+      SELECT m.* FROM manifest m JOIN mx USING (source)
+      WHERE {closed_pred}
+    ),
+    e AS (
+      SELECT c.*, ep.epoch
+      FROM closed c, (VALUES {values}) AS ep(epoch)
+    ),
+    k AS (
+      SELECT epoch, pack_tokens, n_docs,
+             md5(concat_ws('|', 'ep', CAST(epoch AS VARCHAR), source,
+                           CAST(pack_id AS VARCHAR))) AS key
+      FROM e
+    ),
+    a AS (
+      SELECT epoch, key, pack_tokens, n_docs,
+             {sql_md5_64("'w|' || key")} % {N_LOADER_WORKERS} AS worker
+      FROM k
+    ),
+    g AS (
+      SELECT epoch, worker,
+             CAST(COUNT(*) AS BIGINT) AS n_shards,
+             CAST(SUM(pack_tokens) AS BIGINT) AS worker_tokens,
+             CAST(SUM(n_docs) AS BIGINT) AS worker_docs,
+             MIN(key) AS first_key,
+             MAX(key) AS last_key
+      FROM a GROUP BY epoch, worker
+    ),
+    t AS (SELECT epoch, SUM(worker_tokens) AS tot FROM g GROUP BY epoch)
+    SELECT g.epoch, g.worker, g.n_shards, g.worker_tokens, g.worker_docs,
+           CAST(g.worker_tokens * 1000000 // t.tot AS BIGINT) AS share_ppm,
+           g.first_key, g.last_key
+    FROM g JOIN t USING (epoch)
+    ORDER BY g.epoch, g.worker
+    """
+
+
+def _finalize_s35_oracle() -> None:
+    from spark_dynamodb_spark.registry import REGISTRY
+
+    REGISTRY.resolve("s35_stream_shard_consumer").oracle = _s35_oracle_sql()
+
+
+_finalize_s35_oracle()

