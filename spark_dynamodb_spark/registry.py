@@ -368,6 +368,19 @@ ROTATED_GREEN_R1 = frozenset(
 )
 
 
+# Round-15 note (VERDICT r14 #1): the window is now a verification-
+# durability cycle. The rotation ran with --keep for the 7 names whose
+# code paths changed this round (the decode_jpeg family + video after
+# the SOF0-precision/DHP fixes, mpeg_audio after the frame-overrun
+# guard, c124 after the oracle epoch parameterization); the ~43 spare
+# slots were filled STALEST-FIRST (oldest last-real-driver-row, from
+# the CORRECTNESS_r*.json history) instead of the old lexical z_
+# spill — this round the r1-r2 veterans b11-b36 and the c01/c02 dedup
+# shelf. s34 was UN-rotated after its five-stage chain moved into the
+# shared _landing_zone_stream_run engine (s35's substrate), and the
+# two least-stale refills (c02_dedup_simhash, c02_embedding_neardup)
+# rotated back so the window holds exactly 50 with s35 included.
+# c125/c126 parked under zz_ after earning their r14 rows-only rows.
 # Round-14 note (the code-review r13 un-rotation discipline): six
 # names whose implementations or SHARED code paths changed this round
 # were removed from ROTATED_GREEN_R1 so the driver re-verifies them:
