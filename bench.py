@@ -152,6 +152,9 @@ EXTRA = [
     "c05_multimodal_jpeg12",
     # hierarchical DHP/EXP/SOF5 pyramid (two frames + expansion filter)
     "c05_multimodal_jpeg_hier",
+    # round-15: the streaming shard consumer (s34 chain + incremental
+    # pack-closure emission at the s35 budget)
+    "s35_stream_shard_consumer",
 ]
 
 
@@ -170,10 +173,16 @@ def main() -> None:
 
     # Warmup 1: JVM + python worker pool + parquet footer caches.
     specs["b01_scan_full"].fn(spark, sf_dir).count()
-    # Warmup 2: run every headline query once at the smallest sf — the
+    # Warmup 2: run every query once at the smallest sf — the
     # generated whole-stage code is identical, so this pre-fills the
     # Janino codegen cache (wide-aggregate plans cost seconds to
     # compile on first execution) without touching the measured data.
+    # This sweep covers EXTRAS too even though they also get a
+    # discarded measured-SF warmup run: a round-15 A/B showed the
+    # HEADLINE total rides on the whole-session JIT warmth this sweep
+    # provides (headline 7.7 s with the full sweep vs 10.4 s with a
+    # headline-only sweep, calibration steady) — trimming it would
+    # break value's comparability with BENCH_r01+.
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
         for name in HEADLINE + EXTRA:
@@ -200,20 +209,46 @@ def main() -> None:
     # comparability with BENCH_r01–r04; the median totals are the
     # dispersion line that separates real deltas from host noise.
     RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # Extras run budget (VERDICT r14 #6, revised twice after
+    # measurement — the full story in PLANS.md section bench-budget):
+    # the extras block grew past 60 entries and min-of-5 pushed one
+    # bench invocation past 20 minutes. The 15-query HEADLINE keeps
+    # min-of-5 (the round-over-round contract). EXTRAS since round 15:
+    # the FIRST measured-SF run is a DISCARDED warmup (recorded as
+    # warmup_sec), then min-of-EXTRA_RUNS (2) measured runs. The
+    # discard is load-bearing: a plain min-of-2/3 trial read the
+    # streaming-staging family 2-4.5x high (cold fixture staging in
+    # run 1; s30 26.9 s vs its true warm 5 s). A single-measured-run
+    # variant was ALSO rejected: one trial caught s34's only sample
+    # at 52 s against a 17.9-32 s band — the >15 s entries carry the
+    # in-session variance, so exactly they need the second sample.
+    EXTRA_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_RUNS", "2"))
 
     from spark_dynamodb_spark.maintenance import release_cached
 
-    def measure(names: list[str]) -> tuple[dict[str, float], dict[str, float]]:
+    n_samples: dict[str, int] = {}
+    warmup_secs: dict[str, float] = {}
+
+    def measure(
+        names: list[str],
+        runs: int,
+        discard_first: bool = False,
+    ) -> tuple[dict[str, float], dict[str, float]]:
         mins: dict[str, float] = {}
         medians: dict[str, float] = {}
         for name in names:
             fn = specs[name].fn
+            if discard_first:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                warmup_secs[name] = round(time.perf_counter() - t0, 3)
             samples = []
-            for _ in range(RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 samples.append(time.perf_counter() - t0)
+            n_samples[name] = len(samples)
             # release pinned RDDs BETWEEN QUERIES, not between runs
             # (VERDICT r11 #7): this bounds executor storage across the
             # 60-query bench without changing the measurement
@@ -256,8 +291,8 @@ def main() -> None:
           f"{statistics.median(cal_samples):.3f}s (ref {CAL_REF})",
           file=sys.stderr)
 
-    timings, med = measure(HEADLINE)
-    extra, extra_med = measure(EXTRA)
+    timings, med = measure(HEADLINE, RUNS)
+    extra, extra_med = measure(EXTRA, EXTRA_RUNS, discard_first=True)
     total = round(sum(timings.values()), 3)
     # The driver records only the LAST 2000 BYTES of stdout (observed:
     # BENCH_r09's "tail" field is a 2000-byte capture whose front —
@@ -268,13 +303,26 @@ def main() -> None:
     # ride the compact line, so it cannot outgrow the cap again
     # (VERDICT r13 #10). Full detail (per-query extras mins + medians)
     # lives in BENCH_DETAIL.json next to this script and on stderr.
+    # Per-query calibrated medians (VERDICT r14 #7): one factor, the
+    # same rescale the headline's value_calibrated uses, applied to
+    # every per-query median so next round's regression triage is one
+    # field read per query instead of a manual renormalization.
+    cal_factor = round(CAL_REF / calibration, 4) if calibration > 0 else 1.0
+    all_med = {**med, **extra_med}
     detail = {
         "queries_min": {**timings, **extra},
-        "queries_median": {**med, **extra_med},
+        "queries_median": all_med,
+        "queries_median_calibrated": {
+            n: round(v * cal_factor, 3) for n, v in all_med.items()
+        },
+        "n_samples": n_samples,
+        "warmup_sec": warmup_secs,
         "extra_queries": EXTRA,
         "headline_queries": HEADLINE,
         "calibration_sec": calibration,
         "calibration_ref": CAL_REF,
+        "calibration_factor": cal_factor,
+        "extra_runs": EXTRA_RUNS,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
