@@ -2730,3 +2730,111 @@ def _finalize_c124_oracle() -> None:
 
 
 _finalize_c124_oracle()
+
+
+# ---------------------------------------------------------------------------
+# C127 — loader mixture schedule (round 15): the governance step between
+# the manifest (c121) and the shard consumer (c124/s35).
+# ---------------------------------------------------------------------------
+
+# Per-epoch token budget the mixture schedule allocates across sources.
+# A demo constant sized so fixture sources get non-trivial integer
+# budgets; the schedule math is budget-agnostic.
+MIXTURE_EPOCH_TOKENS = 1_000_000
+
+
+@query(
+    "c127_mixture_schedule",
+    f"""
+    WITH manifest AS (SELECT * FROM ({{c121}}) _m),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_packs,
+             CAST(SUM(pack_tokens) AS BIGINT) AS source_tokens,
+             CAST(SUM(n_docs) AS BIGINT) AS source_docs
+      FROM manifest GROUP BY source
+    ),
+    w AS (
+      SELECT s.*, CAST(FLOOR(SQRT(source_tokens)) AS BIGINT) AS w_sqrt
+      FROM s
+    ),
+    t AS (SELECT SUM(w_sqrt) AS wtot, SUM(source_tokens) AS ttot FROM w)
+    SELECT w.source, w.n_packs, w.source_tokens, w.source_docs,
+           CAST(w.source_tokens * 1000000 // t.ttot AS BIGINT)
+             AS natural_ppm,
+           CAST(w.w_sqrt * 1000000 // t.wtot AS BIGINT) AS weight_ppm,
+           CAST(w.w_sqrt * {MIXTURE_EPOCH_TOKENS} // t.wtot AS BIGINT)
+             AS epoch_budget_tokens,
+           CAST((w.w_sqrt * {MIXTURE_EPOCH_TOKENS} // t.wtot) * 1000
+                // w.source_tokens AS BIGINT) AS repeat_x1000
+    FROM w, t
+    ORDER BY w.source
+    """,
+)
+def mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C127: the loader MIXTURE SCHEDULE — the last governance step a
+    training-data platform runs between the shard manifest and the
+    data loader: decide how much each source contributes per epoch.
+
+    Rule: temperature-weighted sampling with alpha = 0.5 — target
+    weight proportional to sqrt(source_tokens), the standard
+    sub-linear upweighting of small sources (the p_s ~ D_s^alpha
+    family used across public multilingual/multi-corpus training
+    recipes). Integer-exact cross-engine: the weight is
+    floor(sqrt(tokens)) (token counts are far below 2^52, so the
+    double sqrt is exact and the floor deterministic in BOTH Spark
+    and DuckDB), and every derived column is integer ppm / integer
+    division — no float crosses the hash oracle.
+
+    Emitted per source: pack/doc/token totals, natural_ppm (the
+    corpus's own distribution), weight_ppm (the alpha=0.5 target),
+    epoch_budget_tokens (the per-epoch token allocation out of
+    MIXTURE_EPOCH_TOKENS), and repeat_x1000 (budget / source_tokens,
+    the oversampling factor a loader applies — >1000 means the
+    source repeats within an epoch; small sources land higher, the
+    entire point of the temperature).
+
+    Composition: manifest = c121 (the oracle nests c121's composed
+    CTE chain verbatim); downstream, c124/s35 consume the shards
+    this schedule budgets. 100 TB shape: one manifest aggregation to
+    O(sources) rows, a 1-row total broadcast back — the schedule
+    never touches doc-level data."""
+    manifest = train_shards_capstone(spark, sf_dir)
+    s = manifest.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("pack_tokens").cast("long").alias("source_tokens"),
+        F.sum("n_docs").cast("long").alias("source_docs"),
+    )
+    w = s.withColumn(
+        "w_sqrt", F.floor(F.sqrt(F.col("source_tokens"))).cast("long")
+    )
+    t = w.agg(
+        F.sum("w_sqrt").alias("wtot"), F.sum("source_tokens").alias("ttot")
+    )
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_packs",
+            "source_tokens",
+            "source_docs",
+            F.expr("source_tokens * 1000000 div ttot").alias("natural_ppm"),
+            F.expr("w_sqrt * 1000000 div wtot").alias("weight_ppm"),
+            F.expr(f"w_sqrt * {MIXTURE_EPOCH_TOKENS} div wtot").alias(
+                "epoch_budget_tokens"
+            ),
+            F.expr(
+                f"(w_sqrt * {MIXTURE_EPOCH_TOKENS} div wtot) * 1000"
+                " div source_tokens"
+            ).alias("repeat_x1000"),
+        )
+        .orderBy("source")
+    )
+
+
+def _finalize_c127_oracle() -> None:
+    spec = _REGISTRY.resolve("c127_mixture_schedule")
+    spec.oracle = spec.oracle.replace("{c121}", _sql_c121())
+
+
+_finalize_c127_oracle()

@@ -179,6 +179,7 @@ ROTATED_GREEN_R1 = frozenset(
         "b97_parameterized_sql",
         "b98_pipe_syntax",
         "b99_running_distinct_count",
+        "c02_dedup_ngram_jaccard_baseline",
         "c02_dedup_simhash",
         "c02_embedding_neardup",
         "c03_ann_cosine_topk",

@@ -2327,3 +2327,37 @@ def test_advice_r14_codec_fixes():
         stream[4 + i] = 0xEE
     with pytest.raises(ValueError, match="overruns declared frame"):
         codecs.decode_mpeg1_layer1(bytes(stream))
+
+
+def test_c127_mixture_schedule_invariants(spark, sf_dir):
+    """c127 (round 15): the alpha=0.5 temperature schedule's algebra —
+    (a) ppm columns are true integer shares (sum within n_sources ulps
+    of 1e6, floor division); (b) the temperature flattens the mixture:
+    every source strictly below the mean token share gains weight
+    (weight_ppm >= natural_ppm) and the largest source loses it;
+    (c) budget conservation: per-epoch budgets sum to at most
+    MIXTURE_EPOCH_TOKENS and within n_sources of it; (d) repeat_x1000
+    ordering follows the temperature — the smallest source oversamples
+    at least as hard as the largest."""
+    from spark_dynamodb_spark.operators.pipeline import (
+        MIXTURE_EPOCH_TOKENS,
+        mixture_schedule,
+    )
+
+    rows = mixture_schedule(spark, sf_dir).collect()
+    n = len(rows)
+    assert n >= 3
+    wtot = sum(r.weight_ppm for r in rows)
+    ntot = sum(r.natural_ppm for r in rows)
+    assert 1_000_000 - n <= wtot <= 1_000_000
+    assert 1_000_000 - n <= ntot <= 1_000_000
+    btot = sum(r.epoch_budget_tokens for r in rows)
+    assert MIXTURE_EPOCH_TOKENS - n <= btot <= MIXTURE_EPOCH_TOKENS
+    mean_ppm = 1_000_000 // n
+    for r in rows:
+        if r.natural_ppm < mean_ppm:
+            assert r.weight_ppm >= r.natural_ppm, r
+    big = max(rows, key=lambda r: r.source_tokens)
+    small = min(rows, key=lambda r: r.source_tokens)
+    assert big.weight_ppm <= big.natural_ppm, big
+    assert small.repeat_x1000 >= big.repeat_x1000, (small, big)
