@@ -90,14 +90,26 @@ def last_green_rounds(repo: str = REPO) -> dict[str, int]:
         with open(path, encoding="utf-8") as f:
             rows = json.load(f)
         for name, row in rows.items():
-            base = name[3:] if name.startswith("zz_") else (
-                name[2:] if name.startswith(("x_", "z_")) else name
-            )
-            green = row.get("hash_match") or (
-                row.get("rows_match") and not row.get("err")
-            ) or (
-                row.get("err") == "no_oracle"
-                and (row.get("spark_rows") or 0) > 0
+            if name.startswith("zz_diag_"):
+                base = name[8:]
+            elif name.startswith("zz_"):
+                base = name[3:]
+            elif name.startswith(("x_", "z_")):
+                base = name[2:]
+            else:
+                base = name
+            # Same green semantics as green_names (code-review r15): a
+            # hash MISMATCH with matching row counts is RED — counting
+            # it green would refresh the entry's staleness and make
+            # the spill skip exactly the entry that needs re-proving.
+            green = (
+                row.get("hash_match")
+                or (row.get("rows_match") and "hash_match" not in row and not row.get("err"))
+                or (row.get("rows_match") and row.get("hash_match") is None and not row.get("err"))
+                or (
+                    row.get("err") == "no_oracle"
+                    and (row.get("spark_rows") or 0) > 0
+                )
             )
             if green:
                 out[base] = max(out.get(base, 0), rnd)
@@ -126,6 +138,16 @@ def plan_rotation(
     # zz_ (ROWS_ONLY_VERIFIED) entries are permanently parked — they can
     # never hash-match and never rotate through these sets.
     unprefixed = {n for n in specs if not n.startswith(("x_", "z_", "zz_"))}
+
+    # --keep exists to hold CHANGED entries in the window; a typo'd or
+    # stale name silently rotating away would defeat exactly that
+    # discipline (code-review r15), so unknown names are a hard error.
+    unknown_keep = keep - unprefixed
+    if unknown_keep:
+        raise ValueError(
+            "--keep names not in the current unprefixed window: "
+            f"{sorted(unknown_keep)}"
+        )
 
     to_rotate = {n for n in unprefixed if n in greens and n not in keep}
     stay = unprefixed - to_rotate  # red/erred + explicitly kept

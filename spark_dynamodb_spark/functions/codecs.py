@@ -3783,7 +3783,17 @@ def decode_mpeg1_layer1(data: bytes) -> dict:
         if pos + frame_len > len(data):
             raise ValueError("mpeg1-layer1: truncated frame")
         n_padded += pad
-        rd = _FlacBitReader(data, pos + 4)
+        # protection_bit = 0 means a 16-bit CRC sits between the
+        # header and the audio data (ISO 11172-3 §2.4.1.3) — the
+        # walker (walk_mpeg_frames) already accounted for it, the
+        # decoder did not (code-review r15): without the skip the CRC
+        # bytes parse as the first four allocations. The CRC value is
+        # position-skipped, not validated (the protected-bit span
+        # definition is per-layer committee detail; misparse-proofing
+        # is the contract here, the overrun guard below stays the
+        # fail-loud backstop).
+        crc_present = (b1 & 1) == 0
+        rd = _FlacBitReader(data, pos + (6 if crc_present else 4))
 
         def _alloc4() -> int:
             a = rd.read(4)

@@ -2621,15 +2621,113 @@ def _shard_assignment_cols(epoch_col, source_col, pack_col):
     return key, worker
 
 
-@query(
-    "c124_shard_assignment",
-    f"""
-    WITH manifest AS (SELECT * FROM ({{c121}}) _m),
+@query("c124_shard_assignment", None)  # oracle patched below (shared builder)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C124: the loader-side twin of c121 (VERDICT r13 #7) — proves
+    the train-shard manifest is actually CONSUMABLE: a deterministic
+    shard->worker assignment plus an epoch-seeded per-worker
+    consumption order, emitting each worker's token/doc budget per
+    epoch. Assignment and order are both content-free md5 keys (the
+    c06/c58 governance discipline: no RAND(), reproducible across
+    runs/engines/partitionings; changing the epoch reshuffles both,
+    so epochs see different shard orders AND different worker maps
+    without any state). first_key/last_key pin the per-worker order
+    as aggregates — deliberately NO global row_number: a global rank
+    would funnel the manifest through one task per epoch, while
+    hash-bucket assignment stays narrow (the manifest at 100 TB is
+    billions of rows; hash balance is within O(1/sqrt(shards/worker))
+    of fair, and the share_ppm column IS the imbalance audit a
+    loader team watches — the synthetic-manifest pytest pins the
+    bound at 10k shards). share_ppm is integer ppm of the epoch's
+    total tokens (no float).
+
+    Composition: the manifest is c121's output (the entry runs the
+    full five-stage pipeline — its single-scan discipline carries
+    over); the oracle nests c121's composed CTE chain verbatim as a
+    derived table, so one answer covers ingest -> shards -> loader."""
+    manifest = train_shards_capstone(spark, sf_dir)
+    return shard_assignment_rollup(expand_shard_assignments(manifest))
+
+
+def expand_shard_assignments(manifest: DataFrame) -> DataFrame:
+    """(source, pack_id, pack_tokens, n_docs) -> one assignment row
+    per epoch: the epoch-seeded md5 order key + md5_64 hash-bucket
+    worker. ONE spelling shared by c124's batch answer and s35's
+    incremental closure emission (code-review r15: the two had grown
+    parallel copies) so they can never drift."""
+    e = manifest.select(
+        "source",
+        "pack_id",
+        "pack_tokens",
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(N_LOADER_EPOCHS)])
+        ).alias("epoch"),
+    )
+    key, worker = _shard_assignment_cols(
+        F.col("epoch"), F.col("source"), F.col("pack_id")
+    )
+    return e.select(
+        "epoch",
+        key.alias("key"),
+        worker.alias("worker"),
+        "pack_tokens",
+        "n_docs",
+    )
+
+
+def shard_assignment_rollup(a: DataFrame) -> DataFrame:
+    """Per-(epoch, worker) budget rollup over assignment rows — the
+    c124 output contract (n_shards / worker_tokens / worker_docs /
+    integer share_ppm / first_key / last_key), shared with s35's
+    finalization."""
+    g = a.groupBy("epoch", "worker").agg(
+        F.count("*").cast("long").alias("n_shards"),
+        F.sum("pack_tokens").cast("long").alias("worker_tokens"),
+        F.sum("n_docs").cast("long").alias("worker_docs"),
+        F.min("key").alias("first_key"),
+        F.max("key").alias("last_key"),
+    )
+    t = g.groupBy("epoch").agg(F.sum("worker_tokens").alias("tot"))
+    return (
+        g.join(F.broadcast(t), "epoch")
+        .select(
+            "epoch",
+            "worker",
+            "n_shards",
+            "worker_tokens",
+            "worker_docs",
+            F.expr("worker_tokens * 1000000 div tot").alias("share_ppm"),
+            "first_key",
+            "last_key",
+        )
+        .orderBy("epoch", "worker")
+    )
+
+
+def shard_assignment_oracle_sql(
+    closed_only: bool = False, pack_budget: int = PACK_BUDGET
+) -> str:
+    """The ONE SQL spelling of manifest -> per-(epoch, worker)
+    budgets (code-review r15: c124's literal and s35's builder had
+    grown parallel copies). ``closed_only`` restricts to packs below
+    the source's max pack_id (s35's in-stream-closure set; TRUE-pred
+    for the full c124 manifest); ``pack_budget`` parameterizes the
+    stage-5 bucket width exactly as _sql_c121 does."""
+    from spark_dynamodb_spark.functions.text import sql_md5_64
+
+    values = ", ".join(f"({i})" for i in range(N_LOADER_EPOCHS))
+    closed_pred = "m.pack_id < mx.maxp" if closed_only else "TRUE"
+    return f"""
+    WITH manifest AS (SELECT * FROM ({_sql_c121(pack_budget)}) _m),
+    mx AS (SELECT source, MAX(pack_id) AS maxp FROM manifest GROUP BY source),
+    closed AS (
+      SELECT m.* FROM manifest m JOIN mx USING (source)
+      WHERE {closed_pred}
+    ),
     e AS (
-      SELECT m.*, ep.epoch
-      FROM manifest m,
-           (VALUES {', '.join(f'({i})' for i in range(N_LOADER_EPOCHS))})
-             AS ep(epoch)
+      SELECT c.*, ep.epoch
+      FROM closed c, (VALUES {values}) AS ep(epoch)
     ),
     k AS (
       SELECT epoch, pack_tokens, n_docs,
@@ -2657,76 +2755,16 @@ def _shard_assignment_cols(epoch_col, source_col, pack_col):
            g.first_key, g.last_key
     FROM g JOIN t USING (epoch)
     ORDER BY g.epoch, g.worker
-    """,
-)
-def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C124: the loader-side twin of c121 (VERDICT r13 #7) — proves
-    the train-shard manifest is actually CONSUMABLE: a deterministic
-    shard->worker assignment plus an epoch-seeded per-worker
-    consumption order, emitting each worker's token/doc budget per
-    epoch. Assignment and order are both content-free md5 keys (the
-    c06/c58 governance discipline: no RAND(), reproducible across
-    runs/engines/partitionings; changing the epoch reshuffles both,
-    so epochs see different shard orders AND different worker maps
-    without any state). first_key/last_key pin the per-worker order
-    as aggregates — deliberately NO global row_number: a global rank
-    would funnel the manifest through one task per epoch, while
-    hash-bucket assignment stays narrow (the manifest at 100 TB is
-    billions of rows; hash balance is within O(1/sqrt(shards/worker))
-    of fair, and the share_ppm column IS the imbalance audit a
-    loader team watches — the synthetic-manifest pytest pins the
-    bound at 10k shards). share_ppm is integer ppm of the epoch's
-    total tokens (no float).
-
-    Composition: the manifest is c121's output (the entry runs the
-    full five-stage pipeline — its single-scan discipline carries
-    over); the oracle nests c121's composed CTE chain verbatim as a
-    derived table, so one answer covers ingest -> shards -> loader."""
-    manifest = train_shards_capstone(spark, sf_dir)
-    epochs = F.explode(
-        F.array(*[F.lit(i) for i in range(N_LOADER_EPOCHS)])
-    ).alias("epoch")
-    e = manifest.select("source", "pack_id", "pack_tokens", "n_docs", epochs)
-    key, worker = _shard_assignment_cols(
-        F.col("epoch"), F.col("source"), F.col("pack_id")
-    )
-    a = e.select(
-        "epoch",
-        key.alias("key"),
-        worker.alias("worker"),
-        "pack_tokens",
-        "n_docs",
-    )
-    g = a.groupBy("epoch", "worker").agg(
-        F.count("*").cast("long").alias("n_shards"),
-        F.sum("pack_tokens").cast("long").alias("worker_tokens"),
-        F.sum("n_docs").cast("long").alias("worker_docs"),
-        F.min("key").alias("first_key"),
-        F.max("key").alias("last_key"),
-    )
-    t = g.groupBy("epoch").agg(F.sum("worker_tokens").alias("tot"))
-    return (
-        g.join(F.broadcast(t), "epoch")
-        .select(
-            "epoch",
-            "worker",
-            "n_shards",
-            "worker_tokens",
-            "worker_docs",
-            F.expr("worker_tokens * 1000000 div tot").alias("share_ppm"),
-            "first_key",
-            "last_key",
-        )
-        .orderBy("epoch", "worker")
-    )
+    """
 
 
 def _finalize_c124_oracle() -> None:
-    """The oracle nests c121's composed chain verbatim (one source of
-    truth for the manifest semantics — a drift in c121's oracle
-    automatically propagates here)."""
-    spec = _REGISTRY.resolve("c124_shard_assignment")
-    spec.oracle = spec.oracle.replace("{c121}", _sql_c121())
+    """One oracle source of truth: the shared builder at the full
+    manifest / production budget (a drift in c121's oracle or the
+    assignment spelling propagates to c124 AND s35 automatically)."""
+    _REGISTRY.resolve("c124_shard_assignment").oracle = (
+        shard_assignment_oracle_sql(closed_only=False)
+    )
 
 
 _finalize_c124_oracle()

@@ -3393,16 +3393,20 @@ def _landing_zone_stream_run(
         )
 
     # bootstrap: benchmark hashed-shingle state + per-doc counts, once
-    docs = load_table(spark, sf_dir, "documents")
-    (
-        docs.filter(F.col("source") == BENCH_SOURCE)
-        .select(
-            F.col("doc_id").alias("bench_doc"),
-            F.explode(_hashed_shingles()).alias("h"),
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        (
+            docs.filter(F.col("source") == BENCH_SOURCE)
+            .select(
+                F.col("doc_id").alias("bench_doc"),
+                F.explode(_hashed_shingles()).alias("h"),
+            )
+            .write.mode("overwrite")
+            .parquet(bench_dir)
         )
-        .write.mode("overwrite")
-        .parquet(bench_dir)
-    )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
 
     def _prior(sess: SparkSession, ledger: str, batch_id: int) -> DataFrame | None:
         dirs = [
@@ -3571,6 +3575,14 @@ def _landing_zone_stream_run(
             .start()
         )
         q.awaitTermination()
+    except BaseException:
+        # the caller only learns root from the return value — on a
+        # failed stream nobody else can clean it, so the state dirs
+        # (bench shingles, ledgers, per-batch assigns) must go here
+        # (code-review r15: the pre-refactor s34 removed root on every
+        # path; the extraction had narrowed that to the success path)
+        shutil.rmtree(root, ignore_errors=True)
+        raise
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return root
@@ -3675,34 +3687,13 @@ _finalize_s34_oracle()
 
 
 def _expand_shard_assignments(manifest: DataFrame) -> DataFrame:
-    """(source, pack_id, pack_tokens, n_docs) -> one assignment row
-    per epoch: the c124 spelling (epoch-seeded md5 order key +
-    md5_64 hash-bucket worker), shared so s35's incremental emission
-    and c124's batch answer can never drift."""
+    """Delegates to pipeline.expand_shard_assignments — ONE spelling
+    of the c124 assignment columns (code-review r15)."""
     from spark_dynamodb_spark.operators.pipeline import (
-        N_LOADER_EPOCHS,
-        _shard_assignment_cols,
+        expand_shard_assignments,
     )
 
-    e = manifest.select(
-        "source",
-        "pack_id",
-        "pack_tokens",
-        "n_docs",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(N_LOADER_EPOCHS)])
-        ).alias("epoch"),
-    )
-    key, worker = _shard_assignment_cols(
-        F.col("epoch"), F.col("source"), F.col("pack_id")
-    )
-    return e.select(
-        "epoch",
-        key.alias("key"),
-        worker.alias("worker"),
-        "pack_tokens",
-        "n_docs",
-    )
+    return expand_shard_assignments(manifest)
 
 
 # s35's landing-zone pack budget: the production PACK_BUDGET (2048)
@@ -3844,28 +3835,11 @@ def stream_shard_consumer(
                 spark.read.parquet(os.path.join(open_dir, last))
             )
             ledger = ledger.unionByName(final)
-        g = ledger.groupBy("epoch", "worker").agg(
-            F.count("*").cast("long").alias("n_shards"),
-            F.sum("pack_tokens").cast("long").alias("worker_tokens"),
-            F.sum("n_docs").cast("long").alias("worker_docs"),
-            F.min("key").alias("first_key"),
-            F.max("key").alias("last_key"),
+        from spark_dynamodb_spark.operators.pipeline import (
+            shard_assignment_rollup,
         )
-        t = g.groupBy("epoch").agg(F.sum("worker_tokens").alias("tot"))
-        rows = (
-            g.join(F.broadcast(t), "epoch")
-            .select(
-                "epoch",
-                "worker",
-                "n_shards",
-                "worker_tokens",
-                "worker_docs",
-                F.expr("worker_tokens * 1000000 div tot").alias("share_ppm"),
-                "first_key",
-                "last_key",
-            )
-            .orderBy("epoch", "worker")
-        )
+
+        rows = shard_assignment_rollup(ledger)
         return rows.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -3874,58 +3848,16 @@ def stream_shard_consumer(
 def _s35_oracle_sql(
     closed_only: bool = True, pack_budget: int = S35_PACK_BUDGET
 ) -> str:
-    """c124's composed CTE chain at s35's pack budget, restricted to
-    CLOSED packs (pack_id below the source's max). The
+    """Delegates to pipeline.shard_assignment_oracle_sql (ONE SQL
+    spelling for c124 and s35 — code-review r15), defaulting to the
+    s35 contract: closed packs only, at the s35 budget. The
     ``closed_only=False`` twin covers the FULL manifest — the pytest
-    compares it against the entry's ``with_final=True`` path, pinning
-    "incremental emissions + finalization == the batch answer"."""
-    from spark_dynamodb_spark.functions.text import sql_md5_64
+    compares it against the entry's ``with_final=True`` path."""
     from spark_dynamodb_spark.operators.pipeline import (
-        N_LOADER_EPOCHS,
-        N_LOADER_WORKERS,
-        _sql_c121,
+        shard_assignment_oracle_sql,
     )
 
-    values = ", ".join(f"({i})" for i in range(N_LOADER_EPOCHS))
-    closed_pred = "m.pack_id < mx.maxp" if closed_only else "TRUE"
-    return f"""
-    WITH manifest AS (SELECT * FROM ({_sql_c121(pack_budget)}) _m),
-    mx AS (SELECT source, MAX(pack_id) AS maxp FROM manifest GROUP BY source),
-    closed AS (
-      SELECT m.* FROM manifest m JOIN mx USING (source)
-      WHERE {closed_pred}
-    ),
-    e AS (
-      SELECT c.*, ep.epoch
-      FROM closed c, (VALUES {values}) AS ep(epoch)
-    ),
-    k AS (
-      SELECT epoch, pack_tokens, n_docs,
-             md5(concat_ws('|', 'ep', CAST(epoch AS VARCHAR), source,
-                           CAST(pack_id AS VARCHAR))) AS key
-      FROM e
-    ),
-    a AS (
-      SELECT epoch, key, pack_tokens, n_docs,
-             {sql_md5_64("'w|' || key")} % {N_LOADER_WORKERS} AS worker
-      FROM k
-    ),
-    g AS (
-      SELECT epoch, worker,
-             CAST(COUNT(*) AS BIGINT) AS n_shards,
-             CAST(SUM(pack_tokens) AS BIGINT) AS worker_tokens,
-             CAST(SUM(n_docs) AS BIGINT) AS worker_docs,
-             MIN(key) AS first_key,
-             MAX(key) AS last_key
-      FROM a GROUP BY epoch, worker
-    ),
-    t AS (SELECT epoch, SUM(worker_tokens) AS tot FROM g GROUP BY epoch)
-    SELECT g.epoch, g.worker, g.n_shards, g.worker_tokens, g.worker_docs,
-           CAST(g.worker_tokens * 1000000 // t.tot AS BIGINT) AS share_ppm,
-           g.first_key, g.last_key
-    FROM g JOIN t USING (epoch)
-    ORDER BY g.epoch, g.worker
-    """
+    return shard_assignment_oracle_sql(closed_only, pack_budget)
 
 
 def _finalize_s35_oracle() -> None:

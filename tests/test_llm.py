@@ -2361,3 +2361,38 @@ def test_c127_mixture_schedule_invariants(spark, sf_dir):
     small = min(rows, key=lambda r: r.source_tokens)
     assert big.weight_ppm <= big.natural_ppm, big
     assert small.repeat_x1000 >= big.repeat_x1000, (small, big)
+
+
+def test_mpeg1_layer1_crc_protected_frames_decode_identically():
+    """Code-review r15: protection_bit = 0 places a 16-bit CRC between
+    header and audio data (ISO 11172-3 §2.4.1.3). The walker always
+    accounted for it; the decoder must too — a protected stream's
+    codes/samples must equal the unprotected original's, and the CRC
+    bytes must never parse as allocations."""
+    from spark_dynamodb_spark.functions import codecs
+
+    payload = bytes((i * 31 + 5) % 256 for i in range(3 * 192))
+    plain = codecs.encode_mpeg1_layer1(payload)
+    ref = codecs.decode_mpeg1_layer1(plain)
+
+    # rebuild the stream with protection on: clear the protection bit,
+    # insert a 2-byte CRC after each header, drop 2 trailing ancillary
+    # zero bytes so frame_len stays true to the header fields
+    out = bytearray()
+    pos = 0
+    while pos < len(plain):
+        b1, b2 = plain[pos + 1], plain[pos + 2]
+        pad = (b2 >> 1) & 1
+        frame_len = (12 * 256_000 // 44_100 + pad) * 4
+        frame = plain[pos : pos + frame_len]
+        assert frame[-2:] == b"\x00\x00"  # ancillary room for the CRC
+        out += bytes([frame[0], b1 & ~1, frame[2], frame[3]])
+        out += b"\xbe\xef"  # CRC bytes (position-skipped, unvalidated)
+        out += frame[4:-2]
+        pos += frame_len
+    prot = codecs.decode_mpeg1_layer1(bytes(out))
+    assert prot["n_frames"] == ref["n_frames"]
+    for fp, fr in zip(prot["frames"], ref["frames"]):
+        assert fp["alloc"] == fr["alloc"]
+        assert fp["scf"] == fr["scf"]
+        assert fp["codes"] == fr["codes"]
