@@ -1833,31 +1833,52 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     once for word counts (a combinable groupBy); each of the N
     iterations then costs one pair-count aggregate over ~|vocab| rows
     (shuffle keyed by symbol pair), one global top-1 (sort-limit,
-    two-phase), and one broadcast of the single winning rule into a
-    narrow map — nothing ever iterates on the driver, and each
-    trained relation is cached so reuse doesn't replay the chain
-    (the c109 staged-index lesson; without it plan k re-executes all
-    k-1 predecessors twice — once under p{k}, once under s{k}).
+    two-phase), and one 1-row collect of the winning rule (the only
+    driver-side traffic — a single (l, r, cnt) triple per iteration,
+    folded back in as literals; see _bpe_train_collected for why the
+    pre-r15 broadcast-join transport was an O(2^k) planning bomb).
+    The symbol relation is checkpointed per iteration so plan k never
+    replays its predecessors.
     """
-    rules = _bpe_train_rules(spark, sf_dir)
-    out = rules[0]
-    for b in rules[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        F.col("step").cast("int"), "lhs", "rhs", "pair_count"
+    rules = _bpe_train_collected(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "step int, lhs string, rhs string, pair_count long"
     ).orderBy("step")
 
 
-def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """The c112 training loop, shared with c113's corpus encode:
-    returns the learned rules as _BPE_MERGES cached 1-row frames
+def _sql_str_lit(s: str) -> str:
+    """Spell a Python string as a Spark SQL string literal (backslash
+    escaping — the dialect both Spark and the pinned tests use)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_train_collected(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The c112 training loop, shared by every BPE consumer (c112/
+    c113/c115/c117/s31): returns the learned rules as plain tuples
     (step, lhs, rhs, pair_count), in merge order.
 
-    Storage note (ADVICE r10): the per-iteration caches here are the
-    1-row rule frames and the distinct-word symbol relation —
-    vocabulary-bounded kilobytes, held for the session rather than
-    unpersisted because the returned rule frames must outlive this
-    function (callers fold them into their own plans lazily)."""
+    Round-15 optimization (guide §1.2 "the distributed algorithm" /
+    §3.3 "very wide plans — planning time itself becomes the
+    bottleneck"): the previous shape kept each winning rule as a
+    cached 1-row DataFrame and crossJoin-broadcast it into the next
+    iteration's fold, so iteration k's lineage contained iteration
+    k-1's TWICE (once under syms, once under best -> pairs -> syms) —
+    an O(2^k) plan whose explain string hit Spark's 8 MB cap and
+    whose CATALYST PLANNING dominated wall time (c112: 6.06 s wall,
+    0.07 s of job time; c113: 28.4 s wall, 2.7 s jobs — round-15
+    event-log profile). Collecting the single winning rule per
+    iteration (a 1-row, vocabulary-bounded collect — the same
+    discipline the c115 serving path already used) and folding with
+    STRING LITERALS keeps every per-iteration plan O(1)-deep. The
+    arithmetic is unchanged: same pair counts, same lexicographic
+    tie-break, same fold — only the rule's transport changed
+    (broadcast column refs -> literals of the same values).
+
+    The symbol relation is eagerly localCheckpoint'ed per iteration
+    (vocabulary-bounded kilobytes) so each pair-count aggregate runs
+    on a flat plan instead of replaying the fold chain."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.repartition("doc_id")
@@ -1867,8 +1888,8 @@ def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     )
     syms = w.select(
         "word", "wcnt", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
-    ).cache()
-    bests = []
+    ).localCheckpoint(eager=True)
+    rules: list[tuple[int, str, str, int]] = []
     for k in range(1, _BPE_MERGES + 1):
         pairs = (
             syms.filter(F.size("syms") >= 2)
@@ -1885,26 +1906,17 @@ def _bpe_train_rules(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             .groupBy("l", "r")
             .agg(F.sum("wcnt").alias("cnt"))
         )
-        best = (
-            pairs.orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
-            .select(
-                F.lit(k).alias("step"),
-                F.col("l").alias("lhs"),
-                F.col("r").alias("rhs"),
-                F.col("cnt").cast("long").alias("pair_count"),
-            )
-            .cache()
-        )
-        bests.append(best)
-        syms = (
-            syms.crossJoin(
-                F.broadcast(best.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br")))
-            )
-            .selectExpr("word", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
-            .cache()
-        )
-    return bests
+        row = pairs.orderBy(F.col("cnt").desc(), "l", "r").limit(1).collect()[0]
+        rules.append((k, row["l"], row["r"], int(row["cnt"])))
+        syms = syms.selectExpr(
+            "word",
+            "wcnt",
+            _bpe_merge_expr(_sql_str_lit(row["l"]), _sql_str_lit(row["r"]))
+            + " AS syms",
+        ).localCheckpoint(eager=True)
+    return rules
+
+
 
 
 def _bpe_encode_sql() -> str:
@@ -1981,7 +1993,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deliverable, so the weighted distinct-word form is both
     cheaper and exactly equivalent.
     """
-    rules = _bpe_train_rules(spark, sf_dir)
+    rules = _bpe_train_collected(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     ws = (
         docs.repartition("doc_id")
@@ -1993,23 +2005,19 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "word", "wcnt",
         F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
     )
-    for best in rules:
-        # localCheckpoint each fold step: a hard lineage cut is the only
-        # reliable guard against CollapseProject inlining all six fold
-        # lambdas into ONE exponentially nested expression (the c100
-        # lesson; a .cache() boundary was NOT enough here — the chain
-        # OOMed the driver even at sf0.001). The checkpointed relation
-        # is the distinct-word vocabulary — kilobytes.
-        enc = (
-            enc.crossJoin(
-                F.broadcast(
-                    best.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br"))
-                )
-            )
-            .selectExpr(
-                "source", "word", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms"
-            )
-            .localCheckpoint(eager=True)
+    for _, lhs, rhs, _cnt in rules:
+        # literal-rule folds (round 15): with the rules collected, each
+        # fold references the previous relation exactly ONCE, so the
+        # plan stays linear in _BPE_MERGES and the old per-step eager
+        # localCheckpoint guard (against the crossJoin-broadcast
+        # lineage doubling that OOMed the driver pre-r15) is no longer
+        # needed — c113 wall dropped 28.4 s -> ~3 s with job time
+        # unchanged (round-15 profile).
+        enc = enc.selectExpr(
+            "source",
+            "word",
+            "wcnt",
+            _bpe_merge_expr(_sql_str_lit(lhs), _sql_str_lit(rhs)) + " AS syms",
         )
     stats = enc.groupBy("source").agg(
         F.sum("wcnt").cast("long").alias("n_words"),
@@ -2177,8 +2185,9 @@ def tokenizer_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # processes can import it (the multimodal/_ensure_worker_imports
     # lesson; in-repo pytest never catches this class)
     _ship_package(spark)
-    rules = _bpe_train_rules(spark, sf_dir)
-    merges = [(r["lhs"], r["rhs"]) for df in rules for r in df.collect()]
+    merges = [
+        (lhs, rhs) for _, lhs, rhs, _cnt in _bpe_train_collected(spark, sf_dir)
+    ]
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         word_stats = _bpe_word_stats_factory(merges)
@@ -2606,19 +2615,17 @@ def tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("wcnt") * F.col("k")).cast("long").alias("n_tokens"),
     ).select(F.lit("unigram").alias("tokenizer"), "n_words", "n_tokens")
 
-    rules = _bpe_train_rules(spark, sf_dir)
+    rules = _bpe_train_collected(spark, sf_dir)
     enc = wseg.select(
         "wseg", "wcnt", F.expr("filter(split(wseg, ''), x -> x <> '')").alias("syms")
     )
-    for best_rule in rules:
-        enc = (
-            enc.crossJoin(
-                F.broadcast(
-                    best_rule.select(F.col("lhs").alias("bl"), F.col("rhs").alias("br"))
-                )
-            )
-            .selectExpr("wseg", "wcnt", _bpe_merge_expr("bl", "br") + " AS syms")
-            .localCheckpoint(eager=True)  # c113 CollapseProject guard
+    for _, lhs, rhs, _cnt in rules:
+        # literal-rule folds — linear plan, no per-step checkpoint
+        # needed (see c113; round-15 BPE restructure)
+        enc = enc.selectExpr(
+            "wseg",
+            "wcnt",
+            _bpe_merge_expr(_sql_str_lit(lhs), _sql_str_lit(rhs)) + " AS syms",
         )
     bpe = enc.agg(
         F.sum("wcnt").cast("long").alias("n_words"),

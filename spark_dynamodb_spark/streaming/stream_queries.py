@@ -2890,14 +2890,15 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spark_dynamodb_spark.operators.text_analysis import (
         _ascii_guard,
-        _bpe_train_rules,
+        _bpe_train_collected,
         _bpe_word_stats_factory,
     )
     from spark_dynamodb_spark.sources.dynamo import _ship_package
 
     _ship_package(spark)
-    rules = _bpe_train_rules(spark, sf_dir)
-    merges = [(r["lhs"], r["rhs"]) for df in rules for r in df.collect()]
+    merges = [
+        (lhs, rhs) for _, lhs, rhs, _cnt in _bpe_train_collected(spark, sf_dir)
+    ]
 
     staged = _docs_stream_staging(spark, sf_dir)
     schema = T.StructType(
