@@ -96,6 +96,24 @@ def state_partitions(spark: SparkSession) -> int:
     return int(spark.conf.get(STATE_PARTITIONS_CONF, str(DEFAULT_STATE_PARTITIONS)))
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Per-run streaming scratch (state ledgers + checkpoints),
+    preferring /dev/shm (tmpfs) over the disk temp root — the
+    run_to_table checkpoint rationale (round 15, guide §6) applied to
+    the whole foreachBatch family: these run-to-completion streams'
+    state dies with the run, each micro-batch pays offset/commit-WAL
+    fsyncs plus several small parquet ledger writes and re-reads, and
+    on the sandbox's virtualized disk that I/O floor dominated
+    per-batch wall time. A production always-on stream needs DURABLE
+    checkpoints (object store / HDFS) instead; the ledgers here are
+    per-run scratch, never cross-run caches."""
+    import os
+    import tempfile
+
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
 def run_to_table(spark: SparkSession, stream_df: DataFrame, mode: str) -> DataFrame:
     """Execute with availableNow into a memory sink; return the table.
 
@@ -1307,7 +1325,7 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    state_root = tempfile.mkdtemp(prefix="kmv_state_")
+    state_root = _scratch_dir("kmv_state_")
     last_path: list[str | None] = [None]  # closure cell: previous version
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1321,7 +1339,7 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         last_path[0] = out
 
-    ckpt = tempfile.mkdtemp(prefix="kmv_ckpt_")
+    ckpt = _scratch_dir("kmv_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -1432,7 +1450,7 @@ def stream_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    state_root = tempfile.mkdtemp(prefix="cms_state_")
+    state_root = _scratch_dir("cms_state_")
     last_path: list[str | None] = [None]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1446,7 +1464,7 @@ def stream_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         last_path[0] = out
 
-    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    ckpt = _scratch_dir("cms_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -1564,7 +1582,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    state_root = tempfile.mkdtemp(prefix="dedup_state_")
+    state_root = _scratch_dir("dedup_state_")
     last_path: list[str | None] = [None]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1586,7 +1604,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         last_path[0] = out
 
-    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    ckpt = _scratch_dir("dedup_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -1818,7 +1836,7 @@ def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    root = tempfile.mkdtemp(prefix="neardup_state_")
+    root = _scratch_dir("neardup_state_")
     sigs_dir = os.path.join(root, "sigs")
     prov_dir = os.path.join(root, "prov")
     pairs_dir = os.path.join(root, "pairs")
@@ -1856,7 +1874,7 @@ def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(pairs_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="neardup_ckpt_")
+    ckpt = _scratch_dir("neardup_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -2108,7 +2126,7 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    root = tempfile.mkdtemp(prefix="neardup_vstate_")
+    root = _scratch_dir("neardup_vstate_")
     sigs_dir = os.path.join(root, "sigs")
     prov_dir = os.path.join(root, "prov")
     gpairs_dir = os.path.join(root, "gpairs")
@@ -2170,7 +2188,7 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(gpairs_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="neardup_vckpt_")
+    ckpt = _scratch_dir("neardup_vckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -2280,7 +2298,7 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh store each run — the oracle describes the final state
     keyed_store.create_table(spark, seed, store_table, hash_key="sig64", n_segments=2)
 
-    root = tempfile.mkdtemp(prefix="neardup_dstate_")
+    root = _scratch_dir("neardup_dstate_")
     sigs_dir = os.path.join(root, "sigs")
     prov_dir = os.path.join(root, "prov")
     gpairs_dir = os.path.join(root, "gpairs")
@@ -2404,7 +2422,7 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(gpairs_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="neardup_dckpt_")
+    ckpt = _scratch_dir("neardup_dckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -2634,7 +2652,7 @@ def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    root = tempfile.mkdtemp(prefix="ivf_state_")
+    root = _scratch_dir("ivf_state_")
     cents_dir = os.path.join(root, "centroids")
     assigned_dir = os.path.join(root, "assigned")
     pending_dir = os.path.join(root, "pending")
@@ -2676,7 +2694,7 @@ def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             # from under the running read
             shutil.rmtree(pending_dir, ignore_errors=True)
 
-    ckpt = tempfile.mkdtemp(prefix="ivf_ckpt_")
+    ckpt = _scratch_dir("ivf_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -2779,7 +2797,7 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    state_root = tempfile.mkdtemp(prefix="decon_state_")
+    state_root = _scratch_dir("decon_state_")
     bench_dir = os.path.join(state_root, "bench")
     ledger_dir = os.path.join(state_root, "ledger")
 
@@ -2809,7 +2827,7 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(ledger_dir, f"batch_{batch_id:06d}")
         )
 
-    ckpt = tempfile.mkdtemp(prefix="decon_ckpt_")
+    ckpt = _scratch_dir("decon_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -2980,7 +2998,7 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=out_schema.fieldNames(),
             )
 
-    state_root = tempfile.mkdtemp(prefix="toklg_state_")
+    state_root = _scratch_dir("toklg_state_")
     last_path: list[str | None] = [None]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -3008,7 +3026,7 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         last_path[0] = out
 
-    ckpt = tempfile.mkdtemp(prefix="toklg_ckpt_")
+    ckpt = _scratch_dir("toklg_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(merge_batch)
@@ -3097,7 +3115,7 @@ def stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
 
-    out_root = tempfile.mkdtemp(prefix="s32_feats_")
+    out_root = _scratch_dir("s32_feats_")
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -3116,7 +3134,7 @@ def stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_root, f"batch_{batch_id:06d}")
         )
 
-    ckpt = tempfile.mkdtemp(prefix="s32_ckpt_")
+    ckpt = _scratch_dir("s32_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(on_batch)
@@ -3254,7 +3272,7 @@ def stream_pack_assignment(
         .parquet(staged)
     )
 
-    root = tempfile.mkdtemp(prefix="s33_state_")
+    root = _scratch_dir("s33_state_")
     assign_dir = os.path.join(root, "assign")
     ledger_dir = os.path.join(root, "ledger")
     os.makedirs(assign_dir)
@@ -3307,7 +3325,7 @@ def stream_pack_assignment(
             os.path.join(ledger_dir, f"batch_{batch_id:06d}")
         )
 
-    ckpt = tempfile.mkdtemp(prefix="s33_ckpt_")
+    ckpt = _scratch_dir("s33_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(on_batch)
@@ -3405,8 +3423,7 @@ def _landing_zone_stream_run(
         .parquet(staged)
     )
 
-    root = tempfile.mkdtemp(prefix="s34_state_")
-    bench_dir = os.path.join(root, "bench")  # static decon state
+    root = _scratch_dir("s34_state_")
     md5_dir = os.path.join(root, "md5")  # stage-3 ledger
     sig_dir = os.path.join(root, "sigs")  # stage-4 survivor signatures
     band_dir = os.path.join(root, "bands")  # stage-4 band ledger
@@ -3420,17 +3437,26 @@ def _landing_zone_stream_run(
             F.array_distinct(shingles(col, SHINGLE_K)), lambda s: F.xxhash64(s)
         )
 
-    # bootstrap: benchmark hashed-shingle state + per-doc counts, once
+    # bootstrap ONCE: benchmark hashed-shingle state + per-bench-doc
+    # shingle counts, both materialized up front (round 15: the bench
+    # side is static — an eval suite is versioned, not streamed — yet
+    # the pre-r15 shape re-read the staged parquet and re-ran the
+    # per-doc groupBy in EVERY batch's decon plan; two checkpointed
+    # frames make that per-batch cost a broadcast-read)
     try:
         docs = load_table(spark, sf_dir, "documents")
-        (
+        bench = (
             docs.filter(F.col("source") == BENCH_SOURCE)
             .select(
                 F.col("doc_id").alias("bench_doc"),
                 F.explode(_hashed_shingles()).alias("h"),
             )
-            .write.mode("overwrite")
-            .parquet(bench_dir)
+            .localCheckpoint(eager=True)
+        )
+        bn = (
+            bench.groupBy("bench_doc")
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
         )
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
@@ -3471,11 +3497,10 @@ def _landing_zone_stream_run(
         train = sigs.filter(F.col("source") != BENCH_SOURCE)
 
         # stage 2: decontaminate against the broadcast bench state
+        # (bench / bn are the checkpointed bootstrap frames)
         tsh = train.select(
             F.col("doc_id").alias("train_doc"), F.explode("sh").alias("h")
         )
-        bench = sess.read.parquet(bench_dir)
-        bn = bench.groupBy("bench_doc").agg(F.count("*").alias("n"))
         hits = (
             tsh.join(F.broadcast(bench), "h")
             .groupBy("train_doc", "bench_doc")
@@ -3506,15 +3531,27 @@ def _landing_zone_stream_run(
         # stage 4: near-dup verdict vs everything arrived so far.
         # harr mirrors _minhash_verified_pairs' internal re-hash so
         # band keys and Jaccard values are the one-shot pipeline's.
-        harr_b = s2b.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform("sh", lambda s: F.xxhash64(s))
-            ).alias("harr"),
-        ).localCheckpoint(eager=True)
-        _land(harr_b, sig_dir, batch_id)
-        bands_b = minhash_band_rows(harr_b).localCheckpoint(eager=True)
-        _land(bands_b, band_dir, batch_id)
+        # Landing IS the materialization (round 15): the ledger write
+        # already computes every row, so downstream reads the landed
+        # parquet back instead of paying a separate eager
+        # localCheckpoint job per ledger (2 jobs/batch saved).
+        _land(
+            s2b.select(
+                "doc_id",
+                F.array_distinct(
+                    F.transform("sh", lambda s: F.xxhash64(s))
+                ).alias("harr"),
+            ),
+            sig_dir,
+            batch_id,
+        )
+        harr_b = sess.read.parquet(
+            os.path.join(sig_dir, f"batch_{batch_id:06d}")
+        )
+        _land(minhash_band_rows(harr_b), band_dir, batch_id)
+        bands_b = sess.read.parquet(
+            os.path.join(band_dir, f"batch_{batch_id:06d}")
+        )
         prior_bands = _prior(sess, band_dir, batch_id)
         bands_cum = (
             prior_bands.unionByName(bands_b)
@@ -3575,7 +3612,7 @@ def _landing_zone_stream_run(
         pre = t.withColumn(
             "prefix",
             F.col("base") + F.coalesce(F.sum("n_tokens").over(w2), F.lit(0)),
-        ).localCheckpoint(eager=True)
+        )
         _land(
             pre.select(
                 "doc_id",
@@ -3586,15 +3623,20 @@ def _landing_zone_stream_run(
             assign_dir,
             batch_id,
         )
+        # per-source totals fold over the landed assignments (same
+        # n_tokens rows) — the assign write is the materialization
+        landed = sess.read.parquet(
+            os.path.join(assign_dir, f"batch_{batch_id:06d}")
+        )
         _land(
-            pre.groupBy("source").agg(F.sum("n_tokens").alias("batch_tokens")),
+            landed.groupBy("source").agg(F.sum("n_tokens").alias("batch_tokens")),
             pack_dir,
             batch_id,
         )
         if post_batch is not None:
             post_batch(sess, batch_id, root)
 
-    ckpt = tempfile.mkdtemp(prefix="s34_ckpt_")
+    ckpt = _scratch_dir("s34_ckpt_")
     try:
         q = (
             stream.writeStream.foreachBatch(on_batch)
@@ -3777,7 +3819,7 @@ def _s35_consumer(sess: SparkSession, batch_id: int, root: str) -> None:
         )
         if prior
         else batch_manifest
-    )
+    ).localCheckpoint(eager=True)  # one fold, reused by mx + both splits
     mx = merged.groupBy("source").agg(F.max("pack_id").alias("maxp"))
     merged = merged.join(F.broadcast(mx), "source")
     closed = merged.filter(F.col("pack_id") < F.col("maxp")).drop("maxp")
