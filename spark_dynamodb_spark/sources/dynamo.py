@@ -906,8 +906,14 @@ def _ship_package(spark) -> None:
     spark._dynamo_pkg_shipped = True
 
 
-def register(spark) -> None:
+def register(spark, force: bool = False) -> None:
     """Idempotently register the 'dynamo' source on a session.
+
+    ``force=True`` re-registers even when this session already has the
+    source — needed ONLY after monkeypatching module internals (the
+    registered class graph is pickled by value at registration time,
+    so a later setattr on the module is invisible to executors
+    otherwise); the pruning tests use it.
 
     Two shipping mechanisms, because Spark runs our pickled classes in
     two different kinds of Python process:
@@ -922,6 +928,13 @@ def register(spark) -> None:
       PythonStreamingSourceRunner).
     """
     _ship_package(spark)
+    # Truly idempotent per session (round 15): every registration
+    # pickles the three modules BY VALUE and ships them over py4j, and
+    # the dynamo-heavy entries call read/write_dynamo ten-plus times a
+    # run — re-registering each call burned measurable driver time and
+    # spammed "replaced a previously registered data source" warnings.
+    if getattr(spark, "_dynamo_source_registered", False) and not force:
+        return
     from pyspark import cloudpickle
 
     import spark_dynamodb_spark.sources.dynamo as _self
@@ -931,6 +944,7 @@ def register(spark) -> None:
     for m in (_self, _ks, _rl):
         cloudpickle.register_pickle_by_value(m)
     spark.dataSource.register(DynamoDataSource)
+    spark._dynamo_source_registered = True
 
 
 # ---------------------------------------------------------------------------

@@ -517,6 +517,7 @@ def test_auto_prune_reads_only_required_columns(spark, sf_dir, customer_kv, monk
         return orig(self, partition)
 
     monkeypatch.setattr(dyn.DynamoReader, "read", spy)
+    dyn.register(spark, force=True)  # re-pickle the patched class graph
 
     def build(read):
         return (
@@ -533,6 +534,7 @@ def test_auto_prune_reads_only_required_columns(spark, sf_dir, customer_kv, monk
     assert seen == {("c_custkey", "c_acctbal", "c_mktsegment")}, seen
 
     monkeypatch.setattr(dyn.DynamoReader, "read", orig)
+    dyn.register(spark, force=True)
     base = build(lambda t, **o: read_dynamo(spark, t, **o))
     assert rows == {r.c_mktsegment: r.n for r in base.collect()}
 
@@ -612,6 +614,7 @@ def test_auto_prune_random_query_shapes_preserve_results(
         build = make_build(proj, filt_col, agg_col)
 
         monkeypatch.setattr(dyn.DynamoReader, "read", spy)
+        dyn.register(spark, force=True)  # re-pickle the patched class graph
         probe.write_text("")
         try:
             pruned = sorted(map(tuple, with_pruned_scans(spark, build).collect()))
@@ -621,6 +624,7 @@ def test_auto_prune_random_query_shapes_preserve_results(
             }
         finally:
             monkeypatch.setattr(dyn.DynamoReader, "read", orig)
+            dyn.register(spark, force=True)
         base = sorted(
             map(tuple, build(lambda t, **o: read_dynamo(spark, t, **o)).collect())
         )
