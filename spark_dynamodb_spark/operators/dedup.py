@@ -191,6 +191,42 @@ def _minhash_mix(i: int):
     return mix
 
 
+def _minhash_mix_sql(i: int, h: str = "h") -> str:
+    """SQL spelling of _minhash_mix — the same xor/shift bijection
+    with the seed constant inlined as a bigint literal. ``h ^ c``
+    appears twice (SQL lambdas cannot bind a local), which costs one
+    extra XOR per element at runtime but nothing observable: the
+    VALUES are identical to the Column spelling (pinned by
+    tests/test_llm.py::test_minhash_band_rows_sql_spelling)."""
+    c = _signed64(0x9E3779B97F4A7C15 * (2 * i + 1))
+    return f"(({h} ^ {c}L) ^ shiftrightunsigned({h} ^ {c}L, 29))"
+
+
+# the two projection stages of minhash_band_rows, formatted ONCE at
+# import: 32 signature mins and the 8 band structs. Spelled as SQL
+# strings because the Column-by-Column build (32 × array_min(transform)
+# with Python lambdas) cost ~1.3 s of py4j round trips PER
+# CONSTRUCTION of the c02 plan — measured round 15, half the query's
+# bench time; parsing two selectExpr strings is milliseconds.
+_MINHASH_SIG_SQL = [
+    f"array_min(transform(harr, h -> {_minhash_mix_sql(i)})) AS h{i}"
+    for i in range(N_HASHES)
+]
+_MINHASH_BANDS_SQL = (
+    "explode(array("
+    + ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64({cols}))".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    + ")) AS bk"
+)
+
+
 def minhash_band_rows(hashed: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH band rows from a (doc_id, harr)
     hashed-shingle relation: 32 per-seed bit mixes folded to 8x4 band
@@ -199,23 +235,8 @@ def minhash_band_rows(hashed: DataFrame) -> DataFrame:
     (streaming/stream_queries.py) — s26's contract is value-equality
     with this pipeline, so the signature/banding construction must be
     literally the same code (code-review r11)."""
-    sig = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("harr", _minhash_mix(i))).alias(f"h{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("key"),
-        )
-        for b in range(N_BANDS)
-    ]
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+    sig = hashed.selectExpr("doc_id", *_MINHASH_SIG_SQL)
+    return sig.selectExpr("doc_id", _MINHASH_BANDS_SQL).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 

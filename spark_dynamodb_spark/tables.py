@@ -35,8 +35,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (applicationId, session id, abspath, fingerprint) -> analyzed DataFrame.
+# Memoizes the LAZY reader handle, not any data: spark.read.parquet
+# pays file listing + a footer read per call (~120 ms on this host,
+# round-15 measurement), and multi-table queries re-pay it per table
+# per run (b06 alone calls load_table five times). The fingerprint
+# (size + mtime of the fixture file/dir) guards the only way the
+# answer could change — the driver regenerating fixtures — so a stale
+# handle can never survive a refresh.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fingerprint(path: str) -> tuple:
+    st = os.stat(path)
+    if os.path.isfile(path):
+        return (st.st_size, st.st_mtime_ns)
+    parts = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            s = os.stat(os.path.join(root, f))
+            parts.append((f, s.st_size, s.st_mtime_ns))
+    return tuple(parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table.
+    """Load one fixture table (memoized per session + fingerprint).
 
     ``events.ts`` has drifted across fixture regenerations —
     TIMESTAMP(NANOS) in round 1/2, ``timestamp[us]`` (isAdjustedToUTC=
@@ -55,9 +78,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The DuckDB oracle mirror (EVENTS_TS_SQL) is the identity on µs
     timestamps and the same ns→µs truncation on nanos ones.
     """
+    path = os.path.abspath(table_path(sf_dir, name))
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        path,
+        _fingerprint(path),
+    )
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -69,8 +102,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"fixtures drifted again; extend tables.load_table AND "
                 f"streaming.events_stream (and re-check EVENTS_TS_SQL)"
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 # DuckDB-side mirror of the events.ts normalization. The driver

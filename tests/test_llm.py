@@ -23,6 +23,54 @@ def test_minhash_equals_exact_at_fixture_dup_level(spark, sf_dir):
     assert len(exact) > 0  # fixture has planted near-dups
 
 
+def test_minhash_band_rows_sql_spelling(spark, sf_dir):
+    """The round-15 selectExpr spelling of minhash_band_rows (SQL
+    strings, built once at import to kill ~1.3 s of py4j plan-
+    construction per call) must emit EXACTLY the rows of the original
+    Column-by-Column build — same mixes, same band keys."""
+    from pyspark.sql import functions as F
+
+    from spark_dynamodb_spark.operators import dedup
+    from spark_dynamodb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = dedup._shingle_arrays(docs).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("sharr", lambda s: F.xxhash64(s))
+        ).alias("harr"),
+    ).localCheckpoint(eager=True)
+
+    new = dedup.minhash_band_rows(hashed)
+
+    # the pre-r15 Column spelling, inlined verbatim
+    sig = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("harr", dedup._minhash_mix(i))).alias(f"h{i}")
+            for i in range(dedup.N_HASHES)
+        ],
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"h{b * dedup.ROWS_PER_BAND + r}")
+                    for r in range(dedup.ROWS_PER_BAND)
+                ]
+            ).alias("key"),
+        )
+        for b in range(dedup.N_BANDS)
+    ]
+    old = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     brute = {
         (r.query_id, r.neighbor_id)
