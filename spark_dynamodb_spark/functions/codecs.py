@@ -677,11 +677,17 @@ def _jpeg_encode_block(
     if s:
         wr.write(bits, s)
     run = 0
-    last_nz = max((z for z in coefs if z > 0 and coefs[z]), default=0)
-    for z in range(1, 64):
+    last_nz = 0
+    for z, v in coefs.items():  # direct walk beats a genexpr+max here
+        if z > last_nz and v and z > 0:
+            last_nz = z
+    if last_nz == 0:
+        # DC-only fast path (the payload-block majority): straight EOB
+        code, ln = ac_tab[0x00]
+        wr.write(code, ln)
+        return dc
+    for z in range(1, last_nz + 1):
         v = coefs.get(z, 0)
-        if z > last_nz:
-            break
         if v == 0:
             run += 1
             continue
@@ -826,6 +832,26 @@ class _JpegBitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def _try_fill(self) -> bool:
+        """Non-raising _fill: buffer one more data byte, or return
+        False at end-of-buffer / a real marker WITHOUT consuming it.
+        Used by huff()'s lookahead so peeking near the segment end
+        cannot turn into a spurious truncation error."""
+        pos = self.pos
+        buf = self.buf
+        if pos >= len(buf):
+            return False
+        b = buf[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(buf) or buf[pos + 1] != 0x00:
+                return False
+            self.pos = pos + 2  # stuffed FF
+        else:
+            self.pos = pos + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
     def bits(self, n: int) -> int:
         while self.nbits < n:
             self._fill()
@@ -834,11 +860,32 @@ class _JpegBitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def huff(self, table: "_JpegHuffTable") -> int:
+        """Decode one symbol. Fast path: an 8-bit lookahead into the
+        table's prefix LUT resolves every code of length <= 8 in one
+        dict-free step (the overwhelming majority — round-15 profile:
+        the per-bit walk was the single hottest codec function). Codes
+        of 9-16 bits, and reads ending exactly at the segment tail,
+        fall back to the original per-bit canonical walk, so error
+        behavior on truncated/invalid streams is unchanged."""
+        nb = self.nbits
+        while nb < 8:
+            if not self._try_fill():
+                break
+            nb = self.nbits
+        if nb:
+            acc = self.acc
+            window = (acc << (8 - nb)) & 0xFF if nb < 8 else (acc >> (nb - 8)) & 0xFF
+            hit = table.lut[window]
+            if hit is not None and hit[1] <= nb:
+                sym, ln = hit
+                self.nbits = nb - ln
+                self.acc = acc & ((1 << self.nbits) - 1)
+                return sym
         code = 0
         for length in range(1, 17):
             code = (code << 1) | self.bits(1)
-            sym = table.get((length, code))
+            sym = table.full.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid Huffman code")
@@ -866,9 +913,40 @@ class _JpegBitReader:
         return n
 
 
-def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+class _JpegHuffTable:
+    """Decoder Huffman table: the canonical (length, code) -> symbol
+    map plus an 8-bit prefix LUT (every 8-bit window whose prefix is a
+    code of length <= 8 maps to (symbol, length))."""
+
+    __slots__ = ("full", "lut")
+
+    def __init__(self, full: dict[tuple[int, int], int]) -> None:
+        self.full = full
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (length, code), sym in full.items():
+            if length <= 8:
+                lo = code << (8 - length)
+                entry = (sym, length)
+                for w in range(lo, lo + (1 << (8 - length))):
+                    lut[w] = entry
+        self.lut = lut
+
+
+# (bits, vals) -> table. The encoders in this module emit the standard
+# Annex K tables, so every document in a partition shares a handful of
+# distinct tables — building the prefix LUT once per process instead
+# of 256 slots per document is the guide's init-once-per-task rule
+# applied to table construction.
+_JPEG_HUFF_CACHE: dict[tuple, _JpegHuffTable] = {}
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> _JpegHuffTable:
     """(length, code) -> symbol, canonical order (decoder twin of
-    _jpeg_huff_codes)."""
+    _jpeg_huff_codes), wrapped with the prefix LUT and cached."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_HUFF_CACHE.get(key)
+    if hit is not None:
+        return hit
     out: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -878,7 +956,9 @@ def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int]
             code += 1
             k += 1
         code <<= 1
-    return out
+    table = _JpegHuffTable(out)
+    _JPEG_HUFF_CACHE[key] = table
+    return table
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -1054,6 +1134,12 @@ def decode_jpeg(payload: bytes) -> dict:
             np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=dtype)
         )
     rst_expect = 0
+    # per-component tables hoisted out of the MCU loop (round 15: the
+    # scan-list genexpr + three dict lookups ran once per block)
+    ctabs = []
+    for cid, ch, cv, tq in comps:
+        sc = next(s for s in scan if s[0] == cid)
+        ctabs.append((htabs[(0, sc[1])], htabs[(1, sc[2])], qtabs[tq], ch, cv))
     for my in range(mcuy):
         for mx in range(mcux):
             m = my * mcux + mx
@@ -1066,18 +1152,17 @@ def decode_jpeg(payload: bytes) -> dict:
                     )
                 rst_expect = (rst_expect + 1) % 8
                 pred = [0] * nc
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                sc = next(s for s in scan if s[0] == cid)
-                dct = htabs[(0, sc[1])]
-                act = htabs[(1, sc[2])]
-                q = qtabs[tq]
+            for ci, (dct, act, q, ch, cv) in enumerate(ctabs):
                 for by in range(cv):
                     for bx in range(ch):
-                        coefs = np.zeros(64)
                         s = rd.huff(dct)
                         diff = _jpeg_extend(rd.bits(s), s) if s else 0
                         pred[ci] += diff
-                        coefs[0] = pred[ci] * q[0]
+                        # collect ACs as (zigzag-index, value) pairs;
+                        # numpy only enters when a block HAS ACs — the
+                        # DC-only majority stays in plain ints
+                        # (round-15 inner-loop rework, same values)
+                        acs = []
                         z = 1
                         while z < 64:
                             rs = rd.huff(act)
@@ -1090,16 +1175,31 @@ def decode_jpeg(payload: bytes) -> dict:
                             z += r
                             if z > 63:
                                 raise ValueError("jpeg: AC index overflow")
-                            coefs[_JPEG_ZIGZAG[z]] = (
-                                _jpeg_extend(rd.bits(s), s) * q[z]
+                            acs.append(
+                                (
+                                    _JPEG_ZIGZAG[z],
+                                    _jpeg_extend(rd.bits(s), s) * q[z],
+                                )
                             )
                             z += 1
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        if not acs:
+                            # DC-only: IDCT of a lone DC is the flat
+                            # constant DC/8 (orthonormal DCT; rounding
+                            # identical to the matrix path)
+                            c0 = (pred[ci] * q[0]) / 8.0
+                            v = min(max(int(round(c0 + shift)), 0), maxval)
+                            grids[ci][y0 : y0 + 8, x0 : x0 + 8] = v
+                            continue
+                        coefs = np.zeros(64)
+                        coefs[0] = pred[ci] * q[0]
+                        for zi, val in acs:
+                            coefs[zi] = val
                         block = idctm.T @ coefs.reshape(8, 8) @ idctm
                         px = np.clip(
                             np.round(block + shift), 0, maxval
                         ).astype(dtype)
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
                         grids[ci][y0 : y0 + 8, x0 : x0 + 8] = px
     planes = []
     for ci, (_, ch, cv, _tq) in enumerate(comps):
@@ -1224,6 +1324,12 @@ def _jpeg_prog_ac_first(sw: _JpegProgScanWriter, blocks, ss, se, al) -> None:
     """AC first scan (Ah=0): RS coding of coeff/2^Al with EOB runs
     accumulated across blocks (T.81 G.1.2.2)."""
     for coefs in blocks:
+        # DC-only majority fast path (round 15): no coefficient in the
+        # band means the whole block folds into the EOB run — exactly
+        # what the full loop computes for an all-zero band
+        if not coefs or max(coefs) < ss:
+            sw.end_block_eob([])
+            continue
         r = 0
         for k in range(ss, se + 1):
             t = _jpeg_prog_trunc(coefs.get(k, 0), al)
@@ -1248,6 +1354,11 @@ def _jpeg_prog_ac_refine(sw: _JpegProgScanWriter, blocks, ss, se, al) -> None:
     coefficients contribute buffered correction bits; trailing
     positions fold into the EOB run (T.81 G.1.2.3, jcphuff shape)."""
     for coefs in blocks:
+        # DC-only majority fast path (round 15): an all-zero band has
+        # no history and no new significance — one EOB fold
+        if not coefs or max(coefs) < ss:
+            sw.end_block_eob([])
+            continue
         absv = {}
         eob_k = ss - 1  # last newly-significant index
         for k in range(ss, se + 1):
@@ -1492,7 +1603,7 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
                             _, ch, cv, _tq = comps[ci]
                             for by in range(cv):
                                 for bx in range(ch):
-                                    blk = coef[ci][my * cv + by, mx * ch + bx]
+                                    blk = coef[ci][my * cv + by][mx * ch + bx]
                                     if ah == 0:
                                         s = rd.huff(htabs[(0, dct)])
                                         diff = _jpeg_extend(rd.bits(s), s) if s else 0
@@ -1507,7 +1618,7 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
                 pred0 = 0
                 for by in range(bh):
                     for bx in range(bw):
-                        blk = coef[ci][by, bx]
+                        blk = coef[ci][by][bx]
                         if ah == 0:
                             s = rd.huff(htabs[(0, dct)])
                             diff = _jpeg_extend(rd.bits(s), s) if s else 0
@@ -1526,7 +1637,7 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
             p1, m1 = 1 << al, -1 << al
             for by in range(bh):
                 for bx in range(bw):
-                    blk = coef[ci][by, bx]
+                    blk = coef[ci][by][bx]
                     if ah == 0:
                         # AC first (G.1.2.2)
                         if eobrun:
@@ -1660,8 +1771,17 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
                 # grid padded to MCU coverage (interleaved DC scans
                 # visit dummy blocks); non-interleaved scans cover
                 # only the component's true block extent
+                # plain Python int lists, NOT numpy: the scan loops
+                # touch single coefficients millions of times and a
+                # numpy scalar read/write costs ~10x a list index
+                # (round-15 profile: the eobrun refinement sweep alone
+                # was 0.2 s/doc); the final IDCT pass converts to one
+                # ndarray in bulk
                 coef.append(
-                    np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int32)
+                    [
+                        [[0] * 64 for _ in range(mcux * ch)]
+                        for _ in range(mcuy * cv)
+                    ]
                 )
                 comp_h = -(-h * cv // vmax)  # ceil(h * cv / vmax)
                 comp_w = -(-w * ch // hmax)
@@ -1687,11 +1807,12 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
     zz_idx = np.array(_JPEG_ZIGZAG)
     for ci, (_, ch, cv, tq) in enumerate(comps):
         q = np.array(qtabs[tq], dtype=np.int64)
-        grid_by, grid_bx, _ = coef[ci].shape
+        carr = np.array(coef[ci], dtype=np.int64)
+        grid_by, grid_bx, _ = carr.shape
         # vectorized dequant + de-zigzag + 2D IDCT over ALL blocks at
         # once (the per-block Python loop dominated decode time)
         nat = np.zeros((grid_by, grid_bx, 64))
-        nat[:, :, zz_idx] = coef[ci].astype(np.int64) * q
+        nat[:, :, zz_idx] = carr * q
         blocks = nat.reshape(grid_by, grid_bx, 8, 8)
         px = np.einsum("au,yxab,bv->yxuv", idctm, blocks, idctm)
         px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
@@ -4461,14 +4582,16 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                 np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.int32)
                 for _ in comps
             ]
+            # per-component tables hoisted out of the block loop (the
+            # scan-list genexpr + dict lookups ran once PER BLOCK
+            # before round 15 — pure loop overhead on 27k blocks/doc)
+            ctabs = []
+            for cid, tq in comps:
+                sc = next(s for s in scan if s[0] == cid)
+                ctabs.append((htabs[(0, sc[1])], htabs[(1, sc[2])], qtabs[tq]))
             for by in range(-(-h // 8)):
                 for bx in range(-(-w // 8)):
-                    for ci, (cid, tq) in enumerate(comps):
-                        sc = next(s for s in scan if s[0] == cid)
-                        dct = htabs[(0, sc[1])]
-                        act = htabs[(1, sc[2])]
-                        q = qtabs[tq]
-                        coefs = np.zeros(64)
+                    for ci, (dct, act, q) in enumerate(ctabs):
                         s = rd.huff(dct)
                         diff = _jpeg_extend(rd.bits(s), s) if s else 0
                         if differential:
@@ -4476,8 +4599,10 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                         else:
                             pred[ci] += diff
                             dc = pred[ci]
-                        coefs[0] = dc * q[0]
-                        any_ac = False
+                        # scan ACs into (zigzag-index, value) pairs;
+                        # numpy only enters on blocks that HAVE ACs —
+                        # the DC-only majority stays in plain ints
+                        acs = []
                         z = 1
                         while z < 64:
                             rs = rd.huff(act)
@@ -4490,16 +4615,18 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                             z += r
                             if z > 63:
                                 raise ValueError("jpeg: AC index overflow")
-                            coefs[_JPEG_ZIGZAG[z]] = (
-                                _jpeg_extend(rd.bits(sz), sz) * q[z]
+                            acs.append(
+                                (
+                                    _JPEG_ZIGZAG[z],
+                                    _jpeg_extend(rd.bits(sz), sz) * q[z],
+                                )
                             )
-                            any_ac = True
                             z += 1
-                        if not any_ac:
+                        if not acs:
                             # DC-only fast path: the IDCT of a lone DC
                             # is the constant DC/8 (identical rounding
                             # to the matrix path — orthonormal DCT)
-                            c0 = coefs[0] / 8.0
+                            c0 = (dc * q[0]) / 8.0
                             v = (
                                 int(round(c0))
                                 if differential
@@ -4509,6 +4636,10 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                                 by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
                             ] = v
                             continue
+                        coefs = np.zeros(64)
+                        coefs[0] = dc * q[0]
+                        for zi, val in acs:
+                            coefs[zi] = val
                         block = idctm.T @ coefs.reshape(8, 8) @ idctm
                         if differential:
                             px = np.round(block).astype(np.int32)
