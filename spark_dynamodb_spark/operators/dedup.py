@@ -166,8 +166,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins for verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # the helper caches the HASHED shingle relation (the only thing
-    # both the signature and verify paths read) — no string cache
+    # the helper materializes the HASHED shingle relation (the only
+    # thing both the signature and verify paths read) — no string cache
     return _minhash_verified_pairs(_shingle_arrays(docs), "sharr")
 
 
@@ -267,12 +267,19 @@ def _minhash_verified_pairs(base: DataFrame, arr_col: str) -> DataFrame:
     where the hashed path does strictly more work in 77 s). Only the
     hashed relation is cached; original arrays are never re-read.
     """
+    # EAGER materialization, not .cache() (round 15): the relation is
+    # consumed from three independent subtrees (banding + both verify
+    # join sides), and AQE submits their map stages CONCURRENTLY — all
+    # three raced the unmaterialized cache and each re-ran the full
+    # shingle+hash pass (three identical 0.23 s map stages in the
+    # event-log profile). One eager checkpoint computes it exactly
+    # once; downstream stages read the materialized blocks.
     hashed = base.select(
         "doc_id",
         F.array_distinct(
             F.transform(arr_col, lambda s: F.xxhash64(s))
         ).alias("harr"),
-    ).cache()
+    ).localCheckpoint(eager=True)
     bands = minhash_band_rows(hashed)
     # Skew guard + pair generation in ONE exchange on (band, key):
     # a window count tags every row with its bucket size, hot buckets
