@@ -1986,12 +1986,19 @@ def _neardup_verdict_finalize(
 
     from spark_dynamodb_spark.operators.dedup import MAX_BUCKET_DOCS
 
+    # ledgers land under per-batch subdirs (batch_NNNNNN — overwrite
+    # is replay-idempotent where a flat append was not), so both the
+    # existence probe and the reads must walk recursively
     have_pairs = os.path.isdir(gpairs_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(gpairs_dir)
+        f.endswith(".parquet")
+        for _, _, files in os.walk(gpairs_dir)
+        for f in files
     )
     if have_pairs:
-        prov = spark.read.parquet(prov_dir)
-        gpairs = spark.read.parquet(gpairs_dir)
+        prov = spark.read.option("recursiveFileLookup", "true").parquet(prov_dir)
+        gpairs = spark.read.option("recursiveFileLookup", "true").parquet(
+            gpairs_dir
+        )
         alive = bands_final.filter(F.col("cnt") <= MAX_BUCKET_DOCS).select(
             "band", "key"
         )
@@ -2136,18 +2143,19 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
         # one shingling pass; sarr sorted so identical shingle SETS
-        # compare equal regardless of first-occurrence order
-        batch_sigs = (
-            _shingle_arrays(batch)
-            .select(
-                "doc_id",
-                F.array_sort(
-                    F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
-                ).alias("sarr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        batch_sigs.write.mode("append").parquet(sigs_dir)
+        # compare equal regardless of first-occurrence order. The
+        # ledger write IS the materialization (round 15 second pass):
+        # land to a per-batch overwrite subdir (replay-idempotent,
+        # unlike append) and read back — one driver action instead of
+        # an eager localCheckpoint plus a separate append write.
+        tag = f"batch_{batch_id:06d}"
+        _shingle_arrays(batch).select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+            ).alias("sarr"),
+        ).write.mode("overwrite").parquet(os.path.join(sigs_dir, tag))
+        batch_sigs = sess.read.parquet(os.path.join(sigs_dir, tag))
         prev_groups = (
             sess.read.parquet(last_groups[0]) if last_groups[0] is not None else None
         )
@@ -2170,10 +2178,15 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         bout = os.path.join(root, f"bands_v{batch_id}")
         state.write.mode("overwrite").parquet(bout)
         last_bands[0] = bout
-        prov = prov.localCheckpoint(eager=True)
-        prov.write.mode("append").parquet(prov_dir)
+        # the prov landing is the materialization (read back for the
+        # candidate set instead of a separate eager checkpoint job)
+        prov.write.mode("overwrite").parquet(os.path.join(prov_dir, tag))
         # exact group-level Jaccard verify, each group pair ONCE
-        cand = prov.select("doc_a", "doc_b").distinct()
+        cand = (
+            sess.read.parquet(os.path.join(prov_dir, tag))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
         garr = groups.select("gid", "sarr")
         paired = cand.join(
             garr.select(F.col("gid").alias("doc_a"), F.col("sarr").alias("arr_a")),
@@ -2185,8 +2198,8 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.size(F.array_intersect("arr_a", "arr_b"))
         jac = c / (F.size("arr_a") + F.size("arr_b") - c)
         paired.filter(jac >= JACCARD_T).select("doc_a", "doc_b").write.mode(
-            "append"
-        ).parquet(gpairs_dir)
+            "overwrite"
+        ).parquet(os.path.join(gpairs_dir, tag))
 
     ckpt = _scratch_dir("neardup_vckpt_")
     try:
@@ -2199,7 +2212,9 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         return _neardup_verdict_finalize(
             spark,
-            docs_all=spark.read.parquet(sigs_dir),
+            docs_all=spark.read.option("recursiveFileLookup", "true").parquet(
+                sigs_dir
+            ),
             groups_final=spark.read.parquet(last_groups[0]),
             bands_final=spark.read.parquet(last_bands[0]),
             prov_dir=prov_dir,
@@ -2306,17 +2321,19 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
-        batch_sigs = (
-            _shingle_arrays(batch)
-            .select(
-                "doc_id",
-                F.array_sort(
-                    F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
-                ).alias("sarr"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        batch_sigs.write.mode("append").parquet(sigs_dir)
+        # the ledger write IS the materialization (round 15 second
+        # pass, guide §1.2): land the batch's signatures to a per-batch
+        # overwrite subdir (idempotent under replay, unlike append) and
+        # read them back — one driver action instead of an eager
+        # localCheckpoint followed by a separate append write.
+        tag = f"batch_{batch_id:06d}"
+        _shingle_arrays(batch).select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.transform("sharr", lambda s: F.xxhash64(s)))
+            ).alias("sarr"),
+        ).write.mode("overwrite").parquet(os.path.join(sigs_dir, tag))
+        batch_sigs = sess.read.parquet(os.path.join(sigs_dir, tag))
         gb = (
             batch_sigs.filter(F.size("sarr") > 0)
             .groupBy("sarr")
@@ -2365,6 +2382,9 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"s29: xxhash64 signature-key collision on {bad} group(s) — "
                 "widen the key before trusting this corpus"
             )
+        # a pure projection over the checkpointed ``m`` — its three
+        # consumers (the put, bands_new, garr) each re-run only the
+        # local select, so no separate materialization job is needed
         merged = m.select(
             "sig64",
             "sarr",
@@ -2374,7 +2394,7 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rep_id"),
             (F.coalesce("cnt", F.lit(0)) + F.col("b_cnt")).alias("cnt"),
             F.col("gid").isNull().alias("is_new"),
-        ).localCheckpoint(eager=True)
+        )
         # ONLY touched items go back through the batch-put upsert
         write_dynamo(
             merged.select("sig64", "sarr", "gid", "rep_id", "cnt"), store_table
@@ -2391,9 +2411,14 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         bout = os.path.join(root, f"bands_v{batch_id}")
         state.write.mode("overwrite").parquet(bout)
         last_bands[0] = bout
-        prov = prov.localCheckpoint(eager=True)
-        prov.write.mode("append").parquet(prov_dir)
-        cand = prov.select("doc_a", "doc_b").distinct()
+        # the prov landing is the materialization (read back for the
+        # candidate set instead of a separate eager checkpoint job)
+        prov.write.mode("overwrite").parquet(os.path.join(prov_dir, tag))
+        cand = (
+            sess.read.parquet(os.path.join(prov_dir, tag))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
         # candidate pairs reach back to groups from EARLIER batches
         # (a pair is generated when its later member arrives), so the
         # verify must join against the FULL group state (a first-draft
@@ -2419,8 +2444,8 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.size(F.array_intersect("arr_a", "arr_b"))
         jac = c / (F.size("arr_a") + F.size("arr_b") - c)
         paired.filter(jac >= JACCARD_T).select("doc_a", "doc_b").write.mode(
-            "append"
-        ).parquet(gpairs_dir)
+            "overwrite"
+        ).parquet(os.path.join(gpairs_dir, tag))
 
     ckpt = _scratch_dir("neardup_dckpt_")
     try:
@@ -2437,7 +2462,9 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scans of the same table (measured 5-6 s each, round 15)
         return _neardup_verdict_finalize(
             spark,
-            docs_all=spark.read.parquet(sigs_dir),
+            docs_all=spark.read.option("recursiveFileLookup", "true").parquet(
+                sigs_dir
+            ),
             groups_final=read_dynamo(spark, store_table)
             .select("sarr", "gid", "rep_id", "cnt")
             .localCheckpoint(eager=True),
@@ -3424,12 +3451,30 @@ def _landing_zone_stream_run(
     )
 
     root = _scratch_dir("s34_state_")
-    md5_dir = os.path.join(root, "md5")  # stage-3 ledger
-    sig_dir = os.path.join(root, "sigs")  # stage-4 survivor signatures
-    band_dir = os.path.join(root, "bands")  # stage-4 band ledger
-    pack_dir = os.path.join(root, "pack")  # stage-5 per-source totals
+    # TWO ledgers per batch (round 15 second pass, guide §1.2): the
+    # SURVIVOR ledger (doc_id, source, content_md5, n_tokens, harr)
+    # fuses what were three separate landings — the md5 ledger, the
+    # signature ledger and the band ledger — into ONE write per batch:
+    #   * md5 state: an md5 lands exactly once, in the first batch a
+    #     decon-surviving doc carries it (the within-batch winner
+    #     always survives the prior-ledger anti-join then), so the
+    #     cumulative strictly-earlier md5 set is IDENTICAL to the old
+    #     ledger of all s1b md5s — proven by induction on batches,
+    #     pinned by the s34==c121 equality pytest.
+    #   * band state: band rows are a NARROW per-row derivation of
+    #     harr (minhash_band_rows — 32 bit-mixes + 8 band keys, no
+    #     shuffle), and every batch already re-reads the prior
+    #     signature ledger for the Jaccard verify side, so deriving
+    #     bands from the same read is strictly cheaper than landing
+    #     and re-reading a second ledger.
+    # The per-source pack totals fold directly over the prior ASSIGN
+    # landings (same n_tokens rows the old per-batch pre-aggregated
+    # pack ledger summed), dropping that write+read pair too. Net: 7
+    # driver actions per batch -> 3, on a host where the event-log
+    # profile showed per-job overhead (not compute) dominating s34/s35.
+    surv_dir = os.path.join(root, "surv")  # stages 3+4 survivor ledger
     assign_dir = os.path.join(root, "assign")  # landed assignments
-    for d in (md5_dir, sig_dir, band_dir, pack_dir, assign_dir):
+    for d in (surv_dir, assign_dir):
         os.makedirs(d)
 
     def _hashed_shingles(col: str = "text"):
@@ -3515,47 +3560,47 @@ def _landing_zone_stream_run(
         s1b = train.join(contaminated, "doc_id", "left_anti")
 
         # stage 3: exact dedup — within-batch min-owner window plus
-        # the strictly-earlier md5 ledger (arrival order = id order)
+        # the strictly-earlier md5 state (arrival order = id order;
+        # the prior SURVIVOR ledger's md5 column IS that state — see
+        # the surv_dir comment above for the equality argument)
         w = W.partitionBy("content_md5")
         s2b = s1b.withColumn(
             "keep", F.min("doc_id").over(w) == F.col("doc_id")
         ).filter("keep")
-        prior_md5 = _prior(sess, md5_dir, batch_id)
-        if prior_md5 is not None:
-            s2b = s2b.join(prior_md5, "content_md5", "left_anti")
-        s2b = s2b.select(
-            "doc_id", "source", "content_md5", "sh", "n_tokens"
-        ).localCheckpoint(eager=True)
-        _land(s1b.select("content_md5").distinct(), md5_dir, batch_id)
+        prior_surv = _prior(sess, surv_dir, batch_id)
+        if prior_surv is not None:
+            s2b = s2b.join(
+                prior_surv.select("content_md5"), "content_md5", "left_anti"
+            )
 
-        # stage 4: near-dup verdict vs everything arrived so far.
-        # harr mirrors _minhash_verified_pairs' internal re-hash so
-        # band keys and Jaccard values are the one-shot pipeline's.
-        # Landing IS the materialization (round 15): the ledger write
-        # already computes every row, so downstream reads the landed
-        # parquet back instead of paying a separate eager
-        # localCheckpoint job per ledger (2 jobs/batch saved).
+        # stages 3+4 land as ONE survivor ledger; the write is the
+        # materialization (round 15) — downstream reads the landed
+        # parquet back instead of paying separate eager localCheckpoint
+        # jobs. harr mirrors _minhash_verified_pairs' internal re-hash
+        # so band keys and Jaccard values are the one-shot pipeline's.
         _land(
             s2b.select(
                 "doc_id",
+                "source",
+                "content_md5",
+                "n_tokens",
                 F.array_distinct(
                     F.transform("sh", lambda s: F.xxhash64(s))
                 ).alias("harr"),
             ),
-            sig_dir,
+            surv_dir,
             batch_id,
         )
-        harr_b = sess.read.parquet(
-            os.path.join(sig_dir, f"batch_{batch_id:06d}")
+        landed_surv = sess.read.parquet(
+            os.path.join(surv_dir, f"batch_{batch_id:06d}")
         )
-        _land(minhash_band_rows(harr_b), band_dir, batch_id)
-        bands_b = sess.read.parquet(
-            os.path.join(band_dir, f"batch_{batch_id:06d}")
-        )
-        prior_bands = _prior(sess, band_dir, batch_id)
+        harr_b = landed_surv.select("doc_id", "harr")
+        bands_b = minhash_band_rows(harr_b)
         bands_cum = (
-            prior_bands.unionByName(bands_b)
-            if prior_bands is not None
+            minhash_band_rows(prior_surv.select("doc_id", "harr")).unionByName(
+                bands_b
+            )
+            if prior_surv is not None
             else bands_b
         )
         cnt = bands_cum.groupBy("band", "key").agg(
@@ -3575,10 +3620,9 @@ def _landing_zone_stream_run(
             )
             .distinct()
         )
-        prior_sigs = _prior(sess, sig_dir, batch_id)
         arrs = (
-            prior_sigs.unionByName(harr_b)
-            if prior_sigs is not None
+            prior_surv.select("doc_id", "harr").unionByName(harr_b)
+            if prior_surv is not None
             else harr_b
         )
         paired = cand.join(
@@ -3593,13 +3637,17 @@ def _landing_zone_stream_run(
         dropped = (
             paired.filter(jac >= JACCARD_T).select("doc_b").distinct()
         ).select(F.col("doc_b").alias("doc_id"))
-        s3b = s2b.join(dropped, "doc_id", "left_anti")
+        s3b = landed_surv.select("doc_id", "source", "n_tokens").join(
+            dropped, "doc_id", "left_anti"
+        )
 
-        # stage 5: pack — carried per-source base over SURVIVOR tokens
-        prior_pack = _prior(sess, pack_dir, batch_id)
-        if prior_pack is not None:
-            base = prior_pack.groupBy("source").agg(
-                F.sum("batch_tokens").alias("base")
+        # stage 5: pack — carried per-source base over SURVIVOR tokens,
+        # folded directly from the strictly-earlier ASSIGN landings
+        # (the same n_tokens rows the old pack ledger pre-aggregated)
+        prior_assign = _prior(sess, assign_dir, batch_id)
+        if prior_assign is not None:
+            base = prior_assign.groupBy("source").agg(
+                F.sum("n_tokens").alias("base")
             )
             t = s3b.join(F.broadcast(base), "source", "left").fillna(0, ["base"])
         else:
@@ -3621,16 +3669,6 @@ def _landing_zone_stream_run(
                 F.expr(f"prefix div {pack_budget}").cast("long").alias("pack_id"),
             ),
             assign_dir,
-            batch_id,
-        )
-        # per-source totals fold over the landed assignments (same
-        # n_tokens rows) — the assign write is the materialization
-        landed = sess.read.parquet(
-            os.path.join(assign_dir, f"batch_{batch_id:06d}")
-        )
-        _land(
-            landed.groupBy("source").agg(F.sum("n_tokens").alias("batch_tokens")),
-            pack_dir,
             batch_id,
         )
         if post_batch is not None:
