@@ -852,9 +852,39 @@ class _JpegBitReader:
         self.nbits += 8
         return True
 
+    def _bulk_fill(self) -> bool:
+        """Ingest up to 4 bytes in one step: a run of clean (non-0xFF)
+        bytes through one C-level slice, or a single stuffed 0xFF.
+        Stops WITHOUT consuming at end-of-buffer or a real marker
+        (returns False), and never reads past any 0xFF — since every
+        marker starts with 0xFF, the reader cannot buffer beyond the
+        current scan, so the scan-end ``pos`` contract (and restart
+        handling) is byte-identical to the one-byte fill. Round 15:
+        the per-byte _try_fill call was ~20% of JPEG-family decode."""
+        pos = self.pos
+        buf = self.buf
+        if pos >= len(buf):
+            return False
+        if buf[pos] == 0xFF:
+            if pos + 1 >= len(buf) or buf[pos + 1] != 0x00:
+                return False
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            self.pos = pos + 2  # stuffed FF
+            return True
+        end = buf.find(0xFF, pos, pos + 4)
+        if end < 0:
+            end = min(pos + 4, len(buf))
+        n = end - pos
+        self.acc = (self.acc << (8 * n)) | int.from_bytes(buf[pos:end], "big")
+        self.nbits += 8 * n
+        self.pos = end
+        return True
+
     def bits(self, n: int) -> int:
         while self.nbits < n:
-            self._fill()
+            if not self._bulk_fill():
+                self._fill()  # raises the documented truncation/marker error
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
@@ -1814,7 +1844,10 @@ def _decode_jpeg_progressive(payload: bytes) -> dict:
         nat = np.zeros((grid_by, grid_bx, 64))
         nat[:, :, zz_idx] = carr * q
         blocks = nat.reshape(grid_by, grid_bx, 8, 8)
-        px = np.einsum("au,yxab,bv->yxuv", idctm, blocks, idctm)
+        # batched matmul beats einsum ~8x here (BLAS path); verified
+        # byte-identical post-round over the full fixture block space
+        # (every DC-only byte value + the fixed trailer patterns)
+        px = (np.swapaxes(idctm, 0, 1) @ blocks) @ idctm
         px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
         out_px = px.transpose(0, 2, 1, 3).reshape(grid_by * 8, grid_bx * 8)
         g = np.repeat(np.repeat(out_px, vmax // cv, axis=0), hmax // ch, axis=1)
@@ -4421,7 +4454,25 @@ def encode_jpeg_hierarchical(data: bytes, bcols: int = 4) -> bytes:
     dc_chr = _jpeg_huff_codes(*_JPEG_DC_CHR)
     ac_chr = _jpeg_huff_codes(*_JPEG_AC_CHR)
 
-    def frame(sof_marker: int, w: int, h: int, coef_fn, differential: bool):
+    def _cat(*pairs: tuple[int, int]) -> tuple[int, int]:
+        """Concatenate (value, nbits) bit fields into one field."""
+        v = 0
+        n = 0
+        for pv, pl in pairs:
+            v = (v << pl) | (pv & ((1 << pl) - 1))
+            n += pl
+        return v, n
+
+    # both frames carry NEUTRAL chroma ({} coefficients, so the DC
+    # predictor chain stays 0 in the base frame and PRED = 0 in the
+    # differential frame): each chroma block is exactly one s=0 DC
+    # code plus one EOB, a constant bit pattern — precompute the
+    # Cb+Cr pair once and write it in a single call per block triple
+    # instead of walking _jpeg_encode_block twice (round 15: the
+    # per-block entropy walk dominated encode time at 27k blocks/doc)
+    chroma_pair = _cat(dc_chr[0], ac_chr[0x00], dc_chr[0], ac_chr[0x00])
+
+    def frame(sof_marker: int, w: int, h: int, luma_coef_fn, differential: bool):
         seg = bytearray()
         seg += bytes([0xFF, sof_marker]) + _struct.pack(">H", 17) + bytes([8])
         seg += _struct.pack(">HH", h, w) + bytes([3])
@@ -4429,26 +4480,40 @@ def encode_jpeg_hierarchical(data: bytes, bcols: int = 4) -> bytes:
         seg += b"\xff\xda" + _struct.pack(">H", 12) + bytes([3])
         seg += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
         wr = _JpegBitWriter()
-        pred = [0, 0, 0]
-        for by in range(h // 8):
-            for bx in range(w // 8):
-                for ci in range(3):
-                    coefs = coef_fn(ci, bx, by)
-                    dct, act = (dc_lum, ac_lum) if ci == 0 else (dc_chr, ac_chr)
-                    if differential:
-                        # PRED = 0: code the DC directly each block
-                        pred[ci] = _jpeg_encode_block(wr, coefs, 0, dct, act)
-                    else:
-                        pred[ci] = _jpeg_encode_block(
-                            wr, coefs, pred[ci], dct, act
-                        )
+        if differential:
+            # the differential frame's luma DC is d = ((bx+by) % 5) - 2
+            # with PRED = 0, so a (luma, Cb, Cr) triple's bits depend
+            # only on d — five distinct triples, and a block ROW is one
+            # of five fixed cycles of them: precompute each row's full
+            # bit string and emit ONE write per row
+            trip = {}
+            for d in range(-2, 3):
+                s, bits = _jpeg_magnitude(8 * d)
+                parts = [dc_lum[s]]
+                if s:
+                    parts.append((bits, s))
+                parts.append(ac_lum[0x00])
+                parts.append(chroma_pair)
+                trip[d] = _cat(*parts)
+            rows = [
+                _cat(*[trip[((bx + r) % 5) - 2] for bx in range(w // 8)])
+                for r in range(5)
+            ]
+            for by in range(h // 8):
+                wr.write(*rows[by % 5])
+        else:
+            pred = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    pred = _jpeg_encode_block(
+                        wr, luma_coef_fn(bx, by), pred, dc_lum, ac_lum
+                    )
+                    wr.write(*chroma_pair)
         seg += wr.flush()
         return seg
 
     # base frame: payload at half resolution, chroma neutral
-    def base_coefs(ci: int, bx: int, by: int) -> dict:
-        if ci != 0:
-            return {}
+    def base_coefs(bx: int, by: int) -> dict:
         i = by * bcols + bx
         v = data[i] if i < len(data) else 0
         return {0: 8 * (v - 128)} if v != 128 else {}
@@ -4456,14 +4521,9 @@ def encode_jpeg_hierarchical(data: bytes, bcols: int = 4) -> bytes:
     out += frame(0xC0, bw_px, bh_px, base_coefs, differential=False)
     # EXP: expand reference 1x horizontally and vertically
     out += b"\xff\xdf" + _struct.pack(">H", 3) + bytes([0x11])
-    # differential frame: per-block constant d, DC-only
-    def diff_coefs(ci: int, bx: int, by: int) -> dict:
-        if ci != 0:
-            return {}
-        d = ((bx + by) % 5) - 2
-        return {0: 8 * d} if d else {}
-
-    out += frame(0xC5, fw, fh, diff_coefs, differential=True)
+    # differential frame: per-block constant d = ((bx+by) % 5) - 2,
+    # DC-only — emitted by frame()'s precomputed row patterns
+    out += frame(0xC5, fw, fh, None, differential=True)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -4578,10 +4638,17 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                 pending_exp = None
             rd = _JpegBitReader(payload, pos)
             pred = [0] * nc
-            grids = [
-                np.zeros((-(-h // 8) * 8, -(-w // 8) * 8), dtype=np.int32)
-                for _ in comps
-            ]
+            gby, gbx = -(-h // 8), -(-w // 8)
+            # DC-only blocks (the overwhelming majority — EVERY block
+            # of this encoder's two frames) store ONE scalar into a
+            # per-component block-value array; the 8x8 pixel expansion
+            # happens once per frame with a single broadcast instead
+            # of 27k+ numpy slice assignments (round 15: those slice
+            # fills plus a per-block round() dominated decode time).
+            # AC-bearing blocks keep the matrix IDCT and are patched
+            # over the expanded grid afterwards.
+            dcvals = [np.zeros((gby, gbx), dtype=np.int32) for _ in comps]
+            ac_blocks: list[tuple[int, int, int, "np.ndarray"]] = []
             # per-component tables hoisted out of the block loop (the
             # scan-list genexpr + dict lookups ran once PER BLOCK
             # before round 15 — pure loop overhead on 27k blocks/doc)
@@ -4589,8 +4656,12 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             for cid, tq in comps:
                 sc = next(s for s in scan if s[0] == cid)
                 ctabs.append((htabs[(0, sc[1])], htabs[(1, sc[2])], qtabs[tq]))
-            for by in range(-(-h // 8)):
-                for bx in range(-(-w // 8)):
+            # dc -> rendered block value, memoized per component (the
+            # same handful of DC codes repeats across thousands of
+            # blocks; round-half-even float round is not free)
+            dcmemo: list[dict[int, int]] = [{} for _ in comps]
+            for by in range(gby):
+                for bx in range(gbx):
                     for ci, (dct, act, q) in enumerate(ctabs):
                         s = rd.huff(dct)
                         diff = _jpeg_extend(rd.bits(s), s) if s else 0
@@ -4626,15 +4697,16 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                             # DC-only fast path: the IDCT of a lone DC
                             # is the constant DC/8 (identical rounding
                             # to the matrix path — orthonormal DCT)
-                            c0 = (dc * q[0]) / 8.0
-                            v = (
-                                int(round(c0))
-                                if differential
-                                else min(max(int(round(c0 + 128)), 0), 255)
-                            )
-                            grids[ci][
-                                by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                            ] = v
+                            v = dcmemo[ci].get(dc)
+                            if v is None:
+                                c0 = (dc * q[0]) / 8.0
+                                v = (
+                                    int(round(c0))
+                                    if differential
+                                    else min(max(int(round(c0 + 128)), 0), 255)
+                                )
+                                dcmemo[ci][dc] = v
+                            dcvals[ci][by, bx] = v
                             continue
                         coefs = np.zeros(64)
                         coefs[0] = dc * q[0]
@@ -4646,7 +4718,15 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                         else:
                             px = np.round(block + 128).astype(np.int32)
                             px = np.clip(px, 0, 255)
-                        grids[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                        ac_blocks.append((ci, by, bx, px))
+            grids = [
+                np.broadcast_to(
+                    dv[:, None, :, None], (gby, 8, gbx, 8)
+                ).reshape(gby * 8, gbx * 8).copy()
+                for dv in dcvals
+            ]
+            for ci, by, bx, px in ac_blocks:
+                grids[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
             # the writer byte-aligns each scan with pad bits, so the
             # reader's byte cursor already sits on the next marker
             pos = rd.pos
