@@ -2233,6 +2233,30 @@ _finalize_s28_oracle()
 # ---------------------------------------------------------------------------
 
 
+def _s29_collision_flag():
+    """Per-row collision-violation flag for s29's guarded batch-put.
+
+    Over the merge relation ``m`` (batch groups LEFT JOIN store
+    snapshot on sig64), a row is a violation when its sig64 appears
+    on more than one ``m`` row (two distinct batch sarr colliding —
+    the store side is unique by put-replace) OR its batch sarr
+    differs from the stored sarr under the same key. Spelled as a
+    window flag so the guard aggregate can ride the put job's plan
+    via observe() instead of a dedicated count() action per batch
+    (round 15, guide §1.2); tests/test_streaming.py pins that the
+    observed sum counts both violation classes.
+    """
+    from pyspark.sql import Window
+
+    return (
+        (F.count("*").over(Window.partitionBy("sig64")) > 1)
+        | (
+            F.col("sarr_stored").isNotNull()
+            & (F.col("sarr") != F.col("sarr_stored"))
+        )
+    ).cast("int")
+
+
 def _finalize_s29_oracle() -> None:
     """Same verdict oracle as s26/s28 — the contract is unchanged;
     what s29 proves is WHERE the state can live."""
@@ -2279,6 +2303,8 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
+
+    from pyspark.sql import Observation
 
     from spark_dynamodb_spark.operators.dedup import (
         JACCARD_T,
@@ -2355,37 +2381,14 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_id",
             "cnt",
         )
-        m = gb.join(store, "sig64", "left").localCheckpoint(eager=True)
-        # collision guard: same 64-bit key, different signature array
-        # -> refuse loudly instead of silently merging two cliques.
-        # Checked BOTH ways: batch-vs-stored AND batch-internal — two
-        # distinct sarr in one batch sharing a sig64 would otherwise
-        # slip past the stored comparison and the batch-put's
-        # put-replace would silently drop one clique's group row
-        # (code review r12).
-        bad = (
-            m.groupBy("sig64")
-            .agg(
-                F.count("*").alias("k"),
-                F.max(
-                    (
-                        F.col("sarr_stored").isNotNull()
-                        & (F.col("sarr") != F.col("sarr_stored"))
-                    ).cast("int")
-                ).alias("mismatch"),
-            )
-            .filter("k > 1 OR mismatch = 1")
-            .count()
-        )
-        if bad:
-            raise ValueError(
-                f"s29: xxhash64 signature-key collision on {bad} group(s) — "
-                "widen the key before trusting this corpus"
-            )
-        # a pure projection over the checkpointed ``m`` — its three
-        # consumers (the put, bands_new, garr) each re-run only the
-        # local select, so no separate materialization job is needed
-        merged = m.select(
+        # ``m`` is deliberately NOT materialized (round-15 second
+        # pass, guide §1.2): both checkpointed inputs (sigs read-back,
+        # store snapshot) are already in memory, so each consumer
+        # re-runs only a small local aggregate + join — cheaper on
+        # this host than the ~0.5 s driver-action floor a dedicated
+        # materialization job pays.
+        m = gb.join(store, "sig64", "left")
+        merged_cols = (
             "sig64",
             "sarr",
             F.coalesce("gid", "b_rep").alias("gid"),
@@ -2395,10 +2398,36 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("cnt", F.lit(0)) + F.col("b_cnt")).alias("cnt"),
             F.col("gid").isNull().alias("is_new"),
         )
-        # ONLY touched items go back through the batch-put upsert
-        write_dynamo(
-            merged.select("sig64", "sarr", "gid", "rep_id", "cnt"), store_table
+        merged = m.select(*merged_cols)
+        # collision guard: same 64-bit key, different signature array
+        # -> refuse loudly instead of silently merging two cliques.
+        # Checked BOTH ways: batch-vs-stored AND batch-internal — two
+        # distinct sarr in one batch sharing a sig64 would otherwise
+        # slip past the stored comparison and the batch-put's
+        # put-replace would silently drop one clique's group row
+        # (code review r12). Round 15: the guard rides the PUT job as
+        # observe() metrics (CollectMetrics executes inside the write
+        # plan; the batch-internal k>1 case becomes a window flag over
+        # sig64) instead of a dedicated count() action per batch. A
+        # detected collision now aborts AFTER the colliding batch-put
+        # lands, but the store is per-run scratch state and the failed
+        # stream never produces a verdict table, so the fail-loud
+        # contract is intact: no silent merge can reach any output.
+        guard = Observation(f"s29_guard_{batch_id}")
+        guarded_put = (
+            m.withColumn("bad", _s29_collision_flag())
+            .observe(guard, F.sum("bad").alias("bad_rows"))
+            .select(*merged_cols)
+            .select("sig64", "sarr", "gid", "rep_id", "cnt")
         )
+        # ONLY touched items go back through the batch-put upsert
+        write_dynamo(guarded_put, store_table)
+        bad = guard.get["bad_rows"] or 0
+        if bad:
+            raise ValueError(
+                f"s29: xxhash64 signature-key collision on {bad} row(s) — "
+                "widen the key before trusting this corpus"
+            )
         bands_new = _neardup_band_rows(
             merged.filter("is_new").select(
                 F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")

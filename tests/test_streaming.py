@@ -1048,6 +1048,44 @@ def test_s29_dynamo_backed_state_matches_s28(spark, sf_dir):
     assert not agg["rep_above_gid"]  # rep_id only shrinks from gid
 
 
+def test_s29_collision_guard_counts_both_violation_classes(spark):
+    """Round-15 internals change: s29's collision guard rides the
+    batch-put job as observe() metrics over `_s29_collision_flag`
+    instead of a dedicated per-batch count() action. Pin that the
+    observed sum still counts BOTH violation classes the original
+    guard checked — batch-internal duplicate sig64 (k>1 under the
+    window) and batch-vs-stored sarr mismatch — and that the metric
+    actually fires on a write action (the fusion's whole point)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from spark_dynamodb_spark.streaming.stream_queries import _s29_collision_flag
+
+    m = spark.createDataFrame(
+        [
+            # clean row: unique key, no stored counterpart
+            (1, [1, 2], None),
+            # batch-internal collision: sig64=2 on two rows -> 2 bad
+            (2, [3, 4], None),
+            (2, [5, 6], None),
+            # stored-mismatch collision: same key, different sarr -> 1 bad
+            (3, [7, 8], [9, 9]),
+            # clean row: same key, SAME stored sarr (normal re-merge)
+            (4, [1, 9], [1, 9]),
+        ],
+        "sig64 long, sarr array<bigint>, sarr_stored array<bigint>",
+    )
+    obs = Observation("s29_guard_test")
+    (
+        m.withColumn("bad", _s29_collision_flag())
+        .observe(obs, F.sum("bad").alias("bad_rows"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    assert obs.get["bad_rows"] == 3
+
+
 def test_s28_rep_shrinks_when_smaller_replica_arrives_late(spark):
     """Arrival-order independence, the path the ordered fixture
     batches never exercise: a replica with a SMALLER doc_id arriving
