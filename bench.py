@@ -346,6 +346,13 @@ def main() -> None:
             "cpus": cpus,
             "runs_per_query": RUNS,
             "agg": "min",
+            # extras-regime tag (VERDICT r15 #8): the HEADLINE block
+            # (query list, min-of-5, warmup sweep, count() action) is
+            # frozen since r1; this records the EXTRAS sampling regime
+            # so a future change there is visible in the one-line JSON
+            # instead of only in a bench.py diff.
+            "extra_runs": EXTRA_RUNS,
+            "extras_regime": "discarded-warmup+min-of-N_r15",
         }
     )
     if len(line) + 1 > 2000:  # headline set itself outgrew the capture

@@ -95,6 +95,7 @@ ROTATED_GREEN_R1 = frozenset(
         "b117_seasonal_anomaly",
         "b118_kcore_peel",
         "b119_udtf_variant_pipe",
+        "b11_agg_flagship_q1",
         "b120_quantile_normalization",
         "b121_delta_join_maintenance",
         "b122_write_audit_publish",
@@ -105,6 +106,8 @@ ROTATED_GREEN_R1 = frozenset(
         "b127_tpch_q16_supplier_count",
         "b128_tpch_q20_potential_promotion",
         "b129_multi_hop_reach",
+        "b12_agg_count_distinct",
+        "b12_agg_stats",
         "b130_topk_with_ties",
         "b131_corrupt_json_handling",
         "b132_time_travel_read",
@@ -117,25 +120,40 @@ ROTATED_GREEN_R1 = frozenset(
         "b139_cusum_changepoint",
         "b140_aqe_skew_join",
         "b141_aqe_coalesce_agg",
-        "b37_recursive_cte",
-        "b38_exists_subquery",
-        "b39_scalar_subquery",
-        "b40_lateral_topk_per_key",
-        "b41_string_agg",
-        "b42_ohlc_downsample",
-        "b43_bitwise_agg",
-        "b44_histogram",
-        "b45_window_distribution",
-        "b46_regexp_extract_all",
-        "b47_regression_aggs",
-        "b48_string_distance",
-        "b49_nullsafe_join",
-        "b50_conditional_aggs",
-        "b51_csv_roundtrip",
-        "b52_jsonl_roundtrip",
-        "b53_orc_roundtrip",
-        "b54_time_range_window",
-        "b55_try_arithmetic",
+        "b14_agg_cube",
+        "b14_agg_min_max",
+        "b14_agg_rollup",
+        "b14_grouping_sets_sql",
+        "b14_pivot",
+        "b15_window_rank",
+        "b16_window_analytic",
+        "b16_window_last_ignorenulls",
+        "b17_window_frames",
+        "b17_window_range_frame",
+        "b18_topk",
+        "b19_distinct",
+        "b19_except_all",
+        "b19_intersect",
+        "b19_union",
+        "b20_strings",
+        "b21_datetime",
+        "b22_math",
+        "b23_arrays",
+        "b23_explode",
+        "b23_maps",
+        "b24_from_json_struct",
+        "b24_json",
+        "b25_conditional",
+        "b26_apply_in_pandas",
+        "b26_grouped_agg_udaf",
+        "b26_pandas_udf_scalar",
+        "b26_python_udf_scalar",
+        "b26_udtf_split",
+        "b32_salted_skew_join",
+        "b33_asof_join",
+        "b34_cdc_latest_per_key",
+        "b35_approx_quantile",
+        "b36_unpivot",
         "b56_distinct_over_window",
         "b57_salted_agg",
         "b58_merge_upsert",
@@ -179,47 +197,29 @@ ROTATED_GREEN_R1 = frozenset(
         "b97_parameterized_sql",
         "b98_pipe_syntax",
         "b99_running_distinct_count",
-        "c02_dedup_ngram_jaccard_baseline",
-        "c02_dedup_simhash",
-        "c02_embedding_neardup",
-        "c03_ann_cosine_topk",
+        "c01_dedup_exact",
+        "c02_dedup_components",
         "c03_ann_ivf",
         "c03_ann_ivf_pruned",
         "c03_ann_lsh_bucketed",
-        "c03_embedding_normalize",
-        "c03_label_centroids",
-        "c04_text_fingerprint",
-        "c04_text_langid",
-        "c04_text_ngram_freq",
         "c04_text_normalize",
-        "c04_text_pmi",
-        "c04_text_quality",
         "c04_text_repetition",
-        "c04_text_tfidf",
-        "c04_text_token_bpe",
-        "c04_text_token_stats",
         "c05_audio_features",
-        "c05_audio_resample",
         "c05_audio_spectral",
         "c05_image_features",
         "c05_multimodal_bmp_rle",
-        "c05_multimodal_features",
         "c05_multimodal_flac",
-        "c05_multimodal_frames",
         "c05_multimodal_gif",
         "c05_multimodal_gif_interlaced",
+        "c05_multimodal_jpeg",
+        "c05_multimodal_jpeg12",
+        "c05_multimodal_jpeg_progressive",
+        "c05_multimodal_mpeg_audio",
         "c05_multimodal_png",
         "c05_multimodal_png_adam7",
         "c05_multimodal_png_paletted",
-        "c05_multimodal_resize",
-        "c05_multimodal_roundtrip",
         "c05_multimodal_tiff",
-        "c05_multimodal_wav",
-        "c06_group_quantiles",
-        "c06_stratified_sample",
-        "c06_train_split",
-        "c06_vocab_topk",
-        "c07_corpus_prep",
+        "c05_multimodal_video",
         "c08_sessionization",
         "c09_sequence_packing",
         "c100_ann_int8_topk",
@@ -246,6 +246,8 @@ ROTATED_GREEN_R1 = frozenset(
         "c120_matryoshka_recall",
         "c121_train_shards_capstone",
         "c123_pack_boundary_slices",
+        "c124_shard_assignment",
+        "c127_mixture_schedule",
         "c12_chunk_dedup",
         "c13_unigram_logprob",
         "c14_ts_interpolate",
@@ -337,8 +339,6 @@ ROTATED_GREEN_R1 = frozenset(
         "s01_stream_tumbling_window",
         "s02_stream_sliding_window",
         "s03_stream_session_window",
-        "s04_stream_dedup_watermark",
-        "s05_stream_foreachbatch_upsert",
         "s06_stream_stateful_custom",
         "s07_stream_stream_join",
         "s08_stream_static_enrich",

@@ -96,6 +96,51 @@ def state_partitions(spark: SparkSession) -> int:
     return int(spark.conf.get(STATE_PARTITIONS_CONF, str(DEFAULT_STATE_PARTITIONS)))
 
 
+MICROBATCH_AQE_CONF = "spark.dynamo.stream.batchAqe"
+
+
+def _microbatch_plan_confs(fn):
+    """Wrap a foreachBatch callable so the plans it builds run with
+    AQE OFF and shuffle parallelism at the state-partition count for
+    the duration of the closure (round 16, guide §1.2/§2.4; VERDICT
+    r15 #1).
+
+    Why: inside foreachBatch every adaptive query stage materializes
+    as its OWN Spark job, so a 4-batch stream whose per-batch state is
+    KB-scale paid ~130 jobs per execution with ~50 % of wall time in
+    0.4-0.9 s inter-job driver gaps (round-15 event-log profile of
+    s34/s35). With AQE off, one driver action is one job regardless of
+    stage count — the per-batch plans here are small enough that
+    runtime re-optimization has nothing to improve. Scale note: this
+    is NOT a local[32]-only tune — the driver-gap cost multiplies by
+    batch count on any cluster — but a production stream whose
+    micro-batches are themselves 100 GB-scale should re-enable AQE
+    (runtime skew splits / coalescing) by setting session conf
+    ``spark.dynamo.stream.batchAqe=true``; batch entries and stream
+    FINALIZE plans keep the session's AQE setting either way.
+    Semantics are untouched: AQE and the shuffle-partition count are
+    physical-plan knobs only.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(batch: DataFrame, batch_id: int):
+        sess = batch.sparkSession
+        if str(sess.conf.get(MICROBATCH_AQE_CONF, "false")).lower() == "true":
+            return fn(batch, batch_id)
+        prev_aqe = sess.conf.get("spark.sql.adaptive.enabled")
+        prev_sp = sess.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions", str(state_partitions(sess)))
+        try:
+            return fn(batch, batch_id)
+        finally:
+            sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+            sess.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    return wrapped
+
+
 def _scratch_dir(prefix: str) -> str:
     """Per-run streaming scratch (state ledgers + checkpoints),
     preferring /dev/shm (tmpfs) over the disk temp root — the
@@ -424,7 +469,7 @@ def foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(upsert)
+        .writeStream.foreachBatch(_microbatch_plan_confs(upsert))
         .trigger(availableNow=True)
         .start()
     )
@@ -1342,7 +1387,7 @@ def stream_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("kmv_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1467,7 +1512,7 @@ def stream_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("cms_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1607,7 +1652,7 @@ def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("dedup_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1877,7 +1922,7 @@ def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2204,7 +2249,7 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_vckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2282,12 +2327,20 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state backend.
 
     Per micro-batch: the batch's signature-group rollup point-merges
-    against the store (read_dynamo scan + sig64-keyed join locally;
-    at real scale these are GetItem lookups on the hash key — the
-    exact access shape DynamoDB exists for), gid/rep_id/cnt fold
-    exactly as _s28_group_merge, and ONLY the touched items are
-    batch-put back (A11's put-replace semantics make retried batches
-    idempotent). The key is xxhash64 of the sorted shingle-hash array;
+    against the post-put state on a sig64-keyed join (at real scale
+    these are GetItem lookups on the hash key — the exact access
+    shape DynamoDB exists for), gid/rep_id/cnt fold exactly as
+    _s28_group_merge, and the touched items go to a LONG-LIVED
+    BATCHED WRITER (round 16): puts are buffered per batch in the
+    carried state mirror and committed through ONE A11 batch-put when
+    the stream ends — put-replace is last-write-wins per key, so the
+    single commit of the folded puts is item-identical to the r15
+    per-batch put sequence, and retried batches stay idempotent (the
+    mirror is rebuilt from strictly-earlier state, the commit is a
+    put-replace). The store is the authoritative home of the final
+    group state: finalization reads it back through the connector
+    before emitting any verdict. The key is xxhash64 of the sorted
+    shingle-hash array;
     the full array rides in the item and a same-key-different-array
     collision fails LOUDLY rather than silently merging two cliques
     (none can occur in any real corpus size — 64-bit birthday at 1e4
@@ -2344,6 +2397,7 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     prov_dir = os.path.join(root, "prov")
     gpairs_dir = os.path.join(root, "gpairs")
     last_bands: list[str | None] = [None]
+    last_state: list[str | None] = [None]
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sess = batch.sparkSession
@@ -2366,28 +2420,49 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").alias("b_rep"), F.count("*").alias("b_cnt"))
             .withColumn("sig64", F.xxhash64(F.expr("array_join(sarr, ',')")))
         )
-        # ONE store scan per batch (round 15, guide §1.2/§2.4): the
-        # pre-merge snapshot is materialized once and reused by BOTH
-        # the merge join and the verify join below — the pre-r15 shape
-        # re-scanned the store through the Python DataSource three
-        # times per batch (merge + twice under the verify's two-sided
-        # join), and concurrent Python-DS scans measured 4-6 s EACH
-        # in the round-15 event-log profile (vs 0.3-0.6 s alone).
-        store_snap = read_dynamo(sess, store_table).localCheckpoint(eager=True)
-        store = store_snap.select(
-            "sig64",
-            F.col("sarr").alias("sarr_stored"),
-            "gid",
-            "rep_id",
-            "cnt",
+        # LONG-LIVED BATCHED WRITER (round 16, guide §4/§2.4; VERDICT
+        # r15 #2): the r15 shape paid one Python-DataSource scan job
+        # (~0.3-0.6 s) plus one Python-DataSource write job (~1 s) per
+        # batch just to round-trip the group state through the store.
+        # The writer now BUFFERS: each batch point-merges against the
+        # carried post-put mirror (the previous batch's state file —
+        # row-identical to what a store re-scan would return, by
+        # induction: the mirror IS prior state with the touched keys
+        # put-replaced) and lands the folded state; the accumulated
+        # puts commit through ONE A11 batch-put when the stream ends
+        # (put-replace is last-write-wins per key, so the single
+        # commit of the final fold equals the per-batch put sequence
+        # item-for-item). The store remains the authoritative home of
+        # the final state — finalization reads the groups back through
+        # the connector, and the s29↔s28 store assertions still hold.
+        prev_state = (
+            sess.read.parquet(last_state[0]).select(
+                "sig64", "sarr", "gid", "rep_id", "cnt"
+            )
+            if last_state[0] is not None
+            else None
         )
-        # ``m`` is deliberately NOT materialized (round-15 second
-        # pass, guide §1.2): both checkpointed inputs (sigs read-back,
-        # store snapshot) are already in memory, so each consumer
-        # re-runs only a small local aggregate + join — cheaper on
-        # this host than the ~0.5 s driver-action floor a dedicated
-        # materialization job pays.
-        m = gb.join(store, "sig64", "left")
+        if prev_state is not None:
+            m = gb.join(
+                prev_state.select(
+                    "sig64",
+                    F.col("sarr").alias("sarr_stored"),
+                    "gid",
+                    "rep_id",
+                    "cnt",
+                ),
+                "sig64",
+                "left",
+            )
+        else:  # first batch: the seeded store is empty
+            m = (
+                gb.withColumn(
+                    "sarr_stored", F.lit(None).cast("array<bigint>")
+                )
+                .withColumn("gid", F.lit(None).cast("long"))
+                .withColumn("rep_id", F.lit(None).cast("long"))
+                .withColumn("cnt", F.lit(None).cast("long"))
+            )
         merged_cols = (
             "sig64",
             "sarr",
@@ -2398,38 +2473,43 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("cnt", F.lit(0)) + F.col("b_cnt")).alias("cnt"),
             F.col("gid").isNull().alias("is_new"),
         )
-        merged = m.select(*merged_cols)
         # collision guard: same 64-bit key, different signature array
         # -> refuse loudly instead of silently merging two cliques.
         # Checked BOTH ways: batch-vs-stored AND batch-internal — two
         # distinct sarr in one batch sharing a sig64 would otherwise
-        # slip past the stored comparison and the batch-put's
-        # put-replace would silently drop one clique's group row
-        # (code review r12). Round 15: the guard rides the PUT job as
-        # observe() metrics (CollectMetrics executes inside the write
-        # plan; the batch-internal k>1 case becomes a window flag over
-        # sig64) instead of a dedicated count() action per batch. A
-        # detected collision now aborts AFTER the colliding batch-put
-        # lands, but the store is per-run scratch state and the failed
-        # stream never produces a verdict table, so the fail-loud
-        # contract is intact: no silent merge can reach any output.
+        # slip past the stored comparison and put-replace would
+        # silently drop one clique's group row (code review r12). The
+        # guard rides the batch's state-file write as observe()
+        # metrics (round 15/16: CollectMetrics executes inside the
+        # write plan; the batch-internal k>1 case is a window flag
+        # over sig64) — a detected collision aborts before anything
+        # reaches the store at all, and the failed stream never
+        # produces a verdict table, so the fail-loud contract holds.
         guard = Observation(f"s29_guard_{batch_id}")
-        guarded_put = (
+        touched = (
             m.withColumn("bad", _s29_collision_flag())
             .observe(guard, F.sum("bad").alias("bad_rows"))
             .select(*merged_cols)
-            .select("sig64", "sarr", "gid", "rep_id", "cnt")
         )
-        # ONLY touched items go back through the batch-put upsert
-        write_dynamo(guarded_put, store_table)
+        state = touched
+        if prev_state is not None:
+            state = (
+                prev_state.join(gb.select("sig64"), "sig64", "left_anti")
+                .withColumn("is_new", F.lit(False))
+                .unionByName(touched)
+            )
+        sout = os.path.join(root, f"groups_v{batch_id}")
+        state.write.mode("overwrite").parquet(sout)
+        last_state[0] = sout
         bad = guard.get["bad_rows"] or 0
         if bad:
             raise ValueError(
                 f"s29: xxhash64 signature-key collision on {bad} row(s) — "
                 "widen the key before trusting this corpus"
             )
+        landed_state = sess.read.parquet(sout)
         bands_new = _neardup_band_rows(
-            merged.filter("is_new").select(
+            landed_state.filter("is_new").select(
                 F.col("gid").alias("doc_id"), F.col("sarr").alias("harr")
             )
         )
@@ -2451,18 +2531,12 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate pairs reach back to groups from EARLIER batches
         # (a pair is generated when its later member arrives), so the
         # verify must join against the FULL group state (a first-draft
-        # join against only the batch-touched ``merged`` frame
-        # silently dropped every cross-batch pair: 6/24 dups). The
-        # full post-put (gid, sarr) relation is reconstructed from
-        # the batch's own materialized frames instead of a re-scan:
-        # existing groups never change gid or sarr (only rep_id/cnt
-        # fold), so post-put state = pre-merge snapshot ∪ the batch's
-        # newly minted groups — same rows, two fewer Python-DS scans
-        # per batch (round 15; the store stays the authoritative
-        # state home, written above and read once at batch start).
-        garr = store_snap.select("gid", "sarr").unionByName(
-            merged.filter("is_new").select("gid", "sarr")
-        )
+        # join against only the batch-touched frame silently dropped
+        # every cross-batch pair: 6/24 dups). The landed state file IS
+        # the full post-put relation — gid and sarr never change after
+        # minting, so the carried mirror's (gid, sarr) projection is
+        # row-identical to a post-put store re-scan.
+        garr = landed_state.select("gid", "sarr")
         paired = cand.join(
             garr.select(F.col("gid").alias("doc_a"), F.col("sarr").alias("arr_a")),
             "doc_a",
@@ -2479,16 +2553,28 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_dckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
+        # the batched writer COMMITS: one A11 batch-put of the folded
+        # puts (last-write-wins per sig64 ≡ the per-batch put sequence)
+        # — the run's single Python-DS write job (round 16, VERDICT
+        # r15 #2: was one ~1 s write job per batch)
+        write_dynamo(
+            spark.read.parquet(last_state[0]).select(
+                "sig64", "sarr", "gid", "rep_id", "cnt"
+            ),
+            store_table,
+        )
         # materialize the final store state ONCE: the verdict fold
         # references the group relation from three join sides, which
         # as a raw read_dynamo frame meant three concurrent Python-DS
-        # scans of the same table (measured 5-6 s each, round 15)
+        # scans of the same table (measured 5-6 s each, round 15).
+        # Reading the groups back THROUGH THE CONNECTOR (not the local
+        # mirror) keeps the store authoritative for the verdict.
         return _neardup_verdict_finalize(
             spark,
             docs_all=spark.read.option("recursiveFileLookup", "true").parquet(
@@ -2753,7 +2839,7 @@ def stream_ivf_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("ivf_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2886,7 +2972,7 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("decon_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -3085,7 +3171,7 @@ def stream_tokenize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("toklg_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -3193,7 +3279,7 @@ def stream_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("s32_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(on_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(on_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -3384,7 +3470,7 @@ def stream_pack_assignment(
     ckpt = _scratch_dir("s33_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(on_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(on_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -3706,7 +3792,7 @@ def _landing_zone_stream_run(
     ckpt = _scratch_dir("s34_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(on_batch)
+            stream.writeStream.foreachBatch(_microbatch_plan_confs(on_batch))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
