@@ -900,7 +900,9 @@ class _JpegBitReader:
         behavior on truncated/invalid streams is unchanged."""
         nb = self.nbits
         while nb < 8:
-            if not self._try_fill():
+            # bulk fill (round 16): same non-consuming stop at markers
+            # and end-of-buffer as _try_fill, up to 4 bytes per call
+            if not self._bulk_fill():
                 break
             nb = self.nbits
         if nb:
@@ -1942,31 +1944,67 @@ class _FlacBitReader:
         return v
 
     def read_unary(self):
+        # bulk scan (round 16, guide §1.2): consume whole all-zero
+        # accumulators and locate the terminating 1 via bit_length()
+        # instead of one read(1) call per zero bit — same bits, same
+        # truncation error when the stream ends before a 1 appears
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.nbits == 0:
+                if self.pos >= len(self.buf):
+                    raise ValueError("flac: truncated stream")
+                self.acc = self.buf[self.pos]
+                self.pos += 1
+                self.nbits = 8
+            if self.acc == 0:
+                q += self.nbits
+                self.nbits = 0
+                continue
+            top = self.acc.bit_length()
+            q += self.nbits - top
+            self.nbits = top - 1
+            self.acc &= (1 << self.nbits) - 1
+            return q
 
     def align(self):
         self.nbits = 0
         self.acc = 0
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    top, mask = 1 << (width - 1), (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+# table-driven CRCs (round 16, guide §1.2 per-task work): the bit-loop
+# originals were the single largest FLAC hotspot — 31 % of the whole
+# encode+decode roundtrip in the round-16 cProfile (every frame is
+# CRC-16'd twice: once written, once checked). One 256-entry table per
+# polynomial turns 8 shift/xor steps per byte into one lookup;
+# bit-identical by construction (same polynomial, same register width).
+_FLAC_CRC8_TABLE = _crc_table(0x07, 8)
+_FLAC_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _flac_crc8(data: bytes) -> int:
     crc = 0
+    table = _FLAC_CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = table[crc ^ b]
     return crc
 
 
 def _flac_crc16(data: bytes) -> int:
     crc = 0
+    table = _FLAC_CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ table[(crc >> 8) ^ b]
     return crc
 
 
@@ -2044,13 +2082,15 @@ def _flac_write_residual(wr: _FlacBitWriter, resid, pbits: int = 4) -> None:
     wr.write(0, 4)
     p = min(_rice_param(resid, cap=(1 << pbits) - 2), (1 << pbits) - 2)
     wr.write(p, pbits)
+    # one write per residual (round 16, guide §1.2): the Rice word
+    # "q zero bits, a 1, then the p low bits" is the single integer
+    # (1 << p) | low of width q+1+p — bit-identical to the former
+    # bit-at-a-time unary loop, minus q+1 writer calls per sample
+    pmask = (1 << p) - 1
     for r in resid:
         u = _flac_zigzag(r)
-        for _ in range(u >> p):
-            wr.write(0, 1)
-        wr.write(1, 1)
-        if p:
-            wr.write(u & ((1 << p) - 1), p)
+        q = u >> p
+        wr.write((1 << p) | (u & pmask), q + 1 + p)
 
 
 def _flac_wasted_k(samples, bps: int, cap: int = 4) -> int:
@@ -4502,13 +4542,38 @@ def encode_jpeg_hierarchical(data: bytes, bcols: int = 4) -> bytes:
             for by in range(h // 8):
                 wr.write(*rows[by % 5])
         else:
+            # base frame: every payload block is DC-only, so a block
+            # triple's bits depend only on diff = dc - pred — memoize
+            # the full (luma DC + EOB + chroma pair) bit field per
+            # diff and emit ONE write per block triple (round 16; the
+            # general _jpeg_encode_block walk stays as the fallback
+            # for any block that does carry ACs)
             pred = 0
+            memo: dict[int, tuple[int, int]] = {}
+            eob = ac_lum[0x00]
             for by in range(h // 8):
                 for bx in range(w // 8):
-                    pred = _jpeg_encode_block(
-                        wr, luma_coef_fn(bx, by), pred, dc_lum, ac_lum
-                    )
-                    wr.write(*chroma_pair)
+                    coefs = luma_coef_fn(bx, by)
+                    if any(z and v for z, v in coefs.items()):
+                        pred = _jpeg_encode_block(
+                            wr, coefs, pred, dc_lum, ac_lum
+                        )
+                        wr.write(*chroma_pair)
+                        continue
+                    dc = coefs.get(0, 0)
+                    d = dc - pred
+                    pat = memo.get(d)
+                    if pat is None:
+                        s, mb = _jpeg_magnitude(d)
+                        parts = [dc_lum[s]]
+                        if s:
+                            parts.append((mb, s))
+                        parts.append(eob)
+                        parts.append(chroma_pair)
+                        pat = _cat(*parts)
+                        memo[d] = pat
+                    wr.write(*pat)
+                    pred = dc
         seg += wr.flush()
         return seg
 
@@ -4660,27 +4725,51 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
             # same handful of DC codes repeats across thousands of
             # blocks; round-half-even float round is not free)
             dcmemo: list[dict[int, int]] = [{} for _ in comps]
+            huff = rd.huff
+            bits = rd.bits
             for by in range(gby):
                 for bx in range(gbx):
                     for ci, (dct, act, q) in enumerate(ctabs):
-                        s = rd.huff(dct)
-                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        s = huff(dct)
+                        diff = _jpeg_extend(bits(s), s) if s else 0
                         if differential:
                             dc = diff  # PRED = 0 (module comment)
                         else:
                             pred[ci] += diff
                             dc = pred[ci]
+                        # first AC symbol read OUTSIDE the scan loop
+                        # (round 16): an immediate EOB — every block of
+                        # this encoder's streams — takes the DC-only
+                        # path with no list allocation or loop setup
+                        rs = huff(act)
+                        if rs == 0:
+                            # DC-only fast path: the IDCT of a lone DC
+                            # is the constant DC/8 (identical rounding
+                            # to the matrix path — orthonormal DCT)
+                            v = dcmemo[ci].get(dc)
+                            if v is None:
+                                c0 = (dc * q[0]) / 8.0
+                                v = (
+                                    int(round(c0))
+                                    if differential
+                                    else min(max(int(round(c0 + 128)), 0), 255)
+                                )
+                                dcmemo[ci][dc] = v
+                            dcvals[ci][by, bx] = v
+                            continue
                         # scan ACs into (zigzag-index, value) pairs;
                         # numpy only enters on blocks that HAVE ACs —
                         # the DC-only majority stays in plain ints
                         acs = []
                         z = 1
                         while z < 64:
-                            rs = rd.huff(act)
                             r, sz = rs >> 4, rs & 0xF
                             if sz == 0:
                                 if r == 15:
                                     z += 16
+                                    if z >= 64:
+                                        break
+                                    rs = huff(act)
                                     continue
                                 break
                             z += r
@@ -4689,14 +4778,16 @@ def decode_jpeg_hierarchical(payload: bytes) -> dict:
                             acs.append(
                                 (
                                     _JPEG_ZIGZAG[z],
-                                    _jpeg_extend(rd.bits(sz), sz) * q[z],
+                                    _jpeg_extend(bits(sz), sz) * q[z],
                                 )
                             )
                             z += 1
+                            if z < 64:
+                                rs = huff(act)
                         if not acs:
-                            # DC-only fast path: the IDCT of a lone DC
-                            # is the constant DC/8 (identical rounding
-                            # to the matrix path — orthonormal DCT)
+                            # ZRL-padded empty block (no encoder here
+                            # emits it, but the scan loop above allows
+                            # it): same DC-only rendering
                             v = dcmemo[ci].get(dc)
                             if v is None:
                                 c0 = (dc * q[0]) / 8.0
