@@ -101,25 +101,37 @@ MICROBATCH_AQE_CONF = "spark.dynamo.stream.batchAqe"
 
 def _microbatch_plan_confs(fn):
     """Wrap a foreachBatch callable so the plans it builds run with
-    AQE OFF and shuffle parallelism at the state-partition count for
-    the duration of the closure (round 16, guide §1.2/§2.4; VERDICT
-    r15 #1).
+    AQE OFF and shuffle parallelism pinned to the state-partition
+    count for the duration of the closure (round 16, guide §1.2/§2.4;
+    VERDICT r15 #1).
 
     Why: inside foreachBatch every adaptive query stage materializes
     as its OWN Spark job, so a 4-batch stream whose per-batch state is
     KB-scale paid ~130 jobs per execution with ~50 % of wall time in
     0.4-0.9 s inter-job driver gaps (round-15 event-log profile of
     s34/s35). With AQE off, one driver action is one job regardless of
-    stage count — the per-batch plans here are small enough that
-    runtime re-optimization has nothing to improve. Scale note: this
-    is NOT a local[32]-only tune — the driver-gap cost multiplies by
-    batch count on any cluster — but a production stream whose
-    micro-batches are themselves 100 GB-scale should re-enable AQE
-    (runtime skew splits / coalescing) by setting session conf
-    ``spark.dynamo.stream.batchAqe=true``; batch entries and stream
-    FINALIZE plans keep the session's AQE setting either way.
-    Semantics are untouched: AQE and the shuffle-partition count are
-    physical-plan knobs only.
+    stage count; the partition pin replaces the AQE coalescing the
+    toggle gives up (without it, every tiny per-batch shuffle
+    materializes all 32 session partitions — the round-16 interleaved
+    probe measured that variant WORSE than leaving AQE on: s34
+    23.1/28.2 s min/med vs 19.6/20.4 AQE-on vs 15.5/17.8 with the
+    pin). Both knobs are physical-plan only — semantics unchanged.
+
+    WHERE NOT TO USE IT (measured, same probe): entries whose
+    micro-batches carry real per-row compute over exploded relations
+    — the neardup family's per-batch shingle windows/joins (s26/s28/
+    s29) — run BEST with AQE left on (s28 med 13.1 s AQE-on vs 19.5
+    pinned; s29 17.2 vs 20.2): runtime coalescing/planning earns its
+    job churn there. Those call sites pass the closure unwrapped.
+
+    Scale note: this is NOT a local[32]-only tune — the per-job
+    driver-gap cost multiplies by batch count on any cluster — but a
+    production stream whose micro-batches are themselves 100 GB-scale
+    should re-enable AQE (runtime skew splits / coalescing) via
+    session conf ``spark.dynamo.stream.batchAqe=true``, and sizes
+    ``spark.dynamo.stream.statePartitions`` to its key space (see
+    state_partitions). Batch entries and stream-FINALIZE plans keep
+    the session's settings either way.
     """
     import functools
 
@@ -1922,7 +1934,10 @@ def stream_neardup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_ckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
+            stream.writeStream.foreachBatch(
+                # AQE stays ON here: see _microbatch_plan_confs docstring
+                merge_batch
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2249,7 +2264,10 @@ def stream_neardup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_vckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
+            stream.writeStream.foreachBatch(
+                # AQE stays ON here: see _microbatch_plan_confs docstring
+                merge_batch
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -2553,7 +2571,10 @@ def stream_neardup_dynamo_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _scratch_dir("neardup_dckpt_")
     try:
         q = (
-            stream.writeStream.foreachBatch(_microbatch_plan_confs(merge_batch))
+            stream.writeStream.foreachBatch(
+                # AQE stays ON here: see _microbatch_plan_confs docstring
+                merge_batch
+            )
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
