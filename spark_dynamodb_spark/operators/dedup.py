@@ -103,6 +103,41 @@ def _shingle_arrays(docs: DataFrame) -> DataFrame:
     )
 
 
+def _token_hash_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<bigint>) — the k-gram shingle relation as
+    INTEGER combines of per-token xxhash64 draws (round 16, guide
+    §2.3 "narrower payload" / VERDICT r15 #4): each token is hashed
+    once, and a window's identity is xxhash64 over its k token
+    hashes, so the whole-corpus shingling pass never materializes the
+    space-joined k-gram strings (measured: the string pass min 1.05 s
+    / med 1.35 s at sf0.1 vs 0.57/0.90 for this relation, same
+    per-doc distinct counts). Downstream Jaccard/LSH arithmetic is
+    identical on any injective window representation — the exact
+    argument the c99 pipeline's pre-hashed base has shipped under
+    since round 8 (collisions aside, same 64-bit class as
+    xxhash64(string)); the exact-Jaccard-over-strings oracle pins
+    equality per fixture. The short-document rule is preserved in
+    hash space: a doc with fewer than k tokens yields ONE shingle
+    hashing its full token-hash array, and cross-regime collisions
+    (a <k-token shingle equaling a k-token window) are impossible in
+    the string regime and 64-bit-chance here, same as any pair."""
+    k = SHINGLE_K
+    toks = F.transform(tokens("text"), lambda t: F.xxhash64(t))
+    d = docs.repartition("doc_id").select(
+        "doc_id", toks.alias("th"), F.size(toks).alias("n")
+    )
+    windows = F.transform(
+        F.slice("th", 1, F.col("n") - (k - 1)),
+        lambda x, i: F.xxhash64(
+            x, *[F.element_at("th", i + j + 1) for j in range(1, k)]
+        ),
+    )
+    sh = F.when(F.col("n") >= k, windows).otherwise(
+        F.array(F.xxhash64(F.col("th")))
+    )
+    return d.select("doc_id", F.array_distinct(sh).alias("sh"))
+
+
 def _distinct_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs — narrow (see _shingle_arrays)."""
     return _shingle_arrays(docs).select(
@@ -166,9 +201,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins for verify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # the helper materializes the HASHED shingle relation (the only
-    # thing both the signature and verify paths read) — no string cache
-    return _minhash_verified_pairs(_shingle_arrays(docs), "sharr")
+    # pre-hashed integer shingles (round 16 — see _token_hash_shingles
+    # for the measurement and the equivalence argument); the helper
+    # materializes the hashed relation both the signature and verify
+    # paths read — no string cache
+    return _minhash_verified_pairs(_token_hash_shingles(docs), "sh")
 
 
 def _signed64(x: int) -> int:
@@ -406,18 +443,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
     hashed = toks.select("doc_id", md5_64("tok").alias("h"))
+    # both projection stages spelled as SQL strings formatted at call
+    # time (round 16 — the c02 _MINHASH_SIG_SQL discipline, guide
+    # §1.2): the Column-by-Column build (60 sum/when aggregates plus a
+    # 60-term nested sim chain) paid one py4j round trip per operator
+    # on every plan construction; parsing 61 expression strings is
+    # milliseconds. Arithmetic is token-identical, so the c02c oracle
+    # hash is untouched.
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(SIM_BITS)
     ]
     bits = hashed.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for b in range(SIM_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
-        sim = term if sim is None else sim + term
-    return bits.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    sim_sql = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIM_BITS)
+    )
+    return bits.selectExpr("doc_id", f"({sim_sql}) AS simhash").orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2282,14 +2326,26 @@ def _ed_prepared(docs: DataFrame) -> DataFrame:
     repartition first: the fixture parquet is one row group = one
     task, and the per-token md5 for the block keys would serialize
     (the _shingle_arrays idiom; verify-skill gotcha)."""
+    # min-by-hex-string, convert ONCE per doc (round 16, guide §1.2):
+    # md5() is fixed-length lowercase hex, so lexicographic array_min
+    # over the hex strings picks the same element as numeric min over
+    # md5_64's 60-bit prefix (0-9a-f is numeric order; a shared
+    # 15-char prefix is a tie with an identical mh value either way).
+    # The conv(hex, 16, 10) string parse — formerly run per TOKEN, the
+    # dominant cost of this entry's 4.4 s staging job — now runs once
+    # per (doc, permutation). Values are identical, so the md5-based
+    # oracle mirror (sql_md5_64 per token) is untouched.
+    def _min_md5_64(arr: Column) -> Column:
+        return F.conv(F.substring(F.array_min(arr), 1, 15), 16, 10).cast("long")
+
     return docs.repartition("doc_id").select(
         "doc_id",
         "lang",
         "n_chars",
         F.substring(normalize_text("text"), 1, _ED_PFX).alias("pfx"),
-        F.array_min(F.transform(tokens("text"), lambda t: md5_64(t))).alias("mh1"),
-        F.array_min(
-            F.transform(tokens("text"), lambda t: md5_64(F.concat(t, F.lit("\x01"))))
+        _min_md5_64(F.transform(tokens("text"), lambda t: F.md5(t))).alias("mh1"),
+        _min_md5_64(
+            F.transform(tokens("text"), lambda t: F.md5(F.concat(t, F.lit("\x01"))))
         ).alias("mh2"),
     )
 

@@ -2444,3 +2444,66 @@ def test_mpeg1_layer1_crc_protected_frames_decode_identically():
         assert fp["alloc"] == fr["alloc"]
         assert fp["scf"] == fr["scf"]
         assert fp["codes"] == fr["codes"]
+
+
+def test_token_hash_shingles_pairs_match_string_base(spark, sf_dir):
+    """Round-16 internals change: c02 builds its shingle relation as
+    INTEGER combines of per-token xxhash64 draws instead of hashed
+    space-joined k-gram strings. The verified pair set (and every
+    jaccard value) must equal the string-base pipeline's — the two
+    representations may only differ under a 64-bit hash collision,
+    which the fixture must not exhibit."""
+    from spark_dynamodb_spark.operators import dedup
+    from spark_dynamodb_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_strings = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._minhash_verified_pairs(
+            dedup._shingle_arrays(docs), "sharr"
+        ).collect()
+    }
+    via_token_hashes = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._minhash_verified_pairs(
+            dedup._token_hash_shingles(docs), "sh"
+        ).collect()
+    }
+    assert via_token_hashes == via_strings
+    assert len(via_strings) > 0
+
+
+def test_flac_crc_tables_match_bit_loop():
+    """Round-16 internals change: FLAC CRC-8/CRC-16 are table-driven.
+    Must equal the RFC 9639 bit-loop definition on randomized data."""
+    import random
+
+    from spark_dynamodb_spark.functions.codecs import _flac_crc8, _flac_crc16
+
+    def ref8(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+                )
+        return crc
+
+    def ref16(data: bytes) -> int:
+        crc = 0
+        for b in data:
+            crc ^= b << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    rng = random.Random(20260817)
+    for _ in range(200):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        assert _flac_crc8(data) == ref8(data)
+        assert _flac_crc16(data) == ref16(data)
